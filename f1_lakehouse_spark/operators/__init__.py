@@ -1,0 +1,13 @@
+"""Operator inventory (SURVEY.md §2) — importing this package registers
+every query implementation into ``f1_lakehouse_spark.registry.REGISTRY``."""
+
+from f1_lakehouse_spark.operators import (  # noqa: F401
+    aggregations,
+    gold,
+    joins,
+    projection,
+    scalars,
+    setops,
+    sorts,
+    windows,
+)

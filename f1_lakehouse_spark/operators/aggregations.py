@@ -1,0 +1,327 @@
+"""Aggregation operators (SURVEY.md §2.4 A1–A13) + the TPC-H Q1-shaped
+headline pricing summary.
+
+Determinism note (oracle hash parity): SUM over DOUBLE is order-dependent
+in floating point, and Spark/DuckDB reduce in different orders. Every
+double-typed SUM/AVG here goes through an exact DECIMAL accumulation
+(``SUM(CAST(x AS DECIMAL(18,6)))``) and is cast back to DOUBLE at the end —
+bit-identical in both engines regardless of parallelism. COUNT/MIN/MAX and
+per-row arithmetic are already exact.
+
+Scale note: all of these are single-shuffle hash aggregates with map-side
+partial aggregation (Spark plans partial_sum/partial_count before the
+exchange); group-by keys are low-cardinality so AQE coalesces the
+post-shuffle partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_lakehouse_spark.registry import register
+from f1_lakehouse_spark.tables import load_table
+
+
+def dsum(c: Column | str, scale: int = 6) -> Column:
+    """Order-independent SUM for double columns: exact decimal accumulation."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.sum(c.cast(f"decimal(27,{scale})")).cast("double")
+
+
+def davg(c: Column | str, scale: int = 6) -> Column:
+    """Order-independent AVG: exact decimal sum / count."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.sum(c.cast(f"decimal(27,{scale})")).cast("double") / F.count(c)
+
+
+def DSUM(expr: str, scale: int = 6) -> str:
+    """Oracle-side twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,{scale}))) AS DOUBLE)"
+
+
+def DAVG(expr: str, scale: int = 6) -> str:
+    return f"{DSUM(expr, scale)} / COUNT({expr})"
+
+
+# --- A1: GROUP BY multi-key + COUNT(*) (driver_session_summary.sql:36-44) ---
+
+
+@register(
+    "a1_group_count",
+    oracle="""
+SELECT l_returnflag, l_linestatus, l_suppkey, COUNT(*) AS n_lines
+FROM lineitem GROUP BY 1, 2, 3
+""",
+    doc="multi-key GROUP BY + COUNT(*)",
+    tags=("A1",),
+)
+def a1_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus", "l_suppkey").agg(
+        F.count("*").alias("n_lines")
+    )
+
+
+# --- A2: conditional SUM / filtered count (driver_session_summary.sql:40-41) -
+
+
+@register(
+    "a2_conditional_sum",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+           AS deep_discount_lines,
+       CAST(SUM(CASE WHEN l_discount <= 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+           AS shallow_discount_lines
+FROM lineitem GROUP BY 1
+""",
+    doc="SUM(CASE WHEN ... 1 ELSE 0) conditional counts",
+    tags=("A2", "P9"),
+)
+def a2_conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias(
+            "deep_discount_lines"
+        ),
+        F.sum(F.when(F.col("l_discount") <= 0.05, 1).otherwise(0)).alias(
+            "shallow_discount_lines"
+        ),
+    )
+
+
+# --- A3: MIN over a measure (driver_session_summary.sql:42) ------------------
+
+
+@register(
+    "a3_min_measure",
+    oracle="""
+SELECT l_suppkey, MIN(l_extendedprice) AS best_price, MAX(l_extendedprice) AS worst_price
+FROM lineitem GROUP BY 1
+""",
+    doc="MIN/MAX per group (exact on doubles)",
+    tags=("A3",),
+)
+def a3_min_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.min("l_extendedprice").alias("best_price"),
+        F.max("l_extendedprice").alias("worst_price"),
+    )
+
+
+# --- A5: COUNT(DISTINCT) KPIs (dashboard/app.py:151-155) ---------------------
+
+
+@register(
+    "a5_count_distinct",
+    oracle="""
+SELECT COUNT(*) AS n_lines,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+""",
+    doc="KPI row: COUNT(*) + three COUNT(DISTINCT)s",
+    tags=("A5",),
+)
+def a5_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+# --- A6: DISTINCT projection for filter domains (dashboard/app.py:39-44) -----
+
+
+@register(
+    "a6_distinct_values",
+    oracle="""
+SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS order_year
+FROM orders ORDER BY order_year
+""",
+    doc="SELECT DISTINCT ... ORDER BY (dropdown domain)",
+    tags=("A6",),
+)
+def a6_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(F.year("o_orderdate").alias("order_year"))
+        .distinct()
+        .orderBy("order_year")
+    )
+
+
+# --- A7: MEDIAN per group (dashboard/app.py:231-242 pace curve) --------------
+
+
+@register(
+    "a7_median_curve",
+    oracle="""
+SELECT l_linenumber, MEDIAN(l_quantity) AS median_qty, COUNT(*) AS n
+FROM lineitem GROUP BY 1
+""",
+    doc="exact MEDIAN per group (session pace curve analog)",
+    tags=("A7",),
+)
+def a7_median_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linenumber").agg(
+        F.median("l_quantity").alias("median_qty"), F.count("*").alias("n")
+    )
+
+
+# --- A8+A9: AVG readings + MAX boolean flag (notebook cell 24 weather) --------
+
+
+@register(
+    "a8_a9_weather_style",
+    oracle=f"""
+SELECT event_type,
+       {DAVG("value")} AS avg_value,
+       MAX(CASE WHEN value > 90 THEN 1 ELSE 0 END) AS had_spike,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+""",
+    doc="AVG per group (exact decimal path) + MAX(CASE) boolean flag",
+    tags=("A8", "A9"),
+)
+def a8_a9_weather_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        davg("value").alias("avg_value"),
+        F.max(F.when(F.col("value") > 90, 1).otherwise(0)).alias("had_spike"),
+        F.count("*").alias("n"),
+    )
+
+
+# --- A10: MIN over timestamp (dashboard/app.py:130-137 session date) ----------
+
+
+@register(
+    "a10_min_timestamp",
+    oracle="""
+SELECT o_orderpriority, MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order
+FROM orders GROUP BY 1
+""",
+    doc="MIN/MAX over TIMESTAMP per group",
+    tags=("A10",),
+)
+def a10_min_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+# --- A11: HAVING post-aggregation predicate (notebook cell 17) ----------------
+
+
+@register(
+    "a11_having",
+    oracle="""
+SELECT user_id, COUNT(DISTINCT event_type) AS n_types, COUNT(*) AS n_events
+FROM events GROUP BY 1
+HAVING COUNT(DISTINCT event_type) >= 4
+""",
+    doc="HAVING over COUNT(DISTINCT) (consistency-audit analog)",
+    tags=("A11",),
+)
+def a11_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.countDistinct("event_type").alias("n_types"),
+            F.count("*").alias("n_events"),
+        )
+        .filter(F.col("n_types") >= 4)
+    )
+
+
+# --- A12: ordered string_agg (ai/rag_api/app.py:77-90 schema doc) -------------
+
+
+@register(
+    "a12_string_agg",
+    oracle="""
+SELECT n_regionkey, string_agg(n_name, ', ' ORDER BY n_name) AS nations
+FROM nation GROUP BY 1
+""",
+    doc="deterministic listagg: sorted collect_list + array_join",
+    tags=("A12",),
+)
+def a12_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ", ").alias("nations")
+    )
+
+
+# --- A13: not_null test compiled shape (dbt data test) ------------------------
+
+
+@register(
+    "a13_not_null_failures",
+    oracle="""
+SELECT COUNT(*) AS failures
+FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NULL) t
+""",
+    doc="dbt not_null test: count of NULL key rows (expect 0)",
+    tags=("A13", "D4"),
+)
+def a13_not_null_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey")
+        .filter(F.col("l_orderkey").isNull())
+        .agg(F.count("*").alias("failures"))
+    )
+
+
+# --- Headline: TPC-H Q1-shaped pricing summary --------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {DSUM("l_quantity")} AS sum_qty,
+       {DSUM("l_extendedprice")} AS sum_base_price,
+       {DSUM("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       {DSUM("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       {DAVG("l_quantity")} AS avg_qty,
+       {DAVG("l_extendedprice")} AS avg_price,
+       {DAVG("l_discount")} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+""",
+    doc="TPC-H Q1 shape: 2-key group, 8 aggregates, pushed date filter",
+    tags=("A1", "A2", "A8", "bench"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )

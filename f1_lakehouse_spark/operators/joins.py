@@ -1,0 +1,184 @@
+"""Join operators (SURVEY.md §2.3 J1–J2) + Spark-native join extensions.
+
+J1 (compound-key LEFT JOIN) lives in ``operators.gold`` inside the flagship.
+Here: the pace×weather analytical join (J2), the broadcast star join that a
+100 TB fact table demands, semi/anti joins, and a TPC-H Q3-shaped
+select-join-agg-topk.
+
+Scale notes: dimension sides (nation/region/customer at reference scale)
+are broadcast — no shuffle of the fact table for enrichment. Fact-to-fact
+joins pre-aggregate both sides to the join key before joining (shuffle the
+small aggregates, not the raw rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_lakehouse_spark.operators.aggregations import DAVG, DSUM, davg, dsum
+from f1_lakehouse_spark.registry import register
+from f1_lakehouse_spark.tables import load_table
+
+
+# --- J2: pace × weather analytical LEFT JOIN (notebook cell 25) --------------
+# Per-month best lineitem price joined to the month's order-level "conditions"
+# aggregate — the reference's per-session best lap × weather join shape.
+
+
+@register(
+    "j2_pace_conditions_join",
+    oracle=f"""
+WITH pace AS (
+    SELECT CAST(year(l_shipdate) AS INTEGER)  AS y,
+           CAST(month(l_shipdate) AS INTEGER) AS m,
+           MIN(l_extendedprice) AS best_price,
+           COUNT(*) AS n_lines
+    FROM lineitem GROUP BY 1, 2
+), conditions AS (
+    SELECT CAST(year(o_orderdate) AS INTEGER)  AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           {DAVG("o_totalprice")} AS avg_order_value,
+           MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS had_final
+    FROM orders GROUP BY 1, 2
+)
+SELECT p.y, p.m, p.best_price, p.n_lines, c.avg_order_value, c.had_final
+FROM pace p LEFT JOIN conditions c USING (y, m)
+""",
+    doc="per-key aggregate LEFT JOIN aggregate (pace × weather shape)",
+    tags=("J2", "A3", "A8", "A9"),
+)
+def j2_pace_conditions_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    pace = li.groupBy(
+        F.year("l_shipdate").alias("y"), F.month("l_shipdate").alias("m")
+    ).agg(F.min("l_extendedprice").alias("best_price"), F.count("*").alias("n_lines"))
+    conditions = o.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(
+        davg("o_totalprice").alias("avg_order_value"),
+        F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("had_final"),
+    )
+    return pace.join(conditions, on=["y", "m"], how="left").select(
+        "y", "m", "best_price", "n_lines", "avg_order_value", "had_final"
+    )
+
+
+# --- Broadcast star join: fact → dim → dim chain ------------------------------
+
+
+@register(
+    "join_star_broadcast",
+    oracle=f"""
+SELECT r.r_name AS region, n.n_name AS nation,
+       COUNT(*) AS n_customers,
+       {DSUM("c.c_acctbal")} AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+""",
+    doc="star-schema enrichment with explicitly broadcast dims (no fact shuffle pre-agg)",
+    tags=("join", "broadcast"),
+)
+def join_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+# --- Semi / anti joins (EXISTS / NOT EXISTS) ----------------------------------
+# Absent in the reference (SURVEY §2.3) — included as the Spark-native way to
+# express its existence probes at scale.
+
+
+@register(
+    "join_semi_customers_with_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+    doc="LEFT SEMI join (EXISTS)",
+    tags=("join", "semi"),
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""",
+    doc="LEFT ANTI join (NOT EXISTS): customers with no very-large order",
+    tags=("join", "anti"),
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- TPC-H Q3 shape: 3-way join + agg + deterministic top-k -------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT l.l_orderkey,
+       {DSUM("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY 1, 3, 4
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3 shape: filtered 3-way join, group agg, total-order top-10",
+    tags=("join", "bench", "O3"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )

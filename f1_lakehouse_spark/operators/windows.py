@@ -1,0 +1,164 @@
+"""Window operators (SURVEY.md §2.5 W1) + frame/rank/lag extensions.
+
+W1 — the reference's single window function — is ROW_NUMBER with NULLS LAST
+(reference transform/models/gold/driver_session_summary.sql:20-35). Spark's
+default ASC ordering is nulls-FIRST, so `asc_nulls_last()` is load-bearing.
+
+Every window ordering here is TOTAL (unique tiebreakers) so results are
+deterministic under parallel execution — a requirement for the value-hash
+correctness gate and good hygiene at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from f1_lakehouse_spark.registry import register
+from f1_lakehouse_spark.tables import load_table
+
+
+# --- W1: ROW_NUMBER ASC NULLS LAST, personal-best flag ------------------------
+
+
+@register(
+    "w1_row_number_nulls_last",
+    oracle="""
+WITH src AS (
+    SELECT user_id, event_id, ts, NULLIF(value, 0) AS v
+    FROM events
+), ranked AS (
+    SELECT user_id, event_id, v,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY v ASC NULLS LAST, ts, event_id) AS rn
+    FROM src
+)
+SELECT user_id, event_id, v, rn FROM ranked WHERE rn <= 3
+""",
+    doc="ROW_NUMBER ASC NULLS LAST + top-3 per group (personal-best shape)",
+    tags=("W1",),
+)
+def w1_row_number_nulls_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.nullif(F.col("value"), F.lit(0.0)).alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("v").asc_nulls_last(), "ts", "event_id"
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "v", "rn")
+    )
+
+
+# --- RANK / DENSE_RANK / NTILE (extensions; absent in reference §2.5) ---------
+
+
+@register(
+    "w_rank_dense_ntile",
+    oracle="""
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       RANK()       OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS drnk,
+       NTILE(4)     OVER (ORDER BY s_acctbal DESC, s_suppkey) AS quartile
+FROM supplier
+""",
+    doc="RANK/DENSE_RANK per partition + global NTILE quartiles",
+    tags=("window", "rank"),
+)
+def w_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    wp = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), "s_suppkey"
+    )
+    wg = Window.orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.rank().over(wp).alias("rnk"),
+        F.dense_rank().over(wp).alias("drnk"),
+        F.ntile(4).over(wg).alias("quartile"),
+    )
+
+
+# --- LAG/LEAD + gap sessionization (common OLAP pattern) -----------------------
+
+
+@register(
+    "w_sessionize_events",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  OR LAG(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, event_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+    FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess GROUP BY 1, 2
+""",
+    doc="gap-based sessionization: LAG + cumulative SUM + per-session agg",
+    tags=("window", "lag", "sessionization"),
+)
+def w_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(cum))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# --- Running total with explicit frame (rowsBetween) ---------------------------
+
+
+@register(
+    "w_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_spend
+FROM orders
+""",
+    doc="running per-customer spend: explicit ROWS frame, exact decimal accumulation",
+    tags=("window", "frame"),
+)
+def w_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )

@@ -1,0 +1,70 @@
+"""SparkSession factory with the engine's semantic + performance defaults.
+
+Semantics parity notes (vs the reference's DuckDB executor, SURVEY.md §4):
+
+- ``spark.sql.ansi.enabled=false``: the reference relies on DuckDB
+  ``try_cast`` null-on-failure semantics (reference
+  ``transform/models/silver/laps.sql:5-6``); non-ANSI Spark ``cast`` plus
+  explicit ``try_*`` functions reproduce that.
+- ``spark.sql.session.timeZone=UTC``: DuckDB timestamps are UTC-naive;
+  pinning the session zone makes Spark's timestamp arithmetic and
+  ``date_format`` render identically.
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting is
+  the scale story for 100 TB — plans written here assume it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "f1_lakehouse_spark",
+    master: str | None = None,
+    shuffle_partitions: str | int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession configured for this engine.
+
+    In local mode the driver is the only JVM; on a real cluster the same
+    configs apply per-executor. Every config below is cluster-safe.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # --- semantics (oracle parity) ---
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet int96/µs handling: keep timestamps as-is (no rebase).
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # Parquet TIMESTAMP(NANOS) (e.g. pandas datetime64[ns] written without
+        # coercion) has no Spark type; read as LongType epoch-ns and convert
+        # at the loader (tables.load_table truncates to µs like DuckDB does).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- performance ---
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for any pandas exchange (toPandas, pandas UDFs).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Small dims (region/nation/supplier) should broadcast; default 10MB
+        # is fine but make it explicit so the intent survives config drift.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,82 @@
+"""Loaders for the synthetic test tables (TESTDATA.md).
+
+The driver generates a TPC-H-ish star schema plus ``events`` (stream-shaped),
+``documents`` (text corpus) and ``embeddings`` (vector) tables at
+``/root/testdata/sf{0.001,0.01,0.1}``. Every operator in the engine takes its
+inputs from these loaders, so tests/bench/correctness all share one path.
+
+Scale note: ``spark.read.parquet`` gives Catalyst a DSv2 scan with column
+pruning + predicate pushdown; at 100 TB the same call over a partitioned
+table root picks up partition pruning automatically — no code change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at any scale factor the reference
+# contemplates; used by operators to hint broadcast joins.
+SMALL_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark refuses it unless
+        # surfaced as LongType. Set the conf here (not only in our session
+        # factory) so the engine also works under a caller-built session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = _normalize_event_ts(df)
+    return df
+
+
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` Spark surfaces it as
+    LongType epoch-ns. Truncate to µs (DuckDB's TIMESTAMP semantics) so both
+    engines see identical values. No-op if the column is already a timestamp.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # `div` = exact integer division on longs; a float divide would round
+        # through a 53-bit double and corrupt epoch-ns values.
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the SQL entry points)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

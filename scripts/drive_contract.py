@@ -1,0 +1,58 @@
+"""Emulate the driver: fresh process, import __spark_entry__, smoke entry(),
+then run every queries() entry at sf0.01 against oracle_sql() via DuckDB."""
+import sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+import duckdb
+
+import __spark_entry__ as m
+
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+# t1 smoke: entry() at sf0.001
+df = m.entry(spark)
+rows = df.collect()
+print(f"SMOKE entry(): {len(rows)} rows, schema={[f.name for f in df.schema]}")
+assert len(rows) > 0
+
+# t2: differential at sf0.01 like the driver
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+qs, oracles = m.queries(), m.oracle_sql()
+print(f"{len(qs)} queries, {len(oracles)} oracles")
+fails = []
+for name, fn in sorted(qs.items()):
+    t0 = time.time()
+    sdf = fn(spark, SF)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sorted(sdf.columns)
+    status = "rows-only"
+    if name in oracles:
+        res = con.execute(oracles[name])
+        dcols = sorted(d[0] for d in res.description)
+        drows = res.fetchall()
+        if scols != dcols:
+            fails.append((name, "schema", scols, dcols)); status="SCHEMA-FAIL"
+        elif len(srows) != len(drows):
+            fails.append((name, "rowcount", len(srows), len(drows))); status="COUNT-FAIL"
+        else:
+            idx = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+            res2 = con.execute(oracles[name])
+            dcolnames = [d[0] for d in res2.description]
+            didx = sorted(range(len(dcolnames)), key=lambda i: dcolnames[i])
+            sset = sorted([tuple(str(r[i]) for i in idx) for r in srows])
+            dset = sorted([tuple(str(r[i]) for i in didx) for r in res2.fetchall()])
+            status = "MATCH" if sset == dset else "VALUE-FAIL"
+            if status == "VALUE-FAIL":
+                diff = [(a,b) for a,b in zip(sset,dset) if a!=b][:2]
+                fails.append((name, "values", diff))
+    print(f"  {name}: {len(srows)} rows [{status}] {time.time()-t0:.1f}s")
+print("FAILURES:", fails if fails else "none")
+sys.exit(1 if fails else 0)

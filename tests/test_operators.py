@@ -1,0 +1,35 @@
+"""Differential tests: every registered query with an oracle must match the
+DuckDB oracle exactly at sf0.001 (a local replica of the driver's gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from f1_lakehouse_spark.registry import REGISTRY, _ensure_loaded
+from tests.conftest import assert_matches_oracle
+
+_ensure_loaded()
+ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_matches_oracle(spark, duck, name):
+    assert_matches_oracle(spark, duck, name)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns[0] == "ship_year"
+
+
+def test_registry_contract(spark):
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 10
