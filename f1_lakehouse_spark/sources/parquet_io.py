@@ -1,0 +1,84 @@
+"""Bronze-layer parquet sources/sinks (SURVEY.md §2.1 S3–S6).
+
+The reference writes one hive-partitioned parquet dir per
+``(season, round, grand_prix, session)`` with an idempotent skip when the
+partition already exists (reference ``ingestion/src/ingestion/utils.py:36-44``,
+``fastf1_ingest.py:15-22,92-95``). Spark-first equivalents:
+
+- **S3 sink**: ``df.write.partitionBy(*keys)`` — the cluster-scale layout;
+  partition values become prunable directory keys.
+- **S4 idempotency**: *dynamic partition overwrite*
+  (``spark.sql.sources.partitionOverwriteMode=dynamic``) — re-running a
+  load replaces exactly the partitions present in the incoming frame and
+  leaves all others untouched. This is strictly safer than the reference's
+  "skip if dir exists" (which can strand half-written partitions), and it
+  parallelizes: no driver-side existence loop.
+- **S5 scan**: ``spark.read.parquet(root)`` — partition discovery surfaces
+  directory keys as columns (the reference's ``hive_partitioning=1``).
+
+At 100 TB: choose partition keys with bounded cardinality (date, not id),
+keep files ~128MB–1GB via ``maxRecordsPerFile`` or AQE coalescing, and
+never list partitions on the driver — let the committer handle it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "append",
+    max_records_per_file: int | None = None,
+) -> None:
+    """S3: hive-partitioned parquet sink."""
+    writer = df.write.mode(mode).partitionBy(*partition_cols)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+
+
+def write_partitioned_idempotent(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """S4: re-runnable load — dynamic partition overwrite replaces only the
+    partitions present in ``df`` (the Spark-native idempotent ingest)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def partition_exists(path: str, **partition_values: object) -> bool:
+    """Reference-style existence probe (utils.py:36-37) — driver-side FS
+    check; provided for parity, prefer dynamic overwrite at scale."""
+    sub = os.path.join(path, *[f"{k}={v}" for k, v in partition_values.items()])
+    if not os.path.isdir(sub):
+        return False
+    return any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(sub)
+        for f in files
+    )
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """S5: partition-discovering scan; dir keys surface as columns."""
+    return spark.read.parquet(path)
+
+
+def create_table_as(
+    spark: SparkSession, name: str, df: DataFrame, layer: str | None = None
+) -> None:
+    """S6: CTAS full-rebuild materialization (dbt `+materialized: table`)."""
+    if layer:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {layer}")
+        name = f"{layer}.{name}"
+    df.write.mode("overwrite").saveAsTable(name)

@@ -17,8 +17,17 @@ SF_DIR_MED = os.environ.get("SPARK_GRAFT_TEST_SF_DIR_MED", "/root/testdata/sf0.0
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app_name="f1_lakehouse_spark_tests", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    wh = tmp_path_factory.mktemp("warehouse")
+    derby = tmp_path_factory.mktemp("derby")
+    s = get_spark(
+        app_name="f1_lakehouse_spark_tests",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": str(wh),
+            "spark.driver.extraJavaOptions": f"-Dderby.system.home={derby}",
+        },
+    )
     yield s
 
 

@@ -1,0 +1,48 @@
+"""Quality gates (single-pass not_null suite, row-count gate) + catalog
+schema-doc rendering."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from f1_lakehouse_spark.quality.checks import (
+    check_not_null,
+    check_row_counts,
+    run_not_null_suite,
+)
+from f1_lakehouse_spark.sources.catalog import schema_doc, table_exists
+from f1_lakehouse_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_not_null_suite_single_pass(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    res = run_not_null_suite(li, ["l_orderkey", "l_partkey", "l_suppkey"])
+    assert res == {"l_orderkey": 0, "l_partkey": 0, "l_suppkey": 0}
+
+
+def test_not_null_detects_failures(spark):
+    li = load_table(spark, SF_DIR, "lineitem").withColumn(
+        "maybe", F.nullif(F.col("l_tax"), F.lit(0.0))
+    )
+    n_null = check_not_null(li, "maybe")
+    assert n_null > 0
+    suite = run_not_null_suite(li, ["maybe", "l_orderkey"])
+    assert suite["maybe"] == n_null and suite["l_orderkey"] == 0
+
+
+def test_row_count_gate(spark):
+    tables = {n: load_table(spark, SF_DIR, n) for n in ("region", "nation")}
+    res = check_row_counts(tables, minimums={"region": 5, "nation": 25})
+    assert res["region"] == (5, True)
+    assert res["nation"] == (25, True)
+    res2 = check_row_counts(tables, minimums={"region": 99})
+    assert res2["region"] == (5, False)
+
+
+def test_schema_doc_and_exists(spark):
+    load_table(spark, SF_DIR, "region").createOrReplaceTempView("region_doc_v")
+    doc = schema_doc(spark, databases=["default"])
+    assert "region_doc_v(r_regionkey int, r_name string)" in doc
+    assert table_exists(spark, "region_doc_v")
+    assert not table_exists(spark, "no_such_table_xyz")
