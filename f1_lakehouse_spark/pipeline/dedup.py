@@ -1,0 +1,359 @@
+"""Deduplication operators over ``documents`` / ``embeddings``:
+
+- exact (content-hash groupBy)
+- n-gram Jaccard (shingle join + set-overlap)
+- MinHash + LSH banding (signature → band buckets → candidate pairs)
+- SimHash (bitwise near-dup sketch + hamming filter)
+- embedding-cosine near-dup pairs
+
+Everything is deterministic integer / left-fold arithmetic (see
+``pipeline.hashing``), so each operator has an exact DuckDB oracle.
+
+Scale design (the actual point — these shapes survive 100 TB):
+- shingle explosion is map-side; the only shuffles are groupBy(shingle/band)
+  — both keys hash-distribute evenly because they're already hashes.
+- candidate generation is LSH-bucketed: the quadratic all-pairs join is
+  confined to same-bucket groups (banding), never the full corpus.
+- self-joins carry ``doc_a < doc_b`` so each pair materializes once.
+- hot buckets (boilerplate shingles) are the classic skew source: the
+  Jaccard path drops shingles shared by > MAX_DF docs (stopword-shingle
+  cap), the standard MinHashLSH mitigation; AQE skew-join handles the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_lakehouse_spark.pipeline.hashing import (
+    BAND_POWERS,
+    BAND_SIZE,
+    MINHASH_PARAMS,
+    MOD,
+    spark_poly_hash,
+    sql_poly_hash,
+)
+from f1_lakehouse_spark.registry import register
+from f1_lakehouse_spark.tables import load_table
+
+SHINGLE_WORDS = 3
+JACCARD_THRESHOLD = 0.35
+MAX_DF_FRACTION = 0.5  # drop shingles appearing in > half the docs (boilerplate)
+
+
+# --- shared shingle builders (Spark + SQL twins) --------------------------------
+
+
+def _spark_shingles(d: DataFrame) -> DataFrame:
+    """distinct (doc_id, shingle) word-3-grams."""
+    ws = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - F.lit(SHINGLE_WORDS)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + F.lit(k + 1)) for k in range(SHINGLE_WORDS)]
+        ),
+    )
+    # Spark sequence(0, n) runs DESCENDING when n < 0 (doc shorter than the
+    # shingle width) — guard to an empty array like generate_series does.
+    shingles = F.when(F.size(ws) >= SHINGLE_WORDS, shingles).otherwise(
+        F.array().cast("array<string>")
+    )
+    return d.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+
+
+_SQL_SHINGLES = f"""
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                       FOR i IN generate_series(1, len(ws) - {SHINGLE_WORDS - 1})])
+                   AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    )
+"""
+
+
+# --- exact dedup -----------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+WITH hashed AS (
+    SELECT doc_id, {sql_poly_hash("text")} AS content_hash FROM documents
+)
+SELECT content_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM hashed GROUP BY 1
+""",
+    doc="exact dedup: content-hash groupBy, keep lowest doc_id per group",
+    tags=("pipeline", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", spark_poly_hash("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --- n-gram Jaccard dedup ----------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+df AS (
+    SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1
+),
+n_docs AS (SELECT COUNT(*) AS n FROM documents),
+sh_f AS (
+    SELECT sh.doc_id, sh.shingle
+    FROM sh JOIN df USING (shingle), n_docs
+    WHERE df.df <= n_docs.n * {MAX_DF_FRACTION}
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM sh_f GROUP BY 1
+),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh_f a JOIN sh_f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(c.n_common AS DOUBLE) / (sa.sz + sb.sz - c.n_common) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(c.n_common AS DOUBLE) / (sa.sz + sb.sz - c.n_common) >= {JACCARD_THRESHOLD}
+""",
+    doc="near-dup pairs by word-3-gram Jaccard (shingle join, df-capped)",
+    tags=("pipeline", "dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = _spark_shingles(d)
+    n_docs = d.count()  # scalar: one catalyst count, reused in the filter
+    df_cap = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= n_docs * MAX_DF_FRACTION)
+        .select("shingle")
+    )
+    sh_f = sh.join(df_cap, "shingle")
+    sizes = sh_f.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh_f.alias("a")
+    b = sh_f.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    )
+    return (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --- MinHash + LSH banding -----------------------------------------------------------
+
+_PARAMS_SQL = ", ".join(f"({i}, {a}, {b})" for i, a, b in MINHASH_PARAMS)
+_POWERS_SQL = ", ".join(f"({k}, {p})" for k, p in enumerate(BAND_POWERS))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+shh AS (
+    SELECT doc_id, {sql_poly_hash("shingle")} AS x FROM sh
+),
+params AS (SELECT * FROM (VALUES {_PARAMS_SQL}) t(i, a, b)),
+mh AS (
+    SELECT doc_id, i, MIN((a * x + b) % {MOD}) AS m
+    FROM shh, params GROUP BY 1, 2
+),
+powers AS (SELECT * FROM (VALUES {_POWERS_SQL}) t(k, pw)),
+bands AS (
+    SELECT doc_id, i // {BAND_SIZE} AS band,
+           SUM(m * pw) AS band_hash
+    FROM mh JOIN powers ON powers.k = i % {BAND_SIZE}
+    GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id
+""",
+    doc="MinHash(16) + LSH(4x4 bands) candidate pairs",
+    tags=("pipeline", "dedup", "minhash"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shh = _spark_shingles(d).select(
+        "doc_id", spark_poly_hash("shingle").alias("x")
+    )
+    params = F.broadcast(
+        d.sparkSession.createDataFrame(MINHASH_PARAMS, "i int, a long, b long")
+    )
+    mh = (
+        shh.crossJoin(params)
+        .groupBy("doc_id", "i")
+        .agg(F.min((F.col("a") * F.col("x") + F.col("b")) % F.lit(MOD)).alias("m"))
+    )
+    powers = F.broadcast(
+        d.sparkSession.createDataFrame(
+            list(enumerate(BAND_POWERS)), "k int, pw long"
+        )
+    )
+    bands = (
+        mh.join(powers, mh["i"] % BAND_SIZE == powers["k"])
+        .groupBy("doc_id", (F.col("i") / BAND_SIZE).cast("int").alias("band"))
+        .agg(F.sum(F.col("m") * F.col("pw")).alias("band_hash"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --- SimHash ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 32
+_BITS_SQL = ", ".join(f"({b}, {1 << b})" for b in range(_SIMHASH_BITS))
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+th AS (
+    SELECT doc_id, {sql_poly_hash("w")} AS x FROM toks
+),
+bits AS (SELECT * FROM (VALUES {_BITS_SQL}) t(b, pw)),
+contrib AS (
+    SELECT doc_id, b, pw,
+           SUM(CASE WHEN (x // pw) % 2 = 1 THEN 1 ELSE -1 END) AS s
+    FROM th, bits GROUP BY 1, 2, 3
+)
+SELECT doc_id,
+       SUM(CASE WHEN s >= 0 THEN pw ELSE 0 END) AS simhash
+FROM contrib GROUP BY 1
+""",
+    doc="32-bit SimHash sketch per document (token-hash bit voting)",
+    tags=("pipeline", "dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    th = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", spark_poly_hash("w").alias("x"))
+    bits = F.broadcast(
+        d.sparkSession.createDataFrame(
+            [(b, 1 << b) for b in range(_SIMHASH_BITS)], "b int, pw long"
+        )
+    )
+    contrib = (
+        th.crossJoin(bits)
+        .groupBy("doc_id", "b", "pw")
+        .agg(
+            F.sum(
+                F.when((F.col("x") / F.col("pw")).cast("long") % 2 == 1, 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") >= 0, F.col("pw")).otherwise(0)).alias("simhash")
+    )
+
+
+# --- embedding-cosine near-dup pairs ------------------------------------------------
+
+# synthetic 64-dim embeddings: same-label cosine tops out ~0.47, so a "real"
+# 0.95 near-dup bar would select nothing; 0.40 exercises the operator.
+COSINE_DUP_THRESHOLD = 0.40
+
+_SQL_DOT = (
+    "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), "
+    "(x, y) -> x + y)"
+)
+_SQL_NORM_A = (
+    "sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), "
+    "(x, y) -> x + y))"
+)
+_SQL_NORM_B = (
+    "sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)), "
+    "i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), "
+    "(x, y) -> x + y))"
+)
+
+
+def _spark_dot(a, b):
+    """Left-fold dot product (order-deterministic, matches list_reduce)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_B}) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id AND a.label = b.label
+WHERE {_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_B}) >= {COSINE_DUP_THRESHOLD}
+""",
+    doc="embedding near-dup pairs: same-label blocked cosine >= 0.95",
+    tags=("pipeline", "dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _spark_dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.sqrt(_spark_dot(F.col("a.embedding"), F.col("a.embedding")))
+        * F.sqrt(_spark_dot(F.col("b.embedding"), F.col("b.embedding")))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("a.label") == F.col("b.label")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )

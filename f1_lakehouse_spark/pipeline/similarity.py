@@ -1,0 +1,176 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``):
+
+- brute-force cosine top-k against a query vector (the exactness baseline)
+- LSH-bucketed ANN (random-hyperplane signatures) — the scale path: the
+  query probes one bucket instead of scanning the corpus.
+
+Scale design: brute force is one scan + TakeOrderedAndProject (fine when the
+corpus fits a scan budget; it parallelizes perfectly). The LSH variant's
+signature build is map-side; search is a bucket-pruned scan. Hyperplanes are
+derived from integer hashing (no transcendentals) so Spark and DuckDB
+compute bit-identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_lakehouse_spark.registry import register
+from f1_lakehouse_spark.tables import load_table
+
+QUERY_VEC_ID = 0  # the corpus vector used as the search query
+TOP_K = 10
+
+# --- deterministic pseudo-random hyperplanes -------------------------------------
+# r[j][i] = LCG(j*DIM + i) scaled to [-0.5, 0.5); division by 2^31 is exact
+# in binary floating point, so both engines build identical planes.
+
+N_PLANES = 8
+DIM = 64
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 1 << 31
+
+
+def _plane(j: int) -> list[float]:
+    return [
+        ((_LCG_A * (j * DIM + i) + _LCG_C) % _LCG_M) / _LCG_M - 0.5
+        for i in range(DIM)
+    ]
+
+
+PLANES: list[list[float]] = [_plane(j) for j in range(N_PLANES)]
+
+
+def _spark_dot_lit(vec: Column, plane: list[float]) -> Column:
+    """Left-fold dot of an array column with a literal plane."""
+    arr = F.array(*[F.lit(v) for v in plane])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sql_plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in plane) + "]"
+
+
+def _sql_dot(vec_expr: str, plane_expr: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({vec_expr})), "
+        f"i -> CAST({vec_expr}[i] AS DOUBLE) * {plane_expr}[i]), (x, y) -> x + y)"
+    )
+
+
+def spark_signature(vec: Column) -> Column:
+    """sum over planes of (dot >= 0) * 2^j — an int bucket id."""
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(PLANES):
+        sig = sig + F.when(_spark_dot_lit(vec, plane) >= 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return sig
+
+
+def _sql_signature(vec_expr: str) -> str:
+    terms = []
+    for j, plane in enumerate(PLANES):
+        dot = _sql_dot(vec_expr, _sql_plane_literal(plane))
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+# --- brute-force cosine top-k -----------------------------------------------------
+
+_SQL_COS_AB = (
+    "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (x,y) -> x+y)"
+    " / (sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x,y) -> x+y))"
+    " * sqrt(list_reduce(list_transform(generate_series(1, len(q.embedding)), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (x,y) -> x+y)))"
+)
+
+
+def _spark_cosine(a: Column, b: Column) -> Column:
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v_: acc + v_,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+@register(
+    "ann_cosine_topk_bruteforce",
+    oracle=f"""
+SELECT a.vec_id, a.label, {_SQL_COS_AB} AS cosine
+FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+WHERE a.vec_id <> {QUERY_VEC_ID}
+ORDER BY cosine DESC, a.vec_id
+LIMIT {TOP_K}
+""",
+    doc="brute-force cosine top-10 vs query vector (exact ANN baseline)",
+    tags=("pipeline", "similarity"),
+)
+def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            _spark_cosine(F.col("embedding"), F.col("q_embedding")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+# --- LSH-bucketed ANN ---------------------------------------------------------------
+
+
+@register(
+    "ann_cosine_topk_lsh",
+    oracle=f"""
+WITH sigs AS (
+    SELECT vec_id, label, embedding,
+           {_sql_signature("embedding")} AS bucket
+    FROM embeddings
+),
+q AS (SELECT embedding, bucket FROM sigs WHERE vec_id = {QUERY_VEC_ID})
+SELECT a.vec_id, a.label, {_SQL_COS_AB} AS cosine
+FROM sigs a, q
+WHERE a.vec_id <> {QUERY_VEC_ID} AND a.bucket = q.bucket
+ORDER BY cosine DESC, a.vec_id
+LIMIT {TOP_K}
+""",
+    doc="LSH(8 hyperplanes)-bucketed ANN: probe only the query's bucket",
+    tags=("pipeline", "similarity", "lsh"),
+)
+def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    sigs = e.select(
+        "vec_id", "label", "embedding", spark_signature(F.col("embedding")).alias("bucket")
+    )
+    q = sigs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
+    )
+    return (
+        sigs.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("bucket") == F.col("q_bucket"))
+        .select(
+            "vec_id",
+            "label",
+            _spark_cosine(F.col("embedding"), F.col("q_embedding")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )

@@ -1,0 +1,198 @@
+"""Text-analysis operators for training-data pipelines over ``documents``:
+token counting, quality scoring, document fingerprinting, and a
+profile-based language classifier. All built from JVM-side regex/array
+functions — no Python in the hot path — so a 100 TB corpus runs at scan
+speed and every operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from f1_lakehouse_spark.pipeline.hashing import spark_poly_hash, sql_poly_hash
+from f1_lakehouse_spark.registry import register
+from f1_lakehouse_spark.tables import load_table
+
+# --- token counting ------------------------------------------------------------
+# whitespace tokens + a BPE-ish regex segmentation (letter runs / digits /
+# single punctuation), the standard pre-tokenizer shape.
+
+_BPEISH = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '{_BPEISH}')) AS bpeish_tokens,
+       length(text) AS n_chars
+FROM documents
+""",
+    doc="whitespace + BPE-ish regex token counts per document",
+    tags=("pipeline", "text"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPEISH), 0)).alias("bpeish_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+# --- quality scoring -------------------------------------------------------------
+# length / punctuation-ratio / stopword-ratio / mean-word-length heuristics
+# (the usual Gopher/C4-style quality-filter features).
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "it")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH feats AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_words,
+           len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+           len(list_filter(string_split(text, ' '),
+                           w -> list_contains({list(_STOPWORDS)!r}, w))) AS n_stop
+    FROM documents
+)
+SELECT doc_id, n_chars, n_words,
+       CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+       CAST(n_stop  AS DOUBLE) / n_words AS stopword_ratio,
+       CAST(n_chars AS DOUBLE) / n_words AS mean_word_len,
+       CASE WHEN n_words >= 20
+             AND CAST(n_punct AS DOUBLE) / n_chars < 0.1
+             AND CAST(n_chars AS DOUBLE) / n_words BETWEEN 3 AND 12
+            THEN 1 ELSE 0 END AS passes_quality
+FROM feats
+""",
+    doc="quality-filter features + pass/fail gate per document",
+    tags=("pipeline", "text"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    feats = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(words).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit("[^a-zA-Z0-9\\s]"), 0)).alias("n_punct"),
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).alias("n_stop"),
+    )
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_words")
+    mwl = F.col("n_chars").cast("double") / F.col("n_words")
+    return feats.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mwl.alias("mean_word_len"),
+        F.when(
+            (F.col("n_words") >= 20) & (punct_ratio < 0.1) & mwl.between(3, 12), 1
+        )
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+
+
+# --- document fingerprint ---------------------------------------------------------
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id, {sql_poly_hash("text")} AS fingerprint
+FROM documents
+""",
+    doc="rolling polynomial content fingerprint (exact-dup key)",
+    tags=("pipeline", "text", "hash"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", spark_poly_hash("text").alias("fingerprint"))
+
+
+# --- language identification --------------------------------------------------------
+# Profile-based n-gram/stopword classifier: build a top-K word profile per
+# labeled language from the corpus itself, score each document by profile
+# overlap, argmax with deterministic tiebreaks. (On a real corpus the
+# profiles are trained offline; the operator shape — broadcast profile join +
+# overlap argmax — is identical.)
+
+_PROFILE_K = 8
+
+
+@register(
+    "text_lang_id_confusion",
+    oracle=f"""
+WITH words AS (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+    FROM documents
+), doc_words AS (
+    SELECT DISTINCT doc_id, lang, w FROM words
+), freq AS (
+    SELECT lang AS profile_lang, w, COUNT(*) AS cnt
+    FROM words GROUP BY 1, 2
+), profile AS (
+    SELECT profile_lang, w FROM (
+        SELECT profile_lang, w,
+               ROW_NUMBER() OVER (PARTITION BY profile_lang
+                                  ORDER BY cnt DESC, w) AS rk
+        FROM freq
+    ) WHERE rk <= {_PROFILE_K}
+), scores AS (
+    SELECT d.doc_id, d.lang, p.profile_lang, COUNT(*) AS overlap
+    FROM doc_words d JOIN profile p ON d.w = p.w
+    GROUP BY 1, 2, 3
+), best AS (
+    SELECT doc_id, lang, profile_lang AS predicted_lang FROM (
+        SELECT doc_id, lang, profile_lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY overlap DESC, profile_lang) AS rk
+        FROM scores
+    ) WHERE rk = 1
+)
+SELECT lang, predicted_lang, COUNT(*) AS n_docs
+FROM best GROUP BY 1, 2
+""",
+    doc="profile-based language-ID confusion matrix (broadcast profile join)",
+    tags=("pipeline", "text", "langid"),
+)
+def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    doc_words = words.distinct()
+    freq = words.groupBy(F.col("lang").alias("profile_lang"), "w").agg(
+        F.count("*").alias("cnt")
+    )
+    rk = Window.partitionBy("profile_lang").orderBy(F.col("cnt").desc(), "w")
+    profile = (
+        freq.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= _PROFILE_K)
+        .select("profile_lang", "w")
+    )
+    scores = (
+        doc_words.join(F.broadcast(profile), "w")
+        .groupBy("doc_id", "lang", "profile_lang")
+        .agg(F.count("*").alias("overlap"))
+    )
+    best_w = Window.partitionBy("doc_id").orderBy(
+        F.col("overlap").desc(), "profile_lang"
+    )
+    best = (
+        scores.withColumn("rk", F.row_number().over(best_w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", F.col("profile_lang").alias("predicted_lang"))
+    )
+    return best.groupBy("lang", "predicted_lang").agg(F.count("*").alias("n_docs"))

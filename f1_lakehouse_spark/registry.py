@@ -65,5 +65,11 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     import f1_lakehouse_spark.operators  # noqa: F401
+    from f1_lakehouse_spark.pipeline import (  # noqa: F401
+        dedup,
+        multimodal,
+        similarity,
+        text,
+    )
 
     _LOADED = True
