@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark: headline engine queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query materializes fully through the noop sink (no driver collect cost,
+no skipped projections)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from f1_lakehouse_spark.registry import REGISTRY, _ensure_loaded
+from f1_lakehouse_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship medallion shape, TPC-H-style scan/join/agg,
+# windows/sessionization, and the training-data pipeline (dedup, ANN, text).
+HEADLINE = [
+    "flagship_supplier_summary",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "join_star_broadcast",
+    "a7_median_curve",
+    "w_sessionize_events",
+    "w_running_total",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk_bruteforce",
+    "ann_cosine_topk_lsh",
+    "text_quality_score",
+    "text_lang_id_confusion",
+    "mm_binary_decode_meta",
+]
+
+
+def main() -> None:
+    _ensure_loaded()
+    spark = get_spark(app_name="f1_lakehouse_spark_bench")
+    # Warm the JVM: codegen, parquet reader, shuffle and noop-sink paths —
+    # otherwise the first timed query absorbs several seconds of startup.
+    from f1_lakehouse_spark.tables import load_table
+
+    warm = load_table(spark, SF_DIR, "lineitem")
+    warm.groupBy("l_returnflag").count().write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -30,8 +30,8 @@ from f1_lakehouse_spark.pipeline.hashing import (
     BAND_SIZE,
     MINHASH_PARAMS,
     MOD,
-    spark_poly_hash,
-    sql_poly_hash,
+    spark_md5_hash48,
+    sql_md5_hash48,
 )
 from f1_lakehouse_spark.registry import register
 from f1_lakehouse_spark.tables import load_table
@@ -44,8 +44,9 @@ MAX_DF_FRACTION = 0.5  # drop shingles appearing in > half the docs (boilerplate
 # --- shared shingle builders (Spark + SQL twins) --------------------------------
 
 
-def _spark_shingles(d: DataFrame) -> DataFrame:
-    """distinct (doc_id, shingle) word-3-grams."""
+def _spark_shingles(d: DataFrame, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) word-3-grams; ``distinct=False`` skips the dedup
+    shuffle for consumers whose aggregate is duplicate-insensitive (MIN)."""
     ws = F.split("text", " ")
     shingles = F.transform(
         F.sequence(F.lit(0), F.size(ws) - F.lit(SHINGLE_WORDS)),
@@ -58,7 +59,8 @@ def _spark_shingles(d: DataFrame) -> DataFrame:
     shingles = F.when(F.size(ws) >= SHINGLE_WORDS, shingles).otherwise(
         F.array().cast("array<string>")
     )
-    return d.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    out = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 _SQL_SHINGLES = f"""
@@ -77,22 +79,19 @@ _SQL_SHINGLES = f"""
 
 @register(
     "dedup_exact",
-    oracle=f"""
-WITH hashed AS (
-    SELECT doc_id, {sql_poly_hash("text")} AS content_hash FROM documents
-)
-SELECT content_hash,
+    oracle="""
+SELECT md5(text) AS content_hash,
        MIN(doc_id) AS keep_doc_id,
        COUNT(*) AS n_copies
-FROM hashed GROUP BY 1
+FROM documents GROUP BY 1
 """,
-    doc="exact dedup: content-hash groupBy, keep lowest doc_id per group",
+    doc="exact dedup: md5 content-hash groupBy, keep lowest doc_id per group",
     tags=("pipeline", "dedup"),
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", spark_poly_hash("text").alias("content_hash"))
+        d.select("doc_id", F.md5("text").alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
     )
@@ -105,13 +104,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
 WITH sh AS ({_SQL_SHINGLES}),
+shk AS (
+    /* join/count on a 48-bit shingle key, not the string: cheaper shuffles */
+    SELECT doc_id, {sql_md5_hash48("shingle")} AS sk FROM sh
+),
 df AS (
-    SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1
+    SELECT sk, COUNT(*) AS df FROM shk GROUP BY 1
 ),
 n_docs AS (SELECT COUNT(*) AS n FROM documents),
 sh_f AS (
-    SELECT sh.doc_id, sh.shingle
-    FROM sh JOIN df USING (shingle), n_docs
+    SELECT shk.doc_id, shk.sk
+    FROM shk JOIN df USING (sk), n_docs
     WHERE df.df <= n_docs.n * {MAX_DF_FRACTION}
 ),
 sizes AS (
@@ -119,7 +122,7 @@ sizes AS (
 ),
 common AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-    FROM sh_f a JOIN sh_f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    FROM sh_f a JOIN sh_f b ON a.sk = b.sk AND a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
 SELECT c.doc_a, c.doc_b,
@@ -133,23 +136,33 @@ WHERE CAST(c.n_common AS DOUBLE) / (sa.sz + sb.sz - c.n_common) >= {JACCARD_THRE
     tags=("pipeline", "dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    sh = _spark_shingles(d)
-    n_docs = d.count()  # scalar: one catalyst count, reused in the filter
+    return jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def jaccard_pairs(d: DataFrame) -> DataFrame:
+    """Core Jaccard near-dup pass over any (doc_id, text) frame."""
+    shk = _spark_shingles(d).select(
+        "doc_id", spark_md5_hash48("shingle").alias("sk")
+    )
+    n_docs = d.count()  # parquet-stats count; reused as a literal in the filter
     df_cap = (
-        sh.groupBy("shingle")
+        shk.groupBy("sk")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= n_docs * MAX_DF_FRACTION)
-        .select("shingle")
+        .select("sk")
     )
-    sh_f = sh.join(df_cap, "shingle")
+    # used three times below (self-join sides + sizes); persist AND
+    # materialize now — a lazy persist would let the self-join compute the
+    # upstream twice concurrently before the cache fills
+    sh_f = shk.join(df_cap, "sk").persist()
+    sh_f.count()
     sizes = sh_f.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh_f.alias("a")
     b = sh_f.alias("b")
     common = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sk") == F.col("b.sk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -162,12 +175,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard = F.col("n_common").cast("double") / (
         F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
     )
-    return (
+    out = (
         common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+    # materialize the (small) pair list, then release the big shingle cache —
+    # otherwise it lingers in executor memory for the session's lifetime
+    out = out.persist()
+    out.count()
+    sh_f.unpersist()
+    return out
 
 
 # --- MinHash + LSH banding -----------------------------------------------------------
@@ -181,7 +200,7 @@ _POWERS_SQL = ", ".join(f"({k}, {p})" for k, p in enumerate(BAND_POWERS))
     oracle=f"""
 WITH sh AS ({_SQL_SHINGLES}),
 shh AS (
-    SELECT doc_id, {sql_poly_hash("shingle")} AS x FROM sh
+    SELECT doc_id, {sql_md5_hash48("shingle")} % {MOD} AS x FROM sh
 ),
 params AS (SELECT * FROM (VALUES {_PARAMS_SQL}) t(i, a, b)),
 mh AS (
@@ -204,31 +223,51 @@ JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
     tags=("pipeline", "dedup", "minhash"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    shh = _spark_shingles(d).select(
-        "doc_id", spark_poly_hash("shingle").alias("x")
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
+    """Core MinHash-LSH candidate pass over any (doc_id, text) frame."""
+    # MIN is duplicate-insensitive → no distinct shuffle needed (the oracle
+    # keeps DISTINCT; the minima are identical either way)
+    shh = _spark_shingles(d, distinct=False).select(
+        "doc_id", (spark_md5_hash48("shingle") % F.lit(MOD)).alias("x")
     )
-    params = F.broadcast(
-        d.sparkSession.createDataFrame(MINHASH_PARAMS, "i int, a long, b long")
+    # All 16 minhashes in ONE hash-aggregate (no 16x row blowup / second
+    # shuffle): min_i((a_i*x + b_i) % MOD) as 16 columns.
+    mh = shh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MOD)).alias(f"m{i}")
+            for i, a, b in MINHASH_PARAMS
+        ]
     )
-    mh = (
-        shh.crossJoin(params)
-        .groupBy("doc_id", "i")
-        .agg(F.min((F.col("a") * F.col("x") + F.col("b")) % F.lit(MOD)).alias("m"))
-    )
-    powers = F.broadcast(
-        d.sparkSession.createDataFrame(
-            list(enumerate(BAND_POWERS)), "k int, pw long"
+    # band hash = order-independent weighted sum of the band's 4 minhashes;
+    # explode the 4 bands into rows for the bucket self-join.
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            sum(
+                (F.col(f"m{band * BAND_SIZE + k}") * F.lit(BAND_POWERS[k]))
+                for k in range(BAND_SIZE)
+            ).alias("band_hash"),
         )
-    )
+        for band in range(len(MINHASH_PARAMS) // BAND_SIZE)
+    ]
     bands = (
-        mh.join(powers, mh["i"] % BAND_SIZE == powers["k"])
-        .groupBy("doc_id", (F.col("i") / BAND_SIZE).cast("int").alias("band"))
-        .agg(F.sum(F.col("m") * F.col("pw")).alias("band_hash"))
+        mh.select("doc_id", F.explode(F.array(*band_structs)).alias("bs"))
+        .select(
+            "doc_id",
+            F.col("bs.band").alias("band"),
+            F.col("bs.band_hash").alias("band_hash"),
+        )
+        # tiny (4 rows/doc); persist so the self-join doesn't recompute the
+        # shingle+hash+aggregate pipeline once per side
+        .persist()
     )
+    bands.count()  # materialize the cache BEFORE both join sides read it
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -238,6 +277,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    # materialize the (small) candidate list, then release the band cache
+    out = out.persist()
+    out.count()
+    bands.unpersist()
+    return out
 
 
 # --- SimHash ---------------------------------------------------------------------------
@@ -253,7 +297,7 @@ WITH toks AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
 ),
 th AS (
-    SELECT doc_id, {sql_poly_hash("w")} AS x FROM toks
+    SELECT doc_id, {sql_md5_hash48("w")} % {MOD} AS x FROM toks
 ),
 bits AS (SELECT * FROM (VALUES {_BITS_SQL}) t(b, pw)),
 contrib AS (
@@ -262,7 +306,7 @@ contrib AS (
     FROM th, bits GROUP BY 1, 2, 3
 )
 SELECT doc_id,
-       SUM(CASE WHEN s >= 0 THEN pw ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN s >= 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
 FROM contrib GROUP BY 1
 """,
     doc="32-bit SimHash sketch per document (token-hash bit voting)",
@@ -272,24 +316,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     th = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).select("doc_id", spark_poly_hash("w").alias("x"))
-    bits = F.broadcast(
-        d.sparkSession.createDataFrame(
-            [(b, 1 << b) for b in range(_SIMHASH_BITS)], "b int, pw long"
-        )
-    )
-    contrib = (
-        th.crossJoin(bits)
-        .groupBy("doc_id", "b", "pw")
-        .agg(
+    ).select("doc_id", (spark_md5_hash48("w") % F.lit(MOD)).alias("x"))
+    # All 32 bit-votes in ONE hash-aggregate (no 32x row blowup): per bit b,
+    # s_b = sum(±1); then simhash = Σ (s_b >= 0) * 2^b computed row-wise.
+    # (x div 2^b) % 2 uses an exact power-of-two long division.
+    votes = th.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when((F.col("x") / F.col("pw")).cast("long") % 2 == 1, 1).otherwise(-1)
-            ).alias("s")
-        )
+                F.when(
+                    (F.col("x") / F.lit(1 << bit)).cast("long") % 2 == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{bit}")
+            for bit in range(_SIMHASH_BITS)
+        ]
     )
-    return contrib.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") >= 0, F.col("pw")).otherwise(0)).alias("simhash")
+    simhash = sum(
+        F.when(F.col(f"s{bit}") >= 0, F.lit(1 << bit)).otherwise(F.lit(0)).cast("long")
+        for bit in range(_SIMHASH_BITS)
     )
+    return votes.select("doc_id", simhash.alias("simhash"))
 
 
 # --- embedding-cosine near-dup pairs ------------------------------------------------

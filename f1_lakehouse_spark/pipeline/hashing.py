@@ -43,6 +43,21 @@ def sql_poly_hash(expr: str) -> str:
     return f"(CASE WHEN {expr} = '' THEN 0 ELSE {fold} END)"
 
 
+# --- md5-derived 48-bit integer hash --------------------------------------------
+# For dedup keys the hash only needs to be deterministic and identical across
+# engines; md5 is native (fast, no per-char fold) in both Spark and DuckDB.
+# 12 hex chars = 48 bits, comfortably inside int64.
+
+
+def spark_md5_hash48(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long")
+
+
+def sql_md5_hash48(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 12)) AS BIGINT)"
+
+
 # --- affine re-hash family for MinHash -----------------------------------------
 # h_i(x) = (a_i*x + b_i) % MOD with small odd multipliers; x < MOD so the
 # product stays < 2^63.

@@ -43,18 +43,35 @@ def test_exact_dedup_identifies_injected_dupes(spark):
     assert by_n == [(1, 3), (2, 1)]
 
 
-def test_minhash_candidates_superset_of_high_jaccard(spark):
-    """LSH(4x4) candidates should recall most pairs the exact Jaccard pass
-    confirms — on this corpus, every confirmed pair above ~0.6."""
+def test_minhash_recalls_planted_near_duplicates(spark):
+    """LSH(4x4 bands) candidate probability at Jaccard s is 1-(1-s^4)^4:
+    ~0.9997 at s=0.9. Plant near-identical docs and require full recall on
+    them; unrelated docs must not pair."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliett " * 4
+    near = base.replace("india", "xray", 1)  # one word differs
+    # enough unrelated filler docs that the planted trio stays under the
+    # 50%-document-frequency shingle cap
+    fillers = [
+        (100 + i, f"filler{i} w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f w{i}g w{i}h")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, near)] + fillers,
+        "doc_id long, text string",
+    )
+    from f1_lakehouse_spark.pipeline.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    cand = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in cand  # identical
+    assert (1, 3) in cand and (2, 3) in cand  # one-word-off near dups
+    assert not any(p[0] >= 100 or p[1] >= 100 for p in cand)  # fillers never pair
+    # and the exact-Jaccard pass agrees on the planted pairs
     jac = {
-        (r["doc_a"], r["doc_b"])
-        for r in dedup_ngram_jaccard(spark, SF_DIR).filter(F.col("jaccard") >= 0.6).collect()
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in jaccard_pairs(docs).collect()
     }
-    cand = {
-        (r["doc_a"], r["doc_b"]) for r in dedup_minhash_lsh(spark, SF_DIR).collect()
-    }
-    missed = jac - cand
-    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+    assert jac[(1, 2)] == 1.0
+    assert jac[(1, 3)] > 0.6
+    assert not any(p[0] >= 100 or p[1] >= 100 for p in jac)
 
 
 def test_simhash_is_stable_sketch(spark):
