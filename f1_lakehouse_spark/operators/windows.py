@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from f1_lakehouse_spark.operators.aggregations import DSUM, dsum
 from f1_lakehouse_spark.registry import register
 from f1_lakehouse_spark.tables import load_table
 
@@ -127,6 +128,34 @@ def w_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
+    )
+
+
+# --- tumbling time-window aggregation (batch twin of the streaming query) ------
+
+
+@register(
+    "events_tumbling_window",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       {DSUM("value")} AS total_value
+FROM events GROUP BY 1, 2
+""",
+    doc="1-hour tumbling-window counts/sums (batch twin of streaming agg)",
+    tags=("window", "time", "streaming-twin"),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
     )
 
 

