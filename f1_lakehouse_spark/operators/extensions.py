@@ -1,0 +1,208 @@
+"""Spark-native operator extensions beyond the reference's surface
+(SURVEY.md §2 notes these as absent-but-available): as-of join, range
+(non-equi) join, pivot/unpivot, cube/rollup grouping sets, and approximate
+sketches. Each is a first-class ``queries()`` entry; the approximate ops are
+rows-only checked (no exact oracle exists by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from f1_lakehouse_spark.operators.aggregations import DSUM, dsum
+from f1_lakehouse_spark.registry import register
+from f1_lakehouse_spark.tables import load_table
+
+
+# --- as-of join -----------------------------------------------------------------
+# Spark lacks a native AS OF join (DuckDB has one — which makes a perfect
+# oracle). Composition: union both sides tagged, one window sorted by
+# (key, ts) carrying last_value(ignorenulls) of the right side forward, then
+# keep left rows. One shuffle on the key — the classic scalable shape; no
+# per-group pandas needed.
+
+
+@register(
+    "join_asof_latest_order",
+    oracle="""
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS last_orderkey,
+       o.o_orderdate AS last_orderdate
+FROM events e
+ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+    doc="as-of join: each event matched to the user's latest order at-or-before ts",
+    tags=("join", "asof", "extension"),
+)
+def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("k"), "ts"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    left = e.withColumns(
+        {"side": F.lit(1), "o_orderkey": F.lit(None).cast("long"),
+         "o_orderdate": F.lit(None).cast("timestamp")}
+    )
+    right = o.withColumns({"side": F.lit(0), "event_id": F.lit(None).cast("long")})
+    unioned = left.select(
+        "k", "ts", "side", "event_id", "o_orderkey", "o_orderdate"
+    ).unionByName(right.select("k", "ts", "side", "event_id", "o_orderkey", "o_orderdate"))
+    # right rows sort before left rows at equal ts (side 0 < 1) so ts-equality
+    # means "at-or-before" — matching ASOF's >= semantics
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumns(
+        {
+            "last_orderkey": F.last("o_orderkey", ignorenulls=True).over(w),
+            "last_orderdate": F.last("o_orderdate", ignorenulls=True).over(w),
+        }
+    )
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            "ts",
+            "last_orderkey",
+            "last_orderdate",
+        )
+    )
+
+
+# --- range (non-equi) join -------------------------------------------------------
+
+
+@register(
+    "join_range_value_to_size",
+    oracle=f"""
+SELECT p.p_size, COUNT(*) AS n_events, {DSUM("e.value")} AS total_value
+FROM events e
+JOIN (SELECT DISTINCT p_size FROM part) p
+  ON e.value >= p.p_size - 0.5 AND e.value < p.p_size + 0.5
+GROUP BY 1
+""",
+    doc="range join: events bucketed into part-size bands (broadcast nested loop)",
+    tags=("join", "range", "extension"),
+)
+def join_range_value_to_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = load_table(spark, sf_dir, "part").select("p_size").distinct()
+    joined = e.join(
+        F.broadcast(p),
+        (e["value"] >= p["p_size"] - 0.5) & (e["value"] < p["p_size"] + 0.5),
+    )
+    return joined.groupBy("p_size").agg(
+        F.count("*").alias("n_events"), dsum("value").alias("total_value")
+    )
+
+
+# --- pivot / unpivot -------------------------------------------------------------
+
+
+@register(
+    "pivot_status_by_flag",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS DECIMAL(27,6))::DOUBLE AS qty_F,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS DECIMAL(27,6))::DOUBLE AS qty_O
+FROM lineitem GROUP BY 1
+""",
+    doc="pivot: l_linestatus values to columns (conditional-agg equivalent)",
+    tags=("pivot", "extension"),
+)
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double"))
+        .withColumnsRenamed({"F": "qty_F", "O": "qty_O"})
+    )
+
+
+@register(
+    "unpivot_customer_measures",
+    oracle="""
+SELECT c_custkey, 'acctbal' AS measure, c_acctbal AS val FROM customer
+UNION ALL
+SELECT c_custkey, 'nationkey' AS measure, CAST(c_nationkey AS DOUBLE) AS val FROM customer
+""",
+    doc="unpivot/melt: wide measures to (key, measure, val) long form",
+    tags=("unpivot", "extension"),
+)
+def unpivot_customer_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "measure", "val")
+
+
+# --- grouping sets: CUBE / ROLLUP -------------------------------------------------
+
+
+@register(
+    "cube_flag_status",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    doc="CUBE grouping sets (all 4 combinations, NULL = total)",
+    tags=("cube", "extension"),
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "rollup_year_month",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+       CAST(month(o_orderdate) AS INTEGER) AS m,
+       COUNT(*) AS n
+FROM orders GROUP BY ROLLUP (y, m)
+""",
+    doc="ROLLUP hierarchy (year, year+month, grand total)",
+    tags=("rollup", "extension"),
+)
+def rollup_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .rollup("y", "m")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- approximate sketches (rows-only check: approximation has no exact oracle) ---
+
+
+@register(
+    "approx_sketches",
+    oracle=None,
+    doc="approx_count_distinct (HLL) + approx percentiles — rows-only check "
+    "by construction; exact twins are a5_count_distinct / a7_median_curve",
+    tags=("approx", "extension"),
+)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+    )

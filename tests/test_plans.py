@@ -1,0 +1,61 @@
+"""Physical-plan assertions: the properties that make these queries scale
+(pushdown, pruning, broadcast, top-k, partial aggregation) are contracts —
+if a refactor loses one, these fail."""
+
+from __future__ import annotations
+
+from f1_lakehouse_spark.registry import REGISTRY, _ensure_loaded
+from tests.conftest import SF_DIR
+
+_ensure_loaded()
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_and_schema_pruned(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 7 needed columns only — pruned ReadSchema must not include l_orderkey
+    assert "l_orderkey" not in plan.split("ReadSchema")[-1]
+
+
+def test_q1_partial_aggregation_before_exchange(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "partial_sum" in plan  # map-side combine
+    assert plan.count("Exchange") == 1  # exactly one shuffle
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(spark, "join_star_broadcast")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation AND region broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "o3_topk_cheapest_lines")
+    assert "TakeOrderedAndProject" in plan  # no global sort materialization
+
+
+def test_projection_queries_do_not_shuffle(spark):
+    for name in ("p2_p3_silver_reprojection", "p9_case_when", "f6_slugify"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, f"{name} unexpectedly shuffles"
+
+
+def test_semi_anti_joins_stay_joins_not_aggregates(spark):
+    for name in (
+        "join_semi_customers_with_orders",
+        "join_anti_customers_without_orders",
+    ):
+        plan = _plan(spark, name)
+        assert "LeftSemi" in plan or "LeftAnti" in plan, name
+
+
+def test_minhash_has_no_row_blowup_join(spark):
+    # the 16 hash functions must be aggregate expressions, not a 16x join
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan  # map-side partial minima
