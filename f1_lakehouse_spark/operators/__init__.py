@@ -7,6 +7,7 @@ from f1_lakehouse_spark.operators import (  # noqa: F401
     extensions,
     gold,
     joins,
+    pandas_variants,
     projection,
     scalars,
     setops,
