@@ -26,7 +26,10 @@ HEADLINE = [
     "flagship_supplier_summary",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "join_star_broadcast",
+    "join_asof_latest_order",
     "a7_median_curve",
     "w_sessionize_events",
     "w_running_total",
@@ -34,8 +37,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",
     "ann_cosine_topk_bruteforce",
     "ann_cosine_topk_lsh",
+    "ann_ivf_centroid_probe",
     "text_quality_score",
     "text_lang_id_confusion",
     "mm_binary_decode_meta",

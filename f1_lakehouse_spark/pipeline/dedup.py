@@ -195,9 +195,7 @@ _PARAMS_SQL = ", ".join(f"({i}, {a}, {b})" for i, a, b in MINHASH_PARAMS)
 _POWERS_SQL = ", ".join(f"({k}, {p})" for k, p in enumerate(BAND_POWERS))
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
+_MINHASH_PAIRS_SQL = f"""
 WITH sh AS ({_SQL_SHINGLES}),
 shh AS (
     SELECT doc_id, {sql_md5_hash48("shingle")} % {MOD} AS x FROM sh
@@ -218,7 +216,12 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a
 JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
             AND a.doc_id < b.doc_id
-""",
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_PAIRS_SQL,
     doc="MinHash(16) + LSH(4x4 bands) candidate pairs",
     tags=("pipeline", "dedup", "minhash"),
 )
@@ -402,3 +405,82 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     )
+
+
+# --- duplicate-cluster assignment (connected components) ----------------------------
+# Candidate pairs → clusters via iterative minimum-label propagation — the
+# standard large-graph connected-components loop (hash-partitioned joins,
+# O(diameter) rounds; near-dup clusters have tiny diameters). The DuckDB
+# oracle is a recursive-CTE transitive closure over the same pairs, so even
+# this iterative algorithm gets an exact differential check.
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """(doc_a, doc_b) pairs → (doc_id, cluster_id=min reachable doc id)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+    edges.unpersist()
+    return out
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+FROM reach GROUP BY a
+""",
+    doc="near-dup clusters: connected components over MinHash-LSH pairs "
+    "(iterative label propagation vs recursive-CTE closure oracle)",
+    tags=("pipeline", "dedup", "clusters", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    return connected_components(pairs)

@@ -174,3 +174,82 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+# --- IVF-style ANN: coarse cells + probe-one-cell ----------------------------------
+# The inverted-file pattern: vectors are assigned to coarse cells; the query
+# is matched to its nearest cell and only that cell's posting list is
+# scanned. Here the `label` column stands in for trained k-means cells (at
+# real scale the quantizer is trained offline; the probe shape is the same).
+# Cell affinity uses mean dot product — identical to dot(query, centroid) —
+# which both engines can compute without element-wise array aggregation;
+# sums go through DECIMAL so the ranking is order-independent.
+
+_SQL_DOT_QA = (
+    "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (x,y) -> x+y)"
+)
+
+
+@register(
+    "ann_ivf_centroid_probe",
+    oracle=f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+affinity AS (
+    SELECT a.label,
+           CAST(SUM(CAST({_SQL_DOT_QA} AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*)
+               AS cell_score
+    FROM embeddings a, q
+    WHERE a.vec_id <> {QUERY_VEC_ID}
+    GROUP BY a.label
+),
+best_cell AS (
+    SELECT label FROM affinity ORDER BY cell_score DESC, label LIMIT 1
+)
+SELECT a.vec_id, a.label, {_SQL_COS_AB} AS cosine
+FROM embeddings a, q
+WHERE a.vec_id <> {QUERY_VEC_ID} AND a.label IN (SELECT label FROM best_cell)
+ORDER BY cosine DESC, a.vec_id
+LIMIT {TOP_K}
+""",
+    doc="IVF-style ANN: rank coarse cells by mean dot affinity, probe the best cell only",
+    tags=("pipeline", "similarity", "ivf"),
+)
+def ann_ivf_centroid_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    candidates = e.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(q))
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v_: acc + v_,
+        )
+
+    affinity = (
+        candidates.select(
+            "label", dot(F.col("embedding"), F.col("q_embedding")).alias("d")
+        )
+        .groupBy("label")
+        .agg(
+            (F.sum(F.col("d").cast("decimal(27,9)")).cast("double") / F.count("*")).alias(
+                "cell_score"
+            )
+        )
+    )
+    best_cell = affinity.orderBy(F.col("cell_score").desc(), "label").limit(1).select(
+        "label"
+    )
+    return (
+        candidates.join(F.broadcast(best_cell), "label")
+        .select(
+            "vec_id",
+            "label",
+            _spark_cosine(F.col("embedding"), F.col("q_embedding")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
