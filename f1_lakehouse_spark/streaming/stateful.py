@@ -1,0 +1,82 @@
+"""Stateful streaming operators.
+
+- ``streaming_dedup``: engine-native streaming deduplication
+  (``dropDuplicatesWithinWatermark``) — the streaming twin of the batch
+  exact-dedup; state is bounded by the watermark.
+- ``streaming_user_totals``: custom stateful operator via
+  ``applyInPandasWithState`` — per-user running totals carried in explicit
+  state across micro-batches (the escape hatch for operators Spark's
+  built-in streaming aggregates can't express).
+
+Scale notes: state is partitioned by the group key across executors and
+checkpointed; watermark/timeout discipline keeps it bounded. The pandas
+state function receives Arrow batches per key — memory is per-key, not
+per-partition.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Drop duplicate events (same user_id + event_id) within the watermark
+    window — exactly-once semantics over at-least-once sources."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_id"]
+    )
+
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def _update_user_totals(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch into (count, sum) state; emit the running
+    totals for the key after every batch."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def streaming_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful per-user running totals (applyInPandasWithState)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_totals,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,45 @@
+"""Multi-format round-trips: every interchange format preserves values."""
+
+from __future__ import annotations
+
+import tempfile
+
+from f1_lakehouse_spark.sources import formats
+from f1_lakehouse_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()])
+
+
+def test_csv_roundtrip(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    with tempfile.TemporaryDirectory() as tmp:
+        formats.write_csv(o, f"{tmp}/orders_csv")
+        back = formats.read_csv(spark, f"{tmp}/orders_csv", o.schema)
+        assert back.schema == o.schema
+        assert _rows(back) == _rows(o)
+
+
+def test_json_roundtrip(spark):
+    n = load_table(spark, SF_DIR, "nation")
+    with tempfile.TemporaryDirectory() as tmp:
+        formats.write_json(n, f"{tmp}/nation_json")
+        back = formats.read_json(spark, f"{tmp}/nation_json", n.schema)
+        assert _rows(back) == _rows(n)
+
+
+def test_orc_roundtrip(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    with tempfile.TemporaryDirectory() as tmp:
+        formats.write_orc(li, f"{tmp}/lineitem_orc")
+        back = formats.read_orc(spark, f"{tmp}/lineitem_orc")
+        assert back.count() == li.count()
+        assert _rows(back.select("l_orderkey", "l_linenumber")) == _rows(
+            li.select("l_orderkey", "l_linenumber")
+        )
+
+
+def test_delta_reports_unavailable_not_crash(spark):
+    assert formats.delta_available(spark) in (True, False)

@@ -81,3 +81,40 @@ def test_streaming_session_windows_match_batch_sessionization(spark):
         streamed.agg(F.sum("n_events")).collect()[0][0]
         == batch.agg(F.sum("n_events")).collect()[0][0]
     )
+
+
+def test_streaming_dedup_drops_replayed_events(spark):
+    from f1_lakehouse_spark.streaming.stateful import streaming_dedup
+
+    events = stream_events(spark, SF_DIR)
+    # the source has unique event_ids; duplicate them by unioning the stream
+    # with itself → dedup must halve it back
+    doubled = events.union(events)
+    deduped = streaming_dedup(doubled, watermark="10 years")
+    run_available_now_to_memory(deduped, "dedup_out", output_mode="append")
+    n_src = load_table(spark, SF_DIR, "events").count()
+    n_out = spark.sql("SELECT COUNT(*) FROM dedup_out").collect()[0][0]
+    assert n_out == n_src
+
+
+def test_stateful_user_totals_equal_batch(spark):
+    from f1_lakehouse_spark.streaming.stateful import streaming_user_totals
+
+    events = stream_events(spark, SF_DIR)
+    totals = streaming_user_totals(events)
+    run_available_now_to_memory(totals, "user_totals", output_mode="update")
+    streamed = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql(
+            # update mode emits one row per key per batch; keep the last
+            "SELECT user_id, n_events, total_value FROM user_totals"
+        ).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert streamed == batch
