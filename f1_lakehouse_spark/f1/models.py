@@ -1,0 +1,107 @@
+"""The reference's model tree on its own schema, Spark-first.
+
+Semantics re-expressed (never copied) from the reference:
+
+- silver: recursive hive-partitioned scan, ``SELECT * EXCLUDE`` of the four
+  partition keys re-added with types, ``session`` → ``session_code``
+  (reference ``transform/models/silver/laps.sql:1-9``, same for
+  results/weather).
+- gold ``driver_session_summary`` (from the compiled artifact semantics —
+  the source Jinja is corrupted, SURVEY.md §2.11 D1): filter timed laps,
+  driver-key repair ``COALESCE(NULLIF(driver,''), CAST(drivernumber AS
+  VARCHAR))``, personal-best ROW_NUMBER window ASC NULLS LAST, conditional
+  pit-lane aggregates, 7-key LEFT JOIN + COALESCE(...,0)
+  (``driver_session_summary.sql:4,12,20-35,40-41,46-59``).
+- gold ``team_event_summary``: race/quali/sprint IN-filter + re-aggregation
+  (``team_event_summary.sql:5,7-15``).
+- the 17 not_null contract columns (``models/silver/schema.yml:5-29``,
+  ``models/gold/schema.yml:5-24``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from f1_lakehouse_spark.functions.expressions import to_snake_df
+
+DSS_KEYS = [
+    "season",
+    "round",
+    "grand_prix",
+    "session_code",
+    "driver",
+    "drivernumber",
+    "team",
+]
+
+# not_null contracts (silver schema.yml: 3 keys x 3 tables; gold schema.yml)
+SILVER_NOT_NULL = ["season", "round", "session_code"]
+GOLD_DSS_NOT_NULL = ["season", "round", "session_code", "driver"]
+GOLD_TES_NOT_NULL = ["season", "round", "session_code", "team"]
+
+
+def silver_from_bronze(spark: SparkSession, bronze_path: str) -> DataFrame:
+    """silver model shape shared by laps/results/weather: snake_case the
+    open schema, re-type the partition keys, rename session→session_code."""
+    raw = to_snake_df(spark.read.parquet(bronze_path))
+    keep = [c for c in raw.columns if c not in ("season", "round", "session")]
+    return raw.select(
+        *keep,
+        F.col("season").cast("int").alias("season"),
+        F.col("round").cast("int").alias("round"),
+        F.col("session").cast("string").alias("session_code"),
+    ).withColumn("grand_prix", F.col("grand_prix").cast("string"))
+
+
+def driver_session_summary(silver_laps: DataFrame) -> DataFrame:
+    timed = silver_laps.filter(F.col("laptime").isNotNull()).withColumn(
+        "driver",
+        F.coalesce(
+            F.nullif(F.col("driver"), F.lit("")),
+            F.col("drivernumber").cast("string"),
+        ),
+    )
+    w = Window.partitionBy(*DSS_KEYS).orderBy(
+        F.col("laptime").asc_nulls_last(), "lapnumber"
+    )
+    pb = (
+        timed.withColumn("rn", F.row_number().over(w))
+        .groupBy(*DSS_KEYS)
+        .agg(
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias(
+                "personal_best_laps"
+            )
+        )
+    )
+    on_track = F.col("pitintime").isNull() & F.col("pitouttime").isNull()
+    agg = timed.groupBy(*DSS_KEYS).agg(
+        F.count("*").alias("laps_total"),
+        F.sum(F.when(on_track, 1).otherwise(0)).alias("laps_on_track"),
+        F.sum(F.when(F.col("pitouttime").isNotNull(), 1).otherwise(0)).alias(
+            "pitstops"
+        ),
+        F.min("laptime").alias("best_lap_time"),
+    )
+    return agg.join(pb, on=DSS_KEYS, how="left").select(
+        *DSS_KEYS,
+        "laps_total",
+        "laps_on_track",
+        "pitstops",
+        "best_lap_time",
+        F.coalesce(F.col("personal_best_laps"), F.lit(0)).alias(
+            "personal_best_laps"
+        ),
+    )
+
+
+def team_event_summary(dss: DataFrame) -> DataFrame:
+    return (
+        dss.filter(F.col("session_code").isin("R", "Q", "S"))
+        .groupBy("season", "round", "grand_prix", "session_code", "team")
+        .agg(
+            F.sum("laps_on_track").alias("laps_on_track"),
+            F.sum("pitstops").alias("pitstops"),
+            F.min("best_lap_time").alias("best_lap_time"),
+        )
+    )
