@@ -11,6 +11,7 @@ from f1_lakehouse_spark.operators import (  # noqa: F401
     projection,
     scalars,
     setops,
+    skew,
     sorts,
     windows,
 )

@@ -484,3 +484,75 @@ FROM reach GROUP BY a
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir)
     return connected_components(pairs)
+
+
+# --- LSH-verified near-dup pipeline (the production shape) --------------------------
+# At 100 TB nobody runs the exhaustive shingle self-join: MinHash-LSH
+# proposes candidates (sub-quadratic), exact Jaccard verifies ONLY those.
+# Registered as its own operator with a composed oracle so the end-to-end
+# candidate→verify pipeline is differentially checked.
+
+
+@register(
+    "dedup_minhash_verified",
+    oracle=f"""
+WITH cand AS ({_MINHASH_PAIRS_SQL}),
+sh AS ({_SQL_SHINGLES}),
+shk AS (
+    SELECT doc_id, {sql_md5_hash48("shingle")} AS sk FROM sh
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS sz FROM shk GROUP BY 1
+),
+common AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+    FROM cand c
+    JOIN shk a ON a.doc_id = c.doc_a
+    JOIN shk b ON b.doc_id = c.doc_b AND b.sk = a.sk
+    GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(c.n_common AS DOUBLE) / (sa.sz + sb.sz - c.n_common) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(c.n_common AS DOUBLE) / (sa.sz + sb.sz - c.n_common) >= {JACCARD_THRESHOLD}
+""",
+    doc="production near-dup pipeline: LSH candidates -> exact Jaccard verify "
+    "(no exhaustive self-join; no df cap needed since candidates are bounded)",
+    tags=("pipeline", "dedup", "minhash", "jaccard"),
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(d)  # persisted small pair list
+    shk = _spark_shingles(d).select(
+        "doc_id", spark_md5_hash48("shingle").alias("sk")
+    ).persist()
+    shk.count()
+    sizes = shk.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = shk.alias("a")
+    b = shk.alias("b")
+    common = (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(
+            b,
+            (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.sk") == F.col("a.sk")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    )
+    out = (
+        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    out = out.persist()
+    out.count()
+    shk.unpersist()
+    return out
