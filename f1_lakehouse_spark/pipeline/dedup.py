@@ -415,8 +415,49 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # this iterative algorithm gets an exact differential check.
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
-    """(doc_a, doc_b) pairs → (doc_id, cluster_id=min reachable doc id)."""
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20, driver_threshold: int = 5_000_000
+) -> DataFrame:
+    """(doc_a, doc_b) pairs → (doc_id, cluster_id=min reachable doc id).
+
+    Hybrid strategy: LSH candidate-pair sets are orders of magnitude
+    smaller than the corpus, so below ``driver_threshold`` pairs a
+    driver-side union-find answers in one pass (no per-iteration job
+    overhead); above it, the distributed min-label propagation loop takes
+    over. Both produce identical labels (min reachable id).
+    """
+    n_pairs = pairs.count()
+    if n_pairs <= driver_threshold:
+        return _union_find_driver(pairs)
+    return _propagate_distributed(pairs, max_iters)
+
+
+def _union_find_driver(pairs: DataFrame) -> DataFrame:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in pairs.select("doc_a", "doc_b").toLocalIterator():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the cluster id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    rows = [(doc, find(doc)) for doc in parent]
+    return pairs.sparkSession.createDataFrame(
+        rows, "doc_id long, cluster_id long"
+    )
+
+
+def _propagate_distributed(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

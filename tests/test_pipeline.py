@@ -106,3 +106,23 @@ def test_multimodal_decode_stub(spark):
     out = mm_binary_decode_meta(spark, SF_DIR)
     assert out.columns == ["doc_id", "n_bytes", "fake_width", "fake_height", "channels"]
     assert out.count() > 0
+
+
+def test_connected_components_both_paths_agree(spark):
+    from f1_lakehouse_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (10, 11), (11, 12), (3, 4)],
+        "doc_a long, doc_b long",
+    )
+    fast = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()  # driver union-find
+    }
+    dist = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    expected = {(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (9, 7), (10, 10), (11, 10), (12, 10)}
+    assert fast == expected
+    assert dist == expected
