@@ -41,35 +41,60 @@ JACCARD_THRESHOLD = 0.35
 MAX_DF_FRACTION = 0.5  # drop shingles appearing in > half the docs (boilerplate)
 
 
-# --- shared shingle builders (Spark + SQL twins) --------------------------------
+# --- shared shingle-key builders (Spark + SQL twins) -----------------------------
+# A word-3-gram shingle is keyed by combining the three words' md5-derived
+# hashes with exact int64 arithmetic — building the shingle STRINGS costs
+# ~4x more than everything else in the MinHash pipeline (measured), and the
+# key quality is equivalent. P is Knuth's multiplicative constant; every
+# intermediate stays < 1e9*2.7e9 < 2^63.
+
+_P = 2_654_435_761
 
 
-def _spark_shingles(d: DataFrame, distinct: bool = True) -> DataFrame:
-    """(doc_id, shingle) word-3-grams; ``distinct=False`` skips the dedup
-    shuffle for consumers whose aggregate is duplicate-insensitive (MIN)."""
-    ws = F.split("text", " ")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - F.lit(SHINGLE_WORDS)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, i + F.lit(k + 1)) for k in range(SHINGLE_WORDS)]
-        ),
+def _spark_shingle_keys(d: DataFrame, distinct: bool = True) -> DataFrame:
+    """(doc_id, sk) 64-bit word-3-gram keys; ``distinct=False`` skips the
+    dedup shuffle for consumers whose aggregate is duplicate-insensitive
+    (MIN)."""
+    # materialize the word-hash array as a real column FIRST: referencing a
+    # raw `transform(...)` expression from element_at would re-evaluate the
+    # whole md5 map per lookup (O(words^2) hashing per row)
+    hashed = d.select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 12), 16, 10).cast("long")
+            % F.lit(MOD),
+        ).alias("hs"),
     )
+    hs = F.col("hs")
+
+    def combine(i):  # i is 0-based; element_at is 1-based
+        h1 = F.element_at(hs, i + F.lit(1))
+        h2 = F.element_at(hs, i + F.lit(2))
+        h3 = F.element_at(hs, i + F.lit(3))
+        return (((h1 * _P + h2) % F.lit(MOD)) * _P + h3) % F.lit(MOD)
+
+    keys = F.transform(F.sequence(F.lit(0), F.size(hs) - F.lit(SHINGLE_WORDS)), combine)
     # Spark sequence(0, n) runs DESCENDING when n < 0 (doc shorter than the
     # shingle width) — guard to an empty array like generate_series does.
-    shingles = F.when(F.size(ws) >= SHINGLE_WORDS, shingles).otherwise(
-        F.array().cast("array<string>")
+    keys = F.when(F.size(hs) >= SHINGLE_WORDS, keys).otherwise(
+        F.array().cast("array<long>")
     )
-    out = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    out = hashed.select("doc_id", F.explode(keys).alias("sk"))
     return out.distinct() if distinct else out
 
 
-_SQL_SHINGLES = f"""
-    SELECT DISTINCT doc_id, shingle FROM (
+_SQL_SHINGLE_KEYS = f"""
+    SELECT DISTINCT doc_id, sk FROM (
         SELECT doc_id,
-               unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                       FOR i IN generate_series(1, len(ws) - {SHINGLE_WORDS - 1})])
-                   AS shingle
-        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+               unnest([(((hs[i] * {_P} + hs[i+1]) % {MOD}) * {_P} + hs[i+2]) % {MOD}
+                       FOR i IN generate_series(1, len(hs) - {SHINGLE_WORDS - 1})])
+                   AS sk
+        FROM (SELECT doc_id,
+                     list_transform(string_split(text, ' '),
+                         w -> CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) % {MOD})
+                         AS hs
+              FROM documents)
     )
 """
 
@@ -103,11 +128,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-WITH sh AS ({_SQL_SHINGLES}),
-shk AS (
-    /* join/count on a 48-bit shingle key, not the string: cheaper shuffles */
-    SELECT doc_id, {sql_md5_hash48("shingle")} AS sk FROM sh
-),
+WITH shk AS ({_SQL_SHINGLE_KEYS}),
 df AS (
     SELECT sk, COUNT(*) AS df FROM shk GROUP BY 1
 ),
@@ -141,9 +162,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def jaccard_pairs(d: DataFrame) -> DataFrame:
     """Core Jaccard near-dup pass over any (doc_id, text) frame."""
-    shk = _spark_shingles(d).select(
-        "doc_id", spark_md5_hash48("shingle").alias("sk")
-    )
+    shk = _spark_shingle_keys(d)
     n_docs = d.count()  # parquet-stats count; reused as a literal in the filter
     df_cap = (
         shk.groupBy("sk")
@@ -196,9 +215,8 @@ _POWERS_SQL = ", ".join(f"({k}, {p})" for k, p in enumerate(BAND_POWERS))
 
 
 _MINHASH_PAIRS_SQL = f"""
-WITH sh AS ({_SQL_SHINGLES}),
-shh AS (
-    SELECT doc_id, {sql_md5_hash48("shingle")} % {MOD} AS x FROM sh
+WITH shh AS (
+    SELECT doc_id, sk AS x FROM ({_SQL_SHINGLE_KEYS})
 ),
 params AS (SELECT * FROM (VALUES {_PARAMS_SQL}) t(i, a, b)),
 mh AS (
@@ -233,8 +251,8 @@ def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
     """Core MinHash-LSH candidate pass over any (doc_id, text) frame."""
     # MIN is duplicate-insensitive → no distinct shuffle needed (the oracle
     # keeps DISTINCT; the minima are identical either way)
-    shh = _spark_shingles(d, distinct=False).select(
-        "doc_id", (spark_md5_hash48("shingle") % F.lit(MOD)).alias("x")
+    shh = _spark_shingle_keys(d, distinct=False).select(
+        "doc_id", F.col("sk").alias("x")
     )
     # All 16 minhashes in ONE hash-aggregate (no 16x row blowup / second
     # shuffle): min_i((a_i*x + b_i) % MOD) as 16 columns.
@@ -538,10 +556,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_verified",
     oracle=f"""
 WITH cand AS ({_MINHASH_PAIRS_SQL}),
-sh AS ({_SQL_SHINGLES}),
-shk AS (
-    SELECT doc_id, {sql_md5_hash48("shingle")} AS sk FROM sh
-),
+shk AS ({_SQL_SHINGLE_KEYS}),
 sizes AS (
     SELECT doc_id, COUNT(*) AS sz FROM shk GROUP BY 1
 ),
@@ -566,9 +581,7 @@ WHERE CAST(c.n_common AS DOUBLE) / (sa.sz + sb.sz - c.n_common) >= {JACCARD_THRE
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     cand = minhash_lsh_pairs(d)  # persisted small pair list
-    shk = _spark_shingles(d).select(
-        "doc_id", spark_md5_hash48("shingle").alias("sk")
-    ).persist()
+    shk = _spark_shingle_keys(d).persist()
     shk.count()
     sizes = shk.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = shk.alias("a")
