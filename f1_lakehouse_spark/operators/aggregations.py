@@ -325,3 +325,37 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
+
+
+# --- SQL-path query: parameterized spark.sql + GROUP BY ordinals ---------------
+# (SURVEY §2.4 A1 note: GROUP BY ordinals are honored in the SQL path via
+# spark.sql.groupByOrdinal, and §2.2 P7's $param binding maps to Spark 3.4+
+# parameterized SQL. This query exercises both through spark.sql.)
+
+
+@register(
+    "sql_path_param_ordinals",
+    oracle="""
+SELECT l_returnflag, CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       COUNT(*) AS n_lines, MIN(l_extendedprice) AS best_price
+FROM lineitem
+WHERE l_linestatus = 'F' AND l_quantity >= 25
+GROUP BY 1, 2
+""",
+    doc="spark.sql with named parameters + GROUP BY ordinals (SQL-API path)",
+    tags=("A1", "P7", "sql-api"),
+)
+def sql_path_param_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_sqlpath"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, CAST(year(l_shipdate) AS INT) AS ship_year,
+               COUNT(*) AS n_lines, MIN(l_extendedprice) AS best_price
+        FROM lineitem_sqlpath
+        WHERE l_linestatus = :status AND l_quantity >= :min_qty
+        GROUP BY 1, 2
+        """,
+        args={"status": "F", "min_qty": 25},
+    )
