@@ -33,9 +33,13 @@ HEADLINE = [
     "a7_median_curve",
     "w_sessionize_events",
     "w_running_total",
+    "q10_returned_items",
+    "q18_large_volume_customers",
+    "skew_salted_aggregate",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_minhash_verified",
     "dedup_simhash",
     "dedup_clusters",
     "ann_cosine_topk_bruteforce",

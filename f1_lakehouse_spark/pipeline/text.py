@@ -196,3 +196,79 @@ def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.col("profile_lang").alias("predicted_lang"))
     )
     return best.groupBy("lang", "predicted_lang").agg(F.count("*").alias("n_docs"))
+
+
+# --- character-n-gram language-ID variant -----------------------------------------
+# The classic Cavnar–Trenkle shape: per-language char-trigram profiles,
+# classify by profile overlap. Complements the word-profile classifier above
+# (same broadcast-profile-join + argmax plan, different feature space).
+
+
+@register(
+    "text_lang_id_chargram",
+    oracle=f"""
+WITH grams AS (
+    SELECT doc_id, lang,
+           unnest([substr(text, i, 3)
+                   FOR i IN generate_series(1, length(text) - 2)]) AS g
+    FROM documents
+), doc_grams AS (
+    SELECT DISTINCT doc_id, lang, g FROM grams
+), freq AS (
+    SELECT lang AS profile_lang, g, COUNT(*) AS cnt FROM grams GROUP BY 1, 2
+), profile AS (
+    SELECT profile_lang, g FROM (
+        SELECT profile_lang, g,
+               ROW_NUMBER() OVER (PARTITION BY profile_lang
+                                  ORDER BY cnt DESC, g) AS rk
+        FROM freq
+    ) WHERE rk <= {_PROFILE_K * 4}
+), scores AS (
+    SELECT d.doc_id, d.lang, p.profile_lang, COUNT(*) AS overlap
+    FROM doc_grams d JOIN profile p ON d.g = p.g
+    GROUP BY 1, 2, 3
+), best AS (
+    SELECT doc_id, lang, profile_lang AS predicted_lang FROM (
+        SELECT doc_id, lang, profile_lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY overlap DESC, profile_lang) AS rk
+        FROM scores
+    ) WHERE rk = 1
+)
+SELECT lang, predicted_lang, COUNT(*) AS n_docs
+FROM best GROUP BY 1, 2
+""",
+    doc="char-trigram language-ID confusion matrix (Cavnar-Trenkle shape)",
+    tags=("pipeline", "text", "langid"),
+)
+def text_lang_id_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.length("text") - F.lit(2)),
+        lambda i: F.col("text").substr(i, F.lit(3)),
+    )
+    grams = d.select("doc_id", "lang", F.explode(grams_arr).alias("g"))
+    doc_grams = grams.distinct()
+    freq = grams.groupBy(F.col("lang").alias("profile_lang"), "g").agg(
+        F.count("*").alias("cnt")
+    )
+    rk = Window.partitionBy("profile_lang").orderBy(F.col("cnt").desc(), "g")
+    profile = (
+        freq.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= _PROFILE_K * 4)
+        .select("profile_lang", "g")
+    )
+    scores = (
+        doc_grams.join(F.broadcast(profile), "g")
+        .groupBy("doc_id", "lang", "profile_lang")
+        .agg(F.count("*").alias("overlap"))
+    )
+    best_w = Window.partitionBy("doc_id").orderBy(
+        F.col("overlap").desc(), "profile_lang"
+    )
+    best = (
+        scores.withColumn("rk", F.row_number().over(best_w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", F.col("profile_lang").alias("predicted_lang"))
+    )
+    return best.groupBy("lang", "predicted_lang").agg(F.count("*").alias("n_docs"))
