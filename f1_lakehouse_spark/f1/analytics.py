@@ -99,3 +99,23 @@ def latest_best_sample(dss: DataFrame, k: int = 5) -> DataFrame:
     return dss.orderBy(
         F.col("season").desc(), F.col("round").desc(), "best_lap_time", "driver"
     ).limit(k)
+
+
+def team_points(silver_results: DataFrame, season: int) -> DataFrame:
+    """notebook cells 27/29: points per team per season from results."""
+    return (
+        silver_results.filter(F.col("season") == season)
+        .groupBy("teamname")
+        .agg(
+            F.sum("points").alias("total_points"),
+            F.count("*").alias("classified_entries"),
+        )
+        .orderBy(F.col("total_points").desc(), "teamname")
+    )
+
+
+def classification_breakdown(silver_results: DataFrame) -> DataFrame:
+    """results status distribution: finished / retired / lapped etc."""
+    return silver_results.groupBy("season", "status").agg(
+        F.count("*").alias("n_results")
+    )

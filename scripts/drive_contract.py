@@ -20,7 +20,7 @@ print(f"SMOKE entry(): {len(rows)} rows, schema={[f.name for f in df.schema]}")
 assert len(rows) > 0
 
 # t2: differential at sf0.01 like the driver
-SF = "/root/testdata/sf0.01"
+SF = __import__("os").environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")

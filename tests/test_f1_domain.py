@@ -289,3 +289,55 @@ ORDER BY best_lap_time, driver
     with _pytest.raises(GuardrailError):
         ask(spark, "please drop everything", translator, schema_doc=doc)
     assert spark.catalog.tableExists("f1_silver_laps")
+
+
+RESULTS_SCHEMA = StructType(
+    [
+        StructField("DriverNumber", IntegerType()),
+        StructField("BroadcastName", StringType()),
+        StructField("TeamName", StringType()),
+        StructField("Position", IntegerType()),
+        StructField("ClassifiedPosition", StringType()),
+        StructField("Status", StringType()),
+        StructField("Points", LongType()),
+        StructField("season", IntegerType()),
+        StructField("round", IntegerType()),
+        StructField("grand_prix", StringType()),
+        StructField("session", StringType()),
+    ]
+)
+
+
+def test_results_table_and_points(spark, f1_bronze):
+    """Third bronze table (FIXTURES.md results schema): silver typing +
+    the notebook's team-points and classification queries."""
+    points_map = [25, 18, 15, 12]
+    rows = []
+    for season in (2023, 2024):
+        for rnd, gp in ((1, "bahrain-grand-prix"), (2, "jeddah-grand-prix")):
+            for pos, (name, num, team) in enumerate(
+                [("M VERSTAPPEN", 1, "Red Bull"), ("L HAMILTON", 44, "Mercedes"),
+                 ("C LECLERC", 16, "Ferrari"), ("L NORRIS", 4, "McLaren")],
+                start=1,
+            ):
+                status = "Finished" if pos < 4 else "+1 Lap"
+                rows.append(
+                    (num, name, team, pos, str(pos), status,
+                     points_map[pos - 1], season, rnd, gp, "R")
+                )
+    spark.createDataFrame(rows, RESULTS_SCHEMA).write.mode("overwrite").partitionBy(
+        "season", "round", "grand_prix", "session"
+    ).parquet(f"{f1_bronze}/results")
+
+    silver_results = silver_from_bronze(spark, f"{f1_bronze}/results")
+    assert run_not_null_suite(silver_results, SILVER_NOT_NULL) == {
+        "season": 0, "round": 0, "session_code": 0
+    }
+    pts = f1a.team_points(silver_results, 2024).collect()
+    assert pts[0]["teamname"] == "Red Bull" and pts[0]["total_points"] == 50
+    assert [r["teamname"] for r in pts] == ["Red Bull", "Mercedes", "Ferrari", "McLaren"]
+    breakdown = {
+        (r["season"], r["status"]): r["n_results"]
+        for r in f1a.classification_breakdown(silver_results).collect()
+    }
+    assert breakdown[(2024, "Finished")] == 6 and breakdown[(2024, "+1 Lap")] == 2
