@@ -253,3 +253,34 @@ def ann_ivf_centroid_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+# --- per-cell centroids (the IVF "training" aggregation) ---------------------------
+# Element-wise mean of array<float> per label: posexplode → (label, dim)
+# aggregate. Decimal accumulation keeps per-dimension means exact, so the
+# centroid table is bit-identical across engines/parallelism.
+
+
+@register(
+    "embedding_label_centroids",
+    oracle=f"""
+SELECT label, CAST(i AS INTEGER) - 1 AS dim,
+       CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,9))) AS DOUBLE)
+           / COUNT(*) AS centroid
+FROM embeddings, range(1, {DIM + 1}) t(i)
+GROUP BY 1, 2
+""",
+    doc="per-label centroid vectors (element-wise decimal-exact mean)",
+    tags=("pipeline", "similarity", "centroid"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    return exploded.groupBy("label", "dim").agg(
+        (
+            F.sum(F.col("v").cast("double").cast("decimal(27,9)")).cast("double")
+            / F.count("*")
+        ).alias("centroid")
+    )
