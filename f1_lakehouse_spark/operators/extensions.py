@@ -206,3 +206,27 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_quantiles"
         ),
     )
+
+
+# --- correlated scalar subquery (Catalyst decorrelation showcase) -------------------
+
+
+_CORR_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM {orders} o
+WHERE o_totalprice = (SELECT MAX(o2.o_totalprice)
+                      FROM {orders} o2
+                      WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@register(
+    "correlated_subquery_max_order",
+    oracle=_CORR_SQL.format(orders="orders"),
+    doc="correlated scalar subquery — Catalyst decorrelates to join+agg "
+    "(SURVEY §4 'subquery decorrelation': delegated to the optimizer)",
+    tags=("subquery", "extension", "sql-api"),
+)
+def correlated_subquery_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_corr")
+    return spark.sql(_CORR_SQL.format(orders="orders_corr"))
