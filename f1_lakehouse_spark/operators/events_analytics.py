@@ -1,0 +1,112 @@
+"""Event-stream analytics: ordered funnel + weekly cohort retention.
+
+The standard product-analytics shapes over an events table, expressed as
+joins/aggregates (no per-user collect): the funnel is three cascaded
+min-timestamp joins (each stage only sees users who completed the prior
+stage *earlier in time*); retention is first-seen cohorting by truncated
+week × activity week.
+
+Scale notes: every stage is a groupBy(user) aggregate (combiner-friendly)
+joined to the prior stage's 1-row-per-user frame; nothing is ordered
+globally. Week arithmetic stays in exact integer seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_lakehouse_spark.registry import register
+from f1_lakehouse_spark.tables import load_table
+
+
+@register(
+    "events_funnel_ordered",
+    oracle="""
+WITH s AS (
+    SELECT user_id, MIN(ts) AS signup_ts
+    FROM events WHERE event_type = 'signup' GROUP BY 1
+), v AS (
+    SELECT e.user_id, MIN(e.ts) AS view_ts
+    FROM events e JOIN s ON s.user_id = e.user_id AND e.ts > s.signup_ts
+    WHERE e.event_type = 'view' GROUP BY 1
+), p AS (
+    SELECT e.user_id, MIN(e.ts) AS purchase_ts
+    FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.view_ts
+    WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+       (SELECT COUNT(*) FROM v) AS n_signup_view,
+       (SELECT COUNT(*) FROM p) AS n_signup_view_purchase
+""",
+    doc="ordered 3-step funnel (signup -> later view -> later purchase)",
+    tags=("events", "funnel"),
+)
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(v.agg(F.count("*").alias("n_signup_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_signup_view_purchase")))
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH firsts AS (
+    /* DuckDB date_trunc('week') yields DATE; cast to TIMESTAMP to match
+       Spark's timestamp-typed truncation */
+    SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+    FROM events GROUP BY 1
+), activity AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+    FROM events
+)
+SELECT f.cohort_week,
+       CAST((epoch_us(a.active_week) - epoch_us(f.cohort_week)) / 604800000000
+            AS BIGINT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS active_users
+FROM activity a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+    doc="weekly cohort retention matrix (first-seen week x activity-week offset)",
+    tags=("events", "cohort"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    # truncated weeks are whole microseconds; the division is exact
+    offset = (
+        (F.unix_micros("active_week") - F.unix_micros("cohort_week"))
+        / F.lit(604_800_000_000)
+    ).cast("long")
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

@@ -449,3 +449,95 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(rev.cast("decimal(27,6)")).cast("double")
         ).alias("promo_revenue_pct")
     )
+
+
+# --- TPC-H Q19 shape: disjunctive multi-column predicates ---------------------------
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle=f"""
+SELECT {DSUM("l.l_extendedprice * (1 - l.l_discount)")} AS revenue, COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity >= 10 AND l.l_quantity <= 35)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity >= 20 AND l.l_quantity <= 50)
+""",
+    doc="TPC-H Q19 shape: OR-of-ANDs predicate across both join sides",
+    tags=("join", "predicates", "bench"),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(dsum(rev).alias("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+# --- TPC-H Q22 shape: scalar subquery threshold + anti-join -------------------------
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle=f"""
+WITH avg_bal AS (
+    SELECT {DAVG("c_acctbal")} AS v FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_mktsegment, COUNT(*) AS n_customers, {DSUM("c.c_acctbal")} AS total_bal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.v
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1
+""",
+    doc="TPC-H Q22 shape: above-average balance + no-urgent-order anti-join",
+    tags=("join", "anti", "subquery", "bench"),
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    # uncorrelated scalar: exact decimal avg, crossJoin-broadcast the 1-row frame
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(27,6)")).cast("double")
+                / F.count("c_acctbal")
+            ).alias("v")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT"),
+            c["c_custkey"] == o["o_custkey"],
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal").alias("total_bal"))
+    )
