@@ -359,3 +359,66 @@ def sql_path_param_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": "F", "min_qty": 25},
     )
+
+
+# --- moment statistics from exact sums -----------------------------------------
+# stddev/variance/correlation are order-dependent under streaming algorithms
+# (Spark and DuckDB both use variants of Welford — with different merge
+# orders). Deriving them from DECIMAL-exact moment sums (Σx, Σx², Σxy, n)
+# makes the results bit-identical across engines and parallelism, at the
+# cost of the numerically-naive formula — fine at these magnitudes.
+
+
+@register(
+    "stats_moments",
+    oracle="""
+WITH m AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sxy
+    FROM lineitem
+)
+SELECT n,
+       sx / n AS mean_qty,
+       (sxx - sx * sx / n) / (n - 1) AS var_qty,
+       sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+       (sxy - sx * sy / n)
+           / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+FROM m
+""",
+    doc="variance/stddev/correlation from decimal-exact moment sums "
+    "(order-independent, unlike engine-native Welford aggregates)",
+    tags=("stats", "extension"),
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+
+    def s(expr: Column, name: str) -> Column:
+        return F.sum(expr.cast("decimal(27,6)")).cast("double").alias(name)
+
+    m = li.agg(
+        F.count("*").alias("n"),
+        s(q, "sx"),
+        s(q * q, "sxx"),
+        s(p, "sy"),
+        s(p * p, "syy"),
+        s(q * p, "sxy"),
+    )
+    n = F.col("n")
+    sx, sxx, sy, syy, sxy = (F.col(c) for c in ("sx", "sxx", "sy", "syy", "sxy"))
+    var_q = (sxx - sx * sx / n) / (n - F.lit(1))
+    return m.select(
+        "n",
+        (sx / n).alias("mean_qty"),
+        var_q.alias("var_qty"),
+        F.sqrt(var_q).alias("stddev_qty"),
+        (
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        ).alias("corr_qty_price"),
+    )

@@ -126,3 +126,16 @@ def test_connected_components_both_paths_agree(spark):
     expected = {(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (9, 7), (10, 10), (11, 10), (12, 10)}
     assert fast == expected
     assert dist == expected
+
+
+def test_stateful_queries_are_idempotent_in_one_session(spark):
+    """Queries that persist/materialize internally must return identical
+    results when invoked repeatedly in the same session (driver behavior)."""
+    from f1_lakehouse_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_clusters"):
+        fn = REGISTRY[name].fn
+        a = sorted([tuple(r) for r in fn(spark, SF_DIR).collect()])
+        b = sorted([tuple(r) for r in fn(spark, SF_DIR).collect()])
+        assert a == b, name
