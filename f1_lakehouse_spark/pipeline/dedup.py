@@ -610,3 +610,58 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     shk.unpersist()
     return out
+
+
+# --- dedup apply: the final keep-list -----------------------------------------------
+# What a real pipeline materializes: one surviving doc per duplicate group.
+# Exact duplicates collapse by content hash; near-duplicates collapse to the
+# minimum doc id of their LSH-candidate connected component; everything else
+# survives as-is.
+
+
+@register(
+    "dedup_keep_list",
+    oracle=f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+),
+exact_keep AS (
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+)
+SELECT e.doc_id,
+       CASE WHEN c.cluster_id IS NULL OR c.cluster_id = e.doc_id
+            THEN 1 ELSE 0 END AS keep
+FROM exact_keep e LEFT JOIN clusters c ON c.doc_id = e.doc_id
+""",
+    doc="dedup apply: exact-dup collapse + near-dup cluster representative flag",
+    tags=("pipeline", "dedup", "apply"),
+)
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    exact_keep = (
+        d.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    clusters = connected_components(minhash_lsh_pairs(d))
+    return exact_keep.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )

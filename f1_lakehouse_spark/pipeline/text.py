@@ -272,3 +272,84 @@ def text_lang_id_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.col("profile_lang").alias("predicted_lang"))
     )
     return best.groupBy("lang", "predicted_lang").agg(F.count("*").alias("n_docs"))
+
+
+# --- text cleaning / normalization --------------------------------------------------
+# The C4-style cleanup transform: lowercase, strip non-alphanumerics,
+# collapse whitespace — pure regexp Column ops, scan-speed.
+
+
+@register(
+    "text_clean_normalize",
+    oracle="""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                           ' +', ' ', 'g')) AS clean_text,
+       length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                  ' +', ' ', 'g'))) AS clean_len
+FROM documents
+""",
+    doc="C4-style cleanup: lowercase, strip non-alnum, collapse whitespace",
+    tags=("pipeline", "text", "clean"),
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id", clean.alias("clean_text"), F.length(clean).alias("clean_len")
+    )
+
+
+# --- TF-IDF -------------------------------------------------------------------------
+# Classic sparse representation: tf(doc, term) x ln(N / df(term)). JVM and
+# DuckDB libm ln() differ by ~1 ulp, so the EMITTED score is rounded to 9
+# decimals (ranking is unaffected: within each engine equal (tf, df) pairs
+# give exactly equal scores, and sub-ulp cross-term collisions don't occur).
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+WITH words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), tf AS (
+    SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2
+), df AS (
+    SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.w,
+           tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+    FROM tf JOIN df USING (w), n
+)
+SELECT doc_id, w, round(tfidf, 9) AS tfidf FROM (
+    SELECT doc_id, w, tfidf,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, w) AS rk
+    FROM scored
+) WHERE rk <= 3
+""",
+    doc="TF-IDF with top-3 terms per document (tf join idf, windowed top-k)",
+    tags=("pipeline", "text", "tfidf"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(df, "w").select(
+        "doc_id",
+        "w",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    w_rk = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "w")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "w", F.round("tfidf", 9).alias("tfidf"))
+    )
