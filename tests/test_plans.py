@@ -4,6 +4,8 @@ if a refactor loses one, these fail."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from f1_lakehouse_spark.registry import REGISTRY, _ensure_loaded
 from tests.conftest import SF_DIR
 
@@ -59,3 +61,50 @@ def test_minhash_has_no_row_blowup_join(spark):
     plan = _plan(spark, "dedup_minhash_lsh")
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan  # map-side partial minima
+
+
+def test_bucketed_join_eliminates_shuffle(spark):
+    """bucketBy co-location: joining two tables bucketed on the same key
+    must not exchange either side (the 100 TB co-located join strategy)."""
+    from f1_lakehouse_spark.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("li_bucketed")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("o_bucketed")
+
+    # the auto-bucketed-scan heuristic may fall back to a plain scan; pin
+    # bucketed scans on for the assertion (cluster deployments tune this)
+    prev_scan = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    # at this tiny SF Catalyst would (rightly) broadcast; force the
+    # sort-merge path to demonstrate the bucket co-location property
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_bucketed").join(
+            spark.table("o_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev_scan)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, (
+        "bucketed join should not shuffle"
+    )
+    assert "SortMergeJoin" in plan
+    # and it computes the right thing
+    n = joined.count()
+    plain = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    assert n == plain
