@@ -284,3 +284,31 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("centroid")
     )
+
+
+# --- int8 quantization (embedding storage compression) ------------------------------
+# The standard 4x storage cut before ANN serving. floor(x*127 + 0.5) instead
+# of round(): engines disagree on rounding-mode edge cases, floor doesn't.
+# Emitted per-dimension (array-typed outputs don't hash portably).
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+SELECT vec_id, CAST(i AS INTEGER) - 1 AS dim,
+       CAST(floor(greatest(-1.0, least(1.0, CAST(embedding[i] AS DOUBLE))) * 127 + 0.5)
+            AS INTEGER) AS q
+FROM embeddings, range(1, {DIM + 1}) t(i)
+""",
+    doc="int8 quantization of embeddings (clamp to [-1,1], floor-based rounding)",
+    tags=("pipeline", "similarity", "quantize"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    x = F.col("v").cast("double")
+    clamped = F.greatest(F.lit(-1.0), F.least(F.lit(1.0), x))
+    return e.select("vec_id", F.posexplode("embedding").alias("dim", "v")).select(
+        "vec_id",
+        "dim",
+        F.floor(clamped * 127 + F.lit(0.5)).cast("int").alias("q"),
+    )
