@@ -38,9 +38,10 @@ def list_tables(spark: SparkSession, database: str | None = None) -> list[TableI
         for t in spark.catalog.listTables(db):
             if t.tableType == "TEMPORARY" and db != dbs[0]:
                 continue  # temp views are global; list them once
+            qualified = f"{t.namespace[0]}.{t.name}" if t.namespace else t.name
             cols = [
                 ColumnInfo(c.name, c.dataType)
-                for c in spark.catalog.listColumns(t.name, t.namespace[0] if t.namespace else None)
+                for c in spark.catalog.listColumns(qualified)
             ]
             out.append(TableInfo(t.namespace[0] if t.namespace else "", t.name, cols))
     return out
