@@ -14,5 +14,6 @@ from f1_lakehouse_spark.operators import (  # noqa: F401
     setops,
     skew,
     sorts,
+    tpch_extra,
     windows,
 )

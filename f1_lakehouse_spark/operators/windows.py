@@ -191,3 +191,50 @@ def w_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_spend"),
     )
+
+
+# --- LAG/LEAD/FIRST_VALUE + RANGE frame (time-based rolling window) ------------
+# The navigation functions need a TOTAL order (ts, event_id); the RANGE frame
+# orders by epoch-µs alone — peers (equal timestamps) enter the frame together
+# in both engines, and the framed SUM accumulates in exact DECIMAL, so the
+# result is deterministic without a tiebreaker.
+
+
+@register(
+    "w_lag_lead_frames",
+    oracle="""
+SELECT event_id, user_id, ts,
+       LAG(value)        OVER w1 AS prev_value,
+       LEAD(event_type)  OVER w1 AS next_type,
+       FIRST_VALUE(ts)   OVER w1 AS first_ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS rolling_1h_sum
+FROM events
+WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    doc="LAG/LEAD/FIRST_VALUE navigation + time-based RANGE frame "
+    "(1-hour rolling sum per user)",
+    tags=("window", "frame", "events"),
+)
+def w_lag_lead_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lag("value").over(w1).alias("prev_value"),
+        F.lead("event_type").over(w1).alias("next_type"),
+        F.first("ts").over(w1).alias("first_ts"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(wr)
+        .cast("double")
+        .alias("rolling_1h_sum"),
+    )
