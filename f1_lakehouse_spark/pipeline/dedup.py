@@ -161,32 +161,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def jaccard_pairs(d: DataFrame) -> DataFrame:
-    """Core Jaccard near-dup pass over any (doc_id, text) frame."""
+    """Core Jaccard near-dup pass over any (doc_id, text) frame.
+
+    One ``groupBy(sk)`` collects each shingle's (sorted, distinct) doc list
+    AND applies the df cap as a post-aggregation size filter — no separate
+    df table, no join back, and no double shuffle of the shingle rows for a
+    self-join. Candidate pairs are generated array-side from the doc list
+    (i<j combinations), so the only pair-sized shuffle is the final
+    (doc_a, doc_b) count. Per-doc sizes are |docs| rows → broadcast joins.
+    """
     shk = _spark_shingle_keys(d)
     n_docs = d.count()  # parquet-stats count; reused as a literal in the filter
-    df_cap = (
+    ds = F.col("ds")
+    grouped = (
         shk.groupBy("sk")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= n_docs * MAX_DF_FRACTION)
-        .select("sk")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        # df cap == doc-list size cap (shk is distinct per (doc_id, sk))
+        .filter(F.size(ds) <= n_docs * MAX_DF_FRACTION)
+        # pair lists + sizes both explode this frame; persist + materialize
+        .persist()
     )
-    # used three times below (self-join sides + sizes); persist AND
-    # materialize now — a lazy persist would let the self-join compute the
-    # upstream twice concurrently before the cache fills
-    sh_f = shk.join(df_cap, "sk").persist()
-    sh_f.count()
-    sizes = sh_f.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh_f.alias("a")
-    b = sh_f.alias("b")
+    grouped.count()
+    # sizes AFTER the df cap, as before: explode the capped doc lists
+    sizes = (
+        grouped.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    # all i<j pairs of the sorted doc list, generated inside the array
+    pair_arrays = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     common = (
-        a.join(
-            b,
-            (F.col("a.sk") == F.col("b.sk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        grouped.select(F.explode(pair_arrays).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.alias("sa")
@@ -195,16 +209,16 @@ def jaccard_pairs(d: DataFrame) -> DataFrame:
         F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
     )
     out = (
-        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        common.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    # materialize the (small) pair list, then release the big shingle cache —
+    # materialize the (small) pair list, then release the doc-list cache —
     # otherwise it lingers in executor memory for the session's lifetime
     out = out.persist()
     out.count()
-    sh_f.unpersist()
+    grouped.unpersist()
     return out
 
 
@@ -247,13 +261,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
-    """Core MinHash-LSH candidate pass over any (doc_id, text) frame."""
+def minhash_lsh_pairs(d: DataFrame, shh: DataFrame | None = None) -> DataFrame:
+    """Core MinHash-LSH candidate pass over any (doc_id, text) frame.
+
+    ``shh`` lets a caller share an already-computed (doc_id, x) shingle-key
+    frame (the md5 word hashing dominates the map side; the verified
+    pipeline computes it once for both candidate generation and verify).
+    """
     # MIN is duplicate-insensitive → no distinct shuffle needed (the oracle
     # keeps DISTINCT; the minima are identical either way)
-    shh = _spark_shingle_keys(d, distinct=False).select(
-        "doc_id", F.col("sk").alias("x")
-    )
+    if shh is None:
+        shh = _spark_shingle_keys(d, distinct=False).select(
+            "doc_id", F.col("sk").alias("x")
+        )
     # All 16 minhashes in ONE hash-aggregate (no 16x row blowup / second
     # shuffle): min_i((a_i*x + b_i) % MOD) as 16 columns.
     mh = shh.groupBy("doc_id").agg(
@@ -579,36 +599,38 @@ WHERE CAST(c.n_common AS DOUBLE) / (sa.sz + sb.sz - c.n_common) >= {JACCARD_THRE
     tags=("pipeline", "dedup", "minhash", "jaccard"),
 )
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Verify candidates doc-level, not shingle-level: one groupBy(doc_id)
+    # folds each doc's (distinct) shingle set into an array, and the exact
+    # overlap count is size(array_intersect(a, b)) computed inside the row —
+    # the shingle table is shuffled once (by doc_id), never joined twice.
     d = load_table(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(d)  # persisted small pair list
-    shk = _spark_shingle_keys(d).persist()
-    shk.count()
-    sizes = shk.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = shk.alias("a")
-    b = shk.alias("b")
-    common = (
-        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
-        .join(
-            b,
-            (F.col("b.doc_id") == F.col("doc_b")) & (F.col("b.sk") == F.col("a.sk")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    # compute the shingle keys ONCE for both the LSH candidate pass and the
+    # verify pass; collect_set dedups per doc (== the distinct shingle set)
+    shk_raw = _spark_shingle_keys(d, distinct=False).persist()
+    shk_raw.count()
+    cand = minhash_lsh_pairs(
+        d, shh=shk_raw.select("doc_id", F.col("sk").alias("x"))
+    )  # persisted small pair list
+    docsets = shk_raw.groupBy("doc_id").agg(F.collect_set("sk").alias("ds"))
+    sa = docsets.select(
+        F.col("doc_id").alias("a_id"), F.col("ds").alias("ds_a")
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jaccard = F.col("n_common").cast("double") / (
-        F.col("sa.sz") + F.col("sb.sz") - F.col("n_common")
+    sb = docsets.select(
+        F.col("doc_id").alias("b_id"), F.col("ds").alias("ds_b")
+    )
+    n_common = F.size(F.array_intersect("ds_a", "ds_b"))
+    jaccard = n_common.cast("double") / (
+        F.size("ds_a") + F.size("ds_b") - n_common
     )
     out = (
-        common.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        cand.join(sa, F.col("a_id") == F.col("doc_a"))
+        .join(sb, F.col("b_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
     out = out.persist()
     out.count()
-    shk.unpersist()
+    shk_raw.unpersist()
     return out
 
 
