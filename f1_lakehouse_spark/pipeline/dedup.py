@@ -479,7 +479,10 @@ def _union_find_driver(pairs: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for row in pairs.select("doc_a", "doc_b").toLocalIterator():
+    # collect(), not toLocalIterator(): the iterator runs one sequential job
+    # per partition; the pair list is already bounded by driver_threshold so
+    # a single-job fetch is both safe and ~1 round-trip instead of N
+    for row in pairs.select("doc_a", "doc_b").collect():
         a, b = row[0], row[1]
         parent.setdefault(a, a)
         parent.setdefault(b, b)
