@@ -31,7 +31,7 @@ DSS_KEYS = [
     "grand_prix",
     "session_code",
     "driver",
-    "drivernumber",
+    "driver_number",
     "team",
 ]
 
@@ -55,12 +55,20 @@ def silver_from_bronze(spark: SparkSession, bronze_path: str) -> DataFrame:
 
 
 def driver_session_summary(silver_laps: DataFrame) -> DataFrame:
-    timed = silver_laps.filter(F.col("laptime").isNotNull()).withColumn(
-        "driver",
-        F.coalesce(
-            F.nullif(F.col("driver"), F.lit("")),
-            F.col("drivernumber").cast("string"),
-        ),
+    """Reference ``driver_session_summary.sql`` (compiled artifact):
+    driver_base renames drivernumber → driver_number (line 11); pitstops
+    counts ``pitintime IS NOT NULL OR pitouttime IS NOT NULL`` (line 39);
+    laps_on_track is the NULL-and-NULL complement (line 38)."""
+    timed = (
+        silver_laps.filter(F.col("laptime").isNotNull())
+        .withColumn(
+            "driver",
+            F.coalesce(
+                F.nullif(F.col("driver"), F.lit("")),
+                F.col("drivernumber").cast("string"),
+            ),
+        )
+        .withColumnRenamed("drivernumber", "driver_number")
     )
     w = Window.partitionBy(*DSS_KEYS).orderBy(
         F.col("laptime").asc_nulls_last(), "lapnumber"
@@ -75,12 +83,11 @@ def driver_session_summary(silver_laps: DataFrame) -> DataFrame:
         )
     )
     on_track = F.col("pitintime").isNull() & F.col("pitouttime").isNull()
+    pit_lap = F.col("pitintime").isNotNull() | F.col("pitouttime").isNotNull()
     agg = timed.groupBy(*DSS_KEYS).agg(
         F.count("*").alias("laps_total"),
         F.sum(F.when(on_track, 1).otherwise(0)).alias("laps_on_track"),
-        F.sum(F.when(F.col("pitouttime").isNotNull(), 1).otherwise(0)).alias(
-            "pitstops"
-        ),
+        F.sum(F.when(pit_lap, 1).otherwise(0)).alias("pitstops"),
         F.min("laptime").alias("best_lap_time"),
     )
     return agg.join(pb, on=DSS_KEYS, how="left").select(
@@ -96,12 +103,14 @@ def driver_session_summary(silver_laps: DataFrame) -> DataFrame:
 
 
 def team_event_summary(dss: DataFrame) -> DataFrame:
+    """Reference ``team_event_summary.sql:7-15``: emits team_-prefixed
+    aggregate names (team_laps_on_track / team_pitstops / team_best_lap_time)."""
     return (
         dss.filter(F.col("session_code").isin("R", "Q", "S"))
         .groupBy("season", "round", "grand_prix", "session_code", "team")
         .agg(
-            F.sum("laps_on_track").alias("laps_on_track"),
-            F.sum("pitstops").alias("pitstops"),
-            F.min("best_lap_time").alias("best_lap_time"),
+            F.sum("laps_on_track").alias("team_laps_on_track"),
+            F.sum("pitstops").alias("team_pitstops"),
+            F.min("best_lap_time").alias("team_best_lap_time"),
         )
     )

@@ -26,24 +26,34 @@ from f1_lakehouse_spark.tables import load_table
 @register(
     "join_asof_latest_order",
     oracle="""
+WITH o1 AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
 SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS last_orderkey,
        o.o_orderdate AS last_orderdate
 FROM events e
-ASOF LEFT JOIN orders o
+ASOF LEFT JOIN o1 o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """,
-    doc="as-of join: each event matched to the user's latest order at-or-before ts",
+    doc="as-of join: each event matched to the user's latest order at-or-before "
+    "ts. The right side is pre-collapsed to one row per (custkey, orderdate) "
+    "keeping MAX(o_orderkey) — both engines break ASOF ties arbitrarily, so "
+    "without the collapse the result is nondeterministic under parallelism.",
     tags=("join", "asof", "extension"),
 )
 def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", F.col("user_id").alias("k"), "ts"
     )
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderdate").alias("ts"),
-        "o_orderkey",
-        "o_orderdate",
+    # collapse to a unique (k, ts) right side: total order for the carry-forward
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("ts")
+        )
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .withColumn("o_orderdate", F.col("ts"))
     )
     left = e.withColumns(
         {"side": F.lit(1), "o_orderkey": F.lit(None).cast("long"),
@@ -194,17 +204,26 @@ def rollup_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_sketches",
     oracle=None,
     doc="approx_count_distinct (HLL) + approx percentiles — rows-only check "
-    "by construction; exact twins are a5_count_distinct / a7_median_curve",
+    "by construction; exact twins are a5_count_distinct / a7_median_curve. "
+    "Percentiles emitted as three scalar double columns (the driver's "
+    "hash-comparator cannot hash array cells).",
     tags=("approx", "extension"),
 )
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
+    q = li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
         F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
+            "_q"
         ),
+    )
+    return q.select(
+        "approx_parts",
+        "approx_suppliers",
+        F.element_at("_q", 1).alias("price_p50"),
+        F.element_at("_q", 2).alias("price_p95"),
+        F.element_at("_q", 3).alias("price_p99"),
     )
 
 

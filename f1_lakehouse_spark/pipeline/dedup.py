@@ -38,7 +38,12 @@ from f1_lakehouse_spark.tables import load_table
 
 SHINGLE_WORDS = 3
 JACCARD_THRESHOLD = 0.35
-MAX_DF_FRACTION = 0.5  # drop shingles appearing in > half the docs (boilerplate)
+# ABSOLUTE document-frequency cap per shingle (not a corpus fraction): a
+# shingle shared by more than MAX_DF docs is boilerplate and generates
+# O(df^2) candidate pairs — at 10^9 docs a fractional cap would still admit
+# a 0.4N-doc shingle and explode. 256 bounds every shingle's pair fan-out to
+# ~32k regardless of corpus size.
+MAX_DF = 256
 
 
 # --- shared shingle-key builders (Spark + SQL twins) -----------------------------
@@ -132,11 +137,10 @@ WITH shk AS ({_SQL_SHINGLE_KEYS}),
 df AS (
     SELECT sk, COUNT(*) AS df FROM shk GROUP BY 1
 ),
-n_docs AS (SELECT COUNT(*) AS n FROM documents),
 sh_f AS (
     SELECT shk.doc_id, shk.sk
-    FROM shk JOIN df USING (sk), n_docs
-    WHERE df.df <= n_docs.n * {MAX_DF_FRACTION}
+    FROM shk JOIN df USING (sk)
+    WHERE df.df <= {MAX_DF}
 ),
 sizes AS (
     SELECT doc_id, COUNT(*) AS sz FROM sh_f GROUP BY 1
@@ -164,20 +168,20 @@ def jaccard_pairs(d: DataFrame) -> DataFrame:
     """Core Jaccard near-dup pass over any (doc_id, text) frame.
 
     One ``groupBy(sk)`` collects each shingle's (sorted, distinct) doc list
-    AND applies the df cap as a post-aggregation size filter — no separate
-    df table, no join back, and no double shuffle of the shingle rows for a
-    self-join. Candidate pairs are generated array-side from the doc list
-    (i<j combinations), so the only pair-sized shuffle is the final
-    (doc_a, doc_b) count. Per-doc sizes are |docs| rows → broadcast joins.
+    AND applies the ABSOLUTE df cap as a post-aggregation size filter — no
+    separate df table, no join back, and no double shuffle of the shingle
+    rows for a self-join. Candidate pairs are generated array-side from the
+    doc list (i<j combinations), so the only pair-sized shuffle is the final
+    (doc_a, doc_b) count, bounded at MAX_DF^2/2 pairs per shingle
+    independent of corpus size. Per-doc sizes are |docs| rows → broadcast.
     """
     shk = _spark_shingle_keys(d)
-    n_docs = d.count()  # parquet-stats count; reused as a literal in the filter
     ds = F.col("ds")
     grouped = (
         shk.groupBy("sk")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         # df cap == doc-list size cap (shk is distinct per (doc_id, sk))
-        .filter(F.size(ds) <= n_docs * MAX_DF_FRACTION)
+        .filter(F.size(ds) <= MAX_DF)
         # pair lists + sizes both explode this frame; persist + materialize
         .persist()
     )
@@ -410,39 +414,109 @@ def _spark_dot(a, b):
     )
 
 
+# Banded hyperplane blocking: 2 bands x 8 bits (256 buckets/band), plane
+# families drawn from disjoint ranges of the deterministic LCG stream.
+# Sizing rule at scale: bits-per-band ≈ log2(N / target_bucket_size) keeps
+# the per-bucket pair fan-out bounded as the corpus grows (add bits), and
+# extra bands recover recall (recall = 1 - (1 - p^bits)^bands). 8 bits
+# bounds sf0.01's 10k vectors at ~40/bucket.
+_COSINE_BAND_BITS = 8
+_COSINE_N_BANDS = 2
+
+
+def _cosine_band_planes() -> list[list[list[float]]]:
+    from f1_lakehouse_spark.pipeline.similarity import make_planes
+
+    return [
+        make_planes(_COSINE_BAND_BITS, offset=band * _COSINE_BAND_BITS)
+        for band in range(_COSINE_N_BANDS)
+    ]
+
+
+def _cosine_lsh_oracle() -> str:
+    from f1_lakehouse_spark.pipeline.similarity import sql_signature_planes
+
+    band_sqls = " UNION ALL ".join(
+        f"SELECT vec_id, {band} AS band, "
+        f"{sql_signature_planes('embedding', planes)} AS bh FROM embeddings"
+        for band, planes in enumerate(_cosine_band_planes())
+    )
+    return f"""
+WITH bands AS (
+    {band_sqls}
+),
+cand AS (
+    SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       {_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_B}) AS cosine
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.vec_a
+JOIN embeddings b ON b.vec_id = c.vec_b
+WHERE {_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_B}) >= {COSINE_DUP_THRESHOLD}
+"""
+
+
 @register(
     "dedup_embedding_cosine",
-    oracle=f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_B}) AS cosine
-FROM embeddings a JOIN embeddings b
-  ON a.vec_id < b.vec_id AND a.label = b.label
-WHERE {_SQL_DOT} / ({_SQL_NORM_A} * {_SQL_NORM_B}) >= {COSINE_DUP_THRESHOLD}
-""",
-    doc="embedding near-dup pairs: same-label blocked cosine >= 0.95",
-    tags=("pipeline", "dedup", "embedding"),
+    oracle=_cosine_lsh_oracle(),
+    doc="embedding near-dup pairs: hyperplane-LSH banded blocking (2 bands "
+    "x 8 bits = 256 buckets/band) -> exact cosine verify >= "
+    "COSINE_DUP_THRESHOLD (0.40; the synthetic 64-dim embeddings top out "
+    "~0.47 same-label cosine, so a real-world 0.95 bar would select "
+    "nothing). Never an all-pairs join: candidates are confined to "
+    "same-(band, bucket) groups; bits-per-band grows with log2(N) to keep "
+    "buckets bounded, bands grow to recover recall.",
+    tags=("pipeline", "dedup", "embedding", "lsh"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.pipeline.similarity import spark_signature_planes
+
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = _spark_dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.sqrt(_spark_dot(F.col("a.embedding"), F.col("a.embedding")))
-        * F.sqrt(_spark_dot(F.col("b.embedding"), F.col("b.embedding")))
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            spark_signature_planes(F.col("embedding"), planes).alias("bh"),
+        )
+        for band, planes in enumerate(_cosine_band_planes())
+    ]
+    bands = e.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", "bb.band", "bb.bh")
+    # self-join on a derived frame: persist AND materialize first (conftest
+    # convention) so both sides read the cached band table
+    bands = bands.persist()
+    bands.count()
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.vec_id") < F.col("b.vec_id"))
-            & (F.col("a.label") == F.col("b.label")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
-        )
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("emb_b"))
+    cos = _spark_dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.sqrt(_spark_dot(F.col("emb_a"), F.col("emb_a")))
+        * F.sqrt(_spark_dot(F.col("emb_b"), F.col("emb_b")))
+    )
+    out = (
+        cand.join(a, F.col("a_id") == F.col("vec_a"))
+        .join(b, F.col("b_id") == F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     )
+    out = out.persist()
+    out.count()
+    bands.unpersist()
+    return out
 
 
 # --- duplicate-cluster assignment (connected components) ----------------------------
@@ -454,7 +528,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, max_iters: int = 20, driver_threshold: int = 5_000_000
+    pairs: DataFrame, max_iters: int = 20, driver_threshold: int = 1_000_000
 ) -> DataFrame:
     """(doc_a, doc_b) pairs → (doc_id, cluster_id=min reachable doc id).
 
@@ -462,7 +536,9 @@ def connected_components(
     smaller than the corpus, so below ``driver_threshold`` pairs a
     driver-side union-find answers in one pass (no per-iteration job
     overhead); above it, the distributed min-label propagation loop takes
-    over. Both produce identical labels (min reachable id).
+    over. Both produce identical labels (min reachable id). 1M pairs ≈
+    16 MB of longs — a safe driver budget even on a modestly-sized
+    production driver; everything larger stays distributed.
     """
     n_pairs = pairs.count()
     if n_pairs <= driver_threshold:
@@ -492,10 +568,16 @@ def _union_find_driver(pairs: DataFrame) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
 
-    rows = [(doc, find(doc)) for doc in parent]
-    return pairs.sparkSession.createDataFrame(
-        rows, "doc_id long, cluster_id long"
+    # Arrow path (one zero-copy batch) instead of a Python tuple list —
+    # pyspark converts pandas via Arrow when spark.sql.execution.arrow is on,
+    # and even without it this avoids per-row Row construction.
+    import pandas as pd
+
+    docs = list(parent)
+    out = pd.DataFrame(
+        {"doc_id": docs, "cluster_id": [find(d) for d in docs]}, dtype="int64"
     )
+    return pairs.sparkSession.createDataFrame(out, "doc_id long, cluster_id long")
 
 
 def _propagate_distributed(pairs: DataFrame, max_iters: int = 20) -> DataFrame:

@@ -41,6 +41,13 @@ def _plane(j: int) -> list[float]:
 PLANES: list[list[float]] = [_plane(j) for j in range(N_PLANES)]
 
 
+def make_planes(n: int, offset: int = 0) -> list[list[float]]:
+    """n deterministic hyperplanes starting at index ``offset`` — callers
+    that need independent plane families (e.g. banded dedup blocking) draw
+    disjoint index ranges from the same LCG stream."""
+    return [_plane(j) for j in range(offset, offset + n)]
+
+
 def _spark_dot_lit(vec: Column, plane: list[float]) -> Column:
     """Left-fold dot of an array column with a literal plane."""
     arr = F.array(*[F.lit(v) for v in plane])
@@ -62,22 +69,35 @@ def _sql_dot(vec_expr: str, plane_expr: str) -> str:
     )
 
 
-def spark_signature(vec: Column) -> Column:
+def spark_signature_planes(vec: Column, planes: list[list[float]]) -> Column:
     """sum over planes of (dot >= 0) * 2^j — an int bucket id."""
     sig = F.lit(0).cast("long")
-    for j, plane in enumerate(PLANES):
+    for j, plane in enumerate(planes):
         sig = sig + F.when(_spark_dot_lit(vec, plane) >= 0, F.lit(1 << j)).otherwise(
             F.lit(0)
         ).cast("long")
     return sig
 
 
-def _sql_signature(vec_expr: str) -> str:
+def sql_signature_planes(vec_expr: str, planes: list[list[float]]) -> str:
     terms = []
-    for j, plane in enumerate(PLANES):
+    for j, plane in enumerate(planes):
         dot = _sql_dot(vec_expr, _sql_plane_literal(plane))
         terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def spark_signature(vec: Column) -> Column:
+    return spark_signature_planes(vec, PLANES)
+
+
+def _sql_signature(vec_expr: str) -> str:
+    return sql_signature_planes(vec_expr, PLANES)
+
+
+# public twin for other modules' oracles (dedup blocks near-dup candidates
+# on the same hyperplane signatures)
+sql_signature = _sql_signature
 
 
 # --- brute-force cosine top-k -----------------------------------------------------

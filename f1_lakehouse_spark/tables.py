@@ -40,9 +40,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Oracle-parity confs the engine requires, set on EVERY load so they hold
+    under the driver's VANILLA session, not just our session factory:
+
+    - ``ansi.enabled=false``: PySpark 4.x defaults ANSI mode ON; the DuckDB
+      oracles assume non-ANSI cast/overflow/element_at semantics.
+    - ``session.timeZone=UTC``: timestamp formatting/extraction must not
+      depend on the host timezone (DuckDB reads parquet timestamps as-is).
+
+    Both are runtime-settable (no session restart needed)."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    _pin_session_confs(spark)
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); Spark refuses it unless
         # surfaced as LongType. Set the conf here (not only in our session

@@ -127,32 +127,32 @@ WITH src AS (
            CAST(grand_prix AS VARCHAR) AS grand_prix,
            CAST(session AS VARCHAR) AS session_code,
            COALESCE(NULLIF(Driver, ''), CAST(DriverNumber AS VARCHAR)) AS driver,
-           DriverNumber AS drivernumber, Team AS team, LapNumber AS lapnumber,
+           DriverNumber AS driver_number, Team AS team, LapNumber AS lapnumber,
            LapTime AS laptime, PitInTime AS pitintime, PitOutTime AS pitouttime
     FROM read_parquet('{root}/laps/**/*.parquet', hive_partitioning=1)
     WHERE LapTime IS NOT NULL
 ), ranked AS (
     SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY season, round, grand_prix, session_code, driver, drivernumber, team
+        PARTITION BY season, round, grand_prix, session_code, driver, driver_number, team
         ORDER BY laptime ASC NULLS LAST, lapnumber) AS rn
     FROM src
 ), pb AS (
-    SELECT season, round, grand_prix, session_code, driver, drivernumber, team,
+    SELECT season, round, grand_prix, session_code, driver, driver_number, team,
            CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS personal_best_laps
     FROM ranked GROUP BY 1,2,3,4,5,6,7
 ), agg AS (
-    SELECT season, round, grand_prix, session_code, driver, drivernumber, team,
+    SELECT season, round, grand_prix, session_code, driver, driver_number, team,
            COUNT(*) AS laps_total,
            CAST(SUM(CASE WHEN pitintime IS NULL AND pitouttime IS NULL
                          THEN 1 ELSE 0 END) AS BIGINT) AS laps_on_track,
-           CAST(SUM(CASE WHEN pitouttime IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS pitstops,
+           CAST(SUM(CASE WHEN pitintime IS NOT NULL OR pitouttime IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS pitstops,
            MIN(laptime) AS best_lap_time
     FROM src GROUP BY 1,2,3,4,5,6,7
 )
 SELECT a.*, COALESCE(pb.personal_best_laps, 0) AS personal_best_laps
 FROM agg a LEFT JOIN pb USING
-    (season, round, grand_prix, session_code, driver, drivernumber, team)
+    (season, round, grand_prix, session_code, driver, driver_number, team)
 """
 
 
@@ -192,8 +192,8 @@ def test_team_event_summary_reaggregation(spark, f1_bronze):
     ).agg(
         F.sum("laps_on_track").alias("lot"), F.min("best_lap_time").alias("blt")
     ).collect()[0]
-    assert one["laps_on_track"] == drv["lot"]
-    assert one["best_lap_time"] == drv["blt"]
+    assert one["team_laps_on_track"] == drv["lot"]
+    assert one["team_best_lap_time"] == drv["blt"]
     # only R/Q/S sessions contribute
     assert {r["session_code"] for r in rows} <= {"R", "Q", "S"}
 
