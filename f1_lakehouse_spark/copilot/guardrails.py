@@ -113,3 +113,95 @@ def ask(
     minus HTTP: translate → guard → execute."""
     raw = translator(question, schema_doc)
     return execute_guarded(spark, raw, max_rows=max_rows, schema_mapping=schema_mapping)
+
+
+# --- JSON-payload response parsing (deployed reference variant) --------------
+
+
+def parse_ai_response(content: str) -> dict:
+    """The deployed reference's response parser (``ai/rag_api/app.py:154-164``):
+    the model is asked for a JSON body ``{"sql": ..., "chart_type": ...,
+    "chart_fields": ..., "justification": ...}``; a leading code fence is
+    stripped before parsing. Raises GuardrailError on non-JSON content (the
+    caller can then fall back to plain ```sql fence extraction)."""
+    import json
+
+    cleaned = content.strip()
+    if cleaned.startswith("```"):
+        # drop the opening fence line (``` or ```json), keep up to the close
+        cleaned = cleaned.split("\n", 1)[1] if "\n" in cleaned else ""
+        if "```" in cleaned:
+            cleaned = cleaned.split("```", 1)[0]
+    try:
+        parsed = json.loads(cleaned)
+    except json.JSONDecodeError as exc:
+        raise GuardrailError(f"AI response was not valid JSON: {exc}") from exc
+    if not isinstance(parsed, dict):
+        raise GuardrailError("AI response JSON must be an object")
+    return parsed
+
+
+# --- chart-type suggestion (reference ai/rag_api/main.py:90-96) --------------
+
+_TREND_COLUMNS = frozenset({"lapnumber", "round", "season"})
+_BAR_MAX_ROWS = 25
+
+
+def suggest_chart(df: DataFrame, row_count: int | None = None) -> str:
+    """Suggest a chart type from the result shape, mirroring the reference
+    heuristic (``ai/rag_api/main.py:90-96``): numeric column + a trend-ish
+    axis column (lapnumber/round/season) → line; numeric + ≤25 rows → bar;
+    else table. ``row_count`` avoids a second count when the caller already
+    materialized; otherwise a LIMIT-bounded count is used (never a full
+    scan — only "is it ≤ 25" matters)."""
+    from pyspark.sql.types import NumericType
+
+    numeric = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    ]
+    if not numeric:
+        return "table"
+    lowered = {c.lower() for c in df.columns}
+    if lowered & _TREND_COLUMNS:
+        return "line"
+    if row_count is None:
+        row_count = df.limit(_BAR_MAX_ROWS + 1).count()
+    if row_count <= _BAR_MAX_ROWS:
+        return "bar"
+    return "table"
+
+
+def ask_json(
+    spark: SparkSession,
+    question: str,
+    translator: SqlTranslator,
+    schema_doc: str = "",
+    max_rows: int = DEFAULT_MAX_ROWS,
+    schema_mapping: dict[str, str] | None = None,
+) -> dict:
+    """The deployed `/ask` contract (``ai/rag_api/app.py:199-225``): the
+    translator returns either a JSON payload (sql/chart_type/justification)
+    or a fenced-SQL text; both paths run the same guardrails, and the
+    response carries the executed DataFrame plus a chart suggestion —
+    payload-provided ``chart_type`` wins, shape heuristic is the fallback
+    (``main.py``'s ``AskOut.chart`` behaviour)."""
+    raw = translator(question, schema_doc)
+    chart = None
+    message = "Query executed successfully."
+    try:
+        payload = parse_ai_response(raw)
+    except GuardrailError:
+        sql_text = raw  # plain / fenced-SQL fallback (main.py variant)
+    else:
+        sql_text = payload.get("sql", "")
+        if not sql_text:
+            raise GuardrailError("AI did not provide SQL")
+        chart = payload.get("chart_type")
+        message = payload.get("justification") or message
+    df = execute_guarded(spark, sql_text, max_rows=max_rows, schema_mapping=schema_mapping)
+    return {
+        "sql": wrap_limit(validate_select_only(extract_sql(sql_text)), max_rows),
+        "df": df,
+        "chart": chart or suggest_chart(df),
+        "message": message,
+    }

@@ -3,6 +3,7 @@ every query implementation into ``f1_lakehouse_spark.registry.REGISTRY``."""
 
 from f1_lakehouse_spark.operators import (  # noqa: F401
     aggregations,
+    composites,
     copilot_queries,
     events_analytics,
     extensions,

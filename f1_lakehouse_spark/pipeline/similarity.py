@@ -196,6 +196,99 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- materialized LSH index: signatures precomputed at ingest ----------------------
+# At 100 TB the signature is computed ONCE when vectors land, not per query:
+# the index table is hive-partitioned by bucket, so a probe is a
+# partition-pruned scan of ~1/2^N_PLANES of the corpus (plus the int8
+# quantized vectors for bandwidth-bound rerank pipelines). The registered
+# query materializes the index (idempotent overwrite) and probes it with a
+# LITERAL bucket filter — static partition pruning, visible in the plan as
+# PartitionFilters — and must return exactly what the on-the-fly LSH query
+# returns (same oracle).
+
+import os as _os
+
+ANN_INDEX_BASE = "/tmp/spark_graft_ann_index"
+
+
+def materialize_ann_index(
+    spark: SparkSession, sf_dir: str, base: str = ANN_INDEX_BASE
+) -> str:
+    """Write (vec_id, label, embedding, q_int8, bucket) partitioned by
+    bucket. Overwrite-idempotent; the bucket column doubles as the hive
+    partition key so probes prune at the file listing."""
+    out = _os.path.join(base, sf_dir.strip("/").replace("/", "_"))
+    e = load_table(spark, sf_dir, "embeddings")
+    q8 = F.transform(
+        "embedding",
+        lambda v: F.floor(
+            F.greatest(F.lit(-1.0), F.least(F.lit(1.0), v.cast("double"))) * 127
+            + F.lit(0.5)
+        ).cast("tinyint"),
+    )
+    (
+        e.select(
+            "vec_id",
+            "label",
+            "embedding",
+            q8.alias("q_int8"),
+            spark_signature(F.col("embedding")).alias("bucket"),
+        )
+        .repartition("bucket")  # one shuffle -> one file per bucket partition
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out)
+    )
+    return out
+
+
+@register(
+    "ann_lsh_materialized",
+    oracle=f"""
+WITH sigs AS (
+    SELECT vec_id, label, embedding,
+           {{sig}} AS bucket
+    FROM embeddings
+),
+q AS (SELECT embedding, bucket FROM sigs WHERE vec_id = {QUERY_VEC_ID})
+SELECT a.vec_id, a.label, {_SQL_COS_AB} AS cosine
+FROM sigs a, q
+WHERE a.vec_id <> {QUERY_VEC_ID} AND a.bucket = q.bucket
+ORDER BY cosine DESC, a.vec_id
+LIMIT {TOP_K}
+""".format(sig=_sql_signature("embedding")),
+    doc="ANN probe against the MATERIALIZED signature index: signatures "
+    "computed at ingest, index hive-partitioned by bucket, probe filters "
+    "on a literal bucket id -> static partition pruning at the scan. "
+    "Result-identical to ann_cosine_topk_lsh (same oracle).",
+    tags=("pipeline", "similarity", "lsh", "materialized"),
+)
+def ann_lsh_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = materialize_ann_index(spark, sf_dir)
+    idx = spark.read.parquet(path)
+    # query vector lookup is one partition-pruned row fetch; its bucket
+    # becomes a LITERAL in the probe filter (static pruning, no join)
+    qrow = (
+        idx.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding", "bucket")
+        .collect()[0]
+    )
+    q_emb = F.array(*[F.lit(float(v)) for v in qrow["embedding"]])
+    return (
+        idx.filter(
+            (F.col("bucket") == int(qrow["bucket"]))
+            & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .select(
+            "vec_id",
+            "label",
+            _spark_cosine(F.col("embedding"), q_emb).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
 # --- IVF-style ANN: coarse cells + probe-one-cell ----------------------------------
 # The inverted-file pattern: vectors are assigned to coarse cells; the query
 # is matched to its nearest cell and only that cell's posting list is

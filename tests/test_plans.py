@@ -63,6 +63,16 @@ def test_minhash_has_no_row_blowup_join(spark):
     assert "partial_min" in plan  # map-side partial minima
 
 
+def test_ann_materialized_probe_prunes_partitions(spark):
+    """The materialized LSH index probe must resolve the bucket filter at
+    the file listing (PartitionFilters on the hive partition key), not as a
+    post-scan row filter — the property that makes the probe O(corpus/2^8)."""
+    plan = _plan(spark, "ann_lsh_materialized")
+    seg = plan.split("PartitionFilters")
+    assert len(seg) > 1, "no PartitionFilters in probe scan"
+    assert "bucket" in seg[-1].split("]")[0]
+
+
 def test_bucketed_join_eliminates_shuffle(spark):
     """bucketBy co-location: joining two tables bucketed on the same key
     must not exchange either side (the 100 TB co-located join strategy)."""
