@@ -1,0 +1,253 @@
+"""Training-data curation operators over ``documents`` / ``embeddings``:
+the steps between "deduped corpus" and "training shards" in an LLM data
+pipeline — deterministic splits, stratified downsampling, per-source
+quotas, token-length bucketing, sequence packing, class-balance weights.
+
+All assignment decisions derive from md5-based integer hashing
+(pipeline.hashing) so they are reproducible across engines, runs, and
+cluster layouts — the property a training pipeline needs so a re-run
+produces the same shards.
+
+Scale notes (the 100 TB lens):
+- split / bucketing are map-only (no shuffle).
+- stratified sampling and source quotas use per-group ROW_NUMBER windows;
+  group keys (lang, source) are low-cardinality so the partitions are the
+  skew risk — at real scale you pre-filter with a per-group hash threshold
+  (keep hash < K/N_g quantile) before the exact window, shrinking the
+  window input to ~K rows per group. The exact window IS the semantics;
+  the pre-filter is an optimization that does not change the result.
+- sequence packing is inherently order-dependent, so it is parallelized
+  the way production packers do it: the corpus is hash-sharded and each
+  shard packs independently (cumsum window per shard) — shard count scales
+  with the cluster, no global ordering anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from f1_lakehouse_spark.pipeline.hashing import spark_md5_hash48, sql_md5_hash48
+from f1_lakehouse_spark.registry import register
+from f1_lakehouse_spark.tables import load_table
+
+TRAIN_PCT = 80
+VAL_PCT = 10  # test = remainder
+STRATA_K = 40  # stratified sample: keep K docs per lang
+SOURCE_QUOTA = 10  # per-source document cap
+PACK_WINDOW = 512  # context-window token budget per packed sequence
+PACK_SHARDS = 8  # independent packing shards
+
+
+# the 0..99 split bucket of a doc id, salted with a constant tag so the
+# split is independent of any other hash-derived decision on the same key.
+# (The Spark twin is built lazily inside the query fn — Column construction
+# needs an active session; SQL strings don't.)
+_SPLIT_SQL = sql_md5_hash48("CAST(doc_id AS VARCHAR) || ':split'") + " % 100"
+
+
+def _spark_salted_hash(col: str, tag: str):
+    return spark_md5_hash48(F.concat(F.col(col).cast("string"), F.lit(tag)))
+
+
+@register(
+    "curation_train_val_test_split",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN {_SPLIT_SQL} < {TRAIN_PCT} THEN 'train'
+            WHEN {_SPLIT_SQL} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    doc="deterministic hash-based train/val/test assignment (80/10/10): "
+    "reproducible across engines and cluster layouts, map-only at scale",
+    tags=("pipeline", "curation", "split"),
+)
+def curation_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = _spark_salted_hash("doc_id", ":split") % 100
+    return d.select(
+        "doc_id",
+        F.when(h < TRAIN_PCT, "train")
+        .when(h < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "curation_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang, rk FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {sql_md5_hash48("CAST(doc_id AS VARCHAR) || ':strat'")},
+                        doc_id) AS rk
+    FROM documents
+) WHERE rk <= {STRATA_K}
+""",
+    doc=f"stratified downsample: keep {STRATA_K} docs per lang, chosen by "
+    "deterministic hash order (uniform within stratum, reproducible); "
+    "doc_id tiebreaker makes the window a total order",
+    tags=("pipeline", "curation", "sample"),
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = spark_md5_hash48(F.concat(F.col("doc_id").cast("string"), F.lit(":strat")))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= STRATA_K)
+    )
+
+
+@register(
+    "curation_source_quota",
+    oracle=f"""
+SELECT source, doc_id, rk FROM (
+    SELECT source, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {sql_md5_hash48("CAST(doc_id AS VARCHAR) || ':quota'")},
+                        doc_id) AS rk
+    FROM documents
+) WHERE rk <= {SOURCE_QUOTA}
+""",
+    doc=f"per-source quota: keep at most {SOURCE_QUOTA} docs per source "
+    "(domain-cap / anti-overrepresentation step), hash-ordered so the "
+    "kept subset is unbiased and reproducible",
+    tags=("pipeline", "curation", "quota"),
+)
+def curation_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = spark_md5_hash48(F.concat(F.col("doc_id").cast("string"), F.lit(":quota")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= SOURCE_QUOTA)
+    )
+
+
+# whitespace token count — matches text.text_token_count's convention
+_SQL_NTOK = "len(string_split(text, ' '))"
+
+
+@register(
+    "curation_token_length_buckets",
+    oracle=f"""
+SELECT CASE WHEN {_SQL_NTOK} < 16 THEN '<16'
+            WHEN {_SQL_NTOK} < 32 THEN '16-31'
+            WHEN {_SQL_NTOK} < 64 THEN '32-63'
+            WHEN {_SQL_NTOK} < 128 THEN '64-127'
+            WHEN {_SQL_NTOK} < 256 THEN '128-255'
+            ELSE '256+' END AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM({_SQL_NTOK}) AS BIGINT) AS total_tokens
+FROM documents GROUP BY 1
+""",
+    doc="token-length histogram over power-of-two buckets — the batch-shape "
+    "statistic packing/batching decisions read; one scan + tiny aggregate",
+    tags=("pipeline", "curation", "stats"),
+)
+def curation_token_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " ")).cast("long")
+    bucket = (
+        F.when(ntok < 16, "<16")
+        .when(ntok < 32, "16-31")
+        .when(ntok < 64, "32-63")
+        .when(ntok < 128, "64-127")
+        .when(ntok < 256, "128-255")
+        .otherwise("256+")
+    )
+    return (
+        d.select(bucket.alias("bucket"), ntok.alias("ntok"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "curation_pack_sequences",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           {sql_md5_hash48("CAST(doc_id AS VARCHAR) || ':shard'")} % {PACK_SHARDS}
+               AS shard,
+           CAST({_SQL_NTOK} AS BIGINT) AS n_tokens
+    FROM documents
+),
+packed AS (
+    SELECT doc_id, shard, n_tokens,
+           CAST((SUM(n_tokens) OVER (
+                     PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) // {PACK_WINDOW} AS BIGINT) AS bin_id
+    FROM toks
+)
+SELECT doc_id, shard, n_tokens, bin_id FROM packed
+""",
+    doc=f"sequence packing: corpus hash-sharded {PACK_SHARDS} ways, each "
+    f"shard packs docs into {PACK_WINDOW}-token bins by exclusive running "
+    "sum — the contiguous-packing shape production packers parallelize "
+    "by shard (no global ordering; shard count scales with the cluster)",
+    tags=("pipeline", "curation", "packing"),
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shard = (
+        spark_md5_hash48(F.concat(F.col("doc_id").cast("string"), F.lit(":shard")))
+        % PACK_SHARDS
+    )
+    toks = d.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    excl_cumsum = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(excl_cumsum / PACK_WINDOW).cast("long").alias("bin_id"),
+    )
+
+
+@register(
+    "curation_class_balance_weights",
+    oracle="""
+WITH counts AS (
+    SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS k FROM counts)
+SELECT c.label, c.n AS n_examples,
+       CAST(t.total AS DOUBLE) / (t.k * c.n) AS weight
+FROM counts c, tot t
+""",
+    doc="inverse-frequency class weights per label (total / (k * n_label)) "
+    "— the loss-reweighting table for imbalanced training sets; two tiny "
+    "aggregates, label cardinality is bounded so this never shuffles big",
+    tags=("pipeline", "curation", "weights"),
+)
+def curation_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    counts = e.groupBy("label").agg(F.count("*").alias("n_examples"))
+    tot = counts.agg(
+        F.sum("n_examples").alias("total"), F.count("*").alias("k")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n_examples",
+        (
+            F.col("total").cast("double") / (F.col("k") * F.col("n_examples"))
+        ).alias("weight"),
+    )

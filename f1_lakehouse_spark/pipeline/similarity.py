@@ -289,6 +289,77 @@ def ann_lsh_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- bulk kNN: per-vector top-k neighbors, LSH-bucket-confined ----------------------
+# The production shape for "embed the whole corpus, find every doc's
+# neighbors": candidates come only from the vector's own LSH bucket (the
+# same blocking that bounds dedup), then a per-vector ROW_NUMBER window
+# keeps the k best by cosine. No all-pairs join anywhere; the window
+# partitions by vec_id so the sort is per-vector, never global.
+
+KNN_K = 3
+
+
+@register(
+    "ann_knn_self_join",
+    oracle=f"""
+WITH sigs AS (
+    SELECT vec_id, label, embedding, {{sig}} AS bucket FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id, b.vec_id AS neighbor_id,
+           {_SQL_COS_AB.replace("q.embedding", "b.embedding")} AS cosine
+    FROM sigs a JOIN sigs b
+      ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT vec_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM pairs
+)
+SELECT vec_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {KNN_K}
+""".format(sig=_sql_signature("embedding")),
+    doc=f"bulk kNN self-join: every vector's top-{KNN_K} neighbors among its "
+    "own LSH bucket (hyperplane blocking bounds the candidate join; "
+    "per-vector window with neighbor_id tiebreaker keeps the ranking a "
+    "total order)",
+    tags=("pipeline", "similarity", "knn"),
+)
+def ann_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sigs = e.select(
+        "vec_id", "embedding", spark_signature(F.col("embedding")).alias("bucket")
+    )
+    # self-join on a derived frame: persist + materialize first
+    sigs = sigs.persist()
+    sigs.count()
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        _spark_cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    out = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_K)
+        .select("vec_id", "neighbor_id", "cosine", "rk")
+    )
+    out = out.persist()
+    out.count()
+    sigs.unpersist()
+    return out
+
+
 # --- IVF-style ANN: coarse cells + probe-one-cell ----------------------------------
 # The inverted-file pattern: vectors are assigned to coarse cells; the query
 # is matched to its nearest cell and only that cell's posting list is

@@ -54,3 +54,106 @@ def test_dynamic_partition_overwrite_idempotent(spark):
         back = read_partitioned(spark, path)
         assert back.filter(F.col("order_year") == 1995).count() == y95.count()
         assert back.filter(F.col("order_year") == 1996).count() == y96.count()
+
+
+# --- FastF1-shaped adapter (reference fastf1_ingest.py, network-free fake) ----
+
+
+def _fake_f1_client():
+    """Deterministic stand-in for fastf1: 2 rounds/season, laps+weather for
+    every session, results only for races; round 2's Q session raises (the
+    fault-isolation path). Defined inside a function so cloudpickle ships
+    the class by VALUE to executors (a module-level test class would be
+    pickled by reference and fail to import on the Python workers)."""
+
+    class _FakeF1Client:
+        def get_event_schedule(self, season):
+            import pandas as pd
+
+            return pd.DataFrame(
+                {"RoundNumber": [1, 2],
+                 "EventName": ["Bahrain Grand Prix!", "Jeddah GP"]}
+            )
+
+        def load_session(self, season, round_no, code):
+            import pandas as pd
+
+            if round_no == 2 and code == "Q":
+                raise RuntimeError("session not available")  # 404 analog
+            if code in ("FP1", "FP2", "FP3", "S"):
+                return {}  # no data for these in the fake
+            frames = {
+                "laps": pd.DataFrame(
+                    {
+                        "Driver": ["VER", "HAM"],
+                        "LapTime": [88_000_000_000 + round_no, 89_000_000_000],
+                    }
+                ),
+                "weather": pd.DataFrame({"AirTemp": [25.5], "Rainfall": [False]}),
+            }
+            if code == "R":
+                frames["results"] = pd.DataFrame(
+                    {"DriverNumber": [1, 44], "Points": [25, 18]}
+                )
+            return frames
+
+    return _FakeF1Client()
+
+
+def test_fastf1_adapter_tasks_and_slug():
+    from f1_lakehouse_spark.sources.fastf1_adapter import (
+        SESSION_CODES,
+        build_session_tasks,
+        slugify_name,
+    )
+
+    assert slugify_name("Bahrain Grand Prix!") == "bahrain-grand-prix"
+    tasks = build_session_tasks(_fake_f1_client(), [2024])
+    assert len(tasks) == 2 * len(SESSION_CODES)
+    assert tasks[0] == {
+        "season": 2024,
+        "round": 1,
+        "grand_prix": "bahrain-grand-prix",
+        "session": "FP1",
+    }
+
+
+def test_fastf1_adapter_end_to_end(spark):
+    import tempfile
+
+    from f1_lakehouse_spark.sources.fastf1_adapter import ingest_seasons
+
+    schemas = {
+        "laps": "Driver string, LapTime long, "
+        "season int, round int, grand_prix string, session string",
+        "weather": "AirTemp double, Rainfall boolean, "
+        "season int, round int, grand_prix string, session string",
+        "results": "DriverNumber int, Points long, "
+        "season int, round int, grand_prix string, session string",
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        out = ingest_seasons(
+            spark, _fake_f1_client(), [2024], tmp, result_schemas=schemas
+        )
+        laps = out["laps"]
+        # Q+R for round 1, R only for round 2 (round 2 Q raised -> skipped)
+        sessions = {
+            (r["round"], r["session"])
+            for r in laps.select("round", "session").distinct().collect()
+        }
+        assert sessions == {(1, "Q"), (1, "R"), (2, "R")}
+        assert laps.count() == 6  # 3 sessions x 2 laps
+        # results only exist for race sessions
+        res_sessions = {
+            r["session"] for r in out["results"].select("session").distinct().collect()
+        }
+        assert res_sessions == {"R"}
+        # partition dirs follow the reference layout
+        import os
+
+        assert os.path.isdir(
+            f"{tmp}/laps/season=2024/round=1/grand_prix=bahrain-grand-prix/session=R"
+        )
+        # re-run is idempotent (dynamic overwrite)
+        ingest_seasons(spark, _fake_f1_client(), [2024], tmp, result_schemas=schemas)
+        assert spark.read.parquet(f"{tmp}/laps").count() == 6
