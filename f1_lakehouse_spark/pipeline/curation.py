@@ -222,6 +222,56 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- temperature-scaled domain mixture ----------------------------------------------
+# The multilingual/multi-domain sampling recipe (alpha-temperature mixing,
+# alpha=0.5): p_source ∝ n_source^alpha, flattening the head and boosting
+# the tail. Determinism across engines: sqrt is IEEE-correctly-rounded in
+# both (bit-identical), per-source sqrt is rounded to 9 decimals and summed
+# through DECIMAL so the denominator is order-independent, and the final
+# ratio is a double division of identical inputs.
+
+
+@register(
+    "curation_domain_mixture",
+    oracle="""
+WITH counts AS (
+    SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+),
+scaled AS (
+    SELECT source, n_docs,
+           CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 9) AS DECIMAL(28, 9)) AS s
+    FROM counts
+),
+tot AS (SELECT SUM(s) AS total FROM scaled)
+SELECT c.source, c.n_docs,
+       round(CAST(c.s AS DOUBLE) / CAST(t.total AS DOUBLE), 9) AS mix_weight
+FROM scaled c, tot t
+""",
+    doc="temperature-scaled (alpha=0.5) domain-mixture weights per source: "
+    "p ∝ sqrt(n) / sum(sqrt(n)) — head-flattening sampling table; two tiny "
+    "aggregates, decimal-summed denominator for order independence",
+    tags=("pipeline", "curation", "mixture"),
+)
+def curation_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    scaled = counts.select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs").cast("double")), 9)
+        .cast("decimal(28,9)")
+        .alias("s"),
+    )
+    tot = scaled.agg(F.sum("s").alias("total"))
+    return scaled.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(
+            F.col("s").cast("double") / F.col("total").cast("double"), 9
+        ).alias("mix_weight"),
+    )
+
+
 @register(
     "curation_class_balance_weights",
     oracle="""

@@ -1,0 +1,293 @@
+"""Corpus-filtering operators for training-data pipelines over ``documents``:
+benchmark decontamination, Gopher-style repetition filters, and PII
+scrubbing. Together with dedup/text/curation these complete the standard
+pre-training data-prep chain (clean -> filter -> decontaminate -> dedup ->
+curate -> pack).
+
+Scale notes (the 100 TB lens):
+- Decontamination joins the corpus against the BENCHMARK n-gram set — the
+  benchmark side is tiny (MBs) regardless of corpus size, so the join is a
+  broadcast hash join: one corpus scan, zero shuffle of the corpus. Grams
+  travel as 48-bit integer hashes, never strings.
+- The repetition filters are pure per-row array expressions (no explode,
+  no shuffle): word/bigram statistics fold inside whole-stage codegen at
+  scan speed.
+- PII scrub is regexp_extract_all/regexp_replace — JVM regex, scan-speed.
+  The detector is validated by deterministic canary injection (synthetic
+  emails/phones seeded into a hash-selected subset inside the query), the
+  standard way scrubbers are integration-tested without real PII.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_lakehouse_spark.pipeline.hashing import spark_md5_hash48, sql_md5_hash48
+from f1_lakehouse_spark.registry import register
+from f1_lakehouse_spark.tables import load_table
+
+# --- benchmark decontamination ------------------------------------------------------
+# The GPT-3/Llama-style n-gram overlap check: any training document sharing
+# a >= DECONTAM_N word-gram with a held-out benchmark document is flagged.
+# Here the "benchmark" is a deterministic hash-selected ~5% slice of the
+# corpus (stand-in for the real eval sets, which are external inputs); the
+# operator shape — benchmark grams broadcast against a corpus gram scan —
+# is exactly the production one.
+
+DECONTAM_N = 4  # words per shingle (13 in production; 4 keeps the synthetic
+# short-doc corpus non-degenerate — ~10% of train docs flag at sf0.01)
+BENCH_MOD = 10  # 1/10 of docs act as the held-out benchmark
+
+_BENCH_SQL = (
+    sql_md5_hash48("CAST(doc_id AS VARCHAR) || ':bench'") + f" % {BENCH_MOD}"
+)
+
+
+@register(
+    "decontam_ngram_overlap",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS ws,
+           {_BENCH_SQL} AS bench_slot
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id, bench_slot, g FROM (
+        SELECT doc_id, bench_slot,
+               unnest([{sql_md5_hash48(
+                   "array_to_string(ws[i:i+" + str(DECONTAM_N - 1) + "], ' ')")}
+                       FOR i IN generate_series(1, len(ws) - {DECONTAM_N - 1})]) AS g
+        FROM base WHERE len(ws) >= {DECONTAM_N}
+    )
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE bench_slot = 0),
+hits AS (
+    SELECT doc_id, COUNT(*) AS n_overlap
+    FROM grams JOIN bench USING (g)
+    WHERE bench_slot <> 0
+    GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap_grams,
+       CASE WHEN COALESCE(h.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM (SELECT doc_id FROM base WHERE bench_slot <> 0) t
+LEFT JOIN hits h USING (doc_id)
+""",
+    doc=f"benchmark decontamination: flag training docs sharing any "
+    f"{DECONTAM_N}-word gram with the held-out benchmark slice "
+    "(benchmark grams broadcast — corpus never shuffles; grams joined as "
+    "48-bit integer hashes)",
+    tags=("pipeline", "filtering", "decontam"),
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+        (
+            spark_md5_hash48(F.concat(F.col("doc_id").cast("string"), F.lit(":bench")))
+            % BENCH_MOD
+        ).alias("bench_slot"),
+    )
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - F.lit(DECONTAM_N - 1)),
+        lambda i: spark_md5_hash48(
+            F.concat_ws(" ", F.slice("ws", i, F.lit(DECONTAM_N)))
+        ),
+    )
+    grams = (
+        base.filter(F.size("ws") >= DECONTAM_N)
+        .select("doc_id", "bench_slot", F.explode(gram_arr).alias("g"))
+        .distinct()
+    )
+    bench = grams.filter(F.col("bench_slot") == 0).select("g").distinct()
+    hits = (
+        grams.filter(F.col("bench_slot") != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    train = base.filter(F.col("bench_slot") != 0).select("doc_id")
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap_grams"),
+        F.when(F.coalesce(F.col("n_overlap"), F.lit(0)) > 0, 1)
+        .otherwise(0)
+        .alias("contaminated"),
+    )
+
+
+# --- Gopher-style repetition filters ------------------------------------------------
+# The Rae et al. (Gopher) repetition heuristics, adapted to the word level
+# for this corpus (the originals use lines/paragraphs, which the synthetic
+# docs lack): duplicate-word fraction, most-frequent-word fraction,
+# duplicate-bigram fraction, and a composite pass flag. Pure array math —
+# no explode, no shuffle; every statistic folds per-row at scan speed.
+
+REP_MAX_DUP_WORD = 0.55
+REP_MAX_TOP_WORD = 0.15
+REP_MAX_DUP_BIGRAM = 0.40
+
+
+@register(
+    "quality_gopher_repetition",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+feats AS (
+    SELECT doc_id,
+           len(ws) AS n_words,
+           1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_word_frac,
+           CAST(list_max([len(list_filter(ws, x -> x = w))
+                          FOR w IN list_distinct(ws)]) AS DOUBLE)
+               / len(ws) AS top_word_frac,
+           CASE WHEN len(ws) < 2 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(
+                         [ws[i] || ' ' || ws[i+1]
+                          FOR i IN generate_series(1, len(ws) - 1)])) AS DOUBLE)
+                     / (len(ws) - 1) END AS dup_bigram_frac
+    FROM base
+)
+SELECT doc_id, n_words, dup_word_frac, top_word_frac, dup_bigram_frac,
+       CASE WHEN dup_word_frac <= {REP_MAX_DUP_WORD}
+             AND top_word_frac <= {REP_MAX_TOP_WORD}
+             AND dup_bigram_frac <= {REP_MAX_DUP_BIGRAM}
+            THEN 1 ELSE 0 END AS passes_repetition
+FROM feats
+""",
+    doc="Gopher-style repetition filter: duplicate-word / top-word / "
+    "duplicate-bigram fractions + composite gate, all per-row array "
+    "expressions (no shuffle anywhere)",
+    tags=("pipeline", "filtering", "quality"),
+)
+def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # materialize ws as a real column first so lambdas reference a column,
+    # not a re-evaluated split() expression (see CLAUDE.md determinism note)
+    base = d.select("doc_id", F.split("text", " ").alias("ws"))
+    n = F.size("ws")
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct("ws"),
+            lambda w: F.size(F.filter("ws", lambda x: x == w)),
+        )
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(1)),
+        lambda i: F.concat(
+            F.element_at("ws", i), F.lit(" "), F.element_at("ws", i + F.lit(1))
+        ),
+    )
+    feats = base.select(
+        "doc_id",
+        n.alias("n_words"),
+        (F.lit(1.0) - F.size(F.array_distinct("ws")).cast("double") / n).alias(
+            "dup_word_frac"
+        ),
+        (top_count.cast("double") / n).alias("top_word_frac"),
+        F.when(n < 2, F.lit(0.0))
+        .otherwise(
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)).cast("double") / (n - F.lit(1))
+        )
+        .alias("dup_bigram_frac"),
+    )
+    return feats.select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        "top_word_frac",
+        "dup_bigram_frac",
+        F.when(
+            (F.col("dup_word_frac") <= REP_MAX_DUP_WORD)
+            & (F.col("top_word_frac") <= REP_MAX_TOP_WORD)
+            & (F.col("dup_bigram_frac") <= REP_MAX_DUP_BIGRAM),
+            1,
+        )
+        .otherwise(0)
+        .alias("passes_repetition"),
+    )
+
+
+# --- PII scrub (canary-validated) ---------------------------------------------------
+# Regex detection + masking of emails and phone-shaped tokens. The corpus
+# is synthetic and PII-free, so the operator seeds deterministic canaries
+# (a fake email into hash-slot-0 docs, a fake phone into hash-slot-1 docs)
+# and then proves the scrubber finds and removes exactly those — the
+# injection, detection, and redaction are all inside the differential gate.
+
+_EMAIL_RE = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PHONE_RE = "555-[0-9]{4}"
+
+_PII_SLOT_SQL = (
+    sql_md5_hash48("CAST(doc_id AS VARCHAR) || ':pii'") + " % 10"
+)
+
+
+@register(
+    "pii_scrub_redact",
+    oracle=f"""
+WITH seeded AS (
+    SELECT doc_id,
+           CASE WHEN {_PII_SLOT_SQL} = 0 THEN
+                    text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com today'
+                WHEN {_PII_SLOT_SQL} = 1 THEN
+                    text || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE text END AS t
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+       CASE WHEN regexp_matches(t, '{_EMAIL_RE}') OR regexp_matches(t, '{_PHONE_RE}')
+            THEN 0 ELSE 1 END AS pii_free,
+       regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM seeded
+""",
+    doc="PII scrub: regex email/phone detection + masking, validated by "
+    "deterministic canary injection (hash-selected docs get synthetic PII "
+    "appended; the gate proves the scrubber catches exactly those)",
+    tags=("pipeline", "filtering", "pii"),
+)
+def pii_scrub_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    slot = (
+        spark_md5_hash48(F.concat(F.col("doc_id").cast("string"), F.lit(":pii"))) % 10
+    )
+    seeded = d.select(
+        "doc_id",
+        F.when(
+            slot == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com today"),
+            ),
+        )
+        .when(
+            slot == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    n_emails = F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), 0))
+    n_phones = F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), 0))
+    return seeded.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.when((n_emails > 0) | (n_phones > 0), 0).otherwise(1).alias("pii_free"),
+        F.regexp_replace(
+            F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+    )

@@ -90,6 +90,11 @@ PRIORITY: tuple[str, ...] = (
     "curation_token_length_buckets",
     "curation_pack_sequences",
     "curation_class_balance_weights",
+    "curation_domain_mixture",
+    # corpus filtering suite (new in r2)
+    "decontam_ngram_overlap",
+    "quality_gopher_repetition",
+    "pii_scrub_redact",
     # §2 families with no driver signal in round 1
     "p10_null_profile",
     "scalars_composite",  # F4+F6+F8+F9+F10+F11+F12
@@ -104,13 +109,10 @@ PRIORITY: tuple[str, ...] = (
     "w_running_total",
     "w_lag_lead_frames",
     # TPC-H shape suite not yet driver-checked (the subset that fits the
-    # window; q15/q16/q17/q20/q21 follow immediately after it and keep
-    # full local differential coverage)
+    # window; q8/q9/q11/q13/q15/q16/q17/q20/q21 follow immediately after
+    # it and keep full local differential coverage — pipeline operators
+    # outrank TPC-H extras for driver-window slots)
     "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q13_customer_distribution",
 )
 
 
@@ -146,6 +148,7 @@ def _ensure_loaded() -> None:
     from f1_lakehouse_spark.pipeline import (  # noqa: F401
         curation,
         dedup,
+        filtering,
         multimodal,
         similarity,
         text,

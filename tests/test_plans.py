@@ -118,3 +118,23 @@ def test_bucketed_join_eliminates_shuffle(spark):
     n = joined.count()
     plain = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).count()
     assert n == plain
+
+
+def test_decontam_broadcasts_benchmark(spark):
+    """Decontamination must broadcast the (tiny) benchmark gram set — the
+    corpus side never shuffles for the join. At 100 TB the benchmark is MBs;
+    a shuffle join here would move the whole corpus."""
+    plan = _plan(spark, "decontam_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_filter_is_map_only(spark):
+    """Gopher repetition stats are per-row array folds — any Exchange in the
+    plan means a refactor broke the no-shuffle contract."""
+    plan = _plan(spark, "quality_gopher_repetition")
+    assert "Exchange" not in plan
+
+
+def test_pii_scrub_is_map_only(spark):
+    plan = _plan(spark, "pii_scrub_redact")
+    assert "Exchange" not in plan
