@@ -96,3 +96,232 @@ def mm_binary_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     payloads = with_binary_payload(d).select("doc_id", "payload")
     return payloads.mapInPandas(decode_batch, schema=META_SCHEMA)
+
+
+# --- frame sampling ------------------------------------------------------------------
+# Video-style payload → sampled frame rows. Frame *indexing* is pure integer
+# metadata math, so it stays JVM-side (posexplode over a stride sequence);
+# only frame *decode* would go to a pandas UDF (stubbed, like decode_image).
+# At scale this is the standard fan-out: one row per sampled frame, hash-
+# partitionable downstream, payload sliced not copied N times.
+
+FRAME_BYTES = 64  # fake fixed-size frames
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+WITH vids AS (
+    SELECT doc_id, text AS t,
+           octet_length(encode(text)) // {FRAME_BYTES} AS n_frames
+    FROM documents
+)
+SELECT doc_id, frame_idx,
+       {sql_poly_hash(f"substr(t, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})")}
+           AS frame_hash
+FROM (
+    SELECT doc_id, t,
+           unnest(range(0, n_frames, {FRAME_STRIDE})) AS frame_idx
+    FROM vids WHERE n_frames >= 1
+)
+""",
+    doc=f"multimodal frame sampling: every {FRAME_STRIDE}th {FRAME_BYTES}-byte "
+    "frame of the payload becomes a row (JVM-side index fan-out + slice; "
+    "decode itself is the stubbed pandas step)",
+    tags=("pipeline", "multimodal"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.pipeline.hashing import spark_poly_hash
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").alias("t"),
+        (F.octet_length(F.encode("text", "UTF-8")) / F.lit(FRAME_BYTES))
+        .cast("long")
+        .alias("n_frames"),
+    )
+    idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(FRAME_STRIDE))
+    frames = d.filter(F.col("n_frames") >= 1).select(
+        "doc_id", "t", F.explode(idx).alias("frame_idx")
+    )
+    frame = F.substring(
+        F.col("t"), F.col("frame_idx") * FRAME_BYTES + 1, FRAME_BYTES
+    )
+    return frames.select(
+        "doc_id", "frame_idx", spark_poly_hash(frame).alias("frame_hash")
+    )
+
+
+# --- resize (aspect-preserving, integer math) ----------------------------------------
+
+RESIZE_TARGET = 256
+
+
+def fake_resize_dims(width: int, height: int) -> tuple[int, int]:
+    """Aspect-preserving fit into RESIZE_TARGET², in pure integer math so
+    the pandas UDF and the SQL oracle agree bit-for-bit."""
+    longest = max(width, height, 1)
+    return (width * RESIZE_TARGET) // longest, (height * RESIZE_TARGET) // longest
+
+
+def resize_batch(it: Iterator) -> Iterator:
+    """mapInPandas: fake-decode dims, compute the resize plan. The actual
+    pixel resample is the stubbed step (needs PIL/opencv); the batch shape,
+    schema, and integer geometry are the real pipeline."""
+    for pdf in it:
+        dims = [fake_decode_meta(bytes(p))[:2] for p in pdf["payload"]]
+        out = pdf[["doc_id"]].copy()
+        out["in_w"] = [d[0] for d in dims]
+        out["in_h"] = [d[1] for d in dims]
+        resized = [fake_resize_dims(w, h) for w, h in dims]
+        out["out_w"] = [r[0] for r in resized]
+        out["out_h"] = [r[1] for r in resized]
+        yield out
+
+
+@register(
+    "mm_resize_plan",
+    oracle=f"""
+WITH hashed AS (
+    SELECT doc_id, {sql_poly_hash("text")} AS h FROM documents
+),
+dims AS (
+    SELECT doc_id,
+           CAST(h % 1024 AS INTEGER) AS in_w,
+           CAST((h // 1024) % 1024 AS INTEGER) AS in_h
+    FROM hashed
+)
+SELECT doc_id, in_w, in_h,
+       CAST(in_w * {RESIZE_TARGET} // greatest(in_w, in_h, 1) AS INTEGER) AS out_w,
+       CAST(in_h * {RESIZE_TARGET} // greatest(in_w, in_h, 1) AS INTEGER) AS out_h
+FROM dims
+""",
+    doc=f"multimodal resize plan: aspect-preserving fit to {RESIZE_TARGET}px "
+    "via integer math in an Arrow-batched pandas UDF (pixel resample is the "
+    "stubbed library call)",
+    tags=("pipeline", "multimodal", "pandas-udf"),
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = with_binary_payload(d).select("doc_id", "payload")
+    return payloads.mapInPandas(
+        resize_batch, schema="doc_id long, in_w int, in_h int, out_w int, out_h int"
+    )
+
+
+# --- feature extraction --------------------------------------------------------------
+# Embedding-from-payload shape: pandas UDF emits a fixed-width feature
+# vector as SCALAR columns (f0..f3 + norm), the layout a feature store
+# ingests; values derive from the content hash so the whole path has an
+# exact oracle. A real encoder swaps into the same batch function.
+
+FEAT_DIM = 4
+_FEAT_BASE = 4096
+
+
+def fake_features(payload: bytes) -> list[float]:
+    h = _poly_hash_bytes(payload)
+    return [((h // (_FEAT_BASE**i)) % _FEAT_BASE) / _FEAT_BASE for i in range(FEAT_DIM)]
+
+
+def feature_batch(it: Iterator) -> Iterator:
+    for pdf in it:
+        feats = [fake_features(bytes(p)) for p in pdf["payload"]]
+        out = pdf[["doc_id"]].copy()
+        for i in range(FEAT_DIM):
+            out[f"f{i}"] = [f[i] for f in feats]
+        out["norm2"] = [
+            ((f[0] * f[0] + f[1] * f[1]) + f[2] * f[2]) + f[3] * f[3] for f in feats
+        ]
+        yield out
+
+
+@register(
+    "mm_feature_extract",
+    oracle=f"""
+WITH hashed AS (
+    SELECT doc_id, {sql_poly_hash("text")} AS h FROM documents
+),
+f AS (
+    SELECT doc_id,
+           CAST((h // 1) % {_FEAT_BASE} AS DOUBLE) / {_FEAT_BASE} AS f0,
+           CAST((h // {_FEAT_BASE}) % {_FEAT_BASE} AS DOUBLE) / {_FEAT_BASE} AS f1,
+           CAST((h // {_FEAT_BASE**2}) % {_FEAT_BASE} AS DOUBLE) / {_FEAT_BASE} AS f2,
+           CAST((h // {_FEAT_BASE**3}) % {_FEAT_BASE} AS DOUBLE) / {_FEAT_BASE} AS f3
+    FROM hashed
+)
+SELECT doc_id, f0, f1, f2, f3,
+       ((f0*f0 + f1*f1) + f2*f2) + f3*f3 AS norm2
+FROM f
+""",
+    doc=f"multimodal feature extraction: {FEAT_DIM}-dim content-derived "
+    "feature vector emitted as scalar columns from an Arrow-batched pandas "
+    "UDF (a real encoder swaps into the same batch fn)",
+    tags=("pipeline", "multimodal", "pandas-udf"),
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = with_binary_payload(d).select("doc_id", "payload")
+    return payloads.mapInPandas(
+        feature_batch,
+        schema="doc_id long, f0 double, f1 double, f2 double, f3 double, "
+        "norm2 double",
+    )
+
+
+# --- audio chunking ------------------------------------------------------------------
+# Overlapping fixed-size windows over a waveform-style payload — the
+# speech-pipeline pre-segmentation. Window arithmetic is JVM-side
+# (sequence + slice); per-chunk decode would be the pandas step.
+
+CHUNK_LEN = 100
+CHUNK_STRIDE = 50
+
+
+@register(
+    "mm_audio_chunks",
+    oracle=f"""
+WITH au AS (
+    SELECT doc_id, text AS t, octet_length(encode(text)) AS n FROM documents
+),
+chunks AS (
+    /* inclusive max start = n - CHUNK_LEN + 1 (last full window), floored
+       at 1 so short payloads still yield one (truncated) chunk; DuckDB
+       range() is upper-exclusive so +1 */
+    SELECT doc_id, t,
+           unnest(range(1, greatest(n - {CHUNK_LEN} + 1, 1) + 1, {CHUNK_STRIDE}))
+               AS start_off
+    FROM au
+)
+SELECT doc_id, start_off,
+       octet_length(encode(substr(t, start_off, {CHUNK_LEN}))) AS chunk_len,
+       {sql_poly_hash(f"substr(t, start_off, {CHUNK_LEN})")} AS chunk_hash
+FROM chunks
+""",
+    doc=f"multimodal audio chunking: overlapping {CHUNK_LEN}-byte windows "
+    f"every {CHUNK_STRIDE} bytes (JVM window fan-out; per-chunk decode is "
+    "the stubbed pandas step)",
+    tags=("pipeline", "multimodal"),
+)
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.pipeline.hashing import spark_poly_hash
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").alias("t"),
+        F.octet_length(F.encode("text", "UTF-8")).alias("n"),
+    )
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.col("n") - F.lit(CHUNK_LEN - 1), F.lit(1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunks = d.select("doc_id", "t", F.explode(starts).alias("start_off"))
+    chunk = F.substring(F.col("t"), F.col("start_off"), CHUNK_LEN)
+    return chunks.select(
+        "doc_id",
+        "start_off",
+        F.octet_length(F.encode(chunk, "UTF-8")).alias("chunk_len"),
+        spark_poly_hash(chunk).alias("chunk_hash"),
+    )
