@@ -65,3 +65,44 @@ def test_snake_case_idempotent_and_clean(name):
     assert snake_case(s) == s  # idempotent
     assert re.fullmatch(r"[a-z0-9_]*", s)  # clean charset
     assert not s.startswith("_") and not s.endswith("_")
+
+
+# --- multimodal geometry / feature invariants ---------------------------------
+
+
+@given(st.integers(min_value=0, max_value=4096), st.integers(min_value=0, max_value=4096))
+def test_resize_dims_fit_and_preserve_aspect(w, h):
+    from f1_lakehouse_spark.pipeline.multimodal import RESIZE_TARGET, fake_resize_dims
+
+    ow, oh = fake_resize_dims(w, h)
+    assert 0 <= ow <= RESIZE_TARGET and 0 <= oh <= RESIZE_TARGET
+    # the longest input edge maps to (almost exactly) the target edge
+    if max(w, h) > 0:
+        assert max(ow, oh) == RESIZE_TARGET * max(w, h) // max(w, h, 1)
+    # aspect never flips
+    assert (w >= h) == (ow >= oh) or w == h
+
+
+@given(st.binary(max_size=500))
+def test_fake_features_bounded_and_deterministic(payload):
+    from f1_lakehouse_spark.pipeline.multimodal import FEAT_DIM, fake_features
+
+    f1 = fake_features(payload)
+    assert f1 == fake_features(payload)
+    assert len(f1) == FEAT_DIM
+    assert all(0.0 <= v < 1.0 for v in f1)
+
+
+# --- PII scrubber: the redacted output never matches the detectors ------------
+
+
+@given(st.text(max_size=200), st.integers(min_value=0, max_value=10**6))
+def test_pii_redaction_is_complete(text, n):
+    import re
+
+    from f1_lakehouse_spark.pipeline.filtering import _EMAIL_RE, _PHONE_RE
+
+    seeded = f"{text} contact user{n}@example.com call 555-{n % 10000:04d}"
+    redacted = re.sub(_PHONE_RE, "<PHONE>", re.sub(_EMAIL_RE, "<EMAIL>", seeded))
+    assert not re.search(_EMAIL_RE, redacted)
+    assert not re.search(_PHONE_RE, redacted)
