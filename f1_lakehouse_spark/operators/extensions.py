@@ -249,3 +249,27 @@ WHERE o_totalprice = (SELECT MAX(o2.o_totalprice)
 def correlated_subquery_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_corr")
     return spark.sql(_CORR_SQL.format(orders="orders_corr"))
+
+
+_GSETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER)
+           AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18, 2))) AS DOUBLE) AS sum_qty
+FROM {lineitem}
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register(
+    "grouping_sets_mixed",
+    oracle=_GSETS_SQL.format(lineitem="lineitem"),
+    doc="explicit GROUPING SETS (pair, partial, grand total) + GROUPING() "
+    "disambiguator — distinct from CUBE/ROLLUP: only the requested sets "
+    "materialize, one Expand + one shuffle; decimal-accumulated sum",
+    tags=("grouping-sets", "extension", "sql-api"),
+)
+def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(_GSETS_SQL.format(lineitem="lineitem_gs"))

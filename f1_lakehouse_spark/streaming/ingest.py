@@ -117,3 +117,13 @@ def run_available_now_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    static dimension snapshot. The dim is broadcast — no stream-side state,
+    no shuffle of the stream; the standard lookup-enrichment shape (swap the
+    static side for a Delta table to get slowly-refreshing dims)."""
+    return events.join(F.broadcast(dim), key, "left")

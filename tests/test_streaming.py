@@ -118,3 +118,99 @@ def test_stateful_user_totals_equal_batch(spark):
         .collect()
     }
     assert streamed == batch
+
+
+def test_stream_static_enrich_matches_batch_join(spark):
+    from f1_lakehouse_spark.streaming.ingest import stream_static_enrich
+
+    batch_events = load_table(spark, SF_DIR, "events")
+    dim = (
+        batch_events.select("user_id")
+        .distinct()
+        .withColumn("segment", F.concat(F.lit("seg"), F.col("user_id") % 5))
+    )
+    enriched = stream_static_enrich(stream_events(spark, SF_DIR), dim)
+    run_available_now_to_memory(enriched, "enriched_events", output_mode="append")
+    streamed = spark.sql(
+        "SELECT segment, COUNT(*) AS n FROM enriched_events GROUP BY 1"
+    )
+    batch = batch_events.join(dim, "user_id", "left").groupBy("segment").agg(
+        F.count("*").alias("n")
+    )
+    assert {(r["segment"], r["n"]) for r in streamed.collect()} == {
+        (r["segment"], r["n"]) for r in batch.collect()
+    }
+    assert streamed.count() > 0
+
+
+def test_watermark_drops_late_events_across_restarts(spark):
+    """Real late-data semantics: a window finalized by the watermark in run 1
+    must NOT absorb a late event arriving in run 2 (same checkpoint), while
+    in-order data keeps flowing. Append mode + parquet sink across two
+    availableNow runs of one checkpoint."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+
+    def write_batch(path, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            path
+        )
+
+    def run_once(src, out, ckpt):
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = streaming_windowed_counts(stream, window="10 minutes", watermark="5 minutes")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from datetime import datetime
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+    with tempfile.TemporaryDirectory() as tmp:
+        src, out, ckpt = f"{tmp}/src", f"{tmp}/out", f"{tmp}/ckpt"
+        # run 1: two events in the 10:00 window, one at 11:00 advancing the
+        # watermark to 10:55 -> the 10:00-10:10 window finalizes and emits
+        write_batch(src, [(1, 1, t(10, 0), 1.0, "click"),
+                          (1, 2, t(10, 5), 1.0, "click"),
+                          (1, 3, t(11, 0), 1.0, "click")])
+        run_once(src, out, ckpt)
+        first = {
+            (r["window_start"], r["event_type"]): r["n_events"]
+            for r in spark.read.parquet(out).collect()
+        }
+        assert first[(t(10, 0), "click")] == 2  # finalized with both events
+        # run 2: a LATE event for the finalized window (dropped) + a fresh
+        # event at 12:00 that finalizes the 11:00 window
+        write_batch(src, [(1, 4, t(10, 3), 1.0, "click"),
+                          (1, 5, t(12, 0), 1.0, "click")])
+        run_once(src, out, ckpt)
+        final = {
+            (r["window_start"], r["event_type"]): r["n_events"]
+            for r in spark.read.parquet(out).collect()
+        }
+        assert final[(t(10, 0), "click")] == 2  # late event was DROPPED
+        assert final[(t(11, 0), "click")] == 1  # in-order data kept flowing
