@@ -449,12 +449,17 @@ def ann_ivf_centroid_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_label_centroids",
     oracle=f"""
 SELECT label, CAST(i AS INTEGER) - 1 AS dim,
-       CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,9))) AS DOUBLE)
-           / COUNT(*) AS centroid
+       CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5)
+                     AS DECIMAL(38,0))) AS DOUBLE)
+           / (COUNT(*) * 1e9) AS centroid
 FROM embeddings, range(1, {DIM + 1}) t(i)
 GROUP BY 1, 2
 """,
-    doc="per-label centroid vectors (element-wise decimal-exact mean)",
+    doc="per-label centroid vectors: element-wise mean over 1e-9-quantized "
+    "components. floor(v*1e9 + 0.5) is tie-free (a double->DECIMAL(x,9) "
+    "cast rounds ties differently across engines — caught at sf0.1), the "
+    "scaled-integer sum is exact in DECIMAL(38,0), so the result is "
+    "order-independent and bit-identical",
     tags=("pipeline", "similarity", "centroid"),
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,11 +467,13 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = e.select(
         "label", F.posexplode("embedding").alias("dim", "v")
     )
+    scaled = F.floor(F.col("v").cast("double") * F.lit(1e9) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
     return exploded.groupBy("label", "dim").agg(
-        (
-            F.sum(F.col("v").cast("double").cast("decimal(27,9)")).cast("double")
-            / F.count("*")
-        ).alias("centroid")
+        (F.sum(scaled).cast("double") / (F.count("*") * F.lit(1e9))).alias(
+            "centroid"
+        )
     )
 
 

@@ -127,3 +127,59 @@ def stream_static_enrich(
     no shuffle of the stream; the standard lookup-enrichment shape (swap the
     static side for a Delta table to get slowly-refreshing dims)."""
     return events.join(F.broadcast(dim), key, "left")
+
+
+def incremental_gold_refresh(
+    spark: SparkSession,
+    src_dir: str,
+    gold_path: str,
+    checkpoint: str,
+) -> None:
+    """Incremental materialized-aggregate maintenance: each micro-batch's
+    PARTIAL aggregate (count/sum per event_type) merges into the gold table
+    inside ``foreachBatch`` — the streaming upgrade of the reference's
+    "rebuild gold from scratch per dbt run" (SURVEY §2.11 D1/D4).
+
+    The merge re-aggregates (old gold ∪ batch partial), which is exact
+    because count/sum compose associatively — the same partial→final
+    discipline as the batch A4 re-aggregation and the salted skew aggregate.
+    On a lakehouse table format this read-union-overwrite becomes MERGE INTO;
+    gold stays tiny (one row per event_type) so the rewrite is O(gold), not
+    O(stream history). Exactly-once across restarts comes from the
+    checkpoint: a replayed batch overwrites with the same result."""
+    from pyspark.sql import DataFrame as _DF
+
+    src = stream_events(spark, src_dir)
+    partial = src.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,9)")).alias("total_value"),
+    )
+
+    def merge(batch_df: _DF, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        try:
+            old = sess.read.parquet(gold_path)
+        except Exception:
+            old = None
+        merged = batch_df if old is None else old.unionByName(batch_df)
+        out = (
+            merged.groupBy("event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("total_value").alias("total_value"),
+            )
+        )
+        # materialize before overwrite (the sink is also the source)
+        rows = out.collect()
+        sess.createDataFrame(rows, out.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(gold_path)
+
+    q = (
+        partial.writeStream.foreachBatch(merge)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

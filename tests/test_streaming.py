@@ -214,3 +214,35 @@ def test_watermark_drops_late_events_across_restarts(spark):
         }
         assert final[(t(10, 0), "click")] == 2  # late event was DROPPED
         assert final[(t(11, 0), "click")] == 1  # in-order data kept flowing
+
+
+def test_incremental_gold_refresh_equals_batch_aggregate(spark):
+    import tempfile
+
+    from f1_lakehouse_spark.streaming.ingest import incremental_gold_refresh
+
+    with tempfile.TemporaryDirectory() as tmp:
+        gold, ckpt = f"{tmp}/gold", f"{tmp}/ckpt"
+        incremental_gold_refresh(spark, SF_DIR, gold, ckpt)
+        got = {
+            r["event_type"]: (r["n_events"], round(float(r["total_value"]), 6))
+            for r in spark.read.parquet(gold).collect()
+        }
+        want = {
+            r["event_type"]: (r["n"], round(float(r["t"]), 6))
+            for r in load_table(spark, SF_DIR, "events")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(28,9)")).alias("t"),
+            )
+            .collect()
+        }
+        assert got == want
+        # no new files -> no state change (idempotent restart)
+        incremental_gold_refresh(spark, SF_DIR, gold, ckpt)
+        again = {
+            r["event_type"]: (r["n_events"], round(float(r["total_value"]), 6))
+            for r in spark.read.parquet(gold).collect()
+        }
+        assert again == want
