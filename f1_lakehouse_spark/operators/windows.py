@@ -238,3 +238,87 @@ def w_lag_lead_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rolling_1h_sum"),
     )
+
+
+# --- multi-resolution continuous aggregate (hypertable-rollup shape) -----------
+# The TimescaleDB continuous-aggregate pattern: 15-minute base buckets, with
+# hour and day levels RE-AGGREGATED FROM the 15-minute partials (never from
+# raw events). At 100 TB only the base level scans the fact table; each
+# coarser level re-aggregates the (tiny) finer aggregate — count/sum compose
+# associatively, and the decimal accumulation keeps the re-aggregated sums
+# exactly equal to a direct aggregate. One scan, three resolutions.
+
+
+@register(
+    "events_multires_rollup",
+    oracle=f"""
+WITH b15 AS (
+    /* to_timestamp() yields TIMESTAMPTZ; cast back to naive like every
+       other timestamp here */
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP)
+               AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(27,6))) AS sum_value
+    FROM events GROUP BY 1, 2
+),
+hourly AS (
+    SELECT date_trunc('hour', bucket_start) AS bucket_start, event_type,
+           SUM(n_events) AS n_events, SUM(sum_value) AS sum_value
+    FROM b15 GROUP BY 1, 2
+),
+daily AS (
+    SELECT date_trunc('day', bucket_start) AS bucket_start, event_type,
+           SUM(n_events) AS n_events, SUM(sum_value) AS sum_value
+    FROM hourly GROUP BY 1, 2
+)
+SELECT '15min' AS resolution, bucket_start, event_type,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(sum_value AS DOUBLE) AS total_value FROM b15
+UNION ALL
+SELECT 'hour', bucket_start, event_type,
+       CAST(n_events AS BIGINT), CAST(sum_value AS DOUBLE) FROM hourly
+UNION ALL
+SELECT 'day', bucket_start, event_type,
+       CAST(n_events AS BIGINT), CAST(sum_value AS DOUBLE) FROM daily
+""",
+    doc="hypertable-style multi-resolution rollup: 15min base buckets from "
+    "one fact scan; hour/day levels re-aggregate the finer partials "
+    "(associative count + exact decimal sum), never re-scanning raw events",
+    tags=("window", "time", "rollup"),
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    b15 = (
+        e.groupBy(
+            F.timestamp_seconds(
+                F.floor(F.unix_timestamp("ts") / 900) * 900
+            ).alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("sum_value"),
+        )
+    )
+    # re-aggregate partials (the continuous-aggregate refresh path); persist
+    # the base level so the three resolutions share one fact scan
+    b15 = b15.persist()
+    b15.count()
+    hourly = b15.groupBy(
+        F.date_trunc("hour", "bucket_start").alias("bucket_start"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+    daily = hourly.groupBy(
+        F.date_trunc("day", "bucket_start").alias("bucket_start"), "event_type"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+
+    def lvl(df, name):
+        return df.select(
+            F.lit(name).alias("resolution"),
+            "bucket_start",
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("sum_value").cast("double").alias("total_value"),
+        )
+
+    return lvl(b15, "15min").unionAll(lvl(hourly, "hour")).unionAll(lvl(daily, "day"))
