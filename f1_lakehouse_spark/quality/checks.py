@@ -45,3 +45,72 @@ def check_row_counts(
         n = df.count()
         out[name] = (n, n >= max(1, minimums.get(name, 1)))
     return out
+
+
+# --- the rest of the dbt-standard test suite ----------------------------------------
+# The reference declares only not_null tests, but the dbt schema-test
+# vocabulary it builds on has four: not_null / unique / accepted_values /
+# relationships. Completing the set (each still expressed as a single
+# Spark aggregate, not one query per test) makes the quality layer a
+# superset of the reference's.
+
+
+def check_unique(df: DataFrame, column: str) -> int:
+    """dbt `unique` shape: number of values appearing more than once."""
+    return (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(column)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+
+
+def check_accepted_values(df: DataFrame, column: str, values: list) -> int:
+    """dbt `accepted_values` shape: rows whose value is outside the
+    declared domain (NULLs are not_null's job, not ours)."""
+    return df.filter(
+        F.col(column).isNotNull() & ~F.col(column).isin(values)
+    ).count()
+
+
+def check_relationships(
+    child: DataFrame, child_col: str, parent: DataFrame, parent_col: str
+) -> int:
+    """dbt `relationships` shape: orphaned foreign keys — child values with
+    no matching parent. LEFT ANTI join; the parent key side is typically a
+    dim, so Spark broadcasts it."""
+    keys = parent.select(F.col(parent_col).alias(child_col)).distinct()
+    return (
+        child.filter(F.col(child_col).isNotNull())
+        .select(child_col)
+        .join(F.broadcast(keys), child_col, "left_anti")
+        .count()
+    )
+
+
+def run_schema_suite(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    unique: list[str] | None = None,
+    accepted_values: dict[str, list] | None = None,
+) -> dict[str, int]:
+    """Single-pass composite: every not_null / accepted_values failure count
+    in ONE aggregate scan; unique checks share one extra aggregate (they
+    need a groupBy, which can't fuse into the scan-level aggregate)."""
+    out: dict[str, int] = {}
+    aggs = []
+    for c in not_null or []:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"not_null__{c}"))
+    for c, vals in (accepted_values or {}).items():
+        aggs.append(
+            F.sum(
+                (F.col(c).isNotNull() & ~F.col(c).isin(vals)).cast("long")
+            ).alias(f"accepted_values__{c}")
+        )
+    if aggs:
+        row = df.agg(*aggs).collect()[0]
+        out.update({k: int(row[k] or 0) for k in row.asDict()})
+    for c in unique or []:
+        out[f"unique__{c}"] = check_unique(df, c)
+    return out

@@ -46,3 +46,43 @@ def test_schema_doc_and_exists(spark):
     assert "region_doc_v(r_regionkey int, r_name string)" in doc
     assert table_exists(spark, "region_doc_v")
     assert not table_exists(spark, "no_such_table_xyz")
+
+
+def test_schema_suite_full_dbt_vocabulary(spark):
+    from f1_lakehouse_spark.quality.checks import (
+        check_relationships,
+        check_unique,
+        run_schema_suite,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders")
+    customer = load_table(spark, SF_DIR, "customer")
+    # clean table: unique pk, valid domain, no orphans
+    assert check_unique(orders, "o_orderkey") == 0
+    res = run_schema_suite(
+        orders,
+        not_null=["o_orderkey", "o_custkey"],
+        unique=["o_orderkey"],
+        accepted_values={"o_orderstatus": ["O", "F", "P"]},
+    )
+    assert res == {
+        "not_null__o_orderkey": 0,
+        "not_null__o_custkey": 0,
+        "accepted_values__o_orderstatus": 0,
+        "unique__o_orderkey": 0,
+    }
+    assert check_relationships(orders, "o_custkey", customer, "c_custkey") == 0
+    # seeded failures: duplicate pk, out-of-domain status, orphan fk
+    bad = orders.limit(5).union(orders.limit(2)).withColumn(
+        "o_orderstatus", F.lit("X")
+    )
+    bad_res = run_schema_suite(
+        bad, unique=["o_orderkey"], accepted_values={"o_orderstatus": ["O", "F", "P"]}
+    )
+    assert bad_res["unique__o_orderkey"] == 2
+    assert bad_res["accepted_values__o_orderstatus"] == 7
+    orphans = orders.withColumn("o_custkey", F.col("o_custkey") + 10_000_000)
+    assert (
+        check_relationships(orphans, "o_custkey", customer, "c_custkey")
+        == orders.count()
+    )

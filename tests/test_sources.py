@@ -157,3 +157,75 @@ def test_fastf1_adapter_end_to_end(spark):
         # re-run is idempotent (dynamic overwrite)
         ingest_seasons(spark, _fake_f1_client(), [2024], tmp, result_schemas=schemas)
         assert spark.read.parquet(f"{tmp}/laps").count() == 6
+
+
+# --- physical layout: compaction + Z-order -----------------------------------
+
+
+def test_compact_parquet_reduces_file_count(spark):
+    import glob
+    import tempfile
+
+    from f1_lakehouse_spark.sources.layout import compact_parquet
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = f"{tmp}/li"
+        li.repartition(40).write.parquet(path)  # small-file mess
+        before = len(glob.glob(f"{path}/*.parquet"))
+        assert before == 40
+        n = compact_parquet(spark, path, target_file_mb=128)
+        after = glob.glob(f"{path}/*.parquet")
+        assert len(after) == n < before
+        back = spark.read.parquet(path)
+        assert back.count() == li.count()
+        assert sorted(back.columns) == sorted(li.columns)
+
+
+def _files_covering(path, col, value):
+    """How many parquet files' [min, max] for `col` cover `value` — the
+    files a predicate-pushdown scan must read."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None and lo <= value <= hi:
+            n += 1
+    return n
+
+
+def test_zorder_prunes_on_every_clustered_column(spark):
+    import tempfile
+
+    from f1_lakehouse_spark.sources.layout import write_zordered
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    n_files = 8
+    with tempfile.TemporaryDirectory() as tmp:
+        naive, zpath = f"{tmp}/naive", f"{tmp}/zorder"
+        # naive layout: hash-shuffled -> every file spans the full domain
+        li.repartition(n_files).write.parquet(naive)
+        write_zordered(li, zpath, ["l_orderkey", "l_partkey"], n_files=n_files)
+        assert spark.read.parquet(zpath).count() == li.count()
+        mid_ok = li.approxQuantile("l_orderkey", [0.5], 0.01)[0]
+        mid_pk = li.approxQuantile("l_partkey", [0.5], 0.01)[0]
+        for col, v in [("l_orderkey", mid_ok), ("l_partkey", mid_pk)]:
+            n_naive = _files_covering(naive, col, v)
+            n_z = _files_covering(zpath, col, v)
+            assert n_naive == n_files, f"naive layout should not prune {col}"
+            assert n_z < n_naive, (
+                f"z-order must tighten {col} file stats: {n_z} vs {n_naive}"
+            )
