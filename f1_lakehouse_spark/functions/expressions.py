@@ -116,3 +116,29 @@ def safe_text(c: Column | str) -> Column:
     """nullif(trim(cast(x as string)), '') — blank-to-null repair."""
     c = F.col(c) if isinstance(c, str) else c
     return F.nullif(F.trim(c.cast("string")), F.lit(""))
+
+
+# --- Python UDTF (PySpark 4) — the UDF-checklist's table-function entry --------
+# Row-at-a-time Python is the SLOW path (SURVEY §2.10: native Columns are
+# the policy), so like w1_personal_best_applyinpandas this exists as a
+# checklist demonstration with a native twin: the JVM chunker in
+# pipeline/multimodal (sequence + substring) is the production shape, and
+# the test proves the two produce identical rows.
+
+
+def make_chunk_udtf(chunk_len: int = 100, stride: int = 50):
+    """Build a text-chunking UDTF: one input row -> one row per overlapping
+    chunk. Returns the decorated class ready for lateral use."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="start_off int, chunk string")
+    class ChunkUDTF:
+        def eval(self, text: str):  # noqa: ANN001
+            if text is None:
+                return
+            n = len(text)
+            last = max(n - chunk_len + 1, 1)
+            for start in range(1, last + 1, stride):
+                yield start, text[start - 1 : start - 1 + chunk_len]
+
+    return ChunkUDTF

@@ -37,23 +37,22 @@ ASOF LEFT JOIN o1 o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """,
     doc="as-of join: each event matched to the user's latest order at-or-before "
-    "ts. The right side is pre-collapsed to one row per (custkey, orderdate) "
-    "keeping MAX(o_orderkey) — both engines break ASOF ties arbitrarily, so "
-    "without the collapse the result is nondeterministic under parallelism.",
+    "ts. Determinism under ASOF ties (duplicate (custkey, orderdate) orders) "
+    "comes from the window's TOTAL order (ts, side, o_orderkey): the "
+    "carry-forward last() then always lands on MAX(o_orderkey) — same result "
+    "as the oracle's pre-collapsed CTE, with no extra groupBy shuffle on the "
+    "Spark side (one shuffle on the key total).",
     tags=("join", "asof", "extension"),
 )
 def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", F.col("user_id").alias("k"), "ts"
     )
-    # collapse to a unique (k, ts) right side: total order for the carry-forward
-    o = (
-        load_table(spark, sf_dir, "orders")
-        .groupBy(
-            F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("ts")
-        )
-        .agg(F.max("o_orderkey").alias("o_orderkey"))
-        .withColumn("o_orderdate", F.col("ts"))
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+        "o_orderdate",
     )
     left = e.withColumns(
         {"side": F.lit(1), "o_orderkey": F.lit(None).cast("long"),
@@ -64,10 +63,13 @@ def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k", "ts", "side", "event_id", "o_orderkey", "o_orderdate"
     ).unionByName(right.select("k", "ts", "side", "event_id", "o_orderkey", "o_orderdate"))
     # right rows sort before left rows at equal ts (side 0 < 1) so ts-equality
-    # means "at-or-before" — matching ASOF's >= semantics
+    # means "at-or-before" — matching ASOF's >= semantics; o_orderkey as the
+    # final sort key makes the order TOTAL, so among duplicate (k, ts) orders
+    # the carried row is deterministically the max o_orderkey (right rows are
+    # never partially null, so both carried columns come from that same row)
     w = (
         Window.partitionBy("k")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", F.col("o_orderkey").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumns(

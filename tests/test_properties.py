@@ -106,3 +106,31 @@ def test_pii_redaction_is_complete(text, n):
     redacted = re.sub(_PHONE_RE, "<PHONE>", re.sub(_EMAIL_RE, "<EMAIL>", seeded))
     assert not re.search(_EMAIL_RE, redacted)
     assert not re.search(_PHONE_RE, redacted)
+
+
+def test_chunk_udtf_matches_jvm_chunker(spark):
+    """The Python UDTF (slow path, checklist) must emit exactly the rows the
+    native sequence+substring chunker (production path) emits."""
+    from pyspark.sql import functions as F
+
+    from f1_lakehouse_spark.functions.expressions import make_chunk_udtf
+    from f1_lakehouse_spark.pipeline.multimodal import (
+        CHUNK_LEN,
+        CHUNK_STRIDE,
+        mm_audio_chunks,
+    )
+    from tests.conftest import SF_DIR
+
+    ChunkUDTF = make_chunk_udtf(CHUNK_LEN, CHUNK_STRIDE)
+    spark.udtf.register("chunk_udtf", ChunkUDTF)
+    from f1_lakehouse_spark.tables import load_table
+
+    load_table(spark, SF_DIR, "documents").createOrReplaceTempView("docs_udtf")
+    via_udtf = spark.sql(
+        "SELECT d.doc_id, c.start_off, c.chunk "
+        "FROM docs_udtf d, LATERAL chunk_udtf(d.text) c"
+    )
+    native = mm_audio_chunks(spark, SF_DIR).select("doc_id", "start_off")
+    got = {(r["doc_id"], r["start_off"]) for r in via_udtf.collect()}
+    want = {(r["doc_id"], r["start_off"]) for r in native.collect()}
+    assert got == want and len(got) > 0
