@@ -226,6 +226,96 @@ def jaccard_pairs(d: DataFrame) -> DataFrame:
     return out
 
 
+# --- edit-distance near-dup (q-gram filter -> levenshtein verify) --------------------
+# The string-similarity-join recipe (count-filter + verify, cf. the
+# PPJoin/AllPairs family): candidates must share >= EDIT_MIN_COMMON word
+# shingles (sub-quadratic, same capped shingle index as Jaccard), and only
+# candidates pay the O(len^2) exact levenshtein. A pair is a duplicate when
+# edit distance <= 30% of the longer doc. Distinct metric from Jaccard:
+# order-sensitive, catches small in-place edits Jaccard over-penalizes.
+
+EDIT_MIN_COMMON = 3
+EDIT_REL_THRESHOLD = 0.30
+
+
+@register(
+    "dedup_edit_distance",
+    oracle=f"""
+WITH shk AS ({_SQL_SHINGLE_KEYS}),
+df AS (
+    SELECT sk, COUNT(*) AS df FROM shk GROUP BY 1
+),
+sh_f AS (
+    SELECT shk.doc_id, shk.sk FROM shk JOIN df USING (sk)
+    WHERE df.df <= {MAX_DF}
+),
+cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh_f a JOIN sh_f b ON a.sk = b.sk AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= {EDIT_MIN_COMMON}
+)
+SELECT c.doc_a, c.doc_b, c.n_common,
+       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance,
+       CASE WHEN levenshtein(ta.text, tb.text)
+                 <= {EDIT_REL_THRESHOLD} * greatest(length(ta.text), length(tb.text))
+            THEN 1 ELSE 0 END AS is_dup
+FROM cand c
+JOIN documents ta ON ta.doc_id = c.doc_a
+JOIN documents tb ON tb.doc_id = c.doc_b
+""",
+    doc=f"edit-distance near-dup: candidates share >= {EDIT_MIN_COMMON} "
+    "capped shingles (sub-quadratic q-gram count filter), then exact "
+    "levenshtein verifies only candidates; dup when distance <= "
+    f"{EDIT_REL_THRESHOLD:.0%} of the longer text",
+    tags=("pipeline", "dedup", "edit-distance"),
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shk = _spark_shingle_keys(d)
+    ds = F.col("ds")
+    grouped = (
+        shk.groupBy("sk")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size(ds) <= MAX_DF)
+    )
+    pair_arrays = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    cand = (
+        grouped.select(F.explode(pair_arrays).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= EDIT_MIN_COMMON)
+    )
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    dist = F.levenshtein("text_a", "text_b")
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            dist.cast("long").alias("edit_distance"),
+            F.when(
+                dist
+                <= EDIT_REL_THRESHOLD
+                * F.greatest(F.length("text_a"), F.length("text_b")),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_dup"),
+        )
+    )
+
+
 # --- MinHash + LSH banding -----------------------------------------------------------
 
 _PARAMS_SQL = ", ".join(f"({i}, {a}, {b})" for i, a, b in MINHASH_PARAMS)
