@@ -50,6 +50,26 @@ HEADLINE = [
     "mm_binary_decode_meta",
 ]
 
+# Round-2 additions, timed separately so "value" (headline total) stays
+# comparable across rounds; reported under "extended" in the same JSON line.
+EXTENDED = [
+    "dedup_embedding_cosine",
+    "dedup_edit_distance",
+    "ann_lsh_materialized",
+    "ann_knn_self_join",
+    "decontam_ngram_overlap",
+    "quality_gopher_repetition",
+    "pii_scrub_redact",
+    "curation_train_val_test_split",
+    "curation_pack_sequences",
+    "curation_domain_mixture",
+    "mm_frame_sample",
+    "mm_feature_extract",
+    "events_multires_rollup",
+    "grouping_sets_mixed",
+    "json_roundtrip_events",
+]
+
 
 def main() -> None:
     _ensure_loaded()
@@ -66,17 +86,22 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        best = float("inf")
-        # best-of-N: single-run numbers on a shared VM swing ±50% from GC/JIT
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
 
+    def time_set(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = REGISTRY[name].fn
+            best = float("inf")
+            # best-of-N: single-run numbers on a shared VM swing ±50% (GC/JIT)
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        return out
+
+    times = time_set(HEADLINE)
+    extended = time_set(EXTENDED)
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -85,6 +110,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "extended": extended,
                 "sf": float(sf),
             }
         )

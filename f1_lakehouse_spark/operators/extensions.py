@@ -275,3 +275,39 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
     return spark.sql(_GSETS_SQL.format(lineitem="lineitem_gs"))
+
+
+@register(
+    "json_roundtrip_events",
+    oracle="""
+WITH j AS (
+    SELECT event_id,
+           to_json(struct_pack(event_id := event_id,
+                               event_type := event_type,
+                               user_id := user_id))::VARCHAR AS payload
+    FROM events
+)
+SELECT event_id,
+       CAST(length(payload) AS INTEGER) AS json_len,
+       json_extract_string(payload, '$.event_type') AS parsed_type,
+       CAST(json_extract(payload, '$.user_id') AS BIGINT) AS parsed_user
+FROM j
+""",
+    doc="semi-structured round-trip: struct -> JSON string -> field "
+    "extraction (to_json / get_json_object). Int+string fields only — "
+    "float JSON rendering differs across engines; JSON path extraction is "
+    "JVM-native (Jackson), scan-speed",
+    tags=("json", "extension"),
+)
+def json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    j = e.select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type", "user_id")).alias("payload"),
+    )
+    return j.select(
+        "event_id",
+        F.length("payload").alias("json_len"),
+        F.get_json_object("payload", "$.event_type").alias("parsed_type"),
+        F.get_json_object("payload", "$.user_id").cast("long").alias("parsed_user"),
+    )
