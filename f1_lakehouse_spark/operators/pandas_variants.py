@@ -1,16 +1,29 @@
-"""Demonstrative pandas-UDF operator (SURVEY.md §2.10).
+"""Demonstrative pandas-UDF operators (SURVEY.md §2.10).
 
 The reference registers no UDFs — all custom logic is SQL macros or
 client-side pandas (reference ``transform/macros/safe.sql:1-3``,
 ``dashboard/app.py:48-68``). Per the engine decision in SURVEY §2.10, the
-scalar library stays native-Column; this module keeps ONE grouped-map
-``applyInPandas`` variant of the personal-best ranking so the Arrow
-grouped-UDF path is exercised and differentially verified against the same
-oracle a built-in window satisfies — proving the two paths agree.
+scalar library stays native-Column; this module keeps ONE differentially
+verified exemplar of each Arrow UDF kind so every Python-execution path
+Spark offers is exercised against the same oracle a built-in satisfies —
+proving the paths agree:
 
-Scale note: applyInPandas shuffles whole groups to Python workers — use it
-only when per-group logic genuinely needs pandas. This query exists to keep
-that path tested, not because the window needs it.
+- grouped-map ``applyInPandas``   → ``w1_personal_best_applyinpandas``
+- scalar ``pandas_udf`` (SERIES→SERIES) → ``scalar_pandas_udf_revenue``
+- grouped-agg ``pandas_udf`` (SERIES→SCALAR) → ``a7_median_groupedagg``
+  (the PySpark stand-in for a custom UDAF)
+- lateral UDTF lives in ``functions.make_chunk_udtf``; Arrow
+  ``mapInPandas`` in ``pipeline/multimodal.py``.
+
+Scale note: every one of these ships rows through Arrow to Python workers —
+use them only when the logic genuinely needs pandas. These queries exist to
+keep the paths tested (each has a native-Column twin as the production
+implementation), not because the operations need Python.
+
+Determinism: the scalar UDF does per-row IEEE arithmetic (bit-identical in
+any engine); its downstream SUM goes through decimal accumulation. The
+grouped-agg UDF computes a median, which sorts its input — order-independent
+by construction despite float inputs arriving in shuffle order.
 """
 
 from __future__ import annotations
@@ -18,6 +31,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 from f1_lakehouse_spark.registry import register
 from f1_lakehouse_spark.tables import load_table
@@ -62,3 +77,64 @@ def w1_personal_best_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFram
     return ranked.withColumn(
         "v", F.when(F.isnan("v"), F.lit(None)).otherwise(F.col("v"))
     )
+
+
+# --- scalar pandas_udf (SERIES -> SERIES, Arrow-batched) ---------------------
+
+
+@pandas_udf(DoubleType())
+def _disc_price(ext: pd.Series, disc: pd.Series) -> pd.Series:
+    """Vectorized discounted price: one Arrow batch in, one out.
+
+    Per-row IEEE double arithmetic — bit-identical to the JVM/DuckDB
+    expression ``l_extendedprice * (1 - l_discount)``, so the twin oracle
+    holds exactly.
+    """
+    return ext * (1.0 - disc)
+
+
+@register(
+    "scalar_pandas_udf_revenue",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+           AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem GROUP BY 1
+""",
+    doc="scalar Arrow pandas_udf computes the row expression; decimal-sum "
+    "aggregate on top (native-Column twin: q1_pricing_summary)",
+    tags=("UDF", "pandas-udf", "scalar"),
+)
+def scalar_pandas_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    priced = li.withColumn("disc_price", _disc_price("l_extendedprice", "l_discount"))
+    return priced.groupBy("l_returnflag").agg(
+        F.sum(F.col("disc_price").cast("decimal(27,6)")).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+# --- grouped-agg pandas_udf (SERIES -> SCALAR; the PySpark custom-UDAF path) --
+
+
+@pandas_udf(DoubleType())
+def _median_agg(v: pd.Series) -> float:
+    """Whole-group median in pandas. Median sorts its input, so the result
+    is independent of shuffle arrival order — safe under the hash gate."""
+    return float(v.median())
+
+
+@register(
+    "a7_median_groupedagg",
+    oracle="""
+SELECT l_linenumber, MEDIAN(l_quantity) AS median_qty
+FROM lineitem GROUP BY 1
+""",
+    doc="grouped-agg pandas_udf median — custom-UDAF path, twin of the "
+    "native a7_median_curve",
+    tags=("A7", "pandas-udf", "grouped-agg"),
+)
+def a7_median_groupedagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linenumber").agg(_median_agg("l_quantity").alias("median_qty"))
