@@ -229,6 +229,41 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- mergeable HLL sketches (partial -> union re-aggregation) ----------------------
+
+
+@register(
+    "hll_mergeable_distinct",
+    oracle=None,
+    doc="Datasketches HLL: per-group user sketches + a grand-total row "
+    "re-aggregated by UNIONING the partial sketches (never rescanning raw "
+    "rows). Rows-only check by construction (approximation); pytest pins "
+    "union-of-partials == direct global sketch and ±5%% of exact.",
+    tags=("approx", "extension", "hll"),
+)
+def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB distinct-count pattern: materialize one small HLL sketch
+    per (group), answer rollups by sketch UNION — each re-aggregation is
+    O(groups × sketch bytes), not O(raw rows). Sketch union is commutative
+    and the underlying hash deterministic, so estimates are stable under any
+    partitioning/merge order (safe for the hash gate as scalar bigints)."""
+    e = load_table(spark, sf_dir, "events")
+    partials = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 12).alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    per_group = partials.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "n_events",
+    )
+    total = partials.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.sum("n_events").alias("n_events"),
+    ).select(F.lit("__all__").alias("event_type"), "approx_users", "n_events")
+    return per_group.unionByName(total)
+
+
 # --- correlated scalar subquery (Catalyst decorrelation showcase) -------------------
 
 

@@ -503,3 +503,152 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         F.floor(clamped * 127 + F.lit(0.5)).cast("int").alias("q"),
     )
+
+
+# --- k-means-trained IVF (Lloyd's algorithm, deterministic + oracle-exact) ----------
+# The real inverted-file quantizer: K coarse centroids TRAINED on the corpus
+# (not a stand-in label), fixed seed vectors + a fixed number of Lloyd
+# iterations so the whole training run is deterministic and expressible as
+# unrolled SQL — the iterative algorithm itself is differentially checked.
+#
+# Scale shape per iteration (what survives 100 TB):
+# - assignment is MAP-ONLY: the K centroids are collected to the driver
+#   (K x DIM doubles, a few KB) and embedded as literal arrays, so each
+#   vector computes K left-fold distances in one scan — no join, no
+#   shuffle, no row blowup (this is how MLlib's k-means broadcasts too);
+# - the mean update is ONE shuffle of (cid, dim) scaled-integer partial
+#   sums with map-side combine.
+# Determinism chain: seed centroids are corpus vectors; distance is a
+# left-fold in index order (IEEE-identical in both engines); argmin
+# tiebreaks on centroid id; means go through the floor(v*1e9+0.5) scaled
+# DECIMAL sum (exact, order-independent) with one double division at the
+# end. Every link is bit-reproducible, so after T iterations both engines
+# hold the SAME model.
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _sql_l2(vec_expr: str, cvec_expr: str) -> str:
+    d = f"(CAST({vec_expr}[i] AS DOUBLE) - {cvec_expr}[i])"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {DIM}), "
+        f"i -> {d} * {d}), (x, y) -> x + y)"
+    )
+
+
+def _sql_assign(src_centroids: str, out: str) -> str:
+    """One assignment CTE pair: argmin_{cid} L2(vec, centroid), ties -> min cid."""
+    return f"""
+{out}_rk AS (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_sql_l2("v.embedding", "c.cvec")}, c.cid) AS rn
+    FROM embeddings v, {src_centroids} c
+),
+{out} AS (SELECT vec_id, cid FROM {out}_rk WHERE rn = 1)"""
+
+
+def _sql_update(assign: str, out: str) -> str:
+    """One mean-update CTE pair: scaled-decimal element-wise mean per cell."""
+    return f"""
+{out}_m AS (
+    SELECT a.cid, CAST(i AS INTEGER) - 1 AS dim,
+           CAST(SUM(CAST(floor(CAST(v.embedding[i] AS DOUBLE) * 1e9 + 0.5)
+                         AS DECIMAL(38,0))) AS DOUBLE) / (COUNT(*) * 1e9) AS val
+    FROM {assign} a JOIN embeddings v USING (vec_id), range(1, {DIM + 1}) t(i)
+    GROUP BY 1, 2
+),
+{out} AS (SELECT cid, list(val ORDER BY dim) AS cvec FROM {out}_m GROUP BY cid)"""
+
+
+_KMEANS_ORACLE = f"""
+WITH c0 AS (
+    SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+    FROM embeddings WHERE vec_id < {KMEANS_K}
+),{_sql_assign("c0", "a1")},{_sql_update("a1", "c1")},
+{_sql_assign("c1", "a2")},{_sql_update("a2", "c2")},
+{_sql_assign("c2", "a3")},
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+qcell AS (SELECT cid FROM a3 WHERE vec_id = {QUERY_VEC_ID})
+SELECT a.vec_id, CAST(f.cid AS INTEGER) AS cell, {_SQL_COS_AB} AS cosine
+FROM embeddings a JOIN a3 f USING (vec_id), q
+WHERE f.cid IN (SELECT cid FROM qcell) AND a.vec_id <> {QUERY_VEC_ID}
+ORDER BY cosine DESC, a.vec_id
+LIMIT {TOP_K}
+"""
+
+
+def _spark_l2_lit(vec: Column, centroid: list[float]) -> Column:
+    arr = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _spark_assign(e: DataFrame, centroids: dict[int, list[float]]) -> DataFrame:
+    """Map-only argmin over K literal centroids: array_min of (dist, cid)
+    structs — struct ordering gives the (min dist, then min cid) tiebreak."""
+    cells = F.array(
+        *[
+            F.struct(
+                _spark_l2_lit(F.col("embedding"), cvec).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cvec in sorted(centroids.items())
+        ]
+    )
+    return e.withColumn("cid", F.array_min(cells)["cid"])
+
+
+def _spark_update(assigned: DataFrame) -> dict[int, list[float]]:
+    """One Lloyd mean update; returns the (tiny) new model to the driver."""
+    exploded = assigned.select("cid", F.posexplode("embedding").alias("dim", "v"))
+    scaled = F.floor(F.col("v").cast("double") * F.lit(1e9) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    rows = (
+        exploded.groupBy("cid", "dim")
+        .agg((F.sum(scaled).cast("double") / (F.count("*") * F.lit(1e9))).alias("val"))
+        .collect()
+    )
+    model: dict[int, list[float]] = {}
+    for r in rows:
+        model.setdefault(r["cid"], [0.0] * DIM)[r["dim"]] = r["val"]
+    return model
+
+
+@register(
+    "ann_ivf_kmeans",
+    oracle=_KMEANS_ORACLE,
+    doc=f"IVF with a TRAINED coarse quantizer: {KMEANS_K} k-means centroids "
+    f"(seeded from corpus vectors, {KMEANS_ITERS} Lloyd iterations, "
+    "map-only literal-broadcast assignment + one-shuffle decimal mean "
+    "update per iteration), then probe the query's cell only. The oracle "
+    "unrolls the SAME iterations in SQL, so the iterative training is "
+    "differentially verified, not just the probe.",
+    tags=("pipeline", "similarity", "ivf", "kmeans"),
+)
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = e.filter(F.col("vec_id") < KMEANS_K).collect()
+    model = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds}
+    for _ in range(KMEANS_ITERS):
+        model = _spark_update(_spark_assign(e, model))
+    final = _spark_assign(e, model)
+    q = final.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
+    q_emb = F.array(*[F.lit(float(v)) for v in q["embedding"]])
+    return (
+        final.filter(
+            (F.col("cid") == int(q["cid"])) & (F.col("vec_id") != QUERY_VEC_ID)
+        )
+        .select(
+            "vec_id",
+            F.col("cid").cast("int").alias("cell"),
+            _spark_cosine(F.col("embedding"), q_emb).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )

@@ -108,11 +108,11 @@ PRIORITY: tuple[str, ...] = (
     "events_tumbling_window",
     "w_running_total",
     "w_lag_lead_frames",
-    # TPC-H shape suite not yet driver-checked (the subset that fits the
-    # window; q8/q9/q11/q13/q15/q16/q17/q20/q21 follow immediately after
-    # it and keep full local differential coverage — pipeline operators
-    # outrank TPC-H extras for driver-window slots)
-    "q2_min_cost_supplier",
+    # r2 marquee: k-means-trained IVF — the unrolled iterative training is
+    # itself differentially checked, so it outranks the TPC-H extras
+    # (q2/q8/q9/... follow immediately after the window and keep full
+    # local differential coverage)
+    "ann_ivf_kmeans",
 )
 
 

@@ -129,6 +129,58 @@ def stream_static_enrich(
     return events.join(F.broadcast(dim), key, "left")
 
 
+def stream_stream_attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "2 hours",
+    attribution_window: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the clicks the
+    same user made in the preceding ``attribution_window``.
+
+    Both sides carry a watermark and the join condition bounds event time on
+    both sides — that pair is what lets Spark expire join state: a click
+    older than (max event time - watermark - window) can never match a
+    future purchase, so its state-store entry is dropped. Without the time
+    bound the state would grow without limit; with it, state size is
+    O(events per window), independent of stream length — the property that
+    matters at 100 TB/day.
+
+    Shuffles once per side on user_id (the equi-key); the range predicate is
+    evaluated inside the state store, not as a post-join filter.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = c.join(
+        p,
+        F.expr(
+            f"""
+            c_user_id = p_user_id
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL {attribution_window}
+            """
+        ),
+        "inner",
+    )
+    return joined.select(
+        F.col("c_user_id").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def incremental_gold_refresh(
     spark: SparkSession,
     src_dir: str,

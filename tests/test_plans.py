@@ -138,3 +138,62 @@ def test_repetition_filter_is_map_only(spark):
 def test_pii_scrub_is_map_only(spark):
     plan = _plan(spark, "pii_scrub_redact")
     assert "Exchange" not in plan
+
+
+def test_dynamic_partition_pruning_on_hive_fact(spark, tmp_path_factory):
+    """Joining a date-partitioned fact to a filtered dim must inject a
+    dynamic-pruning subquery into the fact scan's PartitionFilters — the
+    fact reads only the partitions the dim filter selects, decided at
+    runtime. At 100 TB this is the difference between scanning 3 days and
+    scanning 3 years."""
+    from f1_lakehouse_spark.tables import load_table
+
+    tmp = str(tmp_path_factory.mktemp("dpp")) + "/events_by_date"
+    e = load_table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    e.write.partitionBy("event_date").mode("overwrite").parquet(tmp)
+    fact = spark.read.parquet(tmp)
+    dim = (
+        e.select("event_date").distinct()
+        .withColumn("is_campaign_day", F.dayofmonth("event_date") <= 3)
+    )
+    joined = fact.join(dim, "event_date").where(F.col("is_campaign_day"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    n = joined.count()
+    exact = e.where(F.dayofmonth("event_date") <= 3).count()
+    assert n == exact and n > 0
+
+
+def test_runtime_bloom_filter_join(spark):
+    """With a selective dim filter, the runtime bloom-filter optimization
+    must stamp a bloom_filter_might_contain predicate onto the fact scan —
+    rows that cannot join are dropped before the shuffle. (Size thresholds
+    are production-scale; pinned down so the tiny test data qualifies.)"""
+    from f1_lakehouse_spark.tables import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # broadcast would bypass the bloom path at this SF; force shuffle join
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+            "o_orderpriority"
+        ).agg(F.count("*").alias("n"))
+        opt = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt and "might_contain" in opt, opt[:2000]
+        assert joined.count() == 1
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

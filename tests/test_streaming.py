@@ -143,6 +143,48 @@ def test_stream_static_enrich_matches_batch_join(spark):
     assert streamed.count() > 0
 
 
+def test_stream_stream_join_matches_batch_join(spark):
+    """Stream-stream inner join (clicks→purchases attribution within 1h,
+    watermarked both sides) must equal the identical batch join."""
+    from f1_lakehouse_spark.streaming.ingest import stream_stream_attribution_join
+
+    clicks = stream_events(spark, SF_DIR).filter(F.col("event_type") == "click")
+    purchases = stream_events(spark, SF_DIR).filter(
+        F.col("event_type") == "purchase"
+    )
+    # watermark far past the data so availableNow emits every match
+    joined = stream_stream_attribution_join(clicks, purchases, watermark="10 years")
+    run_available_now_to_memory(joined, "attributed", output_mode="append")
+    streamed = {
+        (r["user_id"], r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM attributed").collect()
+    }
+
+    be = load_table(spark, SF_DIR, "events")
+    bc = be.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    bp = be.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = {
+        (r["c_user_id"], r["click_id"], r["purchase_id"])
+        for r in bc.join(
+            bp,
+            F.expr(
+                "c_user_id = p_user_id AND purchase_ts >= click_ts "
+                "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+            ),
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
+
+
 def test_watermark_drops_late_events_across_restarts(spark):
     """Real late-data semantics: a window finalized by the watermark in run 1
     must NOT absorb a late event arriving in run 2 (same checkpoint), while
