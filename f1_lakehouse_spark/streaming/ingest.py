@@ -22,12 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from f1_lakehouse_spark.tables import table_path
+from f1_lakehouse_spark.tables import _pin_session_confs, table_path
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (schema pinned from a static read,
     as the file source requires a user-supplied schema)."""
+    _pin_session_confs(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, "events")
     schema = spark.read.parquet(path).schema
@@ -38,9 +39,15 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # same ns→µs normalization as the batch loader (tables.load_table)
-    if dict(raw.dtypes)["ts"] == "bigint":
+    # same ts normalization as the batch loader (tables._normalize_event_ts):
+    # epoch-ns longs → µs timestamps, and naive timestamp[us] (surfaced as
+    # TIMESTAMP_NTZ, which withWatermark refuses) → TIMESTAMP. The cast is
+    # value-preserving under the engine's pinned UTC session timezone.
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
         raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

@@ -70,18 +70,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _normalize_event_ts(df: DataFrame) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` Spark surfaces it as
-    LongType epoch-ns. Truncate to µs (DuckDB's TIMESTAMP semantics) so both
-    engines see identical values. No-op if the column is already a timestamp.
+    """Normalize events.ts to TimestampType regardless of how the generator
+    wrote it:
+
+    - parquet TIMESTAMP(NANOS) + ``nanosAsLong=true`` → LongType epoch-ns:
+      integer-divide to µs and rebuild (``div`` is exact on longs; a float
+      divide would round through a 53-bit double and corrupt epoch-ns).
+    - parquet timestamp[us] with isAdjustedToUTC=false → TIMESTAMP_NTZ:
+      cast to TIMESTAMP. Value-preserving because load_table pins the
+      session timezone to UTC, and it matches DuckDB, which reads the same
+      naive µs values into its (naive) TIMESTAMP type.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if isinstance(df.schema["ts"].dataType, LongType):
-        # `div` = exact integer division on longs; a float divide would round
-        # through a 53-bit double and corrupt epoch-ns values.
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(dt, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
