@@ -652,3 +652,146 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+# --- product quantization (PQ) ------------------------------------------------------
+# The classic ANN compression step beyond scalar int8 quantization
+# (embedding_quantize_int8): split each vector into PQ_M subvectors and
+# k-means-code each subspace separately — 64 floats become PQ_M small
+# integer codes (+ a codebook of PQ_M * PQ_K subvectors). At 100 TB this is
+# what makes a re-rankable index fit in memory: codes are bytes, the
+# codebook is broadcast, and distance evaluation is PQ_M table lookups.
+# Training reuses the ann_ivf_kmeans determinism chain per subspace (seed
+# subvectors from the corpus, IEEE left-fold L2, struct-argmin tiebreak on
+# code id, floor-scaled DECIMAL means), so codes AND reconstruction error
+# are bit-identical vs the unrolled-CTE oracle.
+
+PQ_M = 4
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 4
+
+
+def _sql_l2_sub(vec_expr: str, cvec_expr: str) -> str:
+    d = f"(CAST({vec_expr}[i] AS DOUBLE) - {cvec_expr}[i])"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}), "
+        f"i -> {d} * {d}), (x, y) -> x + y)"
+    )
+
+
+def _sql_pq_subspace(m: int) -> str:
+    s, e = m * PQ_SUBDIM + 1, (m + 1) * PQ_SUBDIM
+    sub = f"list_slice(v.embedding, {s}, {e})"
+    l2_c0 = _sql_l2_sub(sub, "c.cvec")
+    return f"""
+c0_{m} AS (
+  SELECT vec_id AS cid,
+         list_transform(list_slice(embedding, {s}, {e}),
+                        x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings WHERE vec_id < {PQ_K}
+),
+a1_{m}_rk AS (
+  SELECT v.vec_id, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY {l2_c0}, c.cid) AS rn
+  FROM embeddings v, c0_{m} c
+),
+a1_{m} AS (SELECT vec_id, cid FROM a1_{m}_rk WHERE rn = 1),
+c1_{m}_d AS (
+  SELECT a.cid, CAST(i AS INTEGER) - 1 AS dim,
+         CAST(SUM(CAST(floor(CAST(v.embedding[{m * PQ_SUBDIM} + i] AS DOUBLE)
+                             * 1e9 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+           / (COUNT(*) * 1e9) AS val
+  FROM a1_{m} a JOIN embeddings v USING (vec_id), range(1, {PQ_SUBDIM + 1}) t(i)
+  GROUP BY 1, 2
+),
+c1_{m} AS (SELECT cid, list(val ORDER BY dim) AS cvec FROM c1_{m}_d GROUP BY cid),
+a2_{m}_rk AS (
+  SELECT v.vec_id, c.cid, {l2_c0} AS d,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY {l2_c0}, c.cid) AS rn
+  FROM embeddings v, c1_{m} c
+),
+a2_{m} AS (SELECT vec_id, cid, d FROM a2_{m}_rk WHERE rn = 1)"""
+
+
+_PQ_ORACLE = (
+    "WITH "
+    + ",".join(_sql_pq_subspace(m).lstrip() for m in range(PQ_M))
+    + f"""
+SELECT p0.vec_id,
+       CAST(p0.cid AS INTEGER) AS code_0, CAST(p1.cid AS INTEGER) AS code_1,
+       CAST(p2.cid AS INTEGER) AS code_2, CAST(p3.cid AS INTEGER) AS code_3,
+       (((p0.d + p1.d) + p2.d) + p3.d) AS recon_err
+FROM a2_0 p0 JOIN a2_1 p1 USING (vec_id)
+             JOIN a2_2 p2 USING (vec_id)
+             JOIN a2_3 p3 USING (vec_id)
+"""
+)
+
+
+def _pq_sub(m: int):
+    return F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM)
+
+
+def _pq_best(model_m: dict[int, list[float]], m: int):
+    """(min L2, then min code) struct-argmin over literal subspace codebook."""
+    cells = F.array(
+        *[
+            F.struct(
+                _spark_l2_lit(_pq_sub(m), cvec).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cvec in sorted(model_m.items())
+        ]
+    )
+    return F.array_min(cells)
+
+
+def _pq_update(e: DataFrame, model_m: dict[int, list[float]], m: int) -> dict[int, list[float]]:
+    """One Lloyd mean update in subspace m (floor-scaled decimal means)."""
+    assigned = e.withColumn("cid", _pq_best(model_m, m)["cid"])
+    exploded = assigned.select("cid", F.posexplode(_pq_sub(m)).alias("dim", "v"))
+    scaled = F.floor(F.col("v").cast("double") * F.lit(1e9) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    rows = (
+        exploded.groupBy("cid", "dim")
+        .agg((F.sum(scaled).cast("double") / (F.count("*") * F.lit(1e9))).alias("val"))
+        .collect()
+    )
+    model: dict[int, list[float]] = {}
+    for r in rows:
+        model.setdefault(r["cid"], [0.0] * PQ_SUBDIM)[r["dim"]] = r["val"]
+    return model
+
+
+@register(
+    "ann_pq_codes",
+    oracle=_PQ_ORACLE,
+    doc="product quantization: per-subspace k-means codes + exact "
+    "reconstruction error, bit-identical to the unrolled-CTE oracle",
+    tags=("pipeline", "ann", "pq"),
+)
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed_rows = e.filter(F.col("vec_id") < PQ_K).collect()
+    seeds = {
+        m: {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]][
+                m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM
+            ]
+            for r in seed_rows
+        }
+        for m in range(PQ_M)
+    }
+    bests = []
+    for m in range(PQ_M):
+        trained = _pq_update(e, seeds[m], m)  # one Lloyd iteration
+        bests.append(_pq_best(trained, m))
+    err = ((bests[0]["d"] + bests[1]["d"]) + bests[2]["d"]) + bests[3]["d"]
+    return e.select(
+        "vec_id",
+        *[bests[m]["cid"].cast("int").alias(f"code_{m}") for m in range(PQ_M)],
+        err.alias("recon_err"),
+    )

@@ -353,3 +353,80 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "w", F.round("tfidf", 9).alias("tfidf"))
     )
+
+
+# --- trigram-LM surprisal (model-based quality filter) ------------------------------
+# The model-based corpus-quality signal: train a per-language character
+# trigram LM on the corpus itself, then score each document by its average
+# surprisal under that model — the cheap stand-in for the "perplexity vs a
+# reference LM" filter in LLM data pipelines (CCNet/Gopher style).
+#
+# Determinism: surprisal is quantized to WHOLE BITS with pure integer
+# arithmetic — bits(tri) = floor(log2(tot/cnt)) = length(bin(tot div cnt))-1
+# — so the per-document sum is an exact int64 in both engines; no libm, no
+# float accumulation. The only double is the final avg (one IEEE division).
+#
+# Scale: the trigram model is tiny (≤ alphabet³ rows per language) →
+# broadcast; the doc-side explode is linear in corpus chars; one shuffle on
+# (lang, g) for counts and one on doc_id for the per-doc sum.
+
+
+@register(
+    "text_lm_surprisal",
+    oracle="""
+WITH docs AS (SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, length(text) - 2),
+                               i -> substr(text, i, 3))) AS g
+  FROM docs
+),
+model AS (SELECT lang, g, COUNT(*) AS cnt FROM grams GROUP BY 1, 2),
+tot AS (SELECT lang, COUNT(*) AS tot FROM grams GROUP BY 1)
+SELECT gr.doc_id, gr.lang,
+       COUNT(*) AS n_trigrams,
+       CAST(SUM(length(bin(t.tot // m.cnt)) - 1) AS BIGINT) AS surprisal_bits,
+       CAST(SUM(length(bin(t.tot // m.cnt)) - 1) AS BIGINT) / COUNT(*) AS avg_bits
+FROM grams gr
+JOIN model m ON m.lang = gr.lang AND m.g = gr.g
+JOIN tot t ON t.lang = gr.lang
+GROUP BY 1, 2
+""",
+    doc="per-doc avg trigram surprisal (integer-quantized bits) under a "
+    "self-trained per-language char-trigram LM",
+    tags=("pipeline", "text", "lm"),
+)
+def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.length("text") - F.lit(2)),
+        lambda i: F.col("text").substr(i, F.lit(3)),
+    )
+    grams = d.select("doc_id", "lang", F.explode(grams_arr).alias("g"))
+    # model and totals both re-read grams, and grams joins back against
+    # them — persist AND materialize before building the self-join
+    grams = grams.persist()
+    grams.count()
+    model = grams.groupBy("lang", "g").agg(F.count("*").alias("cnt"))
+    tot = grams.groupBy("lang").agg(F.count("*").alias("tot"))
+    bits = F.length(F.bin(F.expr("tot div cnt"))) - F.lit(1)
+    out = (
+        grams.join(F.broadcast(model), ["lang", "g"])
+        .join(F.broadcast(tot), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.sum(bits).alias("surprisal_bits"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_trigrams",
+            "surprisal_bits",
+            (F.col("surprisal_bits") / F.col("n_trigrams")).alias("avg_bits"),
+        )
+    )
+    out = out.persist()
+    out.count()
+    grams.unpersist()
+    return out

