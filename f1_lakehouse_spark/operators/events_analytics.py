@@ -110,3 +110,97 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", offset.alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+# --- behavioral sequence analytics --------------------------------------------------
+# MATCH_RECOGNIZE-style sequence work without a dedicated operator: (a) the
+# Markov transition matrix of consecutive event types per user, (b) regex
+# pattern detection over per-user path strings. Total order everywhere is
+# (ts, event_id) — event_id is unique, so both engines sequence identically.
+# Scale: one shuffle on user_id for the window/path build; the transition
+# matrix is |types|² rows; path strings are bounded by events-per-user (use
+# a slice cap upstream for power users at real scale).
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS t FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type, p.n, p.n / t.t AS p_transition
+FROM pairs p JOIN tot t USING (from_type)
+""",
+    doc="per-user consecutive event-type transition matrix with "
+    "probabilities (LEAD over total order)",
+    tags=("events", "sequence"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("t"))
+    return (
+        pairs.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n") / F.col("t")).alias("p_transition"),
+        )
+    )
+
+
+@register(
+    "events_path_regex_conversion",
+    oracle="""
+WITH paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN regexp_matches(path, 'signup.*purchase')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM paths
+""",
+    doc="regex over ordered per-user event-path strings (signup->...->purchase)",
+    tags=("events", "sequence", "regex"),
+)
+def events_path_regex_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ordered = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ),
+        lambda s: s["event_type"],
+    )
+    paths = e.groupBy("user_id").agg(
+        F.array_join(ordered, ">").alias("path")
+    )
+    return paths.agg(
+        F.count("*").alias("n_users"),
+        F.sum(
+            F.when(F.col("path").rlike("signup.*purchase"), 1).otherwise(0)
+        ).alias("n_converted"),
+    )

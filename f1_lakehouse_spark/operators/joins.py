@@ -599,3 +599,88 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum(rev).alias("revenue"))
     )
+
+
+# --- interval-overlap join, bucketed decomposition ---------------------------------
+# The non-equi join Spark can't hash: "which pairs of intervals overlap".
+# A conditional join would be a per-key cartesian; the scalable plan maps
+# each interval to the week-buckets it spans (bounded fan-out:
+# ceil(len/bucket)+1 rows per interval), EQUI-joins on (key, bucket), then
+# verifies exact overlap and de-duplicates pairs matched in several
+# buckets. Semantics proven against the naive overlap-join oracle.
+# At 100 TB: fan-out is a small constant, the join is a plain shuffled
+# equi-join on (custkey, bucket), and no executor ever materializes a
+# cartesian block — the same decomposition Flink/KDB interval joins use.
+
+_INTERVAL_DAYS = 30
+_BUCKET_DAYS = 7
+_EPOCH = "1992-01-01"
+
+
+@register(
+    "join_interval_overlap_bucketed",
+    oracle=f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS s,
+         CAST(o_orderdate AS DATE) + {_INTERVAL_DAYS} AS e
+  FROM orders
+)
+SELECT a.o_custkey AS custkey,
+       a.o_orderkey AS okey_a, b.o_orderkey AS okey_b,
+       date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) AS overlap_days
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND a.s < b.e AND b.s < a.e
+""",
+    doc="interval-overlap self-join via week-bucket equi-join decomposition "
+    "(oracle: naive non-equi overlap join)",
+    tags=("join", "interval", "extension"),
+)
+def join_interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"), _INTERVAL_DAYS).alias("e"),
+    )
+    epoch = F.lit(_EPOCH).cast("date")
+    # half-open [s, e): last bucket is the one containing e-1
+    buckets = o.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.datediff(F.col("s"), epoch) / _BUCKET_DAYS),
+                F.floor(F.datediff(F.date_sub(F.col("e"), 1), epoch) / _BUCKET_DAYS),
+            )
+        ).alias("bucket"),
+    )
+    # self-join on a derived frame: persist AND materialize first
+    buckets = buckets.persist()
+    buckets.count()
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .filter(
+            (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e"))
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("okey_a"),
+            F.col("b.o_orderkey").alias("okey_b"),
+            F.datediff(
+                F.least(F.col("a.e"), F.col("b.e")),
+                F.greatest(F.col("a.s"), F.col("b.s")),
+            ).alias("overlap_days"),
+        )
+        .distinct()  # a pair can meet in several shared buckets
+    )
+    out = pairs.persist()
+    out.count()
+    buckets.unpersist()
+    return out

@@ -795,3 +795,46 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[bests[m]["cid"].cast("int").alias(f"code_{m}") for m in range(PQ_M)],
         err.alias("recon_err"),
     )
+
+
+# --- L2 normalization ---------------------------------------------------------------
+# Unit-normalizing the embedding column is the precondition for treating
+# dot product as cosine (fast path for every downstream similarity op).
+# sqrt is IEEE-754 correctly rounded, and the norm accumulates via the
+# same left-fold both engines run in index order, so normalized values are
+# bit-identical. Output keeps SCALAR columns only (the driver's comparator
+# can't hash array cells): the norm and two probe dimensions.
+
+_SQL_NORM_V = (
+    "sqrt(list_reduce(list_transform(generate_series(1, len(embedding)), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x+y))"
+)
+
+
+@register(
+    "embedding_l2_normalize",
+    oracle=f"""
+SELECT vec_id, label,
+       {_SQL_NORM_V} AS l2_norm,
+       CAST(embedding[1] AS DOUBLE) / {_SQL_NORM_V} AS unit_d1,
+       CAST(embedding[2] AS DOUBLE) / {_SQL_NORM_V} AS unit_d2
+FROM embeddings
+""",
+    doc="L2 vector normalization (norm + probe dims; map-only, bit-exact)",
+    tags=("pipeline", "embedding"),
+)
+def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = F.sqrt(sq)
+    return e.select(
+        "vec_id",
+        "label",
+        norm.alias("l2_norm"),
+        (F.element_at("embedding", 1).cast("double") / norm).alias("unit_d1"),
+        (F.element_at("embedding", 2).cast("double") / norm).alias("unit_d2"),
+    )

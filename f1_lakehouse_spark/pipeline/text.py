@@ -430,3 +430,53 @@ def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     grams.unpersist()
     return out
+
+
+# --- sliding-window chunking (RAG / long-context prep) ------------------------------
+# Split long documents into fixed-size overlapping character chunks with
+# provenance offsets — the step between "clean corpus" and "embedding
+# index" in a RAG pipeline, and the long-document splitter for training.
+# Map-only (explode of a per-doc start-offset sequence) — no shuffle at
+# all; chunk fan-out is ceil(len/stride), bounded per doc.
+
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150  # 50-char overlap
+
+
+@register(
+    "text_chunk_sliding",
+    oracle=f"""
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       start AS chunk_start,
+       substr(text, start, {CHUNK_SIZE}) AS chunk_text,
+       length(substr(text, start, {CHUNK_SIZE})) AS chunk_len
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text), 1), {CHUNK_STRIDE}))
+           AS start
+  FROM documents
+)
+""",
+    doc="sliding-window character chunking with provenance offsets "
+    "(size 200, stride 150)",
+    tags=("pipeline", "text", "chunking"),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    chunk = F.col("text").substr(F.col("chunk_start"), F.lit(CHUNK_SIZE))
+    return (
+        d.select("doc_id", "text", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            ((F.col("chunk_start") - 1) / CHUNK_STRIDE)
+            .cast("long")
+            .alias("chunk_id"),
+            "chunk_start",
+            chunk.alias("chunk_text"),
+            F.length(chunk).alias("chunk_len"),
+        )
+    )
