@@ -197,3 +197,41 @@ def test_runtime_bloom_filter_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_interval_overlap_join_is_equi_not_nested_loop(spark):
+    """The bucketed decomposition must compile to a hash/merge equi-join —
+    the whole point is avoiding the per-key cartesian a non-equi overlap
+    condition would force."""
+    plan = _plan(spark, "join_interval_overlap_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_pagerank_iterations_reuse_edge_cache(spark):
+    """All three iterations must read edges from the InMemoryRelation, not
+    recompute the order-pair expansion."""
+    plan = _plan(spark, "graph_pagerank_suppliers")
+    assert "InMemoryTableScan" in plan
+
+
+def test_lm_surprisal_model_broadcasts(spark):
+    """The trigram model/totals are codebook-sized — they must broadcast;
+    only the doc-side gram stream and the per-doc sum may shuffle."""
+    plan = _plan(spark, "text_lm_surprisal")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunking_is_map_only(spark):
+    plan = _plan(spark, "text_chunk_sliding")
+    assert "Exchange" not in plan  # explode + substr: zero shuffles
+
+
+def test_salted_join_spreads_before_final_agg(spark):
+    plan = _plan(spark, "skew_salted_join")
+    # the join key includes the salt: hash partitioning on (key, salt)
+    assert "_salt" in plan
+    assert "partial_sum" in plan  # map-side combine still applies post-join
