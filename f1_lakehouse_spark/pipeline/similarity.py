@@ -771,7 +771,7 @@ def _pq_update(e: DataFrame, model_m: dict[int, list[float]], m: int) -> dict[in
     oracle=_PQ_ORACLE,
     doc="product quantization: per-subspace k-means codes + exact "
     "reconstruction error, bit-identical to the unrolled-CTE oracle",
-    tags=("pipeline", "ann", "pq"),
+    tags=("pipeline", "similarity", "pq"),
 )
 def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -821,7 +821,7 @@ SELECT vec_id, label,
 FROM embeddings
 """,
     doc="L2 vector normalization (norm + probe dims; map-only, bit-exact)",
-    tags=("pipeline", "embedding"),
+    tags=("pipeline", "similarity", "normalize"),
 )
 def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
