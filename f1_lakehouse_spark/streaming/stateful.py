@@ -80,3 +80,58 @@ def streaming_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- transformWithStateInPandas twin (Spark 4 stateful API) -------------------------
+# The successor API to applyInPandasWithState: explicit typed state handles
+# (value/list/map state), timers, and TTL — the shape new custom stateful
+# operators should take. Same per-user running totals so both APIs are
+# equivalence-checked against the batch aggregate by the tests.
+# Sandbox boundary: the TWS state channel serializes via protobuf in the
+# Python worker and this environment ships none, so the equivalence test
+# skips here (the applyInPandasWithState twin runs end-to-end); the
+# implementation is the production shape for protobuf-equipped clusters.
+
+try:  # Spark >= 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserTotalsProcessor(StatefulProcessor):
+        """ValueState-backed (count, sum) per user, emitted every batch."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._state.get() if self._state.exists() else None
+            n, total = got if got is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    def streaming_user_totals_tws(events: DataFrame) -> DataFrame:
+        """Per-user running totals via the Spark 4 transformWithStateInPandas
+        API (typed ValueState handle instead of a tuple-state function)."""
+        return (
+            events.select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=UserTotalsProcessor(),
+                outputStructType=_OUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+
+    TWS_AVAILABLE = True
+except ImportError:  # pragma: no cover - older Spark
+    TWS_AVAILABLE = False

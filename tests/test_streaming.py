@@ -288,3 +288,35 @@ def test_incremental_gold_refresh_equals_batch_aggregate(spark):
             for r in spark.read.parquet(gold).collect()
         }
         assert again == want
+
+
+def test_transform_with_state_totals_equal_batch(spark):
+    """Spark 4 transformWithStateInPandas twin must agree with the batch
+    aggregate (and therefore with the applyInPandasWithState variant)."""
+    import pytest as _pytest
+
+    from f1_lakehouse_spark.streaming import stateful
+
+    if not stateful.TWS_AVAILABLE:
+        _pytest.skip("transformWithStateInPandas not available")
+    # the TWS state channel serializes via protobuf in the Python worker;
+    # this sandbox ships no usable google.protobuf — skip (the
+    # applyInPandasWithState twin above covers the semantics end-to-end)
+    _pytest.importorskip("google.protobuf.descriptor")
+    events = stream_events(spark, SF_DIR)
+    totals = stateful.streaming_user_totals_tws(events)
+    run_available_now_to_memory(totals, "user_totals_tws", output_mode="update")
+    streamed = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql(
+            "SELECT user_id, n_events, total_value FROM user_totals_tws"
+        ).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], round(r["t"], 6))
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert streamed == batch
