@@ -68,6 +68,9 @@ EXTENDED = [
     "events_multires_rollup",
     "grouping_sets_mixed",
     "json_roundtrip_events",
+    "dedup_incremental_minhash",
+    "curation_priority_sample",
+    "curation_global_shuffle_shard",
 ]
 
 

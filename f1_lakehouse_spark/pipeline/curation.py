@@ -222,6 +222,110 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- weighted priority sampling ------------------------------------------------------
+# Priority sampling (Duffield, Lund & Thorup): each item gets priority
+# q_i = w_i / u_i with u_i uniform(0,1]; the k items with the largest q form
+# an (approximately) weight-proportional sample without replacement, with
+# unbiased subset-sum estimators. Determinism across engines: u is the
+# 48-bit md5 hash (+1 to avoid zero), and q is computed in INTEGER
+# arithmetic as (w * 2^48) div (h + 1) — exact int64 in both engines (the
+# token weights here keep w * 2^48 far below 2^63), so the ordering can
+# never drift by a float ulp.
+
+PRIORITY_K = 50
+
+
+@register(
+    "curation_priority_sample",
+    oracle=f"""
+WITH prio AS (
+    SELECT doc_id,
+           CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+           (CAST({_SQL_NTOK} AS BIGINT) * {1 << 48})
+               // ({sql_md5_hash48("CAST(doc_id AS VARCHAR) || ':prio'")} + 1)
+               AS priority
+    FROM documents
+)
+SELECT doc_id, n_tokens, priority, rk FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rk
+    FROM prio
+) WHERE rk <= {PRIORITY_K}
+""",
+    doc=f"weighted priority sample (Duffield-Lund-Thorup): q = w/u with "
+    "integer-exact q = (n_tokens * 2^48) div (hash48 + 1); top-"
+    f"{PRIORITY_K} by q — longer docs proportionally likelier, "
+    "reproducible across engines; top-k is TakeOrderedAndProject, the "
+    "rank window runs over only the k survivors",
+    tags=("pipeline", "curation", "sample"),
+)
+def curation_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " ")).cast("long")
+    h = _spark_salted_hash("doc_id", ":prio")
+    prio = d.select(
+        "doc_id", ntok.alias("n_tokens"), (h + F.lit(1)).alias("hp")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(n_tokens * {1 << 48}) div hp").alias("priority"),
+    )
+    # distributed top-k (TakeOrderedAndProject), THEN rank the k-row result —
+    # the global window never sees more than PRIORITY_K rows
+    topk = prio.orderBy(F.col("priority").desc(), F.col("doc_id").asc()).limit(
+        PRIORITY_K
+    )
+    w = Window.orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+    return topk.select(
+        "doc_id", "n_tokens", "priority", F.row_number().over(w).alias("rk")
+    )
+
+
+# --- deterministic global shuffle + sharding -----------------------------------------
+# The "epoch shuffle" a training pipeline runs before writing shards: every
+# doc gets a pseudorandom position, independent of input order, identical
+# on every re-run. Shard = hash band (not round-robin) so assignment needs
+# no global coordination; position ranks within shard — each shard's window
+# is independent, so parallelism scales with the shard count. The writer
+# twin is `repartition(N, shard) + sortWithinPartitions(hkey)` into one
+# file per shard.
+
+N_SHUFFLE_SHARDS = 16
+
+
+@register(
+    "curation_global_shuffle_shard",
+    oracle=f"""
+SELECT doc_id, shard, pos FROM (
+    SELECT doc_id,
+           hkey % {N_SHUFFLE_SHARDS} AS shard,
+           ROW_NUMBER() OVER (PARTITION BY hkey % {N_SHUFFLE_SHARDS}
+                              ORDER BY hkey, doc_id) AS pos
+    FROM (SELECT doc_id,
+                 {sql_md5_hash48("CAST(doc_id AS VARCHAR) || ':shuffle'")}
+                     AS hkey
+          FROM documents)
+)
+""",
+    doc=f"deterministic epoch shuffle: hash-derived pseudorandom order, "
+    f"{N_SHUFFLE_SHARDS} hash-band shards, per-shard position — "
+    "reproducible training-data ordering with per-shard (not global) "
+    "sort windows",
+    tags=("pipeline", "curation", "shuffle"),
+)
+def curation_global_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = _spark_salted_hash("doc_id", ":shuffle")
+    base = d.select(
+        "doc_id", (h % N_SHUFFLE_SHARDS).alias("shard"), h.alias("hkey")
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("hkey").asc(), F.col("doc_id").asc()
+    )
+    return base.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )
+
+
 # --- temperature-scaled domain mixture ----------------------------------------------
 # The multilingual/multi-domain sampling recipe (alpha-temperature mixing,
 # alpha=0.5): p_source ∝ n_source^alpha, flattening the head and boosting

@@ -322,8 +322,9 @@ _PARAMS_SQL = ", ".join(f"({i}, {a}, {b})" for i, a, b in MINHASH_PARAMS)
 _POWERS_SQL = ", ".join(f"({k}, {p})" for k, p in enumerate(BAND_POWERS))
 
 
-_MINHASH_PAIRS_SQL = f"""
-WITH shh AS (
+# the shingle→minhash→band CTE chain, shared by the self-join pair oracle
+# below and the incremental new-vs-corpus oracle (pipeline/incremental.py)
+_SQL_BAND_CTES = f"""shh AS (
     SELECT doc_id, sk AS x FROM ({_SQL_SHINGLE_KEYS})
 ),
 params AS (SELECT * FROM (VALUES {_PARAMS_SQL}) t(i, a, b)),
@@ -337,7 +338,10 @@ bands AS (
            SUM(m * pw) AS band_hash
     FROM mh JOIN powers ON powers.k = i % {BAND_SIZE}
     GROUP BY 1, 2
-)
+)"""
+
+_MINHASH_PAIRS_SQL = f"""
+WITH {_SQL_BAND_CTES}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a
 JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
@@ -355,6 +359,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def minhash_band_signatures(shh: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) LSH band signatures from a (doc_id, x)
+    shingle-key frame — the materializable dedup index (cf. the incremental
+    new-vs-corpus join in pipeline/incremental.py).
+
+    All 16 minhashes in ONE hash-aggregate (no 16x row blowup / second
+    shuffle): min_i((a_i*x + b_i) % MOD) as 16 columns; band hash is an
+    order-independent weighted sum of the band's 4 minhashes, and the 4
+    bands explode into rows only after the aggregate.
+    """
+    mh = shh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MOD)).alias(f"m{i}")
+            for i, a, b in MINHASH_PARAMS
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            sum(
+                (F.col(f"m{band * BAND_SIZE + k}") * F.lit(BAND_POWERS[k]))
+                for k in range(BAND_SIZE)
+            ).alias("band_hash"),
+        )
+        for band in range(len(MINHASH_PARAMS) // BAND_SIZE)
+    ]
+    return mh.select("doc_id", F.explode(F.array(*band_structs)).alias("bs")).select(
+        "doc_id",
+        F.col("bs.band").alias("band"),
+        F.col("bs.band_hash").alias("band_hash"),
+    )
+
+
 def minhash_lsh_pairs(d: DataFrame, shh: DataFrame | None = None) -> DataFrame:
     """Core MinHash-LSH candidate pass over any (doc_id, text) frame.
 
@@ -368,33 +405,8 @@ def minhash_lsh_pairs(d: DataFrame, shh: DataFrame | None = None) -> DataFrame:
         shh = _spark_shingle_keys(d, distinct=False).select(
             "doc_id", F.col("sk").alias("x")
         )
-    # All 16 minhashes in ONE hash-aggregate (no 16x row blowup / second
-    # shuffle): min_i((a_i*x + b_i) % MOD) as 16 columns.
-    mh = shh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MOD)).alias(f"m{i}")
-            for i, a, b in MINHASH_PARAMS
-        ]
-    )
-    # band hash = order-independent weighted sum of the band's 4 minhashes;
-    # explode the 4 bands into rows for the bucket self-join.
-    band_structs = [
-        F.struct(
-            F.lit(band).alias("band"),
-            sum(
-                (F.col(f"m{band * BAND_SIZE + k}") * F.lit(BAND_POWERS[k]))
-                for k in range(BAND_SIZE)
-            ).alias("band_hash"),
-        )
-        for band in range(len(MINHASH_PARAMS) // BAND_SIZE)
-    ]
     bands = (
-        mh.select("doc_id", F.explode(F.array(*band_structs)).alias("bs"))
-        .select(
-            "doc_id",
-            F.col("bs.band").alias("band"),
-            F.col("bs.band_hash").alias("band_hash"),
-        )
+        minhash_band_signatures(shh)
         # tiny (4 rows/doc); persist so the self-join doesn't recompute the
         # shingle+hash+aggregate pipeline once per side
         .persist()

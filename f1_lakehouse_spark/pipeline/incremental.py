@@ -1,0 +1,134 @@
+"""Incremental corpus maintenance: dedup a NEW ingest batch against the
+EXISTING corpus without ever recomputing corpus-vs-corpus pairs.
+
+This is the production shape of dedup at 100 TB: the corpus's MinHash band
+signatures (and per-doc shingle sets) are materialized once at ingest
+(exactly :func:`dedup.minhash_band_signatures`, cf. `ann_lsh_materialized`
+for the ANN twin of the same idea), bucket-partitioned by (band, band_hash).
+Each new batch — orders of magnitude smaller than the corpus — computes its
+own signatures, BROADCASTS them against the corpus index (no corpus
+shuffle), and exact-verifies only the candidate pairs. Cost per ingest is
+O(batch + candidates), independent of corpus size except for the pruned
+index probe.
+
+Here both sides derive from one `documents` scan split by a deterministic
+doc_id hash (~10% "new batch", 90% "corpus") so the operator is
+oracle-checkable; the split predicate is a pure function of doc_id, so it
+is recomputed map-side wherever needed — never joined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_lakehouse_spark.pipeline.dedup import (
+    JACCARD_THRESHOLD,
+    _SQL_BAND_CTES,
+    _SQL_SHINGLE_KEYS,
+    _spark_shingle_keys,
+    minhash_band_signatures,
+)
+from f1_lakehouse_spark.pipeline.hashing import spark_md5_hash48, sql_md5_hash48
+from f1_lakehouse_spark.registry import register
+from f1_lakehouse_spark.tables import load_table
+
+# doc_id-hash % 10 == 0 → "new batch" (~10% of docs); salt tag ':inc' keeps
+# the split independent of every other hash-derived decision on doc_id.
+NEW_BATCH_MOD = 10
+
+def _spark_is_new(doc_id_col):
+    return (
+        spark_md5_hash48(F.concat(doc_id_col.cast("string"), F.lit(":inc")))
+        % NEW_BATCH_MOD
+        == 0
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+WITH {_SQL_BAND_CTES},
+tagged AS (
+    SELECT doc_id,
+           ({sql_md5_hash48("CAST(doc_id AS VARCHAR) || ':inc'")}
+            % {NEW_BATCH_MOD} = 0) AS is_new
+    FROM documents
+),
+cand AS (
+    SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+    FROM bands n
+    JOIN tagged tn ON tn.doc_id = n.doc_id AND tn.is_new
+    JOIN bands c ON c.band = n.band AND c.band_hash = n.band_hash
+    JOIN tagged tc ON tc.doc_id = c.doc_id AND NOT tc.is_new
+),
+shk AS ({_SQL_SHINGLE_KEYS}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shk GROUP BY 1),
+common AS (
+    SELECT cand.new_doc, cand.corpus_doc, COUNT(*) AS n_common
+    FROM cand
+    JOIN shk a ON a.doc_id = cand.new_doc
+    JOIN shk b ON b.doc_id = cand.corpus_doc AND b.sk = a.sk
+    GROUP BY 1, 2
+)
+SELECT c.new_doc, c.corpus_doc,
+       CAST(c.n_common AS DOUBLE) / (sa.sz + sb.sz - c.n_common) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.new_doc
+JOIN sizes sb ON sb.doc_id = c.corpus_doc
+WHERE CAST(c.n_common AS DOUBLE) / (sa.sz + sb.sz - c.n_common)
+      >= {JACCARD_THRESHOLD}
+""",
+    doc="incremental dedup: new-batch MinHash bands broadcast against the "
+    "corpus band index (new-vs-corpus only, never corpus-vs-corpus), "
+    "candidates exact-verified by shingle Jaccard — O(batch) per ingest",
+    tags=("pipeline", "dedup", "minhash", "incremental"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # shingle keys once, shared by signatures and verify (as in
+    # dedup_minhash_verified)
+    shk_raw = _spark_shingle_keys(d, distinct=False).persist()
+    shk_raw.count()
+    bands = minhash_band_signatures(
+        shk_raw.select("doc_id", F.col("sk").alias("x"))
+    ).withColumn("is_new", _spark_is_new(F.col("doc_id")))
+    bands = bands.persist()
+    bands.count()  # materialize BEFORE both filter branches read it
+    new_b = bands.filter(F.col("is_new")).select(
+        F.col("doc_id").alias("new_doc"), "band", "band_hash"
+    )
+    corpus_b = bands.filter(~F.col("is_new")).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "band_hash"
+    )
+    # the new batch is the small side by construction: broadcast it so the
+    # corpus index is probed in place (at scale: a bucket-pruned scan of the
+    # materialized index, zero corpus shuffle)
+    cand = (
+        corpus_b.join(F.broadcast(new_b), ["band", "band_hash"])
+        .select("new_doc", "corpus_doc")
+        .distinct()
+        .persist()
+    )
+    cand.count()
+    # exact verify: one doc_id shuffle folds shingle sets, candidates fetch
+    # both sides' sets and compute the overlap inside the row
+    docsets = shk_raw.groupBy("doc_id").agg(F.collect_set("sk").alias("ds"))
+    sa = docsets.select(F.col("doc_id").alias("a_id"), F.col("ds").alias("ds_a"))
+    sb = docsets.select(F.col("doc_id").alias("b_id"), F.col("ds").alias("ds_b"))
+    n_common = F.size(F.array_intersect("ds_a", "ds_b"))
+    jaccard = n_common.cast("double") / (
+        F.size("ds_a") + F.size("ds_b") - n_common
+    )
+    out = (
+        cand.join(sa, F.col("a_id") == F.col("new_doc"))
+        .join(sb, F.col("b_id") == F.col("corpus_doc"))
+        .select("new_doc", "corpus_doc", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    out = out.persist()
+    out.count()
+    shk_raw.unpersist()
+    bands.unpersist()
+    cand.unpersist()
+    return out

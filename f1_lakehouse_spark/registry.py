@@ -154,6 +154,7 @@ def _ensure_loaded() -> None:
         dedup,
         filtering,
         graph,
+        incremental,
         multimodal,
         similarity,
         text,

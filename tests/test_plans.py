@@ -235,3 +235,26 @@ def test_salted_join_spreads_before_final_agg(spark):
     # the join key includes the salt: hash partitioning on (key, salt)
     assert "_salt" in plan
     assert "partial_sum" in plan  # map-side combine still applies post-join
+
+
+def test_incremental_dedup_broadcasts_new_batch(spark):
+    """New-vs-corpus candidate join must broadcast the (small) new-batch
+    bands — the corpus index side is probed in place, never shuffled — and
+    the split must stay a map-side hash predicate, not a doc_id join."""
+    plan = _plan(spark, "dedup_incremental_minhash")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_priority_sample_uses_take_ordered(spark):
+    """Weighted top-k must compile to distributed TakeOrderedAndProject;
+    the rank window then runs over only the k survivors (single tiny
+    partition of PRIORITY_K rows, not a global-sort of the corpus)."""
+    plan = _plan(spark, "curation_priority_sample")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_shuffle_shard_single_exchange(spark):
+    """Epoch shuffle = one hash partition by shard + in-partition sort:
+    exactly one Exchange, no global ordering anywhere."""
+    plan = _plan(spark, "curation_global_shuffle_shard")
+    assert plan.count("Exchange") == 1
