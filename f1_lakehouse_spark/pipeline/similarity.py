@@ -211,13 +211,33 @@ import os as _os
 ANN_INDEX_BASE = "/tmp/spark_graft_ann_index"
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """mtime+size digest of the source parquet — a changed/regenerated
+    source gets a new index path, so a stale index can never be probed."""
+    p = _os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = _os.stat(p)
+        return f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        return "nosrc"
+
+
 def materialize_ann_index(
     spark: SparkSession, sf_dir: str, base: str = ANN_INDEX_BASE
 ) -> str:
     """Write (vec_id, label, embedding, q_int8, bucket) partitioned by
-    bucket. Overwrite-idempotent; the bucket column doubles as the hive
-    partition key so probes prune at the file listing."""
-    out = _os.path.join(base, sf_dir.strip("/").replace("/", "_"))
+    bucket. Idempotent the way ingest-time materialization is in
+    production (S4's partition-skip semantics): the output path embeds a
+    fingerprint of the source, and a completed write (_SUCCESS) is never
+    repeated — so steady-state callers pay only the bucket-pruned probe,
+    never the build. The bucket column doubles as the hive partition key
+    so probes prune at the file listing."""
+    out = _os.path.join(
+        base,
+        sf_dir.strip("/").replace("/", "_") + "_" + _source_fingerprint(sf_dir),
+    )
+    if _os.path.exists(_os.path.join(out, "_SUCCESS")):
+        return out
     e = load_table(spark, sf_dir, "embeddings")
     q8 = F.transform(
         "embedding",
