@@ -37,6 +37,79 @@ from f1_lakehouse_spark.tables import load_table
 # the split independent of every other hash-derived decision on doc_id.
 NEW_BATCH_MOD = 10
 
+def ingest_batch_with_dedup(
+    batch: DataFrame, index_path: str, pairs_path: str
+) -> None:
+    """One ingest step of the streaming dedup pipeline: probe the
+    accumulated band index with this batch's signatures (batch side
+    broadcast, index probed in place), append the discovered
+    (new_doc, corpus_doc) candidate pairs, then append the batch's own
+    signatures to the index. New-vs-index only — within-batch pairs are
+    deliberately out of scope (they surface when either doc meets the
+    index in a later probe of a re-ingest; a production ingest would add
+    one batch-local self-join if same-batch dups matter)."""
+    sess = batch.sparkSession
+    shh = _spark_shingle_keys(batch, distinct=False)
+    bands = minhash_band_signatures(
+        shh.select("doc_id", F.col("sk").alias("x"))
+    ).persist()
+    bands.count()
+    try:
+        idx = sess.read.parquet(index_path)
+    except Exception:
+        idx = None  # first batch: empty index, nothing to probe
+    if idx is not None:
+        cand = (
+            idx.withColumnRenamed("doc_id", "corpus_doc")
+            .join(
+                F.broadcast(bands.withColumnRenamed("doc_id", "new_doc")),
+                ["band", "band_hash"],
+            )
+            .select("new_doc", "corpus_doc")
+            .distinct()
+        )
+        cand.write.mode("append").parquet(pairs_path)
+    bands.select("doc_id", "band", "band_hash").write.mode("append").parquet(
+        index_path
+    )
+    bands.unpersist()
+
+
+def stream_documents_ingest_with_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming twin of :func:`dedup_incremental_minhash`: a file-source
+    stream of document batches, each micro-batch probing and then growing
+    the persistent MinHash band index inside ``foreachBatch``. Exactly-once
+    across restarts comes from the checkpoint (a replayed batch re-appends
+    the same deterministic signatures; the pair set is DISTINCT per probe).
+    Proven equal to the batch cross-batch candidate pairs in
+    test_streaming.py."""
+    static = spark.read.parquet(docs_dir)
+    src = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_batch_with_dedup(batch_df, index_path, pairs_path)
+
+    q = (
+        src.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def _spark_is_new(doc_id_col):
     return (
         spark_md5_hash48(F.concat(doc_id_col.cast("string"), F.lit(":inc")))

@@ -63,6 +63,9 @@ QUERIES = [
     "quality_gopher_repetition",
     "curation_pack_sequences",
     "events_multires_rollup",
+    "dedup_incremental_minhash",
+    "curation_priority_sample",
+    "curation_global_shuffle_shard",
 ]
 
 
