@@ -71,6 +71,8 @@ EXTENDED = [
     "dedup_incremental_minhash",
     "curation_priority_sample",
     "curation_global_shuffle_shard",
+    "ann_lsh_recall",
+    "pipeline_corpus_survivors",
 ]
 
 

@@ -291,3 +291,76 @@ def pii_scrub_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
         ).alias("redacted"),
     )
+
+
+# --- end-to-end composition: the materialized training corpus ------------------------
+# What the whole pipeline exists to produce: the surviving documents after
+# exact+near dedup (cluster representatives only), the Gopher repetition
+# gate, and benchmark decontamination (the held-out benchmark slice itself
+# is excluded from training by construction). Each stage is the
+# already-registered scale-safe operator; composing them is three doc_id
+# equi-joins (semi-join shape — at 100 TB each stage is one pass and the
+# intersection never widens a row). The oracle nests the three stages'
+# own oracles, so the composition is differentially checked end-to-end,
+# recursive-CTE clustering included.
+
+from f1_lakehouse_spark.pipeline import dedup as _dedup  # noqa: E402  (after registrations)
+from f1_lakehouse_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+
+@register(
+    "pipeline_corpus_survivors",
+    oracle=f"""
+WITH kept AS (
+    SELECT doc_id FROM ({{keep}}) WHERE keep = 1
+),
+rep AS (
+    SELECT doc_id FROM ({{rep}}) WHERE passes_repetition = 1
+),
+dec AS (
+    SELECT doc_id FROM ({{dec}}) WHERE contaminated = 0
+)
+SELECT d.doc_id, d.lang, d.source,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+FROM documents d
+JOIN kept USING (doc_id)
+JOIN rep USING (doc_id)
+JOIN dec USING (doc_id)
+""".format(
+        keep=_REGISTRY["dedup_keep_list"].oracle,
+        rep=_REGISTRY["quality_gopher_repetition"].oracle,
+        dec=_REGISTRY["decontam_ngram_overlap"].oracle,
+    ),
+    doc="the materialized training corpus: exact+near-dup representatives "
+    "∩ repetition-gate passers ∩ uncontaminated training docs — the full "
+    "pipeline composed and differentially checked end-to-end",
+    tags=("pipeline", "filtering", "compose"),
+)
+def pipeline_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = (
+        _dedup.dedup_keep_list(spark, sf_dir)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    rep = (
+        quality_gopher_repetition(spark, sf_dir)
+        .filter(F.col("passes_repetition") == 1)
+        .select("doc_id")
+    )
+    dec = (
+        decontam_ngram_overlap(spark, sf_dir)
+        .filter(F.col("contaminated") == 0)
+        .select("doc_id")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.join(kept, "doc_id")
+        .join(rep, "doc_id")
+        .join(dec, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+    )

@@ -858,3 +858,57 @@ def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.element_at("embedding", 1).cast("double") / norm).alias("unit_d1"),
         (F.element_at("embedding", 2).cast("double") / norm).alias("unit_d2"),
     )
+
+
+# --- ANN quality evaluation: recall@k of the LSH probe vs exact brute force ---------
+# The metric a real vector platform reports next to its index: of the exact
+# top-k neighbors, how many does the approximate probe return? Both sides
+# are fully deterministic here (left-fold dots, vec_id tiebreakers), so the
+# recall itself is oracle-checkable — the evaluation harness rides the same
+# differential gate as the operators it measures. At scale both arms are
+# the already-scale-safe queries (scan+TakeOrdered vs bucket-pruned probe);
+# the comparison is a k-row join.
+
+
+@register(
+    "ann_lsh_recall",
+    oracle=f"""
+WITH brute AS (
+    SELECT a.vec_id
+    FROM embeddings a,
+         (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+    WHERE a.vec_id <> {QUERY_VEC_ID}
+    ORDER BY {_SQL_COS_AB} DESC, a.vec_id
+    LIMIT {TOP_K}
+),
+sigs AS (
+    SELECT vec_id, embedding, {_sql_signature("embedding")} AS bucket
+    FROM embeddings
+),
+lsh AS (
+    SELECT a.vec_id
+    FROM sigs a, (SELECT embedding, bucket FROM sigs
+                  WHERE vec_id = {QUERY_VEC_ID}) q
+    WHERE a.vec_id <> {QUERY_VEC_ID} AND a.bucket = q.bucket
+    ORDER BY {_SQL_COS_AB} DESC, a.vec_id
+    LIMIT {TOP_K}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST({TOP_K} AS BIGINT) AS k,
+       CAST(COUNT(*) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM brute JOIN lsh USING (vec_id)
+""",
+    doc=f"recall@{TOP_K} of the LSH bucket probe against the exact "
+    "brute-force top-k — the index-quality metric, itself differentially "
+    "checked (both arms deterministic)",
+    tags=("pipeline", "similarity", "eval"),
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brute = ann_cosine_topk_bruteforce(spark, sf_dir).select("vec_id")
+    lsh = ann_cosine_topk_lsh(spark, sf_dir).select("vec_id")
+    hits = brute.join(lsh, "vec_id").agg(F.count("*").alias("n"))
+    return hits.select(
+        F.col("n").cast("long").alias("n_hits"),
+        F.lit(TOP_K).cast("long").alias("k"),
+        (F.col("n").cast("double") / TOP_K).alias("recall_at_k"),
+    )
