@@ -134,3 +134,25 @@ def test_chunk_udtf_matches_jvm_chunker(spark):
     got = {(r["doc_id"], r["start_off"]) for r in via_udtf.collect()}
     want = {(r["doc_id"], r["start_off"]) for r in native.collect()}
     assert got == want and len(got) > 0
+
+
+def test_hash_derived_ops_reproducible_across_executions(spark):
+    """The reproducibility contract of the curation/incremental family:
+    two independent executions (fresh plans, parallel task scheduling and
+    shuffle ordering included) must produce IDENTICAL rows — the property
+    that makes shards/splits/dup-pairs stable across runs. Holds because
+    every assignment is a pure hash of the row key and every window/top-k
+    carries a total order."""
+    from f1_lakehouse_spark.registry import REGISTRY, _ensure_loaded
+    from tests.conftest import SF_DIR
+
+    _ensure_loaded()
+    for name in (
+        "curation_global_shuffle_shard",
+        "curation_priority_sample",
+        "curation_train_val_test_split",
+        "dedup_incremental_minhash",
+    ):
+        base = {tuple(r) for r in REGISTRY[name].fn(spark, SF_DIR).collect()}
+        again = {tuple(r) for r in REGISTRY[name].fn(spark, SF_DIR).collect()}
+        assert base == again and len(base) > 0, name
