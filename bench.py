@@ -73,6 +73,8 @@ EXTENDED = [
     "curation_global_shuffle_shard",
     "ann_lsh_recall",
     "pipeline_corpus_survivors",
+    "text_vocab_coverage",
+    "text_bpe_merges",
 ]
 
 

@@ -480,3 +480,186 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(chunk).alias("chunk_len"),
         )
     )
+
+
+# --- tokenizer vocabulary induction + OOV coverage ----------------------------------
+# The statistic a tokenizer-training step reads: the top-V corpus words by
+# frequency (the induced vocabulary) and each document's out-of-vocabulary
+# token fraction against it. Scale shape: one word-count shuffle (the
+# classic map-side-combined wordcount), a distributed top-V
+# (TakeOrderedAndProject), the V-row vocabulary BROADCAST back, and one
+# per-doc aggregate — the corpus token stream is never shuffled twice.
+# Total-order vocab cut (count desc, word asc) keeps the boundary
+# deterministic when frequencies tie.
+
+VOCAB_V = 1000
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (
+    SELECT w FROM (
+        SELECT w, COUNT(*) AS n FROM toks GROUP BY 1
+    ) ORDER BY n DESC, w LIMIT {VOCAB_V}
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS oov_frac
+FROM toks t LEFT JOIN vocab v USING (w)
+GROUP BY 1
+""",
+    doc=f"vocabulary induction + coverage: top-{VOCAB_V} corpus words by "
+    "frequency (total-order cut), per-doc OOV token fraction against the "
+    "broadcast vocabulary — one wordcount shuffle + one per-doc aggregate",
+    tags=("pipeline", "text", "vocab"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = toks.groupBy("w").agg(F.count("*").alias("n"))
+    vocab = (
+        freq.orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(VOCAB_V)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(oov).cast("long").alias("n_oov"),
+            (F.sum(oov).cast("double") / F.count("*")).alias("oov_frac"),
+        )
+    )
+
+
+# --- BPE merge training (tokenizer induction, unrolled iterations) ------------------
+# Byte-pair-encoding vocabulary induction over the corpus word-frequency
+# table: K times, count adjacent symbol pairs (weighted by word frequency,
+# every position counted, as in Sennrich et al.'s reference implementation)
+# and merge the most frequent pair everywhere. Determinism: total-order
+# pair selection (count desc, left asc, right asc); the merge applies via
+# plain leftmost non-overlapping string replace over a trailing-delimiter
+# symbol encoding ("a␟b␟c␟"), which is EXACTLY greedy left-to-right BPE
+# merging in both engines ("a␟a␟a␟" + merge(a,a) -> "aa␟a␟").
+# Scale shape: the corpus tokenizes once into a word-frequency table
+# (wordcount shuffle) that is orders of magnitude smaller than the corpus;
+# each iteration is one pair-count aggregate over that table + a map-only
+# rewrite. Spark folds each round's winner to a literal (the same
+# trained-model-broadcast pattern as ann_ivf_kmeans); the oracle unrolls
+# identical iterations in SQL, so the training loop itself is
+# differentially checked.
+
+BPE_ITERS = 3
+_D = chr(31)  # unit separator: never appears in the corpus text
+
+
+def _sql_bpe_pairs(w: str) -> str:
+    return f"""
+    SELECT a, b, total FROM (
+        SELECT p.a AS a, p.b AS b, SUM(cnt) AS total FROM (
+            SELECT cnt,
+                   unnest([struct_pack(a := ls[i], b := ls[i+1])
+                           FOR i IN generate_series(1, len(ls) - 2)]) AS p
+            FROM (SELECT cnt, string_split(seq, chr(31)) AS ls FROM {w})
+            WHERE len(ls) >= 3
+        ) GROUP BY 1, 2
+    ) ORDER BY total DESC, a, b LIMIT 1
+"""
+
+
+def _sql_bpe_merge(w: str, p: str) -> str:
+    return (
+        f"SELECT cnt, replace(seq, {p}.a || chr(31) || {p}.b || chr(31), "
+        f"{p}.a || {p}.b || chr(31)) AS seq FROM {w}, {p}"
+    )
+
+
+@register(
+    "text_bpe_merges",
+    oracle=f"""
+WITH words AS (
+    SELECT w AS word, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) GROUP BY 1
+),
+w0 AS (
+    SELECT cnt,
+           array_to_string(regexp_split_to_array(word, ''), chr(31)) || chr(31)
+               AS seq
+    FROM words
+),
+p1 AS ({_sql_bpe_pairs("w0")}),
+w1 AS ({_sql_bpe_merge("w0", "p1")}),
+p2 AS ({_sql_bpe_pairs("w1")}),
+w2 AS ({_sql_bpe_merge("w1", "p2")}),
+p3 AS ({_sql_bpe_pairs("w2")})
+SELECT 1 AS iteration, a AS left_sym, b AS right_sym,
+       CAST(total AS BIGINT) AS pair_count FROM p1
+UNION ALL SELECT 2, a, b, CAST(total AS BIGINT) FROM p2
+UNION ALL SELECT 3, a, b, CAST(total AS BIGINT) FROM p3
+""",
+    doc=f"BPE tokenizer training, {BPE_ITERS} unrolled merge iterations "
+    "over the corpus word-frequency table — the merge table "
+    "(iteration, pair, weighted count), differentially checked against "
+    "the same iterations unrolled in SQL",
+    tags=("pipeline", "text", "bpe"),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    seqs = words.select(
+        "cnt",
+        F.concat(F.array_join(F.split("w", ""), _D), F.lit(_D)).alias("seq"),
+    )
+    # the word-frequency table is re-read every iteration: persist once
+    seqs = seqs.persist()
+    seqs.count()
+    merges: list[tuple[int, str, str, int]] = []
+    for it in range(1, BPE_ITERS + 1):
+        ls = F.split("seq", _D)  # trailing empty element: symbols = size-1
+        pair_arr = F.when(
+            F.size(ls) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ls) - F.lit(2)),
+                lambda i: F.struct(
+                    F.element_at(ls, i).alias("a"),
+                    F.element_at(ls, i + F.lit(1)).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        top = (
+            seqs.select("cnt", F.explode(pair_arr).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("total"))
+            .orderBy(F.col("total").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((it, top["a"], top["b"], int(top["total"])))
+        merged = seqs.select(
+            "cnt",
+            F.replace(
+                F.col("seq"),
+                F.lit(top["a"] + _D + top["b"] + _D),
+                F.lit(top["a"] + top["b"] + _D),
+            ).alias("seq"),
+        ).persist()
+        merged.count()
+        seqs.unpersist()
+        seqs = merged
+    seqs.unpersist()
+    return spark.createDataFrame(
+        merges, "iteration int, left_sym string, right_sym string, pair_count long"
+    )
