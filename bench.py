@@ -75,6 +75,7 @@ EXTENDED = [
     "pipeline_corpus_survivors",
     "text_vocab_coverage",
     "text_bpe_merges",
+    "text_bpe_encode",
 ]
 
 

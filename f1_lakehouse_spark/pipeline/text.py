@@ -577,21 +577,20 @@ def _sql_bpe_pairs(w: str) -> str:
 
 def _sql_bpe_merge(w: str, p: str) -> str:
     return (
-        f"SELECT cnt, replace(seq, {p}.a || chr(31) || {p}.b || chr(31), "
+        f"SELECT word, cnt, replace(seq, {p}.a || chr(31) || {p}.b || chr(31), "
         f"{p}.a || {p}.b || chr(31)) AS seq FROM {w}, {p}"
     )
 
 
-@register(
-    "text_bpe_merges",
-    oracle=f"""
-WITH words AS (
+# the shared words -> w0..w3 unrolled-training CTE chain (word key carried
+# through so the encode oracle can join the token stream back)
+_SQL_BPE_CHAIN = f"""words AS (
     SELECT w AS word, COUNT(*) AS cnt FROM (
         SELECT unnest(string_split(text, ' ')) AS w FROM documents
     ) GROUP BY 1
 ),
 w0 AS (
-    SELECT cnt,
+    SELECT word, cnt,
            array_to_string(regexp_split_to_array(word, ''), chr(31)) || chr(31)
                AS seq
     FROM words
@@ -600,19 +599,14 @@ p1 AS ({_sql_bpe_pairs("w0")}),
 w1 AS ({_sql_bpe_merge("w0", "p1")}),
 p2 AS ({_sql_bpe_pairs("w1")}),
 w2 AS ({_sql_bpe_merge("w1", "p2")}),
-p3 AS ({_sql_bpe_pairs("w2")})
-SELECT 1 AS iteration, a AS left_sym, b AS right_sym,
-       CAST(total AS BIGINT) AS pair_count FROM p1
-UNION ALL SELECT 2, a, b, CAST(total AS BIGINT) FROM p2
-UNION ALL SELECT 3, a, b, CAST(total AS BIGINT) FROM p3
-""",
-    doc=f"BPE tokenizer training, {BPE_ITERS} unrolled merge iterations "
-    "over the corpus word-frequency table — the merge table "
-    "(iteration, pair, weighted count), differentially checked against "
-    "the same iterations unrolled in SQL",
-    tags=("pipeline", "text", "bpe"),
-)
-def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+p3 AS ({_sql_bpe_pairs("w2")}),
+w3 AS ({_sql_bpe_merge("w2", "p3")})"""
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the BPE training loop; return (final (w, cnt, seq) DataFrame —
+    persisted, caller unpersists — and the merge list
+    [(iteration, a, b, weighted_count)])."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -620,6 +614,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     seqs = words.select(
+        "w",
         "cnt",
         F.concat(F.array_join(F.split("w", ""), _D), F.lit(_D)).alias("seq"),
     )
@@ -649,6 +644,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         merges.append((it, top["a"], top["b"], int(top["total"])))
         merged = seqs.select(
+            "w",
             "cnt",
             F.replace(
                 F.col("seq"),
@@ -659,7 +655,68 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.count()
         seqs.unpersist()
         seqs = merged
+    return seqs, merges
+
+
+@register(
+    "text_bpe_merges",
+    oracle=f"""
+WITH {_SQL_BPE_CHAIN}
+SELECT 1 AS iteration, a AS left_sym, b AS right_sym,
+       CAST(total AS BIGINT) AS pair_count FROM p1
+UNION ALL SELECT 2, a, b, CAST(total AS BIGINT) FROM p2
+UNION ALL SELECT 3, a, b, CAST(total AS BIGINT) FROM p3
+""",
+    doc=f"BPE tokenizer training, {BPE_ITERS} unrolled merge iterations "
+    "over the corpus word-frequency table — the merge table "
+    "(iteration, pair, weighted count), differentially checked against "
+    "the same iterations unrolled in SQL",
+    tags=("pipeline", "text", "bpe"),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seqs, merges = _bpe_train(spark, sf_dir)
     seqs.unpersist()
     return spark.createDataFrame(
         merges, "iteration int, left_sym string, right_sym string, pair_count long"
     )
+
+
+@register(
+    "text_bpe_encode",
+    oracle=f"""
+WITH {_SQL_BPE_CHAIN},
+toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(len(string_split(w3.seq, chr(31))) - 1) AS BIGINT)
+           AS n_bpe_tokens
+FROM toks t JOIN w3 ON w3.word = t.w
+GROUP BY 1
+""",
+    doc="BPE encode (apply step): per-doc token count after the trained "
+    "merges — the token stream joins the BROADCAST merged-vocabulary "
+    "table (symbol count per word is precomputed once per vocab entry, "
+    "never per occurrence)",
+    tags=("pipeline", "text", "bpe"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seqs, _ = _bpe_train(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = seqs.select(
+        "w", (F.size(F.split("seq", _D)) - F.lit(1)).alias("n_sym")
+    )
+    out = (
+        toks.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    out = out.persist()
+    out.count()  # materialize before releasing the trained vocab cache
+    seqs.unpersist()
+    return out
