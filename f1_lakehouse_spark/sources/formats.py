@@ -47,3 +47,39 @@ def delta_available(spark: SparkSession) -> bool:
         return True
     except Exception:
         return False
+
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_json_tolerant(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """PERMISSIVE JSON read for dirty 100 TB feeds: malformed lines land
+    whole in ``_corrupt_record`` instead of failing the job (FAILFAST
+    would kill a day-long ingest for one bad line; DROPMALFORMED silently
+    loses data — quarantining is the production posture). Pair with
+    :func:`split_quarantine` to route rows."""
+    with_corrupt = schema.add(CORRUPT_COL, "string")
+    return (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean rows without the corrupt column, quarantined raw lines).
+
+    The parsed frame is cached first: since Spark 2.3, predicates that
+    reference only the internal corrupt-record column of a raw JSON/CSV
+    scan are disallowed (the parser would need a second pass) — caching
+    materializes the parse once, which is also what you want before
+    routing the same scan two ways."""
+    from pyspark.sql import functions as F
+
+    df = df.cache()
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return clean, bad

@@ -43,3 +43,26 @@ def test_orc_roundtrip(spark):
 
 def test_delta_reports_unavailable_not_crash(spark):
     assert formats.delta_available(spark) in (True, False)
+
+
+def test_json_tolerant_quarantines_malformed_lines(spark):
+    """A dirty JSON feed must not fail the read: good lines parse, bad
+    lines land whole in the quarantine column, nothing is silently
+    dropped (row conservation)."""
+    import os
+
+    n = load_table(spark, SF_DIR, "nation")
+    with tempfile.TemporaryDirectory() as tmp:
+        formats.write_json(n, f"{tmp}/nation_json")
+        with open(f"{tmp}/nation_json/zz_bad.json", "w") as f:
+            f.write('{"n_nationkey": 99, "n_name": "BROKEN"\n')  # unclosed
+            f.write("not json at all\n")
+        df = formats.read_json_tolerant(spark, f"{tmp}/nation_json", n.schema)
+        clean, bad = formats.split_quarantine(df)
+        n_rows = n.count()
+        assert clean.count() == n_rows
+        assert bad.count() == 2
+        assert df.count() == n_rows + 2  # conservation: nothing dropped
+        assert _rows(clean.select("n_nationkey", "n_name")) == _rows(
+            n.select("n_nationkey", "n_name")
+        )
