@@ -204,3 +204,68 @@ def events_path_regex_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("path").rlike("signup.*purchase"), 1).otherwise(0)
         ).alias("n_converted"),
     )
+
+
+# --- anomaly scoring against fleet statistics ----------------------------------------
+# The "score every row against population stats" shape: per-type mean/std
+# derive from DECIMAL-exact moment sums (order-independent — the
+# stats_moments recipe), the tiny per-type stats table BROADCASTS back over
+# the stream, and each event gets a z-score + outlier flag map-side. At
+# 100 TB: one map-side-combined aggregate over the fact + one broadcast
+# join — the fact table never shuffles.
+
+Z_THRESH = 2.5
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+WITH m AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,9))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value * value AS DECIMAL(28,9))) AS DOUBLE) AS s2
+    FROM events GROUP BY 1
+),
+stats AS (
+    SELECT event_type,
+           s1 / n AS mean_v,
+           sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std_v
+    FROM m
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - s.mean_v) / s.std_v AS zscore,
+       CASE WHEN abs((e.value - s.mean_v) / s.std_v) > {Z_THRESH}
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM events e JOIN stats s USING (event_type)
+""",
+    doc=f"per-type z-score anomaly flags (|z| > {Z_THRESH}): decimal-exact "
+    "moment sums -> broadcast stats join -> map-side scoring; the event "
+    "stream never shuffles",
+    tags=("events", "stats", "anomaly"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v.cast("decimal(28,9)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(28,9)")).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    stats = m.select(
+        "event_type",
+        (s1 / n).alias("mean_v"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("std_v"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            z.alias("zscore"),
+            F.when(F.abs(z) > Z_THRESH, 1).otherwise(0).alias("is_anomaly"),
+        )
+    )
