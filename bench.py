@@ -76,6 +76,8 @@ EXTENDED = [
     "text_vocab_coverage",
     "text_bpe_merges",
     "text_bpe_encode",
+    "events_anomaly_zscore",
+    "ann_pq_adc_topk",
 ]
 
 

@@ -912,3 +912,100 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(TOP_K).cast("long").alias("k"),
         (F.col("n").cast("double") / TOP_K).alias("recall_at_k"),
     )
+
+
+# --- PQ asymmetric-distance search (ADC) --------------------------------------------
+# The production PQ query path: the query vector stays EXACT, every corpus
+# vector is its PQ_M codes, and distance is PQ_M lookups into a per-query
+# table of (query subvector -> centroid) distances. At 100 TB: codes are
+# bytes (the only thing scanned), the PQ_M x PQ_K lookup table is literal
+# in the plan (driver-computed once per query, like the trained codebook),
+# and scoring + top-k is map-only + TakeOrderedAndProject. Determinism:
+# the lookup distances are the same left-fold L2 both engines run, and
+# the 4-term sum is identically parenthesized.
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=(
+        "WITH "
+        + ",".join(_sql_pq_subspace(m).lstrip() for m in range(PQ_M))
+        + ","
+        + ",".join(
+            f"""
+lut_{m} AS (
+  SELECT c.cid, {_sql_l2_sub(
+      f"list_slice(q.embedding, {m * PQ_SUBDIM + 1}, {(m + 1) * PQ_SUBDIM})",
+      "c.cvec")} AS d
+  FROM c1_{m} c, (SELECT embedding FROM embeddings
+                  WHERE vec_id = {QUERY_VEC_ID}) q
+)"""
+            for m in range(PQ_M)
+        )
+        + f"""
+SELECT p0.vec_id, (((l0.d + l1.d) + l2.d) + l3.d) AS adc_dist
+FROM a2_0 p0 JOIN a2_1 p1 USING (vec_id)
+             JOIN a2_2 p2 USING (vec_id)
+             JOIN a2_3 p3 USING (vec_id)
+JOIN lut_0 l0 ON l0.cid = p0.cid
+JOIN lut_1 l1 ON l1.cid = p1.cid
+JOIN lut_2 l2 ON l2.cid = p2.cid
+JOIN lut_3 l3 ON l3.cid = p3.cid
+WHERE p0.vec_id <> {QUERY_VEC_ID}
+ORDER BY adc_dist, p0.vec_id
+LIMIT {TOP_K}
+"""
+    ),
+    doc=f"PQ asymmetric-distance top-{TOP_K}: exact query vs PQ-coded "
+    "corpus — per-subspace lookup tables literal in the plan, scoring "
+    "map-only, top-k via TakeOrderedAndProject",
+    tags=("pipeline", "similarity", "pq"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed_rows = e.filter(F.col("vec_id") < PQ_K).collect()
+    seeds = {
+        m: {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]][
+                m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM
+            ]
+            for r in seed_rows
+        }
+        for m in range(PQ_M)
+    }
+    q_emb = next(
+        [float(x) for x in r["embedding"]]
+        for r in seed_rows
+        if int(r["vec_id"]) == QUERY_VEC_ID
+    )
+    luts: list[dict[int, float]] = []
+    codes = []
+    for m in range(PQ_M):
+        trained = _pq_update(e, seeds[m], m)  # one Lloyd iteration, as codes op
+        codes.append(_pq_best(trained, m)["cid"])
+        q_sub = q_emb[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        # same left-fold the SQL runs: sum_i (q_i - c_i)^2 in index order
+        luts.append(
+            {
+                cid: _py_l2(q_sub, cvec)
+                for cid, cvec in trained.items()
+            }
+        )
+    def lookup(m: int):
+        arr = F.array(*[F.lit(luts[m][cid]) for cid in sorted(luts[m])])
+        return F.element_at(arr, codes[m].cast("int") + F.lit(1))
+    adc = ((lookup(0) + lookup(1)) + lookup(2)) + lookup(3)
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+def _py_l2(a: list[float], b: list[float]) -> float:
+    """Driver-side twin of the engines' left-fold L2 (identical IEEE order)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
