@@ -71,12 +71,28 @@ PRIORITY: tuple[str, ...] = (
     "mm_binary_decode_meta",
     "ann_cosine_topk_bruteforce",
     "ann_cosine_topk_lsh",
-    "ann_ivf_centroid_probe",
     "embedding_label_centroids",
     "embedding_quantize_int8",
     "ann_lsh_materialized",
     "ann_knn_self_join",
-    "text_token_count",
+    # r2-late swaps (each swapped-in op is differentially green at
+    # sf0.001/0.01/0.1; each displaced op keeps the local differential AND
+    # its semantics stay driver-checked via a covering in-window query):
+    # - text_token_count -> dedup_incremental_minhash (token counting is
+    #   re-verified inside curation_token_length_buckets' oracle;
+    #   incremental index maintenance is a new family with no other
+    #   representative)
+    # - curation_source_quota -> text_bpe_merges (identical
+    #   ROW_NUMBER-over-hash shape as the in-window
+    #   curation_stratified_sample; BPE training is the tokenizer-induction
+    #   family's representative)
+    # - ann_ivf_centroid_probe -> pipeline_corpus_survivors (the trained
+    #   ann_ivf_kmeans in-window is the same probe shape with trained
+    #   cells; the survivors composition re-verifies dedup_keep_list +
+    #   gopher + decontam through one nested oracle)
+    "dedup_incremental_minhash",
+    "text_bpe_merges",
+    "pipeline_corpus_survivors",
     "text_quality_score",
     "text_fingerprint",
     "text_lang_id_confusion",
@@ -86,7 +102,6 @@ PRIORITY: tuple[str, ...] = (
     # training-data curation suite (new in r2)
     "curation_train_val_test_split",
     "curation_stratified_sample",
-    "curation_source_quota",
     "curation_token_length_buckets",
     "curation_pack_sequences",
     "curation_class_balance_weights",
