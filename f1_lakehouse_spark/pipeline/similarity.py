@@ -1009,3 +1009,78 @@ def _py_l2(a: list[float], b: list[float]) -> float:
     for x, y in zip(a, b):
         acc = acc + (x - y) * (x - y)
     return acc
+
+
+# 12-plane twin of ann_lsh_recall: quantifies the sizing rule in the other
+# direction — more bits => smaller buckets => faster probe, LOWER recall.
+# Paired with the 10x stress finding (8-bit buckets go quadratic as the
+# corpus grows), the two recall rows are the measured two-sided trade the
+# bits-per-band formula navigates.
+
+N_PLANES_WIDE = 12
+PLANES_WIDE = make_planes(N_PLANES_WIDE)
+
+
+@register(
+    "ann_lsh_recall_12planes",
+    oracle=f"""
+WITH brute AS (
+    SELECT a.vec_id
+    FROM embeddings a,
+         (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+    WHERE a.vec_id <> {QUERY_VEC_ID}
+    ORDER BY {_SQL_COS_AB} DESC, a.vec_id
+    LIMIT {TOP_K}
+),
+sigs AS (
+    SELECT vec_id, embedding,
+           {sql_signature_planes("embedding", PLANES_WIDE)} AS bucket
+    FROM embeddings
+),
+lsh AS (
+    SELECT a.vec_id
+    FROM sigs a, (SELECT embedding, bucket FROM sigs
+                  WHERE vec_id = {QUERY_VEC_ID}) q
+    WHERE a.vec_id <> {QUERY_VEC_ID} AND a.bucket = q.bucket
+    ORDER BY {_SQL_COS_AB} DESC, a.vec_id
+    LIMIT {TOP_K}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST({TOP_K} AS BIGINT) AS k,
+       CAST(COUNT(*) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM brute JOIN lsh USING (vec_id)
+""",
+    doc=f"recall@{TOP_K} of a {N_PLANES_WIDE}-plane (narrower-bucket) LSH "
+    "probe — the measured other side of the bits-per-bucket trade vs "
+    "ann_lsh_recall's 8 planes",
+    tags=("pipeline", "similarity", "eval"),
+)
+def ann_lsh_recall_12planes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    brute = ann_cosine_topk_bruteforce(spark, sf_dir).select("vec_id")
+    sigs = e.select(
+        "vec_id",
+        "embedding",
+        spark_signature_planes(F.col("embedding"), PLANES_WIDE).alias("bucket"),
+    )
+    q = sigs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
+    )
+    lsh = (
+        sigs.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("bucket") == F.col("q_bucket"))
+        .select(
+            "vec_id",
+            _spark_cosine(F.col("embedding"), F.col("q_embedding")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    hits = brute.join(lsh, "vec_id").agg(F.count("*").alias("n"))
+    return hits.select(
+        F.col("n").cast("long").alias("n_hits"),
+        F.lit(TOP_K).cast("long").alias("k"),
+        (F.col("n").cast("double") / TOP_K).alias("recall_at_k"),
+    )
