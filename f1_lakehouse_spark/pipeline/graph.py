@@ -158,3 +158,80 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     deg.unpersist()
     return out
+
+
+# --- triangle counting ----------------------------------------------------------------
+# The third canonical graph workload (after propagation and components):
+# per-vertex triangle participation on the supplier co-supply graph.
+# Canonicalized (u < v) edges make each triangle materialize exactly once
+# as (a < b < c): one two-hop join confined to edge endpoints + one
+# closing-edge semi-check. At real scale the standard refinement is
+# degree-ordering (orient edges from low- to high-degree vertex) so the
+# two-hop fan-out is bounded by the SMALLER endpoint degree; the co-supply
+# graph here is degree-bounded by orders-per-supplier so the plain
+# canonical orientation suffices.
+
+_TRIANGLE_ORACLE = """
+WITH lines AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+und AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM lines a JOIN lines b USING (l_orderkey)
+  WHERE a.l_suppkey < b.l_suppkey
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+member AS (
+  SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_triangles
+FROM member m JOIN supplier s ON s.s_suppkey = m.v
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=_TRIANGLE_ORACLE,
+    doc="per-supplier triangle participation on the co-supply graph: "
+    "canonical (u<v) edges, one two-hop join + closing-edge check — each "
+    "triangle counted exactly once",
+    tags=("graph", "triangles"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select("l_orderkey", "l_suppkey").distinct()
+    lines = lines.persist()
+    lines.count()
+    und = (
+        lines.alias("a")
+        .join(lines.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+    und = und.persist()
+    und.count()
+    lines.unpersist()
+    e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    member = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    out = (
+        member.join(s, member["v"] == s["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    out = out.persist()
+    out.count()
+    und.unpersist()
+    return out
