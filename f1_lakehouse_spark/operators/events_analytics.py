@@ -269,3 +269,39 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(z) > Z_THRESH, 1).otherwise(0).alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "events_dedup_adjacent",
+    oracle="""
+WITH lagged AS (
+    SELECT event_id, user_id, event_type, ts,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+)
+SELECT event_id, user_id, event_type, ts
+FROM lagged
+WHERE prev_type IS NULL OR prev_type <> event_type
+""",
+    doc="adjacent-duplicate suppression: drop events repeating the "
+    "previous event_type per user (the debounce/stream-cleaning "
+    "primitive) — one user_id shuffle, LAG over a total order "
+    "(ts, event_id), map-side filter",
+    tags=("events", "dedup"),
+)
+def events_dedup_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    lagged = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return lagged.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select("event_id", "user_id", "event_type", "ts")
