@@ -78,6 +78,10 @@ EXTENDED = [
     "text_bpe_encode",
     "events_anomaly_zscore",
     "ann_pq_adc_topk",
+    "dedup_substring_exact",
+    "semdedup_cluster_prune",
+    "join_minmax_prefilter",
+    "ann_pq_rerank",
 ]
 
 

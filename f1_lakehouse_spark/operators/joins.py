@@ -684,3 +684,59 @@ def join_interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     out.count()
     buckets.unpersist()
     return out
+
+
+# --- sideways information passing: collected-bound prefilter join ------------------
+# The explicit form of a runtime filter (a.k.a. semi-join reduction /
+# Bloom-less DSI): aggregate the SELECTIVE build side to [min,max] key
+# bounds (one tiny driver row), inject them as LITERAL predicates on the
+# probe scan — they show up in the parquet scan's PushedFilters, so row
+# groups outside the bound never leave storage — then run the exact join.
+# Sound for any data (bounds only widen the semi-join), so the oracle is
+# the plain join. Pruning power depends on key-range clustering: on this
+# synthetic corpus urgent orders span the whole key range (the scan prunes
+# little), but with time-ordered ingest at 100 TB each file's key range is
+# tight and the bound skips most of the fact table. Spark's own
+# InjectRuntimeFilter does this adaptively; the explicit form works on any
+# deployment and composes with static partition pruning.
+
+_PREFILTER_BUILD_PRED = "o_orderpriority = '1-URGENT' AND o_orderdate >= DATE '1997-06-01'"
+
+
+@register(
+    "join_minmax_prefilter",
+    oracle=f"""
+SELECT l.l_returnflag,
+       COUNT(*) AS n_lines,
+       {DSUM("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE {_PREFILTER_BUILD_PRED}
+GROUP BY 1
+""",
+    doc="runtime-filter join: build-side [min,max] key bounds pushed into "
+    "the probe parquet scan, then exact join (sideways information passing)",
+    tags=("J2", "prefilter", "runtime-filter"),
+)
+def join_minmax_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    build = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1997-06-01").cast("date"))
+    ).select("o_orderkey")
+    lo, hi = build.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    if lo is None:  # empty build side -> provably empty join
+        lo, hi = 0, -1
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").between(F.lit(lo), F.lit(hi))
+    )
+    return (
+        li.join(F.broadcast(build), li["l_orderkey"] == build["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )

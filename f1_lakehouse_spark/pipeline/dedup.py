@@ -874,3 +874,88 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("keep"),
     )
+
+
+# --- exact-substring dedup (character-window fingerprints) --------------------------
+# The character-level complement of the word-shingle Jaccard family: two docs
+# are substring-duplicates when they share any WINDOW_CHARS-long character
+# window (cf. Lee et al. 2022, "Deduplicating Training Data Makes Language
+# Models Better" — suffix-array substring dedup; the distributed re-expression
+# samples windows at a fixed stride instead of building a suffix array).
+# Scale: the window explode is map-side and emits len(text)/WINDOW_STRIDE
+# fingerprints per doc; the only shuffles are groupBy(fp) — uniformly
+# hash-distributed — and the df-capped in-bucket pair join (same MAX_DF
+# boilerplate bound as the Jaccard path). A W-char run shared between two
+# docs is detected whenever the copied region covers a full stride-aligned
+# window, i.e. any shared run of >= W + STRIDE - 1 chars is guaranteed caught.
+
+WINDOW_CHARS = 40
+WINDOW_STRIDE = 10
+
+
+@register(
+    "dedup_substring_exact",
+    oracle=f"""
+WITH w AS (
+    SELECT DISTINCT doc_id,
+           {sql_md5_hash48(f"substr(text, p, {WINDOW_CHARS})")} AS fp
+    FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text) - {WINDOW_CHARS - 1},
+                                      {WINDOW_STRIDE})) AS p
+        FROM documents WHERE length(text) >= {WINDOW_CHARS}
+    )
+),
+df AS (SELECT fp, COUNT(*) AS df FROM w GROUP BY 1),
+wf AS (SELECT w.doc_id, w.fp FROM w JOIN df USING (fp) WHERE df.df <= {MAX_DF})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(*) AS n_shared_windows
+FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+    doc=f"exact-substring duplicate pairs: {WINDOW_CHARS}-char windows at "
+    f"stride {WINDOW_STRIDE}, md5-fingerprinted, df-capped bucket join",
+    tags=("pipeline", "dedup", "substring"),
+)
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    positions = F.sequence(
+        F.lit(1),
+        F.length("text") - F.lit(WINDOW_CHARS - 1),
+        F.lit(WINDOW_STRIDE),
+    )
+    # guard: sequence(1, n, s) raises for n < 1 (doc shorter than one window)
+    positions = F.when(F.length("text") >= WINDOW_CHARS, positions).otherwise(
+        F.array().cast("array<int>")
+    )
+    w = (
+        d.select("doc_id", "text", F.explode(positions).alias("p"))
+        .select(
+            "doc_id",
+            spark_md5_hash48(
+                F.col("text").substr(F.col("p"), F.lit(WINDOW_CHARS))
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+    dfreq = w.groupBy("fp").agg(F.count("*").alias("df"))
+    wf = w.join(dfreq.filter(F.col("df") <= MAX_DF), "fp").select("doc_id", "fp")
+    # self-join on a derived frame: persist AND materialize first (CLAUDE.md)
+    wf = wf.persist()
+    wf.count()
+    a = wf.alias("a")
+    b = wf.alias("b")
+    out = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_windows"))
+    )
+    out = out.persist()
+    out.count()
+    wf.unpersist()
+    return out

@@ -640,6 +640,16 @@ def _spark_update(assigned: DataFrame) -> dict[int, list[float]]:
     return model
 
 
+def _train_kmeans(e: DataFrame) -> dict[int, list[float]]:
+    """K corpus-seeded centroids after KMEANS_ITERS Lloyd iterations — the
+    deterministic training chain shared by ann_ivf_kmeans and semdedup."""
+    seeds = e.filter(F.col("vec_id") < KMEANS_K).collect()
+    model = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds}
+    for _ in range(KMEANS_ITERS):
+        model = _spark_update(_spark_assign(e, model))
+    return model
+
+
 @register(
     "ann_ivf_kmeans",
     oracle=_KMEANS_ORACLE,
@@ -653,11 +663,7 @@ def _spark_update(assigned: DataFrame) -> dict[int, list[float]]:
 )
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seeds = e.filter(F.col("vec_id") < KMEANS_K).collect()
-    model = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds}
-    for _ in range(KMEANS_ITERS):
-        model = _spark_update(_spark_assign(e, model))
-    final = _spark_assign(e, model)
+    final = _spark_assign(e, _train_kmeans(e))
     q = final.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
     q_emb = F.array(*[F.lit(float(v)) for v in q["embedding"]])
     return (
@@ -925,14 +931,14 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the 4-term sum is identically parenthesized.
 
 
-@register(
-    "ann_pq_adc_topk",
-    oracle=(
-        "WITH "
-        + ",".join(_sql_pq_subspace(m).lstrip() for m in range(PQ_M))
-        + ","
-        + ",".join(
-            f"""
+# the WITH-chain through the ADC-scored corpus, shared by the plain ADC
+# top-k and the rerank composition
+_PQ_ADC_SCORED_SQL = (
+    "WITH "
+    + ",".join(_sql_pq_subspace(m).lstrip() for m in range(PQ_M))
+    + ","
+    + ",".join(
+        f"""
 lut_{m} AS (
   SELECT c.cid, {_sql_l2_sub(
       f"list_slice(q.embedding, {m * PQ_SUBDIM + 1}, {(m + 1) * PQ_SUBDIM})",
@@ -940,9 +946,10 @@ lut_{m} AS (
   FROM c1_{m} c, (SELECT embedding FROM embeddings
                   WHERE vec_id = {QUERY_VEC_ID}) q
 )"""
-            for m in range(PQ_M)
-        )
-        + f"""
+        for m in range(PQ_M)
+    )
+    + f""",
+scored AS (
 SELECT p0.vec_id, (((l0.d + l1.d) + l2.d) + l3.d) AS adc_dist
 FROM a2_0 p0 JOIN a2_1 p1 USING (vec_id)
              JOIN a2_2 p2 USING (vec_id)
@@ -952,16 +959,33 @@ JOIN lut_1 l1 ON l1.cid = p1.cid
 JOIN lut_2 l2 ON l2.cid = p2.cid
 JOIN lut_3 l3 ON l3.cid = p3.cid
 WHERE p0.vec_id <> {QUERY_VEC_ID}
-ORDER BY adc_dist, p0.vec_id
+)"""
+)
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=_PQ_ADC_SCORED_SQL
+    + f"""
+SELECT vec_id, adc_dist FROM scored
+ORDER BY adc_dist, vec_id
 LIMIT {TOP_K}
-"""
-    ),
+""",
     doc=f"PQ asymmetric-distance top-{TOP_K}: exact query vs PQ-coded "
     "corpus — per-subspace lookup tables literal in the plan, scoring "
     "map-only, top-k via TakeOrderedAndProject",
     tags=("pipeline", "similarity", "pq"),
 )
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, scored, _ = _pq_adc_scored(spark, sf_dir)
+    return scored.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc()).limit(TOP_K)
+
+
+def _pq_adc_scored(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, list[float]]:
+    """(embeddings frame, ADC-scored frame, query embedding) — the shared
+    front half of the PQ search path (ann_pq_adc_topk / ann_pq_rerank)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     seed_rows = e.filter(F.col("vec_id") < PQ_K).collect()
     seeds = {
@@ -995,12 +1019,10 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         arr = F.array(*[F.lit(luts[m][cid]) for cid in sorted(luts[m])])
         return F.element_at(arr, codes[m].cast("int") + F.lit(1))
     adc = ((lookup(0) + lookup(1)) + lookup(2)) + lookup(3)
-    return (
-        e.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .select("vec_id", adc.alias("adc_dist"))
-        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
-        .limit(TOP_K)
+    scored = e.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id", adc.alias("adc_dist")
     )
+    return e, scored, q_emb
 
 
 def _py_l2(a: list[float], b: list[float]) -> float:
@@ -1083,4 +1105,140 @@ def ann_lsh_recall_12planes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_hits"),
         F.lit(TOP_K).cast("long").alias("k"),
         (F.col("n").cast("double") / TOP_K).alias("recall_at_k"),
+    )
+
+
+# --- SemDeDup: semantic dedup via k-means cluster pruning ----------------------------
+# Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale through
+# semantic deduplication"): cluster the embedding space with k-means, then
+# search for near-duplicate pairs ONLY within each cluster — the cluster
+# radius bounds the quadratic all-pairs work to (N/K)^2 per cell instead of
+# N^2, and at 100 TB K is chosen so cells hold ~10^3 vectors. Training reuses
+# the ann_ivf_kmeans determinism chain (corpus seeds, IEEE left-fold L2,
+# struct-argmin tiebreak, floor-scaled DECIMAL means), so the trained cells —
+# and therefore the pruning decisions — are bit-identical vs the unrolled-CTE
+# oracle. Keep rule: within a cell, a vector is pruned when a lower-vec_id
+# cell-mate has cosine >= SEMDEDUP_THRESHOLD (deterministic stand-in for the
+# paper's keep-one-random; the synthetic 64-dim corpus tops out ~0.47
+# same-label cosine, so 0.40 exercises the operator — same bar as
+# dedup_embedding_cosine).
+
+SEMDEDUP_THRESHOLD = 0.40
+
+_SQL_COS_PAIR = (
+    "(list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y)"
+    " / (sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x,y) -> x+y))"
+    " * sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)), "
+    "i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x,y) -> x+y))))"
+)
+
+_SEMDEDUP_ORACLE = f"""
+WITH c0 AS (
+    SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+    FROM embeddings WHERE vec_id < {KMEANS_K}
+),{_sql_assign("c0", "a1")},{_sql_update("a1", "c1")},
+{_sql_assign("c1", "a2")},{_sql_update("a2", "c2")},
+{_sql_assign("c2", "a3")},
+dup AS (
+    SELECT DISTINCT fb.vec_id AS vec_id
+    FROM a3 fa
+    JOIN a3 fb ON fa.cid = fb.cid AND fa.vec_id < fb.vec_id
+    JOIN embeddings a ON a.vec_id = fa.vec_id
+    JOIN embeddings b ON b.vec_id = fb.vec_id
+    WHERE {_SQL_COS_PAIR} >= {SEMDEDUP_THRESHOLD}
+)
+SELECT f.vec_id, CAST(f.cid AS INTEGER) AS cell,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM a3 f LEFT JOIN dup d ON d.vec_id = f.vec_id
+"""
+
+
+@register(
+    "semdedup_cluster_prune",
+    oracle=_SEMDEDUP_ORACLE,
+    doc=f"SemDeDup: k-means-clustered semantic dedup — within-cell cosine "
+    f">= {SEMDEDUP_THRESHOLD} prunes to the lowest-vec_id representative; "
+    "the trained clustering itself is differentially verified",
+    tags=("pipeline", "dedup", "semdedup", "kmeans"),
+)
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    final = _spark_assign(e, _train_kmeans(e))
+    # self-join on a derived frame: persist AND materialize first (CLAUDE.md)
+    final = final.persist()
+    final.count()
+    a = final.alias("a")
+    b = final.alias("b")
+    dup = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            _spark_cosine(F.col("a.embedding"), F.col("b.embedding"))
+            >= F.lit(SEMDEDUP_THRESHOLD)
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    out = final.join(dup, "vec_id", "left").select(
+        "vec_id",
+        F.col("cid").cast("int").alias("cell"),
+        F.when(F.col("is_dup").isNull(), 1).otherwise(0).alias("keep"),
+    )
+    out = out.persist()
+    out.count()
+    final.unpersist()
+    return out
+
+
+# --- two-stage retrieval: PQ coarse search + exact rerank ----------------------------
+# The production retrieval shape (IVFPQ-style): the cheap compressed
+# index ranks the whole corpus (bytes scanned, map-only ADC), a top-R
+# candidate slice survives, and only those R rows pay for the exact
+# full-width cosine. At 100 TB the corpus is never touched at full
+# precision — the rerank join is a broadcast of R ids back into the
+# (partition-pruned) embedding store. Both stages keep total orders
+# (adc_dist then vec_id; cosine then vec_id), so the composition is
+# deterministic end to end and the oracle composes the same two stages.
+
+RERANK_R = 50
+
+
+@register(
+    "ann_pq_rerank",
+    oracle=_PQ_ADC_SCORED_SQL
+    + f""",
+coarse AS (
+    SELECT vec_id FROM scored ORDER BY adc_dist, vec_id LIMIT {RERANK_R}
+)
+SELECT a.vec_id, {_SQL_COS_AB} AS cosine
+FROM embeddings a
+JOIN coarse USING (vec_id),
+     (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+ORDER BY cosine DESC, a.vec_id
+LIMIT {TOP_K}
+""",
+    doc=f"two-stage ANN: PQ-ADC coarse top-{RERANK_R} then exact-cosine "
+    f"rerank to top-{TOP_K} — compressed scan first, full precision only "
+    "for the candidate slice",
+    tags=("pipeline", "similarity", "pq", "rerank"),
+)
+def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, scored, q_emb = _pq_adc_scored(spark, sf_dir)
+    coarse = (
+        scored.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(RERANK_R)
+        .select("vec_id")
+    )
+    q_arr = F.array(*[F.lit(float(v)) for v in q_emb])
+    return (
+        e.join(F.broadcast(coarse), "vec_id")
+        .select("vec_id", _spark_cosine(F.col("embedding"), q_arr).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
     )

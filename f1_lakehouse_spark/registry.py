@@ -62,7 +62,19 @@ PRIORITY: tuple[str, ...] = (
     # LLM-data-pipeline suite (dedup / similarity / text / multimodal)
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    # r2-late swaps #2 (same rule as below: swapped-in ops are new
+    # ALGORITHM families, displaced ops keep driver signal via in-window
+    # queries built on the identical machinery):
+    # - dedup_minhash_lsh -> dedup_substring_exact (minhash_lsh_pairs is
+    #   the internal candidate engine of dedup_minhash_verified,
+    #   dedup_clusters AND dedup_keep_list — all three in-window — so the
+    #   banding/bucketing machinery stays driver-checked; character-window
+    #   substring dedup is a new family with no other representative)
+    # - embedding_label_centroids -> semdedup_cluster_prune (the
+    #   floor-scaled decimal element-wise mean IS the k-means update step
+    #   of the in-window ann_ivf_kmeans; SemDeDup cluster-pruned semantic
+    #   dedup is a new family)
+    "dedup_substring_exact",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_clusters",
@@ -71,7 +83,7 @@ PRIORITY: tuple[str, ...] = (
     "mm_binary_decode_meta",
     "ann_cosine_topk_bruteforce",
     "ann_cosine_topk_lsh",
-    "embedding_label_centroids",
+    "semdedup_cluster_prune",
     "embedding_quantize_int8",
     "ann_lsh_materialized",
     "ann_knn_self_join",

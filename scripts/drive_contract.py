@@ -26,6 +26,10 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 qs, oracles = m.queries(), m.oracle_sql()
+only = __import__("os").environ.get("DRIVE_ONLY")
+if only:  # comma-separated subset for targeted re-verification
+    keep = {n.strip() for n in only.split(",")}
+    qs = {n: f for n, f in qs.items() if n in keep}
 print(f"{len(qs)} queries, {len(oracles)} oracles")
 fails = []
 for name, fn in sorted(qs.items()):

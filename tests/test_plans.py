@@ -258,3 +258,12 @@ def test_shuffle_shard_single_exchange(spark):
     exactly one Exchange, no global ordering anywhere."""
     plan = _plan(spark, "curation_global_shuffle_shard")
     assert plan.count("Exchange") == 1
+
+
+def test_minmax_prefilter_bounds_reach_probe_scan(spark):
+    """join_minmax_prefilter's collected build-side bounds must be pushed
+    into the lineitem parquet scan (the whole point of the sideways pass),
+    and the reduced build side must broadcast."""
+    plan = _plan(spark, "join_minmax_prefilter")
+    assert "GreaterThanOrEqual(l_orderkey" in plan and "LessThanOrEqual(l_orderkey" in plan
+    assert "BroadcastHashJoin" in plan
