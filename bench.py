@@ -82,6 +82,7 @@ EXTENDED = [
     "semdedup_cluster_prune",
     "join_minmax_prefilter",
     "ann_pq_rerank",
+    "ann_lsh_multiprobe",
 ]
 
 

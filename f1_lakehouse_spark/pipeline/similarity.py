@@ -1242,3 +1242,106 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(TOP_K)
     )
+
+
+# --- multi-probe LSH: widen recall without rebuilding the index ----------------------
+# Lv et al. 2007 ("Multi-probe LSH"): instead of adding hash tables (more
+# index copies) or fewer planes (bigger buckets), probe the query's bucket
+# PLUS every bucket within Hamming distance 1 of its signature — the buckets
+# a near-neighbor most likely fell into when one hyperplane disagreed. At
+# 100 TB this scans N_PLANES+1 bucket partitions (~9/256 of the corpus at 8
+# planes) with NO index change — the recall knob that costs probe time, not
+# storage. Signatures are the same deterministic LCG hyperplanes, and the
+# probe set is a literal IN-list on the xor distance, so both engines select
+# identical candidates.
+
+_PROBE_XORS = [0] + [1 << j for j in range(N_PLANES)]
+
+
+@register(
+    "ann_lsh_multiprobe",
+    oracle=f"""
+WITH sigs AS (
+    SELECT vec_id, label, embedding,
+           {_sql_signature("embedding")} AS bucket
+    FROM embeddings
+),
+q AS (SELECT embedding, bucket FROM sigs WHERE vec_id = {QUERY_VEC_ID})
+SELECT a.vec_id, a.label, {_SQL_COS_AB} AS cosine
+FROM sigs a, q
+WHERE a.vec_id <> {QUERY_VEC_ID}
+  AND xor(a.bucket, q.bucket) IN ({", ".join(str(x) for x in _PROBE_XORS)})
+ORDER BY cosine DESC, a.vec_id
+LIMIT {TOP_K}
+""",
+    doc=f"multi-probe LSH ANN: probe the query bucket plus all "
+    f"{N_PLANES} Hamming-1 neighbor buckets — recall up, no index rebuild",
+    tags=("pipeline", "similarity", "lsh", "multiprobe"),
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    sigs = e.select(
+        "vec_id", "label", "embedding", spark_signature(F.col("embedding")).alias("bucket")
+    )
+    q = sigs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
+    )
+    return (
+        sigs.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .filter(
+            F.col("bucket").bitwiseXOR(F.col("q_bucket")).isin(_PROBE_XORS)
+        )
+        .select(
+            "vec_id",
+            "label",
+            _spark_cosine(F.col("embedding"), F.col("q_embedding")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+@register(
+    "ann_lsh_recall_multiprobe",
+    oracle=f"""
+WITH brute AS (
+    SELECT a.vec_id
+    FROM embeddings a,
+         (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+    WHERE a.vec_id <> {QUERY_VEC_ID}
+    ORDER BY {_SQL_COS_AB} DESC, a.vec_id
+    LIMIT {TOP_K}
+),
+sigs AS (
+    SELECT vec_id, embedding, {_sql_signature("embedding")} AS bucket
+    FROM embeddings
+),
+mp AS (
+    SELECT a.vec_id
+    FROM sigs a, (SELECT embedding, bucket FROM sigs
+                  WHERE vec_id = {QUERY_VEC_ID}) q
+    WHERE a.vec_id <> {QUERY_VEC_ID}
+      AND xor(a.bucket, q.bucket) IN ({", ".join(str(x) for x in _PROBE_XORS)})
+    ORDER BY {_SQL_COS_AB} DESC, a.vec_id
+    LIMIT {TOP_K}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST({TOP_K} AS BIGINT) AS k,
+       CAST(COUNT(*) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM brute JOIN mp USING (vec_id)
+""",
+    doc=f"recall@{TOP_K} of the Hamming-1 multi-probe vs exact brute force "
+    "— third point on the measured recall/probe-cost curve (8-plane single "
+    "bucket, 12-plane single bucket, 8-plane multi-probe)",
+    tags=("pipeline", "similarity", "eval"),
+)
+def ann_lsh_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brute = ann_cosine_topk_bruteforce(spark, sf_dir).select("vec_id")
+    mp = ann_lsh_multiprobe(spark, sf_dir).select("vec_id")
+    hits = brute.join(mp, "vec_id").agg(F.count("*").alias("n"))
+    return hits.select(
+        F.col("n").cast("long").alias("n_hits"),
+        F.lit(TOP_K).cast("long").alias("k"),
+        (F.col("n").cast("double") / TOP_K).alias("recall_at_k"),
+    )
