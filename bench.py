@@ -83,6 +83,8 @@ EXTENDED = [
     "join_minmax_prefilter",
     "ann_pq_rerank",
     "ann_lsh_multiprobe",
+    "dedup_lsh_candidate_recall",
+    "corpus_source_overlap",
 ]
 
 

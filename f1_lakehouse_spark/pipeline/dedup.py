@@ -33,7 +33,7 @@ from f1_lakehouse_spark.pipeline.hashing import (
     spark_md5_hash48,
     sql_md5_hash48,
 )
-from f1_lakehouse_spark.registry import register
+from f1_lakehouse_spark.registry import REGISTRY, register
 from f1_lakehouse_spark.tables import load_table
 
 SHINGLE_WORDS = 3
@@ -56,15 +56,18 @@ MAX_DF = 256
 _P = 2_654_435_761
 
 
-def _spark_shingle_keys(d: DataFrame, distinct: bool = True) -> DataFrame:
-    """(doc_id, sk) 64-bit word-3-gram keys; ``distinct=False`` skips the
+def _spark_shingle_keys(
+    d: DataFrame, distinct: bool = True, key: str = "doc_id"
+) -> DataFrame:
+    """(key, sk) 64-bit word-3-gram keys; ``distinct=False`` skips the
     dedup shuffle for consumers whose aggregate is duplicate-insensitive
-    (MIN)."""
+    (MIN). ``key`` lets corpus-level consumers shingle per ``source``
+    instead of per document."""
     # materialize the word-hash array as a real column FIRST: referencing a
     # raw `transform(...)` expression from element_at would re-evaluate the
     # whole md5 map per lookup (O(words^2) hashing per row)
     hashed = d.select(
-        "doc_id",
+        key,
         F.transform(
             F.split("text", " "),
             lambda w: F.conv(F.substring(F.md5(w), 1, 12), 16, 10).cast("long")
@@ -85,7 +88,7 @@ def _spark_shingle_keys(d: DataFrame, distinct: bool = True) -> DataFrame:
     keys = F.when(F.size(hs) >= SHINGLE_WORDS, keys).otherwise(
         F.array().cast("array<long>")
     )
-    out = hashed.select("doc_id", F.explode(keys).alias("sk"))
+    out = hashed.select(key, F.explode(keys).alias("sk"))
     return out.distinct() if distinct else out
 
 
@@ -958,4 +961,151 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.persist()
     out.count()
     wf.unpersist()
+    return out
+
+
+# --- dedup-index quality: LSH candidate recall vs exact Jaccard ----------------------
+# The dedup twin of ``ann_lsh_recall`` (similarity.py): how much of the
+# exact-Jaccard ground truth (pairs >= JACCARD_THRESHOLD) does the banded
+# MinHash-LSH candidate generator recover, and what fraction of its
+# candidates are true dups? This is THE tuning metric for (bands x rows):
+# at 100 TB you cannot run the exact join to check your index, so you run
+# this on a sampled slice and extrapolate — the operator shape (two
+# bounded pair lists + one pair-key join) is exactly that audit. Both arms
+# are deterministic integer arithmetic, so the metric itself is
+# differentially checked; divisions are guarded so an empty truth/candidate
+# set yields NULL on both engines rather than engine-specific inf/NaN.
+
+
+@register(
+    "dedup_lsh_candidate_recall",
+    oracle=None,  # placeholder, replaced below (nests two sibling oracles)
+    doc="recall/precision of MinHash-LSH candidate pairs against the "
+    "exact-Jaccard ground truth — the banding-quality audit, itself "
+    "differentially checked",
+    tags=("pipeline", "dedup", "eval"),
+)
+def dedup_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    truth = jaccard_pairs(d).select("doc_a", "doc_b")
+    cand = minhash_lsh_pairs(d)
+    hits = truth.join(cand, ["doc_a", "doc_b"])
+    row = (
+        truth.agg(F.count("*").alias("n_truth"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+    )
+    return row.select(
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.when(
+            F.col("n_truth") > 0,
+            F.col("n_hits").cast("double") / F.col("n_truth").cast("double"),
+        ).alias("candidate_recall"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.col("n_hits").cast("double") / F.col("n_candidates").cast("double"),
+        ).alias("candidate_precision"),
+    )
+
+
+REGISTRY["dedup_lsh_candidate_recall"].oracle = f"""
+WITH truth AS (
+    SELECT doc_a, doc_b FROM ({{jac}}) j
+),
+cand AS (
+    SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL}) c
+),
+hits AS (
+    SELECT COUNT(*) AS n FROM truth JOIN cand USING (doc_a, doc_b)
+)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST(hits.n AS BIGINT) AS n_hits,
+       CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+            THEN CAST(hits.n AS DOUBLE) / (SELECT COUNT(*) FROM truth)
+            END AS candidate_recall,
+       CASE WHEN (SELECT COUNT(*) FROM cand) > 0
+            THEN CAST(hits.n AS DOUBLE) / (SELECT COUNT(*) FROM cand)
+            END AS candidate_precision
+FROM hits
+""".format(jac=REGISTRY["dedup_ngram_jaccard"].oracle)
+
+
+# --- corpus-level overlap: exact shingle Jaccard between sources ---------------------
+# Corpus analytics rather than pair dedup: how much 3-gram content do two
+# ingestion sources share? (The question behind "is CommonCrawl-derived
+# set A just a re-crawl of set B?" — measured before paying for cross-
+# source dedup.) Exact set Jaccard over each source's DISTINCT shingle-key
+# set. Scale shape: one distinct-(source, shingle) shuffle (the same map
+# side every dedup op already pays), a shingle-keyed self-join whose
+# fan-out is bounded by S^2/2 rows per shingle for S sources (sources are
+# tens, not millions — for source counts where S^2 matters, the MinHash
+# band signatures already registered give the sketch estimate instead),
+# and a broadcast of the S-row size table.
+
+_SQL_SOURCE_SHINGLES = _SQL_SHINGLE_KEYS.replace("doc_id", "source")
+
+
+@register(
+    "corpus_source_overlap",
+    oracle=f"""
+WITH sg AS ({_SQL_SOURCE_SHINGLES}),
+sizes AS (SELECT source, COUNT(*) AS sz FROM sg GROUP BY 1),
+inter AS (
+    SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+    FROM sg a JOIN sg b ON a.sk = b.sk AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       CAST(i.n_common AS DOUBLE) / (sa.sz + sb.sz - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.src_a
+JOIN sizes sb ON sb.source = i.src_b
+""",
+    doc="exact word-3-gram Jaccard between every source pair — the "
+    "cross-source corpus-overlap report (tens of sources; pairs with zero "
+    "overlap are omitted by construction)",
+    tags=("pipeline", "dedup", "corpus"),
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sg = _spark_shingle_keys(d.select("source", "text"), key="source")
+    # self-join on a derived frame: persist AND materialize first (CLAUDE.md)
+    sg = sg.persist()
+    sg.count()
+    sizes = sg.groupBy("source").agg(F.count("*").alias("sz"))
+    a = sg.alias("a")
+    b = sg.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sk") == F.col("b.sk"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        inter.join(F.broadcast(sa), F.col("sa.source") == F.col("src_a"))
+        .join(F.broadcast(sb), F.col("sb.source") == F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    out = out.persist()
+    out.count()
+    sg.unpersist()
     return out
