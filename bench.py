@@ -85,6 +85,9 @@ EXTENDED = [
     "ann_lsh_multiprobe",
     "dedup_lsh_candidate_recall",
     "corpus_source_overlap",
+    "variant_events_extract",
+    "cms_heavy_hitters",
+    "maparrow_token_stats",
 ]
 
 

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from f1_lakehouse_spark.operators.aggregations import DSUM, dsum
+from f1_lakehouse_spark.pipeline.hashing import sql_md5_hash48
 from f1_lakehouse_spark.registry import register
 from f1_lakehouse_spark.tables import load_table
 
@@ -345,4 +346,148 @@ def json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").alias("json_len"),
         F.get_json_object("payload", "$.event_type").alias("parsed_type"),
         F.get_json_object("payload", "$.user_id").cast("long").alias("parsed_user"),
+    )
+
+
+# --- VARIANT semi-structured analytics (Spark 4) -----------------------------------
+
+
+@register(
+    "variant_events_extract",
+    oracle="""
+SELECT event_id,
+       event_type AS vtype,
+       user_id AS vuser,
+       CAST(user_id % 5 AS BIGINT) AS vcode2,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS props_k
+FROM events
+""",
+    doc="Spark 4 VARIANT path: struct -> JSON -> parse_json VARIANT -> "
+    "typed variant_get extraction (nested object + array index), plus the "
+    "real `props` JSON column through the same VARIANT path. The oracle "
+    "recomputes every extracted value from the RAW columns, so the gate "
+    "proves round-trip fidelity through the VARIANT encoding. At scale "
+    "VARIANT is the semi-structured scan format: binary-encoded, "
+    "shreddable, path access without per-row string re-parsing",
+    tags=("json", "variant", "extension"),
+)
+def variant_events_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.col("event_type"),
+            F.struct(
+                F.col("user_id"),
+                F.array(F.col("event_id") % 7, F.col("user_id") % 5).alias("codes"),
+            ).alias("meta"),
+        )
+    )
+    j = e.select("event_id", "props", F.parse_json(payload).alias("v"))
+    return j.select(
+        "event_id",
+        F.variant_get(F.col("v"), "$.event_type", "string").alias("vtype"),
+        F.variant_get(F.col("v"), "$.meta.user_id", "long").alias("vuser"),
+        F.variant_get(F.col("v"), "$.meta.codes[1]", "long").alias("vcode2"),
+        F.variant_get(F.parse_json("props"), "$.k", "long").alias("props_k"),
+    )
+
+
+# --- CountMin sketch, built natively (distributed, mergeable, exact-checked) --------
+# The third mergeable sketch family (HLL distinct / percentile digest /
+# CountMin frequency). Implemented as pure DataFrame ops: each row fans
+# out to CMS_D (row, bucket) cells, ONE partially-aggregated groupBy
+# collapses them to the d x w cell table (<= 2048 rows regardless of
+# corpus size — that aggregate IS the mergeable sketch), and point
+# estimates are min over d cells via a broadcast join against the tiny
+# sketch. Every step is deterministic md5-derived integer arithmetic, so
+# unlike library sketches this one is EXACTLY differentially checked:
+# the oracle rebuilds the identical sketch in SQL, including the
+# guaranteed-overestimate property (cms_estimate >= exact_count).
+
+CMS_D = 4  # hash rows
+CMS_W = 512  # buckets per row
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+WITH cells AS (
+    SELECT i, {sql_md5_hash48("CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")}
+               % {CMS_W} AS bucket,
+           COUNT(*) AS c
+    FROM events, (SELECT unnest(generate_series(0, {CMS_D - 1})) AS i)
+    GROUP BY 1, 2
+),
+exact AS (
+    SELECT user_id, COUNT(*) AS exact_count FROM events GROUP BY 1
+),
+topk AS (
+    SELECT user_id, exact_count FROM exact
+    ORDER BY exact_count DESC, user_id LIMIT 10
+),
+est AS (
+    SELECT t.user_id, MIN(c.c) AS cms_estimate
+    FROM topk t, (SELECT unnest(generate_series(0, {CMS_D - 1})) AS i) ii
+    JOIN cells c
+      ON c.i = ii.i
+     AND c.bucket = {sql_md5_hash48(
+         "CAST(ii.i AS VARCHAR) || ':' || CAST(t.user_id AS VARCHAR)")} % {CMS_W}
+    GROUP BY 1
+)
+SELECT t.user_id, CAST(t.exact_count AS BIGINT) AS exact_count,
+       CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(e.cms_estimate - t.exact_count AS BIGINT) AS overestimate
+FROM topk t JOIN est e USING (user_id)
+""",
+    doc=f"CountMin sketch built natively: {CMS_D}x{CMS_W} cell table from ONE "
+    "partially-aggregated groupBy (the mergeable sketch — bounded size at "
+    "any corpus scale), heavy-hitter estimates = min over rows via "
+    "broadcast join; deterministic hashing makes the whole sketch "
+    "exact-oracle-checked, overestimate >= 0 guaranteed",
+    tags=("approx", "sketch", "extension"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.pipeline.hashing import spark_md5_hash48  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events").select("user_id")
+
+    def bucket(i_col, key_col):
+        return (
+            spark_md5_hash48(
+                F.concat(
+                    i_col.cast("string"), F.lit(":"), key_col.cast("string")
+                )
+            )
+            % CMS_W
+        )
+
+    rows = F.sequence(F.lit(0), F.lit(CMS_D - 1))
+    cells = (
+        e.select("user_id", F.explode(rows).alias("i"))
+        .groupBy("i", bucket(F.col("i"), F.col("user_id")).alias("bucket"))
+        .agg(F.count("*").alias("c"))
+    )
+    exact = e.groupBy("user_id").agg(F.count("*").alias("exact_count"))
+    topk = exact.orderBy(F.desc("exact_count"), F.asc("user_id")).limit(10)
+    probes = topk.select(
+        "user_id", "exact_count", F.explode(rows).alias("i")
+    ).select(
+        "user_id",
+        "exact_count",
+        "i",
+        bucket(F.col("i"), F.col("user_id")).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        "user_id",
+        F.col("exact_count").cast("long").alias("exact_count"),
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("exact_count"))
+        .cast("long")
+        .alias("overestimate"),
     )

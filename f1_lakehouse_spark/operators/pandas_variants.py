@@ -138,3 +138,49 @@ FROM lineitem GROUP BY 1
 def a7_median_groupedagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_linenumber").agg(_median_agg("l_quantity").alias("median_qty"))
+
+
+# --- mapInArrow exemplar (zero-copy Arrow batches, no pandas conversion) ------------
+
+
+def _arrow_token_stats(batches):
+    """Per-row token/char counts computed with pyarrow.compute kernels —
+    the zero-copy Arrow batch path (no pandas materialization at all).
+    Split on single spaces exactly like Spark's split(text, ' ') /
+    DuckDB's string_split: every delimiter produces a slot, so empty
+    strings count too (list_value_length of the split list)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        t = pa.Table.from_batches([batch])
+        words = pc.split_pattern(t.column("text"), pattern=" ")
+        yield pa.RecordBatch.from_arrays(
+            [
+                t.column("doc_id").combine_chunks(),
+                pc.cast(pc.list_value_length(words), pa.int64()).combine_chunks(),
+                pc.cast(pc.utf8_length(t.column("text")), pa.int64()).combine_chunks(),
+            ],
+            names=["doc_id", "n_tokens", "n_chars"],
+        )
+
+
+@register(
+    "maparrow_token_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+    doc="mapInArrow exemplar: per-doc token/char counts via pyarrow.compute "
+    "kernels on raw Arrow batches (the no-pandas Python path; completes "
+    "the Arrow-UDF matrix alongside applyInPandas / pandas_udf / "
+    "mapInPandas / UDTF). Native twin: text_token_count",
+    tags=("pipeline", "text", "udf", "arrow"),
+)
+def maparrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        _arrow_token_stats, schema="doc_id long, n_tokens long, n_chars long"
+    )
