@@ -88,6 +88,7 @@ EXTENDED = [
     "variant_events_extract",
     "cms_heavy_hitters",
     "maparrow_token_stats",
+    "xml_roundtrip_events",
 ]
 
 

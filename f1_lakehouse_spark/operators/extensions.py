@@ -491,3 +491,47 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overestimate"),
     )
+
+
+# --- XML round-trip + XPath (Spark 4 native XML) ------------------------------------
+
+
+@register(
+    "xml_roundtrip_events",
+    oracle="""
+SELECT event_id,
+       event_type AS xml_type,
+       user_id AS xml_user,
+       user_id % 10 AS xpath_slot
+FROM events
+""",
+    doc="native XML path: struct -> to_xml -> from_xml typed re-projection "
+    "+ xpath_long extraction on the serialized form. Oracle recomputes "
+    "from RAW columns (round-trip fidelity proof, same gate as the "
+    "VARIANT twin). XML parse/serialize is JVM-side (StaxXmlParser), "
+    "scan-speed, no Python",
+    tags=("xml", "extension"),
+)
+def xml_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    x = e.select(
+        "event_id",
+        F.to_xml(
+            F.struct(
+                F.col("event_type"),
+                F.col("user_id"),
+                (F.col("user_id") % 10).alias("slot"),
+            )
+        ).alias("x"),
+    )
+    parsed = x.select(
+        "event_id",
+        "x",
+        F.from_xml("x", "event_type string, user_id bigint, slot bigint").alias("s"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("s.event_type").alias("xml_type"),
+        F.col("s.user_id").alias("xml_user"),
+        F.xpath_long("x", F.lit("/ROW/slot")).alias("xpath_slot"),
+    )

@@ -86,3 +86,19 @@ def test_schema_suite_full_dbt_vocabulary(spark):
         check_relationships(orphans, "o_custkey", customer, "c_custkey")
         == orders.count()
     )
+
+
+def test_observed_write_collects_metrics_in_flight(spark, tmp_path):
+    from f1_lakehouse_spark.quality.checks import observed_write
+    from f1_lakehouse_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "events").select("event_id", "value")
+    got = observed_write(e, str(tmp_path / "obs"), name="m1")
+    n = e.count()
+    assert got["n_rows"] == n
+    assert got["nulls_event_id"] == 0
+    # `value` has injected NULLs in the testdata; the in-flight metric must
+    # agree with a dedicated scan
+    assert got["nulls_value"] == e.filter("value IS NULL").count()
+    assert spark.read.parquet(str(tmp_path / "obs")).count() == n
