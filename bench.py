@@ -89,6 +89,8 @@ EXTENDED = [
     "cms_heavy_hitters",
     "maparrow_token_stats",
     "xml_roundtrip_events",
+    "w_percentrank_cumedist",
+    "events_sliding_window",
 ]
 
 

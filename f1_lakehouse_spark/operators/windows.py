@@ -322,3 +322,78 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return lvl(b15, "15min").unionAll(lvl(hourly, "hour")).unionAll(lvl(daily, "day"))
+
+
+# --- distribution windows: PERCENT_RANK / CUME_DIST -------------------------------
+
+
+@register(
+    "w_percentrank_cumedist",
+    oracle="""
+SELECT c_custkey, c_nationkey, c_acctbal,
+       PERCENT_RANK() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal, c_custkey) AS pct_rank,
+       CUME_DIST()    OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal, c_custkey) AS cume,
+       CASE WHEN CUME_DIST() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal, c_custkey) >= 0.9
+            THEN 1 ELSE 0 END AS top_decile
+FROM customer
+""",
+    doc="distribution windows: PERCENT_RANK + CUME_DIST per nation with "
+    "unique (c_acctbal, c_custkey) total order; both are rank/count "
+    "ratios — integer-derived doubles, hash-exact across engines",
+    tags=("window", "distribution"),
+)
+def w_percentrank_cumedist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    cume = F.cume_dist().over(w)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        cume.alias("cume"),
+        F.when(cume >= 0.9, 1).otherwise(0).alias("top_decile"),
+    )
+
+
+# --- sliding event-time windows (overlap semantics) -------------------------------
+
+
+@register(
+    "events_sliding_window",
+    oracle=f"""
+WITH assigned AS (
+    SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                   time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS window_start,
+           event_type, value
+    FROM events
+)
+SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+       event_type, COUNT(*) AS n_events, {{DSUM}} AS total_value
+FROM assigned GROUP BY 1, 2, 3
+""".format(DSUM=DSUM("value")),
+    doc="sliding event-time windows (1 h duration / 30 min slide): each "
+    "event lands in duration/slide = 2 overlapping windows via Spark's "
+    "window() fan-out — the batch twin of the streaming sliding aggregate; "
+    "oracle replicates the assignment with time_bucket + unnest",
+    tags=("window", "event-time"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -66,3 +66,23 @@ def test_json_tolerant_quarantines_malformed_lines(spark):
         assert _rows(clean.select("n_nationkey", "n_name")) == _rows(
             n.select("n_nationkey", "n_name")
         )
+
+
+def test_xpath_matches_from_xml(spark):
+    """xpath_* functions stay covered here on a small frame — the
+    registered query uses from_xml (StaxXmlParser) because xpath builds a
+    DOM per row (~50x slower at sf0.1; see xml_roundtrip_events doc)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        F.to_xml(
+            F.struct(F.col("id"), (F.col("id") % 7).alias("slot"))
+        ).alias("x")
+    )
+    got = df.select(
+        F.xpath_long("x", F.lit("/ROW/slot")).alias("via_xpath"),
+        F.col("x"),
+        F.from_xml("x", "id bigint, slot bigint").alias("s"),
+    ).select("via_xpath", F.col("s.slot").alias("via_stax"))
+    assert got.filter("via_xpath <> via_stax").count() == 0
+    assert got.count() == 200
