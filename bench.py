@@ -91,6 +91,10 @@ EXTENDED = [
     "xml_roundtrip_events",
     "w_percentrank_cumedist",
     "events_sliding_window",
+    "dedup_jaccard_prefix_filter",
+    "dedup_sorted_neighborhood",
+    "bloom_prefilter_stats",
+    "w_topk_per_group_limit",
 ]
 
 

@@ -536,3 +536,147 @@ def xml_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.user_id").alias("xml_user"),
         F.col("s.slot").alias("xpath_slot"),
     )
+
+
+# --- native Bloom filter (semi-join prefilter sketch) --------------------------------
+# Complements the sketch family (CMS above, HLL) and the runtime-filter
+# joins (join_minmax_prefilter; the built-in bloom path is plan-asserted in
+# tests/test_plans.py::test_runtime_bloom_filter_join): a Bloom filter built
+# NATIVELY as K bit-positions per build key, OR-combined into W 32-bit words
+# with one partially-aggregated groupBy — a fixed-size (W rows) mergeable
+# sketch no matter how large the build side, broadcast to the probe side as
+# the pre-shuffle membership test. Deterministic md5-derived positions make
+# the whole sketch — including its false positives — exactly reproducible in
+# DuckDB, so the FP accounting below is oracle-checked, not estimated.
+# At 100 TB the pattern is: build the W-word bitmap from the dim-side keys
+# (partial agg → W-row exchange), broadcast it, and drop non-member fact
+# rows BEFORE the join shuffle; the exact join then clears false positives.
+
+BLOOM_K = 3  # hash functions per key
+BLOOM_WORDS = 512  # 32-bit words -> 16384 bits
+BLOOM_BITS = BLOOM_WORDS * 32
+
+_BLOOM_BUILD_PRED = "o_orderpriority = '1-URGENT'"
+
+
+def _sql_bloom_pos(i_expr: str, key_expr: str) -> str:
+    return (
+        sql_md5_hash48(f"CAST({i_expr} AS VARCHAR) || '#' || CAST({key_expr} AS VARCHAR)")
+        + f" % {BLOOM_BITS}"
+    )
+
+
+@register(
+    "bloom_prefilter_stats",
+    oracle=f"""
+WITH build AS (
+    SELECT DISTINCT o_custkey FROM orders WHERE {_BLOOM_BUILD_PRED}
+),
+bits AS (
+    SELECT ({_sql_bloom_pos('i', 'o_custkey')}) AS bitpos
+    FROM build, (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i)
+),
+words AS (
+    SELECT bitpos // 32 AS word, bit_or(1::BIGINT << (bitpos % 32)) AS w
+    FROM bits GROUP BY 1
+),
+probe AS (
+    SELECT c.c_custkey, i.i,
+           ({_sql_bloom_pos('i.i', 'c.c_custkey')}) AS bitpos
+    FROM customer c, (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i) i
+),
+checks AS (
+    SELECT p.c_custkey,
+           CASE WHEN (COALESCE(w.w, 0) & (1::BIGINT << (p.bitpos % 32)))
+                     = (1::BIGINT << (p.bitpos % 32))
+                THEN 1 ELSE 0 END AS hit
+    FROM probe p LEFT JOIN words w ON w.word = p.bitpos // 32
+),
+flags AS (
+    SELECT ch.c_custkey,
+           CASE WHEN SUM(ch.hit) = {BLOOM_K} THEN 1 ELSE 0 END AS bloom_pass,
+           CASE WHEN MAX(b.o_custkey) IS NOT NULL THEN 1 ELSE 0 END AS member
+    FROM checks ch LEFT JOIN build b ON b.o_custkey = ch.c_custkey
+    GROUP BY 1
+),
+fill AS (SELECT SUM(bit_count(w)) AS n_set_bits FROM words)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+       CAST(SUM(bloom_pass) AS BIGINT) AS bloom_passed,
+       CAST(SUM(member) AS BIGINT) AS true_members,
+       CAST(SUM(CASE WHEN bloom_pass = 1 AND member = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS false_positives,
+       CAST((SELECT n_set_bits FROM fill) AS BIGINT) AS n_set_bits
+FROM flags
+""",
+    doc=f"native Bloom filter: {BLOOM_K} md5-derived bit positions per build "
+    f"key OR-folded into {BLOOM_WORDS} 32-bit words by one partial-agg "
+    "groupBy (fixed-size mergeable sketch), broadcast membership probe, "
+    "exact-oracle-checked false-positive accounting",
+    tags=("approx", "sketch", "prefilter", "extension"),
+)
+def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.pipeline.hashing import spark_md5_hash48  # noqa: PLC0415
+
+    def bitpos(i_col, key_col):
+        return (
+            spark_md5_hash48(
+                F.concat(i_col.cast("string"), F.lit("#"), key_col.cast("string"))
+            )
+            % BLOOM_BITS
+        )
+
+    ks = F.sequence(F.lit(0), F.lit(BLOOM_K - 1))
+
+    build = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    # the sketch: one groupBy over word index — at most BLOOM_WORDS rows out
+    # of the exchange regardless of build-side cardinality (map-side partial
+    # bit_or does the folding)
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bitpos % 32 AS INT))")
+    words = (
+        build.select(F.explode(ks).alias("i"), "o_custkey")
+        .select(bitpos(F.col("i"), F.col("o_custkey")).alias("bitpos"))
+        .groupBy((F.col("bitpos") / 32).cast("long").alias("word"))
+        .agg(F.bit_or(mask).alias("w"))
+    )
+    probe = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", F.explode(ks).alias("i"))
+        .select("c_custkey", bitpos(F.col("i"), F.col("c_custkey")).alias("bitpos"))
+    )
+    checks = probe.join(
+        F.broadcast(words),
+        (F.col("bitpos") / 32).cast("long") == F.col("word"),
+        "left",
+    ).select(
+        "c_custkey",
+        (
+            (F.coalesce(F.col("w"), F.lit(0)).bitwiseAND(mask)) == mask
+        ).cast("int").alias("hit"),
+    )
+    flags = (
+        checks.groupBy("c_custkey")
+        .agg((F.sum("hit") == BLOOM_K).cast("int").alias("bloom_pass"))
+        .join(
+            F.broadcast(build.withColumn("member", F.lit(1))),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .select("bloom_pass", F.coalesce("member", F.lit(0)).alias("member"))
+    )
+    fill = words.agg(F.sum(F.bit_count("w")).alias("n_set_bits"))
+    return (
+        flags.agg(
+            F.count("*").cast("long").alias("n_probe"),
+            F.sum("bloom_pass").cast("long").alias("bloom_passed"),
+            F.sum("member").cast("long").alias("true_members"),
+            F.sum(
+                ((F.col("bloom_pass") == 1) & (F.col("member") == 0)).cast("int")
+            ).cast("long").alias("false_positives"),
+        )
+        .crossJoin(F.broadcast(fill.select(F.col("n_set_bits").cast("long").alias("n_set_bits"))))
+    )

@@ -397,3 +397,46 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --- top-k per group via WindowGroupLimit --------------------------------------------
+# The rank-filter idiom `row_number() <= k` is special-cased by Spark's
+# WindowGroupLimit optimization: each map task keeps only its local top-k
+# rows PER GROUP before the window exchange (a partial WindowGroupLimit
+# below the shuffle, a final one above — both asserted in
+# tests/test_plans.py::test_topk_per_group_uses_window_group_limit). At
+# 100 TB this is the difference between shuffling k rows per group per task
+# and shuffling the entire fact table into the window sort. The ordering
+# carries o_orderkey as the unique tiebreaker so top-3 is total-order
+# deterministic (repo determinism convention).
+
+TOPK_PER_GROUP = 3
+
+
+@register(
+    "w_topk_per_group_limit",
+    oracle=f"""
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+) t
+WHERE rn <= {TOPK_PER_GROUP}
+""",
+    doc="top-3 orders by totalprice per priority class via the rank-filter "
+    "idiom Spark compiles to partial+final WindowGroupLimit (map-side "
+    "per-group pruning before the window shuffle)",
+    tags=("W1", "window", "topk"),
+)
+def w_topk_per_group_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK_PER_GROUP)
+    )

@@ -1109,3 +1109,236 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     sg.unpersist()
     return out
+
+
+# --- prefix-filtered Jaccard join (AllPairs / PPJoin family) --------------------------
+# The index-size optimization the plain shingle join lacks: order each doc's
+# shingles by GLOBAL document frequency (rarest first) and index only the
+# first  p = |d| - ceil(t*|d|) + 1  of them. Two docs with Jaccard >= t MUST
+# share at least one prefix shingle (pigeonhole on the overlap bound), so
+# candidate generation from the prefix index alone has NO false negatives —
+# while the index holds only the ~(1-t) rarest fraction of every posting
+# list. At 100 TB this is the difference that matters: the frequent
+# (boilerplate) shingles that produce the huge buckets are exactly the ones
+# the prefix ordering pushes OUT of the index, so bucket sizes shrink where
+# the plain join's are largest. Verification then runs exact set-overlap on
+# the FULL shingle arrays, one doc_id-keyed broadcast-free join per side.
+# Cf. Bayardo et al., "Scaling Up All Pairs Similarity Search" (WWW'07);
+# Xiao et al., PPJoin (WWW'08). Reference has no analog (its only dedup is
+# dbt uniqueness tests); this extends the SURVEY §2 dedup family.
+
+# integer-exact prefix length: ceil(t*sz) with t = 35/100
+_PREFIX_NUM = 35
+_PREFIX_DEN = 100
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    oracle=f"""
+WITH shk AS ({_SQL_SHINGLE_KEYS}),
+dfreq AS (SELECT sk, COUNT(*) AS df FROM shk GROUP BY 1),
+docs AS (
+    SELECT doc_id,
+           list(sk ORDER BY df, sk) AS sks,
+           COUNT(*) AS sz
+    FROM shk JOIN dfreq USING (sk)
+    GROUP BY doc_id
+),
+pfx AS (
+    SELECT doc_id,
+           unnest(sks[1 : sz - (({_PREFIX_NUM} * sz + {_PREFIX_DEN} - 1) // {_PREFIX_DEN}) + 1])
+               AS sk
+    FROM docs
+),
+pdf AS (SELECT sk, COUNT(DISTINCT doc_id) AS pdf FROM pfx GROUP BY 1),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pfx a
+    JOIN pfx b ON a.sk = b.sk AND a.doc_id < b.doc_id
+    JOIN pdf ON pdf.sk = a.sk
+    WHERE pdf.pdf <= {MAX_DF}
+),
+verified AS (
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(a.sks, b.sks)) AS n_common,
+           a.sz AS sza, b.sz AS szb
+    FROM cand c
+    JOIN docs a ON a.doc_id = c.doc_a
+    JOIN docs b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / (sza + szb - n_common) AS jaccard
+FROM verified
+WHERE CAST(n_common AS DOUBLE) / (sza + szb - n_common) >= {JACCARD_THRESHOLD}
+""",
+    doc="prefix-filtered Jaccard similarity join (AllPairs/PPJoin): index "
+    "only each doc's rarest p = |d| - ceil(t|d|) + 1 shingles (no false "
+    "negatives by pigeonhole), verify exact Jaccard on full shingle sets — "
+    "the frequent shingles that blow up the plain shingle join's buckets "
+    "never enter the index",
+    tags=("pipeline", "dedup", "jaccard", "prefix-filter"),
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shk = _spark_shingle_keys(d)
+    dfreq = shk.groupBy("sk").agg(F.count("*").alias("df"))
+    # per-doc shingle list in (df, sk) order — a TOTAL order (sk distinct
+    # within a doc), so the prefix is deterministic on both engines
+    docs = (
+        shk.join(dfreq, "sk")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "sk"))), lambda s: s["sk"]
+            ).alias("sks"),
+            F.count("*").alias("sz"),
+        )
+        # docs feeds BOTH the prefix index and (twice) the verify join
+        .persist()
+    )
+    docs.count()
+    sz = F.col("sz")
+    prefix_len = sz - F.floor(
+        (F.lit(_PREFIX_NUM) * sz + F.lit(_PREFIX_DEN - 1)) / F.lit(_PREFIX_DEN)
+    ).cast("long") + F.lit(1)
+    pfx = docs.select(
+        "doc_id", F.explode(F.slice("sks", 1, prefix_len)).alias("sk")
+    )
+    # prefix shingles are globally RARE by construction, so buckets are small;
+    # MAX_DF is a pure safety valve here (mirrored in the oracle)
+    bucket = (
+        pfx.groupBy("sk")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= MAX_DF)
+    )
+    ds = F.col("ds")
+    pair_arrays = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    cand = (
+        bucket.select(F.explode(pair_arrays).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    n_common = F.size(F.array_intersect(F.col("a.sks"), F.col("b.sks")))
+    jaccard = n_common.cast("double") / (
+        F.col("a.sz") + F.col("b.sz") - n_common
+    )
+    out = (
+        cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b, F.col("b.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    out = out.persist()
+    out.count()
+    docs.unpersist()
+    return out
+
+
+# --- sorted-neighborhood dedup (SNM blocking) ----------------------------------------
+# The third classic blocking family (after LSH buckets and prefix filtering):
+# sort the corpus by a normalized key and compare each record only with its
+# next W-1 neighbors in sort order. One sort-shuffle, O(N*W) comparisons,
+# no candidate-pair materialization at all — the cheapest near-dup pass
+# there is, at the cost of missing dups whose sort keys diverge early
+# (mitigated in production by multi-pass SNM with rotated keys; single
+# deterministic pass here). The sort is blocked by the key's first character
+# so no single window partition spans the corpus (the window's partition key
+# IS the scale guard); cross-block neighbors are the documented blind spot.
+# Cf. Hernandez & Stolfo, "The Merge/Purge Problem" (SIGMOD'95).
+
+SNM_WINDOW = 4  # compare with the next 3 docs in sort order
+SNM_KEY_CHARS = 200  # levenshtein verify on the first 200 normalized chars
+SNM_REL_THRESHOLD = 0.30
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+WITH n AS (
+    SELECT doc_id,
+           substr(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'), 1,
+                  {SNM_KEY_CHARS}) AS skey
+    FROM documents
+),
+s AS (SELECT doc_id, skey, substr(skey, 1, 1) AS blk FROM n),
+w AS (
+    SELECT doc_id, skey,
+           lead(doc_id, 1) OVER win AS d1, lead(skey, 1) OVER win AS k1,
+           lead(doc_id, 2) OVER win AS d2, lead(skey, 2) OVER win AS k2,
+           lead(doc_id, 3) OVER win AS d3, lead(skey, 3) OVER win AS k3
+    FROM s
+    WINDOW win AS (PARTITION BY blk ORDER BY skey, doc_id)
+),
+pairs AS (
+    SELECT doc_id, skey, p.nid, p.nkey
+    FROM w, unnest([{{'nid': d1, 'nkey': k1}},
+                    {{'nid': d2, 'nkey': k2}},
+                    {{'nid': d3, 'nkey': k3}}]) AS t(p)
+    WHERE p.nid IS NOT NULL
+),
+scored AS (
+    SELECT LEAST(doc_id, nid) AS doc_a, GREATEST(doc_id, nid) AS doc_b,
+           levenshtein(skey, nkey) AS lev,
+           GREATEST(len(skey), len(nkey), 1) AS denom
+    FROM pairs
+)
+SELECT doc_a, doc_b, CAST(lev AS BIGINT) AS lev,
+       CAST(lev AS DOUBLE) / denom AS rel_dist
+FROM scored
+WHERE CAST(lev AS DOUBLE) / denom <= {SNM_REL_THRESHOLD}
+""",
+    doc="sorted-neighborhood dedup: normalize -> first-char block -> sort "
+    "within block -> compare each doc with its next W-1 neighbors via "
+    "window leads (zero candidate-pair shuffle), levenshtein verify on the "
+    "normalized 200-char key",
+    tags=("pipeline", "dedup", "snm"),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9]+", ""), 1, SNM_KEY_CHARS
+        ).alias("skey"),
+    ).withColumn("blk", F.substring("skey", 1, 1))
+    win = Window.partitionBy("blk").orderBy("skey", "doc_id")
+    leads = s.select(
+        "doc_id",
+        "skey",
+        F.array(
+            *[
+                F.struct(
+                    F.lead("doc_id", i).over(win).alias("nid"),
+                    F.lead("skey", i).over(win).alias("nkey"),
+                )
+                for i in range(1, SNM_WINDOW)
+            ]
+        ).alias("nbrs"),
+    )
+    pairs = leads.select(
+        "doc_id", "skey", F.explode("nbrs").alias("p")
+    ).filter(F.col("p.nid").isNotNull())
+    lev = F.levenshtein("skey", F.col("p.nkey"))
+    denom = F.greatest(F.length("skey"), F.length(F.col("p.nkey")), F.lit(1))
+    rel = lev.cast("double") / denom
+    return (
+        pairs.select(
+            F.least("doc_id", F.col("p.nid")).alias("doc_a"),
+            F.greatest("doc_id", F.col("p.nid")).alias("doc_b"),
+            lev.cast("long").alias("lev"),
+            rel.alias("rel_dist"),
+        )
+        .filter(F.col("rel_dist") <= SNM_REL_THRESHOLD)
+    )

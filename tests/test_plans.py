@@ -267,3 +267,32 @@ def test_minmax_prefilter_bounds_reach_probe_scan(spark):
     plan = _plan(spark, "join_minmax_prefilter")
     assert "GreaterThanOrEqual(l_orderkey" in plan and "LessThanOrEqual(l_orderkey" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    """row_number()<=k must compile to partial+final WindowGroupLimit so each
+    map task prunes to its local per-group top-k BEFORE the window shuffle."""
+    plan = _plan(spark, "w_topk_per_group_limit")
+    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
+
+
+def test_bloom_sketch_is_fixed_size_broadcast(spark):
+    """The native Bloom words table must reach the probe side as a broadcast
+    (fixed-size sketch), never a shuffle of the probe rows against it."""
+    plan = _plan(spark, "bloom_prefilter_stats")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_prefix_filter_verify_has_no_cartesian(spark):
+    """Prefix-filtered Jaccard must stay equi-join end to end: candidate
+    generation is array-side, verification joins on doc_id."""
+    plan = _plan(spark, "dedup_jaccard_prefix_filter")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sorted_neighborhood_single_sort_no_pair_shuffle(spark):
+    """SNM compares via window leads: exactly one exchange (the block/sort
+    shuffle) and no join at all — the zero-candidate-materialization shape."""
+    plan = _plan(spark, "dedup_sorted_neighborhood")
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Exchange") == 1, plan[:2000]
