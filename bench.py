@@ -95,6 +95,7 @@ EXTENDED = [
     "dedup_sorted_neighborhood",
     "bloom_prefilter_stats",
     "w_topk_per_group_limit",
+    "skyline_price_size",
 ]
 
 

@@ -680,3 +680,74 @@ def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(fill.select(F.col("n_set_bits").cast("long").alias("n_set_bits"))))
     )
+
+
+# --- skyline (Pareto frontier) --------------------------------------------------------
+# The classic OLAP skyline operator (Borzsony/Kossmann/Stocker, ICDE'01):
+# all parts not dominated on (minimize p_retailprice, minimize p_size).
+# Distributed shape exploits skyline(S) = skyline(union of skyline(S_i)):
+# phase 1 collapses each price to its min size (one shuffle) and computes a
+# LOCAL frontier inside every hash partition via a per-partition sorted
+# cummin window; phase 2 runs the same cummin over the few local survivors
+# (frontier size << N) in a single ordered pass, then the tiny frontier
+# broadcasts back to tag the original rows. No single-partition sort ever
+# sees more than the survivor set; all comparisons are exact (no
+# arithmetic), so the oracle can use the orthogonal NOT EXISTS dominance
+# definition directly.
+
+_SKYLINE_PARTS = 16  # phase-1 local-frontier parallelism
+
+
+@register(
+    "skyline_price_size",
+    oracle="""
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+)
+""",
+    doc="Pareto frontier of parts on (min retailprice, min size): two-phase "
+    "distributed skyline — per-partition sorted-cummin local frontiers, "
+    "then one small global pass over survivors; oracle is the NOT EXISTS "
+    "dominance definition (a different algorithm entirely)",
+    tags=("extension", "skyline", "analytics"),
+)
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    # collapse: within equal price only the min size can survive (equal-x
+    # dominance); distinct prices make every window row's predecessors
+    # strictly cheaper
+    perx = p.groupBy("p_retailprice").agg(F.min("p_size").alias("min_size"))
+    salt = (F.hash("p_retailprice") % _SKYLINE_PARTS + _SKYLINE_PARTS) % _SKYLINE_PARTS
+
+    def frontier(df: DataFrame, part_cols: list) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy("p_retailprice")
+            .rowsBetween(Window.unboundedPreceding, -1)
+            if part_cols
+            else Window.orderBy("p_retailprice").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+        prev = F.min("min_size").over(w)
+        return df.withColumn("prev_min", prev).filter(
+            F.col("prev_min").isNull() | (F.col("prev_min") > F.col("min_size"))
+        ).drop("prev_min")
+
+    local = frontier(perx.withColumn("slt", salt), ["slt"]).drop("slt")
+    survivors = frontier(local, []).select(
+        F.col("p_retailprice").alias("sky_price"),
+        F.col("min_size").alias("sky_size"),
+    )  # tiny: local frontiers only
+    return (
+        p.join(
+            F.broadcast(survivors),
+            (F.col("p_retailprice") == F.col("sky_price"))
+            & (F.col("p_size") == F.col("sky_size")),
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )

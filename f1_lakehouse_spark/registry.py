@@ -84,7 +84,13 @@ PRIORITY: tuple[str, ...] = (
     "ann_cosine_topk_bruteforce",
     "ann_cosine_topk_lsh",
     "semdedup_cluster_prune",
-    "embedding_quantize_int8",
+    # r2-late swaps #3 (same displacement rule):
+    # - embedding_quantize_int8 -> bloom_prefilter_stats (floor-scaled
+    #   integer quantization is the identical arithmetic inside the
+    #   in-window ann_pq_codes; the native Bloom sketch is a new family —
+    #   fixed-size bit_or-folded bitmap + broadcast membership probe with
+    #   oracle-checked false-positive accounting)
+    "bloom_prefilter_stats",
     "ann_lsh_materialized",
     "ann_knn_self_join",
     # r2-late swaps (each swapped-in op is differentially green at
@@ -108,8 +114,16 @@ PRIORITY: tuple[str, ...] = (
     "text_quality_score",
     "text_fingerprint",
     "text_lang_id_confusion",
-    "text_lang_id_chargram",
-    "text_clean_normalize",
+    # - text_lang_id_chargram -> dedup_jaccard_prefix_filter (chargram
+    #   langid shares the n-gram-profile machinery of the in-window
+    #   text_lang_id_confusion; AllPairs/PPJoin prefix filtering is a new
+    #   blocking family)
+    # - text_clean_normalize -> dedup_sorted_neighborhood (regex
+    #   normalization is exercised inside the in-window pii_scrub_redact
+    #   and inside SNM's own sort-key normalization; sorted-neighborhood
+    #   is a new blocking family)
+    "dedup_jaccard_prefix_filter",
+    "dedup_sorted_neighborhood",
     "text_tfidf_top_terms",
     # training-data curation suite (new in r2)
     "curation_train_val_test_split",

@@ -296,3 +296,11 @@ def test_sorted_neighborhood_single_sort_no_pair_shuffle(spark):
     plan = _plan(spark, "dedup_sorted_neighborhood")
     assert "Join" not in plan, plan[:2000]
     assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_skyline_global_pass_sees_only_survivors(spark):
+    """Skyline phase 2 must be a window over local survivors with the tiny
+    frontier broadcast back — never a cartesian dominance self-join."""
+    plan = _plan(spark, "skyline_price_size")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
