@@ -96,6 +96,9 @@ EXTENDED = [
     "bloom_prefilter_stats",
     "w_topk_per_group_limit",
     "skyline_price_size",
+    "ann_mips_norm_augment",
+    "dedup_containment",
+    "join_asof_nearest_order",
 ]
 
 

@@ -751,3 +751,106 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_retailprice", "p_size")
     )
+
+
+# --- nearest as-of join --------------------------------------------------------------
+# The bidirectional variant of join_asof_latest_order: match each event to
+# the user's TEMPORALLY CLOSEST order (before or after), the alignment
+# telemetry pipelines need when sensors lag in either direction. DuckDB has
+# no NEAREST asof, so the oracle is a LATERAL argmin (per-row sort over the
+# user's orders — fine at oracle scale, quadratic at ours); the Spark shape
+# stays the scalable one-shuffle union trick run in BOTH directions: one
+# window carries the last order at-or-before, its mirror (same sort
+# reversed) carries the first at-or-after, then an integer epoch-second
+# comparison picks the closer side (tie -> the earlier order, matching the
+# oracle's ORDER BY). Same total-order discipline as the forward as-of:
+# per-(custkey, date) orders pre-collapse to MAX(o_orderkey) inside the
+# window via the o_orderkey tiebreak.
+
+
+@register(
+    "join_asof_nearest_order",
+    oracle="""
+WITH o1 AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       n.o_orderkey AS nearest_orderkey,
+       n.o_orderdate AS nearest_orderdate
+FROM events e LEFT JOIN LATERAL (
+    SELECT o.o_orderkey, o.o_orderdate
+    FROM o1 o
+    WHERE o.o_custkey = e.user_id
+    ORDER BY abs(epoch(e.ts) - epoch(CAST(o.o_orderdate AS TIMESTAMP))),
+             o.o_orderdate
+    LIMIT 1
+) n ON TRUE
+""",
+    doc="nearest as-of join: each event matched to the user's temporally "
+    "closest order in either direction — two mirrored carry-forward windows "
+    "over one union (one shuffle on the key), integer epoch-second distance "
+    "pick, earlier-order tiebreak; oracle is a LATERAL argmin",
+    tags=("join", "asof", "extension"),
+)
+def join_asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("k"), "ts"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    left = e.withColumns(
+        {"side": F.lit(1), "o_orderkey": F.lit(None).cast("long"),
+         "o_orderdate": F.lit(None).cast("date")}
+    )
+    right = o.withColumns({"side": F.lit(0), "event_id": F.lit(None).cast("long")})
+    cols = ["k", "ts", "side", "event_id", "o_orderkey", "o_orderdate"]
+    unioned = left.select(*cols).unionByName(right.select(*cols))
+    # before-window: right rows (side 0) sort ahead of the event at equal ts,
+    # so at-or-before includes same-instant orders; o_orderkey tiebreak makes
+    # the carried row the MAX orderkey of duplicate (k, date) orders
+    wb = (
+        Window.partitionBy("k")
+        .orderBy("ts", "side", F.col("o_orderkey").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # after-window: the exact mirror (all sort keys reversed), so the carried
+    # row is the first order at-or-after — with MAX orderkey on date ties
+    wa = (
+        Window.partitionBy("k")
+        .orderBy(
+            # ts/side mirrored; o_orderkey stays ASC so the carried row of a
+            # duplicate-(k, date) block is still the MAX orderkey (the block's
+            # last row in frame order), matching the oracle's pre-collapse
+            F.col("ts").desc(), F.col("side").desc(),
+            F.col("o_orderkey").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumns(
+        {
+            "bk": F.last("o_orderkey", ignorenulls=True).over(wb),
+            "bd": F.last("o_orderdate", ignorenulls=True).over(wb),
+            "ak": F.last("o_orderkey", ignorenulls=True).over(wa),
+            "ad": F.last("o_orderdate", ignorenulls=True).over(wa),
+        }
+    ).filter(F.col("side") == 1)
+    ets = F.unix_timestamp("ts")
+    diff_b = ets - F.unix_timestamp(F.col("bd").cast("timestamp"))
+    diff_a = F.unix_timestamp(F.col("ad").cast("timestamp")) - ets
+    # pick the closer side; ties (diff_b == diff_a, distinct dates) go to
+    # the earlier order — identical to the oracle's (abs, o_orderdate) sort
+    use_before = F.col("ad").isNull() | (
+        F.col("bd").isNotNull() & (diff_b <= diff_a)
+    )
+    return carried.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        "ts",
+        F.when(use_before, F.col("bk")).otherwise(F.col("ak")).alias("nearest_orderkey"),
+        F.when(use_before, F.col("bd")).otherwise(F.col("ad")).alias("nearest_orderdate"),
+    )

@@ -1342,3 +1342,101 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rel_dist") <= SNM_REL_THRESHOLD)
     )
+
+
+# --- containment (asymmetric near-subset) dedup --------------------------------------
+# Jaccard misses the quotation/aggregation case: a short doc copied INTO a
+# much larger one has tiny Jaccard (union is huge) but containment
+# |A∩B| / |A| ≈ 1. Training-corpus curation needs this direction
+# explicitly (boilerplate pages embedding whole smaller documents, shard
+# concatenation bugs) — cf. the containment variant of MinHash (Broder'97).
+# Same capped shingle-bucket machinery as `jaccard_pairs` (one groupBy(sk),
+# array-side pair generation, broadcast sizes), different verdict columns:
+# both direction-specific containments, flagged when either side is
+# near-contained.
+
+CONTAIN_THRESHOLD = 0.50
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH shk AS ({_SQL_SHINGLE_KEYS}),
+df AS (SELECT sk, COUNT(*) AS df FROM shk GROUP BY 1),
+sh_f AS (
+    SELECT shk.doc_id, shk.sk FROM shk JOIN df USING (sk)
+    WHERE df.df <= {MAX_DF}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh_f GROUP BY 1),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh_f a JOIN sh_f b ON a.sk = b.sk AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(c.n_common AS DOUBLE) / sa.sz AS contain_a_in_b,
+       CAST(c.n_common AS DOUBLE) / sb.sz AS contain_b_in_a
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(c.n_common AS DOUBLE) / sa.sz >= {CONTAIN_THRESHOLD}
+   OR CAST(c.n_common AS DOUBLE) / sb.sz >= {CONTAIN_THRESHOLD}
+""",
+    doc="asymmetric containment dedup: |A∩B|/|A| and |A∩B|/|B| per candidate "
+    "pair — catches a short doc near-contained in a longer one (tiny "
+    "Jaccard, high containment), the quotation/concatenation duplication "
+    "mode Jaccard thresholds miss",
+    tags=("pipeline", "dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shk = _spark_shingle_keys(d)
+    ds = F.col("ds")
+    grouped = (
+        shk.groupBy("sk")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size(ds) <= MAX_DF)
+        .persist()
+    )
+    grouped.count()
+    sizes = (
+        grouped.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    pair_arrays = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    common = (
+        grouped.select(F.explode(pair_arrays).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    c_ab = F.col("n_common").cast("double") / F.col("sa.sz")
+    c_ba = F.col("n_common").cast("double") / F.col("sb.sz")
+    out = (
+        common.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            c_ab.alias("contain_a_in_b"),
+            c_ba.alias("contain_b_in_a"),
+        )
+        .filter(
+            (F.col("contain_a_in_b") >= CONTAIN_THRESHOLD)
+            | (F.col("contain_b_in_a") >= CONTAIN_THRESHOLD)
+        )
+    )
+    out = out.persist()
+    out.count()
+    grouped.unpersist()
+    return out

@@ -1345,3 +1345,94 @@ def ann_lsh_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(TOP_K).cast("long").alias("k"),
         (F.col("n").cast("double") / TOP_K).alias("recall_at_k"),
     )
+
+
+# --- MIPS via norm augmentation -------------------------------------------------------
+# Maximum-inner-product search is NOT cosine search (a long vector can have
+# a huge dot product at a poor angle), and LSH families only exist for
+# angular/Euclidean metrics — so the standard scale trick is the
+# norm-augmentation reduction (Bachrach et al., RecSys'14; Neyshabur &
+# Srebro, ICML'15): with M = max corpus norm, augment every corpus vector
+# a -> [a ; sqrt(M^2 - |a|^2)] (all augmented vectors then have norm
+# exactly M) and the query q -> [q ; 0]. Augmented-space cosine orders
+# IDENTICALLY to the raw inner product, so any cosine-ANN index (the
+# hyperplane-LSH machinery above) becomes a MIPS index. The query returns
+# both rankings' scores; the oracle recomputes the same left-fold float
+# arithmetic, so the equivalence is differentially checked, not asserted.
+# Shuffle budget: one max-norm aggregate (1 row, broadcast), one map-side
+# scoring pass, TakeOrderedAndProject top-k — embarrassingly parallel.
+
+_SQL_DOT_AQ = (
+    "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (x,y) -> x+y)"
+)
+_SQL_NORM2_A = (
+    "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x,y) -> x+y)"
+)
+_SQL_NORM2_Q = (
+    "list_reduce(list_transform(generate_series(1, len(q.embedding)), "
+    "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (x,y) -> x+y)"
+)
+
+
+@register(
+    "ann_mips_norm_augment",
+    oracle=f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+m AS (
+    SELECT MAX({_SQL_NORM2_A}) AS max_norm2
+    FROM embeddings a WHERE a.vec_id <> {QUERY_VEC_ID}
+)
+SELECT a.vec_id, a.label,
+       {_SQL_DOT_AQ} AS dot_product,
+       {_SQL_DOT_AQ}
+           / (sqrt(m.max_norm2) * sqrt({_SQL_NORM2_Q})) AS aug_cosine
+FROM embeddings a, q, m
+WHERE a.vec_id <> {QUERY_VEC_ID}
+ORDER BY dot_product DESC, a.vec_id
+LIMIT {TOP_K}
+""",
+    doc="MIPS top-10 via the norm-augmentation reduction: corpus vectors "
+    "padded to constant norm M so augmented-space cosine ranks identically "
+    "to raw inner product (the trick that turns any cosine-LSH index into "
+    "a MIPS index); both scores returned and differentially checked",
+    tags=("pipeline", "similarity", "mips"),
+)
+def ann_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") != QUERY_VEC_ID)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v_: acc + v_,
+        )
+
+    # M^2 = max corpus squared norm: one 1-row aggregate, broadcast — the
+    # augmented cosine denominator is then the CONSTANT M * |q| (every
+    # augmented corpus vector has norm exactly M by construction)
+    m = corpus.agg(
+        F.max(dot(F.col("embedding"), F.col("embedding"))).alias("max_norm2")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "vec_id",
+            "label",
+            dot(F.col("embedding"), F.col("q_embedding")).alias("dot_product"),
+            (
+                dot(F.col("embedding"), F.col("q_embedding"))
+                / (
+                    F.sqrt(F.col("max_norm2"))
+                    * F.sqrt(dot(F.col("q_embedding"), F.col("q_embedding")))
+                )
+            ).alias("aug_cosine"),
+        )
+    )
+    return scored.orderBy(F.col("dot_product").desc(), "vec_id").limit(TOP_K)

@@ -66,6 +66,12 @@ QUERIES = [
     "dedup_incremental_minhash",
     "curation_priority_sample",
     "curation_global_shuffle_shard",
+    "dedup_jaccard_prefix_filter",
+    "dedup_sorted_neighborhood",
+    "dedup_containment",
+    "join_asof_nearest_order",
+    "skyline_price_size",
+    "bloom_prefilter_stats",
 ]
 
 
