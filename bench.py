@@ -99,6 +99,7 @@ EXTENDED = [
     "ann_mips_norm_augment",
     "dedup_containment",
     "join_asof_nearest_order",
+    "ann_hard_negatives",
 ]
 
 

@@ -1436,3 +1436,73 @@ def ann_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("dot_product").desc(), "vec_id").limit(TOP_K)
+
+
+# --- hard-negative mining -------------------------------------------------------------
+# The contrastive-training data step: for each anchor vector, the most
+# cosine-similar vectors of a DIFFERENT label are the hard negatives
+# (highest-loss, most informative). Anchors are a deterministic hash-strided
+# sample (vec_id % HARD_NEG_STRIDE == 0 — at 100 TB anchors are whatever
+# batch is being mined, typically << corpus). Scoring broadcasts the small
+# anchor set over the corpus (map-side, embarrassingly parallel) and the
+# per-anchor top-k rank filter compiles to partial+final WindowGroupLimit,
+# so each task prunes to its local top-k per anchor before the one
+# anchor-keyed exchange. At production scale candidate generation would go
+# through the LSH/IVF index first (ann_lsh_materialized above); this is the
+# exactness baseline with the same output contract.
+
+HARD_NEG_STRIDE = 100
+HARD_NEG_K = 3
+
+
+@register(
+    "ann_hard_negatives",
+    oracle=f"""
+WITH anchors AS (
+    SELECT vec_id, label, embedding FROM embeddings
+    WHERE vec_id % {HARD_NEG_STRIDE} = 0
+),
+scored AS (
+    SELECT q.vec_id AS anchor_id, a.vec_id AS neg_id, a.label AS neg_label,
+           {_SQL_COS_AB} AS cosine
+    FROM embeddings a, anchors q
+    WHERE a.label <> q.label
+)
+SELECT anchor_id, neg_id, neg_label, cosine, rn
+FROM (
+    SELECT anchor_id, neg_id, neg_label, cosine,
+           ROW_NUMBER() OVER (PARTITION BY anchor_id
+                              ORDER BY cosine DESC, neg_id) AS rn
+    FROM scored
+) t
+WHERE rn <= {HARD_NEG_K}
+""",
+    doc="hard-negative mining for contrastive training: per deterministic "
+    "anchor, the top-3 most-similar different-label vectors — broadcast "
+    "anchor scoring + WindowGroupLimit per-anchor top-k; the exactness "
+    "baseline of the index-backed production path",
+    tags=("pipeline", "similarity", "mining"),
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") % HARD_NEG_STRIDE == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            _spark_cosine(F.col("embedding"), F.col("q_embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cosine").desc(), "neg_id")
+    return scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= HARD_NEG_K
+    )
