@@ -100,6 +100,7 @@ EXTENDED = [
     "dedup_containment",
     "join_asof_nearest_order",
     "ann_hard_negatives",
+    "a14_mode_argmax",
 ]
 
 

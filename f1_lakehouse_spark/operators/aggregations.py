@@ -422,3 +422,77 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
         ).alias("corr_qty_price"),
     )
+
+
+# --- A14: mode / deterministic argmax -------------------------------------------------
+# The aggregate vocabulary's missing members: statistical MODE (most
+# frequent value) and argmax ("the shipmode carrying the most revenue").
+# Spark's native max_by/mode break ties arbitrarily — unusable under the
+# hash-compare gate — so both are expressed as rank-1 of a TOTAL order
+# (count/revenue DESC, then the value itself), which also rides the
+# WindowGroupLimit map-side pruning. Two-level shape: the heavy scan
+# collapses in the (flag, shipmode) partial aggregate (49 groups); the
+# window only ever sorts those.
+
+
+@register(
+    "a14_mode_argmax",
+    oracle="""
+WITH per AS (
+    SELECT l_returnflag, CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+    SELECT l_returnflag, ship_month, cnt, revenue,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                              ORDER BY cnt DESC, ship_month) AS rn_mode,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                              ORDER BY revenue DESC, ship_month) AS rn_rev
+    FROM per
+)
+SELECT m.l_returnflag,
+       m.ship_month AS mode_month, m.cnt AS mode_count,
+       r.ship_month AS top_revenue_month, r.revenue AS top_revenue
+FROM ranked m JOIN ranked r
+  ON r.l_returnflag = m.l_returnflag AND r.rn_rev = 1
+WHERE m.rn_mode = 1
+""",
+    doc="per-flag statistical mode of ship month and revenue-argmax month, "
+    "both as rank-1 of a total order (deterministic ties, unlike native "
+    "mode/max_by); window sorts only the 36-group partial aggregate",
+    tags=("A14", "aggregate", "mode"),
+)
+def a14_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy(
+        "l_returnflag", F.month("l_shipdate").cast("long").alias("ship_month")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    wm = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), "ship_month"
+    )
+    wr = Window.partitionBy("l_returnflag").orderBy(
+        F.col("revenue").desc(), "ship_month"
+    )
+    ranked = per.withColumns(
+        {"rn_mode": F.row_number().over(wm), "rn_rev": F.row_number().over(wr)}
+    )
+    m = ranked.filter(F.col("rn_mode") == 1).select(
+        "l_returnflag",
+        F.col("ship_month").alias("mode_month"),
+        F.col("cnt").alias("mode_count"),
+    )
+    r = ranked.filter(F.col("rn_rev") == 1).select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("ship_month").alias("top_revenue_month"),
+        F.col("revenue").alias("top_revenue"),
+    )
+    return m.join(r, m["l_returnflag"] == r["rf"]).drop("rf")

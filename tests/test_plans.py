@@ -304,3 +304,25 @@ def test_skyline_global_pass_sees_only_survivors(spark):
     plan = _plan(spark, "skyline_price_size")
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nearest_asof_windows_share_one_shuffle(spark):
+    """Both mirrored carry windows must reuse a single hash exchange on the
+    key — the one-shuffle as-of contract, bidirectional."""
+    plan = _plan(spark, "join_asof_nearest_order")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_mips_is_map_only_plus_take_ordered(spark):
+    """MIPS scoring must be map-side (anchor + max-norm broadcast) with the
+    top-k as TakeOrderedAndProject — zero hash exchanges of the corpus."""
+    plan = _plan(spark, "ann_mips_norm_augment")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+
+
+def test_containment_no_cartesian(spark):
+    """Containment candidates come from the capped shingle buckets — never a
+    corpus-level cross join."""
+    plan = _plan(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
