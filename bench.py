@@ -101,6 +101,7 @@ EXTENDED = [
     "join_asof_nearest_order",
     "ann_hard_negatives",
     "a14_mode_argmax",
+    "w_session_window_native",
 ]
 
 

@@ -440,3 +440,56 @@ def w_topk_per_group_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOPK_PER_GROUP)
     )
+
+
+# --- engine-native session windows ----------------------------------------------------
+# The same sessionization expressed through Spark's built-in
+# ``session_window`` aggregate (the construct the streaming path uses for
+# watermarked session aggs) — verified against the INDEPENDENT lag+running-
+# sum construction in the oracle. Semantics pinned precisely: session_window
+# is end-exclusive, so a gap of EXACTLY the 30-minute threshold starts a new
+# session (>=, where w_sessionize_events' lag formulation uses >), and every
+# emitted session_end_ext is last-event + gap. One shuffle on the grouping
+# key, same as the window formulation.
+
+
+@register(
+    "w_session_window_native",
+    oracle="""
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+                  OR LAG(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end_ext,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+""",
+    doc="sessionization via the engine-native session_window aggregate, "
+    "differentially checked against the independent lag+running-sum "
+    "construction (gap >= threshold splits; end = last event + gap)",
+    tags=("window", "sessionization", "native"),
+)
+def w_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end_ext"),
+            "n_events",
+        )
+    )
