@@ -102,6 +102,7 @@ EXTENDED = [
     "ann_hard_negatives",
     "a14_mode_argmax",
     "w_session_window_native",
+    "join_full_outer_reconcile",
 ]
 
 

@@ -740,3 +740,53 @@ def join_minmax_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- full outer join: two-sided reconciliation ---------------------------------------
+# The audit shape every warehouse needs: two independently-derived per-key
+# aggregates FULL OUTER joined so rows present on only one side surface
+# explicitly (the reconciliation report). Both sides pre-aggregate to one
+# row per key BEFORE the join — the full-outer shuffle carries |keys|, not
+# |facts| — and the presence classification is a null-pattern CASE, so the
+# whole report is one sort-merge pass after two partial aggregations.
+
+
+@register(
+    "join_full_outer_reconcile",
+    oracle="""
+WITH o AS (SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+e AS (SELECT user_id AS k, COUNT(*) AS n_events FROM events GROUP BY 1)
+SELECT COALESCE(o.k, e.k) AS custkey,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(e.n_events, 0) AS n_events,
+       CASE WHEN o.k IS NULL THEN 'events_only'
+            WHEN e.k IS NULL THEN 'orders_only'
+            ELSE 'both' END AS presence
+FROM o FULL OUTER JOIN e ON o.k = e.k
+""",
+    doc="two-sided reconciliation: per-key order counts FULL OUTER joined "
+    "with per-key event counts, one-sided keys classified — aggregates "
+    "collapse to |keys| rows before the outer shuffle",
+    tags=("J2", "join", "full-outer"),
+)
+def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("ko"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("ke"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    j = o.join(e, o["ko"] == e["ke"], "full_outer")
+    return j.select(
+        F.coalesce("ko", "ke").alias("custkey"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.when(F.col("ko").isNull(), F.lit("events_only"))
+        .when(F.col("ke").isNull(), F.lit("orders_only"))
+        .otherwise(F.lit("both"))
+        .alias("presence"),
+    )

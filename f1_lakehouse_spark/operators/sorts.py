@@ -106,3 +106,34 @@ def o5_existence_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .agg(F.count("*").alias("table_exists"))
     )
+
+
+# --- O6 (beyond ref): keyset-stable pagination ---------------------------------------
+# LIMIT/OFFSET pagination over a TOTAL order (unique c_custkey tiebreak, so
+# page boundaries are deterministic under parallel execution). Spark
+# compiles ORDER BY + OFFSET + LIMIT into a single global-limit plan — but
+# at scale OFFSET still sorts/skips the whole prefix, so the docstring
+# contract for deep pages is keyset pagination (WHERE key > last_seen ORDER
+# BY key LIMIT n, i.e. o5's probe shape); this query is the page-2 form.
+
+
+@register(
+    "o6_pagination_offset",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+ORDER BY c_acctbal DESC, c_custkey
+LIMIT 20 OFFSET 40
+""",
+    doc="ordered pagination: page 3 of the balance leaderboard via "
+    "LIMIT 20 OFFSET 40 over a total order",
+    tags=("O6", "sort", "pagination"),
+)
+def o6_pagination_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .offset(40)
+        .limit(20)
+    )
