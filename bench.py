@@ -103,6 +103,8 @@ EXTENDED = [
     "a14_mode_argmax",
     "w_session_window_native",
     "join_full_outer_reconcile",
+    "events_date_spine_ffill",
+    "o6_pagination_offset",
 ]
 
 

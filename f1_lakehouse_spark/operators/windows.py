@@ -493,3 +493,65 @@ def w_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --- date-spine gap fill --------------------------------------------------------------
+# The dbt_utils.date_spine pattern the reference's dbt stack would reach
+# for: per-user daily activity densified onto a complete calendar between
+# the user's first and last day (absent days are REAL zero rows, so
+# downstream moving averages/retention math see gaps), plus the running
+# cumulative count over the same partitioning. Spine generation is
+# array-side (sequence + explode per user — no driver loop, no cross join
+# against a global calendar), the fill is one left join on (user, day),
+# and the cumulative rides the join's own hash partitioning.
+
+
+@register(
+    "events_date_spine_ffill",
+    oracle="""
+WITH per AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+rng AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+    FROM events GROUP BY 1
+),
+spine AS (
+    SELECT user_id,
+           CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM rng
+)
+SELECT s.user_id, s.day,
+       COALESCE(p.n, 0) AS n_events,
+       SUM(COALESCE(p.n, 0)) OVER (
+           PARTITION BY s.user_id ORDER BY s.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events
+FROM spine s LEFT JOIN per p ON p.user_id = s.user_id AND p.day = s.day
+""",
+    doc="per-user daily activity densified onto a complete date spine "
+    "(sequence+explode, array-side) with zero-filled gap days and a "
+    "running cumulative count — the dbt date_spine pattern, one join + "
+    "one window on the same key",
+    tags=("window", "spine", "gap-fill"),
+)
+def events_date_spine_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    per = e.groupBy("user_id", "day").agg(F.count("*").alias("n"))
+    rng = e.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = rng.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    filled = spine.join(per, ["user_id", "day"], "left").select(
+        "user_id", "day", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.withColumn("cum_events", F.sum("n_events").over(w))
