@@ -447,9 +447,9 @@ WITH per AS (
 ranked AS (
     SELECT l_returnflag, ship_month, cnt, revenue,
            ROW_NUMBER() OVER (PARTITION BY l_returnflag
-                              ORDER BY cnt DESC, ship_month) AS rn_mode,
+                              ORDER BY cnt DESC, ship_month NULLS FIRST) AS rn_mode,
            ROW_NUMBER() OVER (PARTITION BY l_returnflag
-                              ORDER BY revenue DESC, ship_month) AS rn_rev
+                              ORDER BY revenue DESC, ship_month NULLS FIRST) AS rn_rev
     FROM per
 )
 SELECT m.l_returnflag,
@@ -476,11 +476,14 @@ def a14_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+    # ship_month is NULL where l_shipdate is NULL: pin nulls-first on BOTH
+    # engines (Spark's asc default; DuckDB defaults nulls LAST) so cnt ties
+    # against the null-month group rank identically
     wm = Window.partitionBy("l_returnflag").orderBy(
-        F.col("cnt").desc(), "ship_month"
+        F.col("cnt").desc(), F.col("ship_month").asc_nulls_first()
     )
     wr = Window.partitionBy("l_returnflag").orderBy(
-        F.col("revenue").desc(), "ship_month"
+        F.col("revenue").desc(), F.col("ship_month").asc_nulls_first()
     )
     ranked = per.withColumns(
         {"rn_mode": F.row_number().over(wm), "rn_rev": F.row_number().over(wr)}
