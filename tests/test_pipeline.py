@@ -183,3 +183,68 @@ def test_lm_surprisal_low_for_repetitive_text(spark):
     ).collect()[0]
     assert stats["lo"] >= 0.0
     assert stats["mean"] > 0.0
+
+
+def test_prefix_filter_completeness_vs_exhaustive_jaccard(spark):
+    """The pigeonhole guarantee: when no shingle exceeds the df cap, the
+    prefix index must recover EVERY pair the exhaustive shingle join finds
+    at the same threshold — prefix filtering is an optimization, not a
+    recall trade. Validated Spark-side on a corpus with planted near-dups
+    (catches a wrong prefix-length formula the driver data might not)."""
+    from f1_lakehouse_spark.pipeline import dedup as dd
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the quiet river "
+        "bank while autumn leaves drift slowly down"
+    )
+    rows = [
+        (1, base),
+        (2, base.replace("quiet", "silent")),  # near-dup of 1
+        (3, base.replace("autumn", "spring").replace("fox", "wolf")),
+        (4, "completely different words about spark shuffles and parquet "
+            "files compacted into large row groups for scan efficiency"),
+        (5, "completely different words about spark shuffles and parquet "
+            "files compacted into small row groups for scan efficiency"),  # near-dup of 4
+        (6, "an unrelated short text"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # exhaustive pairs at the same threshold, NO df cap (cap never binds on
+    # 6 docs), verified on full shingle sets — the ground truth
+    shk = dd._spark_shingle_keys(d)
+    a = shk.select(F.col("doc_id").alias("doc_a"), "sk")
+    b = shk.select(F.col("doc_id").alias("doc_b"), "sk")
+    common = (
+        a.join(b, "sk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = shk.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    truth = (
+        common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+        .withColumn(
+            "jac",
+            F.col("n_common") / (F.col("sza") + F.col("szb") - F.col("n_common")),
+        )
+        .filter(F.col("jac") >= dd.JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    truth_pairs = {(r.doc_a, r.doc_b) for r in truth.collect()}
+    assert truth_pairs, "fixture must contain at least one true near-dup pair"
+
+    # the operator under test, on the same frame (swap load_table input)
+    import f1_lakehouse_spark.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda _s, _dir, name: d  # only documents is read
+        dd_load = dd.load_table
+        dd.load_table = tables.load_table
+        got = dd.dedup_jaccard_prefix_filter(spark, "ignored")
+        got_pairs = {(r.doc_a, r.doc_b) for r in got.select("doc_a", "doc_b").collect()}
+    finally:
+        tables.load_table = orig
+        dd.load_table = orig
+    assert got_pairs == truth_pairs, (got_pairs, truth_pairs)
