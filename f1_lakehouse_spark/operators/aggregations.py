@@ -426,13 +426,13 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- A14: mode / deterministic argmax -------------------------------------------------
 # The aggregate vocabulary's missing members: statistical MODE (most
-# frequent value) and argmax ("the shipmode carrying the most revenue").
+# frequent value) and argmax ("the ship month carrying the most revenue").
 # Spark's native max_by/mode break ties arbitrarily — unusable under the
 # hash-compare gate — so both are expressed as rank-1 of a TOTAL order
 # (count/revenue DESC, then the value itself), which also rides the
 # WindowGroupLimit map-side pruning. Two-level shape: the heavy scan
-# collapses in the (flag, shipmode) partial aggregate (49 groups); the
-# window only ever sorts those.
+# collapses in the (flag, month) partial aggregate (<= 3 x 13 groups,
+# null months included); the window only ever sorts those.
 
 
 @register(
@@ -485,9 +485,13 @@ def a14_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.partitionBy("l_returnflag").orderBy(
         F.col("revenue").desc(), F.col("ship_month").asc_nulls_first()
     )
+    # self-join on a derived frame: persist AND materialize first
+    # (CLAUDE.md convention), else the lineitem aggregate + both windows
+    # recompute once per join side
     ranked = per.withColumns(
         {"rn_mode": F.row_number().over(wm), "rn_rev": F.row_number().over(wr)}
-    )
+    ).persist()
+    ranked.count()
     m = ranked.filter(F.col("rn_mode") == 1).select(
         "l_returnflag",
         F.col("ship_month").alias("mode_month"),
@@ -498,4 +502,8 @@ def a14_mode_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ship_month").alias("top_revenue_month"),
         F.col("revenue").alias("top_revenue"),
     )
-    return m.join(r, m["l_returnflag"] == r["rf"]).drop("rf")
+    out = m.join(r, m["l_returnflag"] == r["rf"]).drop("rf")
+    out = out.persist()
+    out.count()
+    ranked.unpersist()
+    return out

@@ -627,12 +627,17 @@ def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ks = F.sequence(F.lit(0), F.lit(BLOOM_K - 1))
 
+    # build feeds the words lineage, the member join and (via words) the
+    # fill aggregate — persist both reused frames so the orders scan and
+    # the bit_or fold run once (CLAUDE.md derived-frame join convention)
     build = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_custkey")
         .distinct()
+        .persist()
     )
+    build.count()
     # the sketch: one groupBy over word index — at most BLOOM_WORDS rows out
     # of the exchange regardless of build-side cardinality (map-side partial
     # bit_or does the folding)
@@ -642,7 +647,9 @@ def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(bitpos(F.col("i"), F.col("o_custkey")).alias("bitpos"))
         .groupBy((F.col("bitpos") / 32).cast("long").alias("word"))
         .agg(F.bit_or(mask).alias("w"))
+        .persist()
     )
+    words.count()
     probe = (
         load_table(spark, sf_dir, "customer")
         .select("c_custkey", F.explode(ks).alias("i"))
@@ -669,7 +676,7 @@ def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bloom_pass", F.coalesce("member", F.lit(0)).alias("member"))
     )
     fill = words.agg(F.sum(F.bit_count("w")).alias("n_set_bits"))
-    return (
+    out = (
         flags.agg(
             F.count("*").cast("long").alias("n_probe"),
             F.sum("bloom_pass").cast("long").alias("bloom_passed"),
@@ -680,6 +687,11 @@ def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(fill.select(F.col("n_set_bits").cast("long").alias("n_set_bits"))))
     )
+    out = out.persist()
+    out.count()
+    words.unpersist()
+    build.unpersist()
+    return out
 
 
 # --- skyline (Pareto frontier) --------------------------------------------------------
@@ -739,10 +751,14 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).drop("prev_min")
 
     local = frontier(perx.withColumn("slt", salt), ["slt"]).drop("slt")
+    # survivors derive from the same part table being probed: persist AND
+    # materialize the tiny frontier before building the join back
+    # (CLAUDE.md derived-frame convention) so part is scanned once per side
     survivors = frontier(local, []).select(
         F.col("p_retailprice").alias("sky_price"),
         F.col("min_size").alias("sky_size"),
-    )  # tiny: local frontiers only
+    ).persist()
+    survivors.count()
     return (
         p.join(
             F.broadcast(survivors),
@@ -772,25 +788,31 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_asof_nearest_order",
     oracle="""
 WITH o1 AS (
-  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  SELECT o_custkey,
+         CAST(o_orderdate AS TIMESTAMP) + INTERVAL 27 YEAR AS aligned_ts,
+         MAX(o_orderkey) AS o_orderkey
   FROM orders GROUP BY 1, 2
 )
 SELECT e.event_id, e.user_id, e.ts,
        n.o_orderkey AS nearest_orderkey,
-       n.o_orderdate AS nearest_orderdate
+       n.aligned_ts AS nearest_order_ts
 FROM events e LEFT JOIN LATERAL (
-    SELECT o.o_orderkey, o.o_orderdate
+    SELECT o.o_orderkey, o.aligned_ts
     FROM o1 o
     WHERE o.o_custkey = e.user_id
-    ORDER BY abs(epoch(e.ts) - epoch(CAST(o.o_orderdate AS TIMESTAMP))),
-             o.o_orderdate
+    ORDER BY abs(epoch_us(e.ts) - epoch_us(o.aligned_ts)), o.aligned_ts
     LIMIT 1
 ) n ON TRUE
 """,
     doc="nearest as-of join: each event matched to the user's temporally "
     "closest order in either direction — two mirrored carry-forward windows "
-    "over one union (one shuffle on the key), integer epoch-second distance "
-    "pick, earlier-order tiebreak; oracle is a LATERAL argmin",
+    "over one union (one shuffle on the key), microsecond-exact integer "
+    "distance pick, earlier-order tiebreak; oracle is a LATERAL argmin. "
+    "Order dates are shifted +27y onto the events' time domain so orders "
+    "exist on BOTH sides of every event and the differential gate "
+    "exercises the before/after pick and its midpoint tie rule (without "
+    "the shift the testdata's orders all predate every event and the "
+    "after-side would be dead code under the gate)",
     tags=("join", "asof", "extension"),
 )
 def join_asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -799,16 +821,16 @@ def join_asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("k"),
-        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        (F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 27 YEAR"))
+        .alias("ts"),
         "o_orderkey",
-        "o_orderdate",
-    )
+    ).withColumn("aligned_ts", F.col("ts"))
     left = e.withColumns(
         {"side": F.lit(1), "o_orderkey": F.lit(None).cast("long"),
-         "o_orderdate": F.lit(None).cast("date")}
+         "aligned_ts": F.lit(None).cast("timestamp")}
     )
     right = o.withColumns({"side": F.lit(0), "event_id": F.lit(None).cast("long")})
-    cols = ["k", "ts", "side", "event_id", "o_orderkey", "o_orderdate"]
+    cols = ["k", "ts", "side", "event_id", "o_orderkey", "aligned_ts"]
     unioned = left.select(*cols).unionByName(right.select(*cols))
     # before-window: right rows (side 0) sort ahead of the event at equal ts,
     # so at-or-before includes same-instant orders; o_orderkey tiebreak makes
@@ -834,14 +856,17 @@ def join_asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried = unioned.withColumns(
         {
             "bk": F.last("o_orderkey", ignorenulls=True).over(wb),
-            "bd": F.last("o_orderdate", ignorenulls=True).over(wb),
+            "bd": F.last("aligned_ts", ignorenulls=True).over(wb),
             "ak": F.last("o_orderkey", ignorenulls=True).over(wa),
-            "ad": F.last("o_orderdate", ignorenulls=True).over(wa),
+            "ad": F.last("aligned_ts", ignorenulls=True).over(wa),
         }
     ).filter(F.col("side") == 1)
-    ets = F.unix_timestamp("ts")
-    diff_b = ets - F.unix_timestamp(F.col("bd").cast("timestamp"))
-    diff_a = F.unix_timestamp(F.col("ad").cast("timestamp")) - ets
+    # microsecond-exact integer distances: unix_timestamp() truncates to
+    # whole seconds and can flip the pick vs the oracle's exact epoch at
+    # sub-second midpoints — unix_micros matches epoch_us bit-for-bit
+    ets = F.unix_micros("ts")
+    diff_b = ets - F.unix_micros("bd")
+    diff_a = F.unix_micros("ad") - ets
     # pick the closer side; ties (diff_b == diff_a, distinct dates) go to
     # the earlier order — identical to the oracle's (abs, o_orderdate) sort
     use_before = F.col("ad").isNull() | (
@@ -852,5 +877,5 @@ def join_asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("user_id"),
         "ts",
         F.when(use_before, F.col("bk")).otherwise(F.col("ak")).alias("nearest_orderkey"),
-        F.when(use_before, F.col("bd")).otherwise(F.col("ad")).alias("nearest_orderdate"),
+        F.when(use_before, F.col("bd")).otherwise(F.col("ad")).alias("nearest_order_ts"),
     )

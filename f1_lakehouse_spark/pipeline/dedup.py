@@ -46,6 +46,24 @@ JACCARD_THRESHOLD = 0.35
 MAX_DF = 256
 
 
+def _pair_arrays(ds):
+    """All i<j ordered pairs of a (sorted) doc-id array, generated inside
+    the array — the bucket-local candidate generator shared by the Jaccard,
+    edit-distance, prefix-filter and containment paths. The only pair-sized
+    shuffle downstream is the (doc_a, doc_b) aggregate, bounded by the df
+    cap of the bucket the array came from."""
+    return F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
+
 # --- shared shingle-key builders (Spark + SQL twins) -----------------------------
 # A word-3-gram shingle is keyed by combining the three words' md5-derived
 # hashes with exact int64 arithmetic — building the shingle STRINGS costs
@@ -196,15 +214,7 @@ def jaccard_pairs(d: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("sz"))
     )
     # all i<j pairs of the sorted doc list, generated inside the array
-    pair_arrays = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + F.lit(2), F.size(ds)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    pair_arrays = _pair_arrays(ds)
     common = (
         grouped.select(F.explode(pair_arrays).alias("p"))
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
@@ -281,15 +291,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size(ds) <= MAX_DF)
     )
-    pair_arrays = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + F.lit(2), F.size(ds)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    pair_arrays = _pair_arrays(ds)
     cand = (
         grouped.select(F.explode(pair_arrays).alias("p"))
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
@@ -1212,15 +1214,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ds") <= MAX_DF)
     )
     ds = F.col("ds")
-    pair_arrays = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + F.lit(2), F.size(ds)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    pair_arrays = _pair_arrays(ds)
     cand = (
         bucket.select(F.explode(pair_arrays).alias("p"))
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
@@ -1404,15 +1398,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("sz"))
     )
-    pair_arrays = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + F.lit(2), F.size(ds)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    pair_arrays = _pair_arrays(ds)
     common = (
         grouped.select(F.explode(pair_arrays).alias("p"))
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))

@@ -240,7 +240,6 @@ def test_prefix_filter_completeness_vs_exhaustive_jaccard(spark):
     orig = tables.load_table
     try:
         tables.load_table = lambda _s, _dir, name: d  # only documents is read
-        dd_load = dd.load_table
         dd.load_table = tables.load_table
         got = dd.dedup_jaccard_prefix_filter(spark, "ignored")
         got_pairs = {(r.doc_a, r.doc_b) for r in got.select("doc_a", "doc_b").collect()}
