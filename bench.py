@@ -105,6 +105,8 @@ EXTENDED = [
     "join_full_outer_reconcile",
     "events_date_spine_ffill",
     "o6_pagination_offset",
+    "events_last_touch_attribution",
+    "text_phrase_search_postings",
 ]
 
 

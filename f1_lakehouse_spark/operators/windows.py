@@ -555,3 +555,85 @@ def events_date_spine_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return filled.withColumn("cum_events", F.sum("n_events").over(w))
+
+
+# --- last-touch attribution -----------------------------------------------------------
+# The marketing-analytics op none of the sequence queries cover: every
+# purchase is credited to the user's most recent PRIOR touch (click/view),
+# then credit aggregates per touch type. This is a stream-to-ITSELF as-of:
+# one carry-forward window over the event stream ordered by
+# (ts, touch-before-purchase, event_id) — same-instant touches credit the
+# purchase (at-or-before), the unique event_id keeps the carry total-order
+# deterministic. One shuffle on user_id; no self-join of the event table.
+
+
+@register(
+    "events_last_touch_attribution",
+    oracle="""
+WITH tagged AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           CASE WHEN event_type IN ('click', 'view') THEN event_type END
+               AS touch_type,
+           CASE WHEN event_type IN ('click', 'view') THEN 0 ELSE 1 END AS side
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase')
+),
+carried AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           last_value(touch_type IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS credited_touch
+    FROM tagged
+)
+SELECT COALESCE(credited_touch, 'untouched') AS credited_touch,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS attributed_value
+FROM carried
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+    doc="last-touch attribution: each purchase credited to the user's most "
+    "recent prior click/view via ONE carry-forward window over the event "
+    "stream itself (no self-join), credit totals per touch type with "
+    "decimal-exact value sums; purchases with no prior touch bucket as "
+    "'untouched'",
+    tags=("window", "attribution", "sessionization"),
+)
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("event_type")
+        ).alias("touch_type"),
+        F.when(F.col("event_type").isin("click", "view"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "credited_touch", F.last("touch_type", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce("credited_touch", F.lit("untouched")).alias("credited_touch")
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )

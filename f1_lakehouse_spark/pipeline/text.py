@@ -720,3 +720,75 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()  # materialize before releasing the trained vocab cache
     seqs.unpersist()
     return out
+
+
+# --- positional inverted index + phrase query -----------------------------------------
+# The search-engine workload the tf-idf/vocab ops stop short of: a
+# POSITIONAL posting list (term, doc_id, pos) and a phrase query answered
+# by position-adjacency join — postings for the two phrase terms equi-join
+# on (doc_id, next-position), never a scan of full texts with LIKE. At
+# scale the index is the materialized table (term-bucketed, sorted by
+# doc_id so the join is merge-friendly); here it is built inline from the
+# same array-side explode used everywhere else (positions via transform
+# over sequence — one map pass, no per-row Python). The phrase is a fixed
+# query literal, so the whole pipeline — index build, selective term scan,
+# adjacency join, per-doc occurrence count — is differentially checked.
+
+PHRASE_W1 = "table"
+PHRASE_W2 = "value"
+
+
+@register(
+    "text_phrase_search_postings",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+p AS (
+    SELECT doc_id, g.i AS pos, toks[g.i] AS term
+    FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g
+)
+SELECT a.doc_id, COUNT(*) AS n_occurrences
+FROM p a
+JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = '{PHRASE_W1}' AND b.term = '{PHRASE_W2}'
+GROUP BY 1
+""",
+    doc=f"positional inverted index + phrase query '{PHRASE_W1} {PHRASE_W2}': "
+    "(term, doc_id, pos) postings from one array-side explode, phrase hits "
+    "via position-adjacency equi-join of the two terms' (selective) "
+    "posting lists, per-doc occurrence counts",
+    tags=("pipeline", "text", "search"),
+)
+def text_phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # materialize the token array as a real column FIRST: element_at over a
+    # raw split(...) expression re-runs the split per lookup (the O(n^2)
+    # trap called out in CLAUDE.md / _spark_shingle_keys)
+    tokd = d.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
+    postings = tokd.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks)),
+                lambda i: F.struct(
+                    i.alias("pos"), F.element_at(toks, i).alias("term")
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.pos").alias("pos"), F.col("p.term").alias("term"))
+    a = postings.filter(F.col("term") == PHRASE_W1).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    b = postings.filter(F.col("term") == PHRASE_W2).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(
+            b,
+            (a["doc_id"] == b["doc_b"]) & (b["pos_b"] == a["pos_a"] + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
