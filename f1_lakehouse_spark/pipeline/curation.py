@@ -36,6 +36,9 @@ VAL_PCT = 10  # test = remainder
 STRATA_K = 40  # stratified sample: keep K docs per lang
 SOURCE_QUOTA = 10  # per-source document cap
 PACK_WINDOW = 512  # context-window token budget per packed sequence
+# bin_id uses an exact integer shift; keep the two in lockstep
+PACK_SHIFT = PACK_WINDOW.bit_length() - 1
+assert PACK_WINDOW == 1 << PACK_SHIFT
 PACK_SHARDS = 8  # independent packing shards
 
 
@@ -94,7 +97,7 @@ SELECT doc_id, lang, rk FROM (
 )
 def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    h = spark_md5_hash48(F.concat(F.col("doc_id").cast("string"), F.lit(":strat")))
+    h = _spark_salted_hash("doc_id", ":strat")
     w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
     return (
         d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
@@ -121,7 +124,7 @@ SELECT source, doc_id, rk FROM (
 )
 def curation_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    h = spark_md5_hash48(F.concat(F.col("doc_id").cast("string"), F.lit(":quota")))
+    h = _spark_salted_hash("doc_id", ":quota")
     w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
     return (
         d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
@@ -218,7 +221,10 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "shard",
         "n_tokens",
-        F.floor(excl_cumsum / PACK_WINDOW).cast("long").alias("bin_id"),
+        # integer division via shift (PACK_WINDOW = 2^9), not
+        # floor(double /): the running token sum can pass 2^53 at corpus
+        # scale, where double division drifts off the oracle's exact `//`
+        F.shiftright(excl_cumsum, PACK_SHIFT).cast("long").alias("bin_id"),
     )
 
 
@@ -366,14 +372,23 @@ def curation_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(28,9)")
         .alias("s"),
     )
+    # tot aggregates the same derived frame scaled joins against: persist
+    # AND materialize first (CLAUDE.md convention) so the documents scan
+    # plus groupBy run once
+    scaled = scaled.persist()
+    scaled.count()
     tot = scaled.agg(F.sum("s").alias("total"))
-    return scaled.crossJoin(F.broadcast(tot)).select(
+    out = scaled.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         F.round(
             F.col("s").cast("double") / F.col("total").cast("double"), 9
         ).alias("mix_weight"),
     )
+    out = out.persist()
+    out.count()
+    scaled.unpersist()
+    return out
 
 
 @register(
@@ -394,14 +409,19 @@ FROM counts c, tot t
 )
 def curation_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    counts = e.groupBy("label").agg(F.count("*").alias("n_examples"))
+    counts = e.groupBy("label").agg(F.count("*").alias("n_examples")).persist()
+    counts.count()  # tot aggregates the frame counts joins against
     tot = counts.agg(
         F.sum("n_examples").alias("total"), F.count("*").alias("k")
     )
-    return counts.crossJoin(F.broadcast(tot)).select(
+    out = counts.crossJoin(F.broadcast(tot)).select(
         "label",
         "n_examples",
         (
             F.col("total").cast("double") / (F.col("k") * F.col("n_examples"))
         ).alias("weight"),
     )
+    out = out.persist()
+    out.count()
+    counts.unpersist()
+    return out

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from f1_lakehouse_spark.pipeline.curation import _spark_salted_hash
 from f1_lakehouse_spark.pipeline.hashing import spark_md5_hash48, sql_md5_hash48
 from f1_lakehouse_spark.registry import register
 from f1_lakehouse_spark.tables import load_table
@@ -86,8 +87,7 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.split("text", " ").alias("ws"),
         (
-            spark_md5_hash48(F.concat(F.col("doc_id").cast("string"), F.lit(":bench")))
-            % BENCH_MOD
+            _spark_salted_hash("doc_id", ":bench") % BENCH_MOD
         ).alias("bench_slot"),
     )
     gram_arr = F.transform(
@@ -96,11 +96,15 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice("ws", i, F.lit(DECONTAM_N)))
         ),
     )
+    # bench and hits both derive from the gram explode (the dominant cost):
+    # persist AND materialize before the self-join (CLAUDE.md convention)
     grams = (
         base.filter(F.size("ws") >= DECONTAM_N)
         .select("doc_id", "bench_slot", F.explode(gram_arr).alias("g"))
         .distinct()
+        .persist()
     )
+    grams.count()
     bench = grams.filter(F.col("bench_slot") == 0).select("g").distinct()
     hits = (
         grams.filter(F.col("bench_slot") != 0)
@@ -109,13 +113,17 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_overlap"))
     )
     train = base.filter(F.col("bench_slot") != 0).select("doc_id")
-    return train.join(hits, "doc_id", "left").select(
+    out = train.join(hits, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap_grams"),
         F.when(F.coalesce(F.col("n_overlap"), F.lit(0)) > 0, 1)
         .otherwise(0)
         .alias("contaminated"),
     )
+    out = out.persist()
+    out.count()
+    grams.unpersist()
+    return out
 
 
 # --- Gopher-style repetition filters ------------------------------------------------
@@ -256,7 +264,7 @@ FROM seeded
 def pii_scrub_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     slot = (
-        spark_md5_hash48(F.concat(F.col("doc_id").cast("string"), F.lit(":pii"))) % 10
+        _spark_salted_hash("doc_id", ":pii") % 10
     )
     seeded = d.select(
         "doc_id",

@@ -219,7 +219,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    # the two-hop join is the dominant stage and member reads it three
+    # times: persist AND materialize before the union (CLAUDE.md convention)
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).persist()
+    tri.count()
     member = (
         tri.select(F.col("a").alias("v"))
         .unionAll(tri.select(F.col("b").alias("v")))
@@ -233,5 +236,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = out.persist()
     out.count()
+    tri.unpersist()
     und.unpersist()
     return out

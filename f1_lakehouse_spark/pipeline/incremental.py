@@ -38,7 +38,7 @@ from f1_lakehouse_spark.tables import load_table
 NEW_BATCH_MOD = 10
 
 def ingest_batch_with_dedup(
-    batch: DataFrame, index_path: str, pairs_path: str
+    batch: DataFrame, index_path: str, pairs_path: str, batch_id: int | None = None
 ) -> None:
     """One ingest step of the streaming dedup pipeline: probe the
     accumulated band index with this batch's signatures (batch side
@@ -47,7 +47,17 @@ def ingest_batch_with_dedup(
     signatures to the index. New-vs-index only — within-batch pairs are
     deliberately out of scope (they surface when either doc meets the
     index in a later probe of a re-ingest; a production ingest would add
-    one batch-local self-join if same-batch dups matter)."""
+    one batch-local self-join if same-batch dups matter).
+
+    Crash-replay safety: the probe anti-joins the index against the
+    batch's own doc_ids, so a replayed batch (whose signatures may
+    already sit in the index from the pre-crash attempt) reproduces the
+    pre-crash pair set exactly — no self-pairs, no within-batch pairs;
+    with ``batch_id`` both writes go to a batch_id= partition under
+    dynamic overwrite, so a replay REPLACES its own partition instead of
+    appending duplicates (true exactly-once; plain appends otherwise)."""
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
+
     sess = batch.sparkSession
     shh = _spark_shingle_keys(batch, distinct=False)
     bands = minhash_band_signatures(
@@ -55,24 +65,52 @@ def ingest_batch_with_dedup(
     ).persist()
     bands.count()
     try:
-        idx = sess.read.parquet(index_path)
-    except Exception:
-        idx = None  # first batch: empty index, nothing to probe
-    if idx is not None:
-        cand = (
-            idx.withColumnRenamed("doc_id", "corpus_doc")
-            .join(
-                F.broadcast(bands.withColumnRenamed("doc_id", "new_doc")),
-                ["band", "band_hash"],
+        try:
+            idx = sess.read.parquet(index_path)
+        except AnalysisException as e:
+            # ONLY a missing path means "first batch": any other read
+            # failure must surface, else the probe is silently skipped
+            # while the signatures still get appended (permanent pair loss)
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            idx = None
+        if idx is not None:
+            own = bands.select("doc_id").distinct()
+            probe_idx = idx.select("doc_id", "band", "band_hash").join(
+                F.broadcast(own), "doc_id", "left_anti"
             )
-            .select("new_doc", "corpus_doc")
-            .distinct()
+            cand = (
+                probe_idx.withColumnRenamed("doc_id", "corpus_doc")
+                .join(
+                    F.broadcast(bands.withColumnRenamed("doc_id", "new_doc")),
+                    ["band", "band_hash"],
+                )
+                .select("new_doc", "corpus_doc")
+                .distinct()
+            )
+            _idempotent_append(cand, pairs_path, batch_id)
+        _idempotent_append(
+            bands.select("doc_id", "band", "band_hash"), index_path, batch_id
         )
-        cand.write.mode("append").parquet(pairs_path)
-    bands.select("doc_id", "band", "band_hash").write.mode("append").parquet(
-        index_path
-    )
-    bands.unpersist()
+    finally:
+        bands.unpersist()
+
+
+def _idempotent_append(df: DataFrame, path: str, batch_id: int | None) -> None:
+    """Append semantics that survive foreachBatch replay: with a batch_id,
+    write into a batch_id= partition under dynamic partition overwrite (a
+    replay overwrites its own partition, never duplicating rows); without
+    one, a plain append."""
+    if batch_id is None:
+        df.write.mode("append").parquet(path)
+    else:
+        (
+            df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
 
 
 def stream_documents_ingest_with_dedup(
@@ -99,7 +137,7 @@ def stream_documents_ingest_with_dedup(
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        ingest_batch_with_dedup(batch_df, index_path, pairs_path)
+        ingest_batch_with_dedup(batch_df, index_path, pairs_path, batch_id)
 
     q = (
         src.writeStream.foreachBatch(step)
