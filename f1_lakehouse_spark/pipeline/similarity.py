@@ -1016,8 +1016,20 @@ def _pq_adc_scored(
             }
         )
     def lookup(m: int):
-        arr = F.array(*[F.lit(luts[m][cid]) for cid in sorted(luts[m])])
-        return F.element_at(arr, codes[m].cast("int") + F.lit(1))
+        # CASE on the ACTUAL cid values, not positional element_at: a
+        # centroid can lose all members in the Lloyd update (degenerate
+        # seeds), leaving non-contiguous cids — positional indexing would
+        # then return NULL distances that sort to the top, while the SQL
+        # oracle joins its lut ON cid and stays correct
+        expr = None
+        for cid, dist in sorted(luts[m].items()):
+            cond = codes[m] == F.lit(cid)
+            expr = (
+                F.when(cond, F.lit(dist))
+                if expr is None
+                else expr.when(cond, F.lit(dist))
+            )
+        return expr  # total: codes[m] is always a trained cid
     adc = ((lookup(0) + lookup(1)) + lookup(2)) + lookup(3)
     scored = e.filter(F.col("vec_id") != QUERY_VEC_ID).select(
         "vec_id", adc.alias("adc_dist")

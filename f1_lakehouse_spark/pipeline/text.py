@@ -247,6 +247,13 @@ def text_lang_id_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.length("text") - F.lit(2)),
         lambda i: F.col("text").substr(i, F.lit(3)),
     )
+    # Spark sequence(1, n) runs DESCENDING for n < 1 (docs shorter than a
+    # trigram) and would fabricate phantom grams where DuckDB's
+    # generate_series is empty — pin the short-doc case to no grams, same
+    # guard as _spark_shingle_keys / text_lm_surprisal
+    grams_arr = F.when(F.length("text") >= 3, grams_arr).otherwise(
+        F.array().cast("array<string>")
+    )
     grams = d.select("doc_id", "lang", F.explode(grams_arr).alias("g"))
     doc_grams = grams.distinct()
     freq = grams.groupBy(F.col("lang").alias("profile_lang"), "g").agg(

@@ -25,30 +25,29 @@ from pyspark.sql import functions as F
 from f1_lakehouse_spark.tables import _pin_session_confs, table_path
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
     """readStream over the events parquet (schema pinned from a static read,
-    as the file source requires a user-supplied schema)."""
+    as the file source requires a user-supplied schema). ``glob`` widens the
+    source beyond the single testdata file (e.g. "*.parquet" for a
+    drop-directory a test or ingest job keeps appending files to)."""
     _pin_session_confs(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = table_path(sf_dir, "events")
-    schema = spark.read.parquet(path).schema
+    schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
     # the streaming file source wants a DIRECTORY; the testdata table is a
     # single file, so stream the parent dir with a glob filter
     raw = (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
-    # same ts normalization as the batch loader (tables._normalize_event_ts):
-    # epoch-ns longs → µs timestamps, and naive timestamp[us] (surfaced as
-    # TIMESTAMP_NTZ, which withWatermark refuses) → TIMESTAMP. The cast is
-    # value-preserving under the engine's pinned UTC session timezone.
-    ts_type = dict(raw.dtypes)["ts"]
-    if ts_type == "bigint":
-        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    elif ts_type == "timestamp_ntz":
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    # same ts normalization as the batch loader — CALL it rather than
+    # re-implement, so a batch-side fix can never silently diverge from the
+    # streaming path (withWatermark refuses TIMESTAMP_NTZ, hence the cast)
+    from f1_lakehouse_spark.tables import _normalize_event_ts  # noqa: PLC0415
+
+    return _normalize_event_ts(raw)
 
 
 def stream_bronze_ingest(
@@ -193,41 +192,52 @@ def incremental_gold_refresh(
     src_dir: str,
     gold_path: str,
     checkpoint: str,
+    glob: str = "events.parquet",
 ) -> None:
     """Incremental materialized-aggregate maintenance: each micro-batch's
     PARTIAL aggregate (count/sum per event_type) merges into the gold table
     inside ``foreachBatch`` — the streaming upgrade of the reference's
     "rebuild gold from scratch per dbt run" (SURVEY §2.11 D1/D4).
 
-    The merge re-aggregates (old gold ∪ batch partial), which is exact
-    because count/sum compose associatively — the same partial→final
-    discipline as the batch A4 re-aggregation and the salted skew aggregate.
-    On a lakehouse table format this read-union-overwrite becomes MERGE INTO;
-    gold stays tiny (one row per event_type) so the rewrite is O(gold), not
-    O(stream history). Exactly-once across restarts comes from the
-    checkpoint: a replayed batch overwrites with the same result."""
+    Under ``outputMode("update")`` each emitted row is the group's UPDATED
+    CUMULATIVE aggregate (streaming state carries the running totals), so
+    the merge is a key-REPLACE upsert — keep gold rows whose key is absent
+    from the batch, take the batch's rows verbatim. That is exactly MERGE
+    INTO on a lakehouse table format, it is idempotent under crash-replay
+    (a replayed batch re-emits the same cumulative rows and the replace
+    converges), and it never double-counts across restarts or multi-batch
+    triggers — an additive old∪batch re-sum would, because the restored
+    aggregation state already includes history. Gold stays tiny (one row
+    per event_type) so the rewrite is O(gold), not O(stream history)."""
     from pyspark.sql import DataFrame as _DF
 
-    src = stream_events(spark, src_dir)
+    src = stream_events(spark, src_dir, glob=glob)
     partial = src.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(28,9)")).alias("total_value"),
     )
 
     def merge(batch_df: _DF, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException  # noqa: PLC0415
+
         sess = batch_df.sparkSession
         try:
             old = sess.read.parquet(gold_path)
-        except Exception:
+        except AnalysisException as e:
+            # ONLY a missing path means "first refresh" — any other read
+            # failure must surface, else history is silently overwritten
+            # with one batch's totals
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             old = None
-        merged = batch_df if old is None else old.unionByName(batch_df)
-        out = (
-            merged.groupBy("event_type")
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                F.sum("total_value").alias("total_value"),
+        if old is None:
+            out = batch_df
+        else:
+            # key-replace upsert: update-mode rows are already cumulative
+            kept = old.join(
+                batch_df.select("event_type"), "event_type", "left_anti"
             )
-        )
+            out = kept.unionByName(batch_df)
         # materialize before overwrite (the sink is also the source)
         rows = out.collect()
         sess.createDataFrame(rows, out.schema).coalesce(1).write.mode(
@@ -236,7 +246,7 @@ def incremental_gold_refresh(
 
     q = (
         partial.writeStream.foreachBatch(merge)
-        .outputMode("complete")
+        .outputMode("update")
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -9,9 +9,16 @@
   built-in streaming aggregates can't express).
 
 Scale notes: state is partitioned by the group key across executors and
-checkpointed; watermark/timeout discipline keeps it bounded. The pandas
-state function receives Arrow batches per key — memory is per-key, not
-per-partition.
+checkpointed. ``streaming_dedup``'s state IS bounded (the watermark evicts
+expired keys). The user-totals twins deliberately run with NoTimeout /
+timeMode "None" — running totals over ALL history are the point, and any
+timeout would silently reset a user's totals — which means their state
+grows with distinct-user cardinality, not time: bounded only by the key
+domain. A production deployment that cannot bound the key domain caps it
+explicitly (ProcessingTimeTimeout / state TTL on the TWS handle, emitting
+final totals on expiry), trading the all-history semantics for bounded
+state. The pandas state function receives Arrow batches per key — memory
+is per-key, not per-partition.
 """
 
 from __future__ import annotations
@@ -77,6 +84,9 @@ def streaming_user_totals(events: DataFrame) -> DataFrame:
             outputStructType=_OUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
+            # NoTimeout is a deliberate semantic choice: totals-over-all-
+            # history; state size = O(distinct users). See module docstring
+            # for the bounded-state production variant.
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

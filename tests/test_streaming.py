@@ -290,6 +290,51 @@ def test_incremental_gold_refresh_equals_batch_aggregate(spark):
         assert again == want
 
 
+def test_incremental_gold_refresh_second_run_with_new_data_no_double_count(spark):
+    """Regression: update-mode rows are CUMULATIVE, so the merge must
+    key-replace, not re-sum — a second run over newly arrived files has to
+    land exactly on the batch aggregate of everything seen, not history
+    counted twice."""
+    import tempfile
+
+    from f1_lakehouse_spark.streaming.ingest import incremental_gold_refresh
+
+    import glob as globmod
+    import os
+    import shutil
+
+    ev = load_table(spark, SF_DIR, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+
+    def drop_file(df, staging, src, name):
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = globmod.glob(f"{staging}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/{name}")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src, gold, ckpt = f"{tmp}/src", f"{tmp}/gold", f"{tmp}/ckpt"
+        os.makedirs(src)
+        drop_file(first, f"{tmp}/stage1", src, "events_a.parquet")
+        incremental_gold_refresh(spark, src, gold, ckpt, glob="*.parquet")
+        drop_file(second, f"{tmp}/stage2", src, "events_b.parquet")
+        incremental_gold_refresh(spark, src, gold, ckpt, glob="*.parquet")
+        got = {
+            r["event_type"]: (r["n_events"], round(float(r["total_value"]), 6))
+            for r in spark.read.parquet(gold).collect()
+        }
+        want = {
+            r["event_type"]: (r["n"], round(float(r["t"]), 6))
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(28,9)")).alias("t"),
+            )
+            .collect()
+        }
+        assert got == want
+
+
 def test_transform_with_state_totals_equal_batch(spark):
     """Spark 4 transformWithStateInPandas twin must agree with the batch
     aggregate (and therefore with the applyInPandasWithState variant)."""
