@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from f1_lakehouse_spark.operators.aggregations import DSUM, dsum
-from f1_lakehouse_spark.pipeline.hashing import sql_md5_hash48
+from f1_lakehouse_spark.pipeline.hashing import sql_indexed_hash48, sql_md5_hash48
 from f1_lakehouse_spark.registry import register
 from f1_lakehouse_spark.tables import load_table
 
@@ -125,8 +125,10 @@ def join_range_value_to_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_by_flag",
     oracle="""
 SELECT l_returnflag,
-       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS DECIMAL(27,6))::DOUBLE AS qty_F,
-       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS DECIMAL(27,6))::DOUBLE AS qty_O
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS DECIMAL(27,6)) END) AS DOUBLE) AS qty_F,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS DECIMAL(27,6)) END) AS DOUBLE) AS qty_O
 FROM lineitem GROUP BY 1
 """,
     doc="pivot: l_linestatus values to columns (conditional-agg equivalent)",
@@ -413,7 +415,7 @@ CMS_W = 512  # buckets per row
     "cms_heavy_hitters",
     oracle=f"""
 WITH cells AS (
-    SELECT i, {sql_md5_hash48("CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")}
+    SELECT i, {sql_indexed_hash48("i", "user_id", ":")}
                % {CMS_W} AS bucket,
            COUNT(*) AS c
     FROM events, (SELECT unnest(generate_series(0, {CMS_D - 1})) AS i)
@@ -431,8 +433,7 @@ est AS (
     FROM topk t, (SELECT unnest(generate_series(0, {CMS_D - 1})) AS i) ii
     JOIN cells c
       ON c.i = ii.i
-     AND c.bucket = {sql_md5_hash48(
-         "CAST(ii.i AS VARCHAR) || ':' || CAST(t.user_id AS VARCHAR)")} % {CMS_W}
+     AND c.bucket = {sql_indexed_hash48("ii.i", "t.user_id", ":")} % {CMS_W}
     GROUP BY 1
 )
 SELECT t.user_id, CAST(t.exact_count AS BIGINT) AS exact_count,
@@ -448,19 +449,12 @@ FROM topk t JOIN est e USING (user_id)
     tags=("approx", "sketch", "extension"),
 )
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from f1_lakehouse_spark.pipeline.hashing import spark_md5_hash48  # noqa: PLC0415
+    from f1_lakehouse_spark.pipeline.hashing import spark_indexed_hash48  # noqa: PLC0415
 
     e = load_table(spark, sf_dir, "events").select("user_id")
 
     def bucket(i_col, key_col):
-        return (
-            spark_md5_hash48(
-                F.concat(
-                    i_col.cast("string"), F.lit(":"), key_col.cast("string")
-                )
-            )
-            % CMS_W
-        )
+        return spark_indexed_hash48(i_col, key_col, ":") % CMS_W
 
     rows = F.sequence(F.lit(0), F.lit(CMS_D - 1))
     cells = (
@@ -560,10 +554,7 @@ _BLOOM_BUILD_PRED = "o_orderpriority = '1-URGENT'"
 
 
 def _sql_bloom_pos(i_expr: str, key_expr: str) -> str:
-    return (
-        sql_md5_hash48(f"CAST({i_expr} AS VARCHAR) || '#' || CAST({key_expr} AS VARCHAR)")
-        + f" % {BLOOM_BITS}"
-    )
+    return sql_indexed_hash48(i_expr, key_expr, "#") + f" % {BLOOM_BITS}"
 
 
 @register(
@@ -615,15 +606,10 @@ FROM flags
     tags=("approx", "sketch", "prefilter", "extension"),
 )
 def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from f1_lakehouse_spark.pipeline.hashing import spark_md5_hash48  # noqa: PLC0415
+    from f1_lakehouse_spark.pipeline.hashing import spark_indexed_hash48  # noqa: PLC0415
 
     def bitpos(i_col, key_col):
-        return (
-            spark_md5_hash48(
-                F.concat(i_col.cast("string"), F.lit("#"), key_col.cast("string"))
-            )
-            % BLOOM_BITS
-        )
+        return spark_indexed_hash48(i_col, key_col, "#") % BLOOM_BITS
 
     ks = F.sequence(F.lit(0), F.lit(BLOOM_K - 1))
 

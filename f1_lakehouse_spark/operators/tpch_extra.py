@@ -231,20 +231,29 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    # per_part and total both consume flt (the 3-table join): persist AND
+    # materialize before the threshold join (CLAUDE.md convention; q15 is
+    # the compliant template for this scalar-threshold shape)
     flt = (
         li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .select("l_partkey", "l_extendedprice")
+        .persist()
     )
+    flt.count()
     per_part = flt.groupBy(F.col("l_partkey").alias("partkey")).agg(
         dsum("l_extendedprice").alias("part_value")
     )
     total = flt.agg((dsum("l_extendedprice") * F.lit(0.002)).alias("thr"))
-    return (
+    out = (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > F.col("thr"))
         .select("partkey", "part_value")
     )
+    out = out.persist()
+    out.count()
+    flt.unpersist()
+    return out
 
 
 # --- Q13 shape: customer order-count distribution (filtered LEFT JOIN) --------

@@ -71,3 +71,21 @@ BAND_SIZE = 4
 # weighted sum of 4 values < MOD*29791 < 2^63 needs no modulo and commutes,
 # so neither engine's aggregation order matters.
 BAND_POWERS = [31**k for k in range(BAND_SIZE)]
+
+
+# --- indexed hash family (sketch rows: CMS, Bloom) -----------------------------------
+# h_i(key) for sketches that need several independent hash functions per
+# key: md5 over "i<sep>key". One synchronized Spark/SQL pair — the modulus
+# (bucket width / bit count) is applied at the call site.
+
+
+def spark_indexed_hash48(i_col: Column, key_col: Column, sep: str) -> Column:
+    return spark_md5_hash48(
+        F.concat(i_col.cast("string"), F.lit(sep), key_col.cast("string"))
+    )
+
+
+def sql_indexed_hash48(i_expr: str, key_expr: str, sep: str) -> str:
+    return sql_md5_hash48(
+        f"CAST({i_expr} AS VARCHAR) || '{sep}' || CAST({key_expr} AS VARCHAR)"
+    )

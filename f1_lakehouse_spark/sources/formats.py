@@ -10,7 +10,7 @@ jars not present in this environment and are stubbed behind import-tries.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 CSV_OPTIONS = {"header": "true", "timestampFormat": "yyyy-MM-dd HH:mm:ss"}
 
@@ -43,7 +43,10 @@ def delta_available(spark: SparkSession) -> bool:
     """Delta Lake needs its jar + catalog extensions; report availability
     instead of failing at import time."""
     try:
-        spark._jvm.io.delta.tables.DeltaTable  # noqa: B018
+        # py4j attribute access NEVER raises on a missing class (it returns
+        # a JavaPackage), so probing the attribute reports True everywhere;
+        # Class.forName actually resolves the class or throws
+        spark._jvm.java.lang.Class.forName("io.delta.tables.DeltaTable")
         return True
     except Exception:
         return False
@@ -60,7 +63,12 @@ def read_json_tolerant(
     would kill a day-long ingest for one bad line; DROPMALFORMED silently
     loses data — quarantining is the production posture). Pair with
     :func:`split_quarantine` to route rows."""
-    with_corrupt = schema.add(CORRUPT_COL, "string")
+    # StructType.add MUTATES self (and returns it): build a copy so the
+    # caller's schema object does not permanently grow a corrupt-record
+    # field (and a second tolerant read does not produce a duplicate column)
+    with_corrupt = StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
+    )
     return (
         spark.read.schema(with_corrupt)
         .option("mode", "PERMISSIVE")
@@ -69,17 +77,20 @@ def read_json_tolerant(
     )
 
 
-def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(clean rows without the corrupt column, quarantined raw lines).
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(clean rows without the corrupt column, quarantined raw lines, and
+    the CACHED parsed frame — unpersist it once both routes are written).
 
     The parsed frame is cached first: since Spark 2.3, predicates that
     reference only the internal corrupt-record column of a raw JSON/CSV
     scan are disallowed (the parser would need a second pass) — caching
     materializes the parse once, which is also what you want before
-    routing the same scan two ways."""
+    routing the same scan two ways. The cached handle is returned so the
+    caller can release executor storage (``cached.unpersist()``) after
+    routing — on a large dirty feed a session-lifetime pin is a leak."""
     from pyspark.sql import functions as F
 
-    df = df.cache()
-    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
-    return clean, bad
+    cached = df.cache()
+    clean = cached.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = cached.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return clean, bad, cached

@@ -68,21 +68,31 @@ def _bucket_expr(col: str, cuts: list[float]) -> Column:
 
 def zorder_value(df: DataFrame, cols: list[str], bits: int = ZORDER_BITS) -> Column:
     """Morton value over `cols`: each column is quantile-bucketed to `bits`
-    bits (cuts via approxQuantile — sampled, single pass), then the bucket
+    bits (cuts via ONE multi-column approxQuantile pass), then the bucket
     bits are interleaved so the curve preserves locality in every
     dimension."""
+    if bits * len(cols) > 62:
+        raise ValueError(
+            f"{bits} bits x {len(cols)} cols needs {bits * len(cols)} z-bits"
+            " — exceeds the 62 usable bits of the signed-long accumulator"
+        )
     n_buckets = 2**bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    buckets = []
-    for c in cols:
-        cuts = df.approxQuantile(c, probs, 0.01)
-        buckets.append(_bucket_expr(c, cuts))
-    z: Column = F.lit(0)
+    # one action for ALL columns: approxQuantile takes a column list and
+    # sketches every column in a single scan (a per-column loop would run
+    # len(cols) full passes over the data)
+    all_cuts = df.approxQuantile(cols, probs, 0.01)
+    buckets = [_bucket_expr(c, cuts) for c, cuts in zip(cols, all_cuts)]
+    # long accumulator: an INT z goes negative at bit position 31 (sign
+    # bit), range-partitioning those rows before all others
+    z: Column = F.lit(0).cast("long")
     for bit in range(bits):
         for dim, b in enumerate(buckets):
             pos = bit * len(buckets) + dim
             z = z.bitwiseOR(
-                F.shiftleft(F.shiftright(b, bit).bitwiseAND(F.lit(1)), pos)
+                F.shiftleft(
+                    F.shiftright(b, bit).bitwiseAND(F.lit(1)).cast("long"), pos
+                )
             )
     return z
 

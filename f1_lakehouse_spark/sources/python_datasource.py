@@ -50,13 +50,19 @@ TELEMETRY_SCHEMA = StructType(
 )
 
 
+# id-space stride per partition: rows_per_partition is validated against it
+# so reading_id = part * stride + idx can never collide across partitions
+# (and the stream twin's global counter stays inside partition 0's range)
+ID_STRIDE = 1_000_000
+
+
 def _telemetry_row(part: int, idx: int, n_sensors: int) -> tuple[int, str, float]:
     """Deterministic reading for (partition, index): md5 of the coordinate
     drives both the sensor assignment and the value, so any executor
     produces the identical row."""
     h = hashlib.md5(f"telemetry:{part}:{idx}".encode()).hexdigest()
     v = int(h[:12], 16)
-    reading_id = part * 1_000_000 + idx
+    reading_id = part * ID_STRIDE + idx
     sensor = f"s{v % n_sensors}"
     reading = (v % 100_000) / 1000.0
     return (reading_id, sensor, reading)
@@ -84,6 +90,11 @@ class TelemetryDataSource(DataSource):
 class TelemetryReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.rows = int(options.get("rows_per_partition", 100))
+        if self.rows > ID_STRIDE:
+            raise ValueError(
+                f"rows_per_partition={self.rows} exceeds the id stride "
+                f"({ID_STRIDE}); reading_ids would collide across partitions"
+            )
         self.parts = int(options.get("partitions", 4))
         self.sensors = int(options.get("sensors", 8))
 

@@ -42,7 +42,10 @@ def test_orc_roundtrip(spark):
 
 
 def test_delta_reports_unavailable_not_crash(spark):
-    assert formats.delta_available(spark) in (True, False)
+    # this environment ships no Delta jar, so the probe must say False —
+    # the py4j attribute-access version always said True (JavaPackage
+    # attributes never raise), which is exactly the bug this pins
+    assert formats.delta_available(spark) is False
 
 
 def test_json_tolerant_quarantines_malformed_lines(spark):
@@ -58,7 +61,7 @@ def test_json_tolerant_quarantines_malformed_lines(spark):
             f.write('{"n_nationkey": 99, "n_name": "BROKEN"\n')  # unclosed
             f.write("not json at all\n")
         df = formats.read_json_tolerant(spark, f"{tmp}/nation_json", n.schema)
-        clean, bad = formats.split_quarantine(df)
+        clean, bad, cached = formats.split_quarantine(df)
         n_rows = n.count()
         assert clean.count() == n_rows
         assert bad.count() == 2
@@ -66,6 +69,13 @@ def test_json_tolerant_quarantines_malformed_lines(spark):
         assert _rows(clean.select("n_nationkey", "n_name")) == _rows(
             n.select("n_nationkey", "n_name")
         )
+        cached.unpersist()
+        # regression: the tolerant read must NOT mutate the caller's schema
+        # (StructType.add appends in place) — a second read with the same
+        # schema object used to produce a duplicate corrupt column
+        assert formats.CORRUPT_COL not in n.schema.fieldNames()
+        df2 = formats.read_json_tolerant(spark, f"{tmp}/nation_json", n.schema)
+        assert df2.schema.fieldNames().count(formats.CORRUPT_COL) == 1
 
 
 def test_xpath_matches_from_xml(spark):
