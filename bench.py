@@ -158,19 +158,27 @@ def main() -> None:
     times = time_set(HEADLINE)
     extended = time_set(EXTENDED)
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "extended": extended,
-                "calib": calib,
-                "sf": float(sf),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "extended": extended,
+        "calib": calib,
+        "sf": float(sf),
+    }
+    # The driver tail-captures stdout; r2's stored line was truncated by
+    # post-print JVM shutdown noise + line length. Defend both ways:
+    # full payload to a file, then stop Spark BEFORE printing so the JSON
+    # line is the absolute last stdout output (extended detail lives in the
+    # file to keep the printed line comfortably inside any tail window).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    spark.stop()
+    line = dict(payload)
+    line["extended_total_sec"] = round(sum(extended.values()), 3)
+    del line["extended"]
+    print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

@@ -763,7 +763,7 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 # user's orders — fine at oracle scale, quadratic at ours); the Spark shape
 # stays the scalable one-shuffle union trick run in BOTH directions: one
 # window carries the last order at-or-before, its mirror (same sort
-# reversed) carries the first at-or-after, then an integer epoch-second
+# reversed) carries the first at-or-after, then an integer epoch-microsecond
 # comparison picks the closer side (tie -> the earlier order, matching the
 # oracle's ORDER BY). Same total-order discipline as the forward as-of:
 # per-(custkey, date) orders pre-collapse to MAX(o_orderkey) inside the

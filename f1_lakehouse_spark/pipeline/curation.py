@@ -27,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from f1_lakehouse_spark.pipeline.hashing import spark_md5_hash48, sql_md5_hash48
+from f1_lakehouse_spark.pipeline.hashing import (
+    spark_md5_hash48,
+    spark_salted_hash,
+    sql_md5_hash48,
+)
 from f1_lakehouse_spark.registry import register
 from f1_lakehouse_spark.tables import load_table
 
@@ -49,8 +53,6 @@ PACK_SHARDS = 8  # independent packing shards
 _SPLIT_SQL = sql_md5_hash48("CAST(doc_id AS VARCHAR) || ':split'") + " % 100"
 
 
-def _spark_salted_hash(col: str, tag: str):
-    return spark_md5_hash48(F.concat(F.col(col).cast("string"), F.lit(tag)))
 
 
 @register(
@@ -68,7 +70,7 @@ FROM documents
 )
 def curation_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    h = _spark_salted_hash("doc_id", ":split") % 100
+    h = spark_salted_hash("doc_id", ":split") % 100
     return d.select(
         "doc_id",
         F.when(h < TRAIN_PCT, "train")
@@ -97,7 +99,7 @@ SELECT doc_id, lang, rk FROM (
 )
 def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    h = _spark_salted_hash("doc_id", ":strat")
+    h = spark_salted_hash("doc_id", ":strat")
     w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
     return (
         d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
@@ -124,7 +126,7 @@ SELECT source, doc_id, rk FROM (
 )
 def curation_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    h = _spark_salted_hash("doc_id", ":quota")
+    h = spark_salted_hash("doc_id", ":quota")
     w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
     return (
         d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
@@ -267,7 +269,7 @@ SELECT doc_id, n_tokens, priority, rk FROM (
 def curation_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     ntok = F.size(F.split("text", " ")).cast("long")
-    h = _spark_salted_hash("doc_id", ":prio")
+    h = spark_salted_hash("doc_id", ":prio")
     prio = d.select(
         "doc_id", ntok.alias("n_tokens"), (h + F.lit(1)).alias("hp")
     ).select(
@@ -320,7 +322,7 @@ SELECT doc_id, shard, pos FROM (
 )
 def curation_global_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    h = _spark_salted_hash("doc_id", ":shuffle")
+    h = spark_salted_hash("doc_id", ":shuffle")
     base = d.select(
         "doc_id", (h % N_SHUFFLE_SHARDS).alias("shard"), h.alias("hkey")
     )

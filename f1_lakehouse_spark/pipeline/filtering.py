@@ -23,8 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from f1_lakehouse_spark.pipeline.curation import _spark_salted_hash
-from f1_lakehouse_spark.pipeline.hashing import spark_md5_hash48, sql_md5_hash48
+from f1_lakehouse_spark.pipeline.hashing import (
+    spark_md5_hash48,
+    spark_salted_hash,
+    sql_md5_hash48,
+)
 from f1_lakehouse_spark.registry import register
 from f1_lakehouse_spark.tables import load_table
 
@@ -87,7 +90,7 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.split("text", " ").alias("ws"),
         (
-            _spark_salted_hash("doc_id", ":bench") % BENCH_MOD
+            spark_salted_hash("doc_id", ":bench") % BENCH_MOD
         ).alias("bench_slot"),
     )
     gram_arr = F.transform(
@@ -264,7 +267,7 @@ FROM seeded
 def pii_scrub_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     slot = (
-        _spark_salted_hash("doc_id", ":pii") % 10
+        spark_salted_hash("doc_id", ":pii") % 10
     )
     seeded = d.select(
         "doc_id",

@@ -58,6 +58,23 @@ def sql_md5_hash48(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 12)) AS BIGINT)"
 
 
+# --- salted variant -------------------------------------------------------------
+# One hash-derived decision per (key, tag): the constant tag salt makes each
+# decision (split bucket, sample rank, shard, canary pick, ...) independent
+# of every other hash decision on the same key. Spark/SQL twins stay in
+# lockstep by construction — both are md5 over "<key><tag>" (call sites
+# pass tags like ":split" with the separator included).
+
+
+def spark_salted_hash(col: Column | str, tag: str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return spark_md5_hash48(F.concat(c.cast("string"), F.lit(tag)))
+
+
+def sql_salted_hash(expr: str, tag: str) -> str:
+    return sql_md5_hash48(f"CAST({expr} AS VARCHAR) || '{tag}'")
+
+
 # --- affine re-hash family for MinHash -----------------------------------------
 # h_i(x) = (a_i*x + b_i) % MOD with small odd multipliers; x < MOD so the
 # product stays < 2^63.

@@ -772,12 +772,19 @@ def text_phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the token array as a real column FIRST: element_at over a
     # raw split(...) expression re-runs the split per lookup (the O(n^2)
     # trap called out in CLAUDE.md / _spark_shingle_keys)
-    tokd = d.select("doc_id", F.split("text", " ").alias("toks"))
+    # NULL text ⇒ size(toks) = -1 ⇒ sequence(1, -1) runs DESCENDING and
+    # would fabricate phantom posting rows — same descending-sequence trap
+    # guarded in text_lang_id_chargram, so same guard: no tokens, no rows.
+    tokd = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
     toks = F.col("toks")
     postings = tokd.select(
         "doc_id",
         F.explode(
             F.transform(
+                # size(toks) >= 1 always here: text is non-null and split()
+                # yields at least one element, so the sequence is ascending
                 F.sequence(F.lit(1), F.size(toks)),
                 lambda i: F.struct(
                     i.alias("pos"), F.element_at(toks, i).alias("term")

@@ -67,18 +67,30 @@ def test_registry_contract(spark):
 
 def test_driver_window_covers_priority_families():
     """The external driver checks only the first DRIVER_WINDOW entries of
-    queries(); guard that the whole pipeline suite + every §2 family
-    representative lands inside that window (VERDICT r1 'what's wrong' #2)."""
+    queries(). Under the r3+ rotation policy (anchors + never-checked
+    names each round) a pipeline sub-family counts as driver-covered if a
+    member is in the CURRENT window or already driver-green in a recorded
+    CORRECTNESS_r*.json — a brand-new family with no recorded signal must
+    still claim a window slot."""
+    import json
+    from pathlib import Path
+
     from f1_lakehouse_spark.registry import DRIVER_WINDOW, PRIORITY, all_queries
 
     window = list(all_queries())[:DRIVER_WINDOW]
     # every PRIORITY name must be registered and inside the window
     missing = [n for n in PRIORITY if n not in window]
     assert missing == [], f"priority queries fell out of the driver window: {missing}"
-    # every pipeline SUB-FAMILY must keep at least one in-window
-    # representative (the suite outgrew the 50-slot window, so per-query
-    # membership is no longer possible; out-of-window members stay covered
-    # by the local differential, which runs the identical oracle check)
+
+    recorded: set[str] = set()
+    for p in Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json"):
+        rows = json.loads(p.read_text())
+        recorded |= {
+            name
+            for name, row in rows.items()
+            if row.get("hash_match") is True
+        }
+    covered = set(window) | recorded
     fams: dict[str, list[str]] = {}
     for n, q in REGISTRY.items():
         if "pipeline" in q.tags and len(q.tags) > 1:
@@ -86,6 +98,6 @@ def test_driver_window_covers_priority_families():
     uncovered = {
         fam: names
         for fam, names in fams.items()
-        if not any(n in window for n in names)
+        if not any(n in covered for n in names)
     }
     assert uncovered == {}, f"pipeline families with no driver signal: {uncovered}"
