@@ -187,6 +187,24 @@ def stream_stream_attribution_join(
     )
 
 
+GOLD_POINTER = "_CURRENT"
+
+
+def read_gold(spark: SparkSession, gold_path: str) -> DataFrame | None:
+    """Resolve the live version of a pointer-versioned gold table (the
+    layout ``incremental_gold_refresh`` maintains): ``gold_path/_CURRENT``
+    names the live version directory. Returns None when no version has
+    been published yet."""
+    import os  # noqa: PLC0415
+
+    ptr = os.path.join(gold_path, GOLD_POINTER)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        version = f.read().strip()
+    return spark.read.parquet(os.path.join(gold_path, version))
+
+
 def incremental_gold_refresh(
     spark: SparkSession,
     src_dir: str,
@@ -207,8 +225,31 @@ def incremental_gold_refresh(
     (a replayed batch re-emits the same cumulative rows and the replace
     converges), and it never double-counts across restarts or multi-batch
     triggers — an additive old∪batch re-sum would, because the restored
-    aggregation state already includes history. Gold stays tiny (one row
-    per event_type) so the rewrite is O(gold), not O(stream history)."""
+    aggregation state already includes history.
+
+    The merged table is published MVCC-style with NO driver
+    materialization (the r2 ``out.collect()`` driver funnel is gone — the
+    merge scales to any gold cardinality):
+
+    - each batch writes a fully-distributed parquet dir
+      ``gold_path/v{batch_id}`` — reading the OLD version while writing the
+      NEW one touches different directories, so the read-write cycle the
+      collect() used to break never forms;
+    - ``gold_path/_CURRENT`` is then repointed via write-temp + atomic
+      rename (os.replace locally; the same commit maps to an atomic HDFS
+      rename or a single S3 pointer PUT — and on a Delta/Iceberg deployment
+      the whole merge is one MERGE INTO, see sources/scd2.py);
+    - the version dir is derived from ``batch_id``, so a crash-replayed
+      batch overwrites ITS OWN version dir and re-points the pointer to the
+      same value (idempotent); a crash BETWEEN write and repoint leaves the
+      pointer on the old, fully-consistent version;
+    - all versions before the previous one are pruned after the swap (the
+      previous survives one cycle for readers mid-scan).
+
+    Read the table back with ``read_gold`` (pointer-resolving)."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
     from pyspark.sql import DataFrame as _DF
 
     src = stream_events(spark, src_dir, glob=glob)
@@ -218,18 +259,8 @@ def incremental_gold_refresh(
     )
 
     def merge(batch_df: _DF, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException  # noqa: PLC0415
-
         sess = batch_df.sparkSession
-        try:
-            old = sess.read.parquet(gold_path)
-        except AnalysisException as e:
-            # ONLY a missing path means "first refresh" — any other read
-            # failure must surface, else history is silently overwritten
-            # with one batch's totals
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            old = None
+        old = read_gold(sess, gold_path)
         if old is None:
             out = batch_df
         else:
@@ -238,11 +269,23 @@ def incremental_gold_refresh(
                 batch_df.select("event_type"), "event_type", "left_anti"
             )
             out = kept.unionByName(batch_df)
-        # materialize before overwrite (the sink is also the source)
-        rows = out.collect()
-        sess.createDataFrame(rows, out.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(gold_path)
+        version = f"v{batch_id:010d}"
+        ptr = os.path.join(gold_path, GOLD_POINTER)
+        prev = None
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                prev = f.read().strip()
+        out.write.mode("overwrite").parquet(os.path.join(gold_path, version))
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, ptr)
+        # retention: the displaced live version survives one cycle for
+        # readers mid-scan; everything older is pruned
+        keep = {version, prev}
+        for entry in os.listdir(gold_path):
+            if entry.startswith("v") and entry not in keep:
+                shutil.rmtree(os.path.join(gold_path, entry), ignore_errors=True)
 
     q = (
         partial.writeStream.foreachBatch(merge)

@@ -261,14 +261,17 @@ def test_watermark_drops_late_events_across_restarts(spark):
 def test_incremental_gold_refresh_equals_batch_aggregate(spark):
     import tempfile
 
-    from f1_lakehouse_spark.streaming.ingest import incremental_gold_refresh
+    from f1_lakehouse_spark.streaming.ingest import (
+        incremental_gold_refresh,
+        read_gold,
+    )
 
     with tempfile.TemporaryDirectory() as tmp:
         gold, ckpt = f"{tmp}/gold", f"{tmp}/ckpt"
         incremental_gold_refresh(spark, SF_DIR, gold, ckpt)
         got = {
             r["event_type"]: (r["n_events"], round(float(r["total_value"]), 6))
-            for r in spark.read.parquet(gold).collect()
+            for r in read_gold(spark, gold).collect()
         }
         want = {
             r["event_type"]: (r["n"], round(float(r["t"]), 6))
@@ -285,7 +288,7 @@ def test_incremental_gold_refresh_equals_batch_aggregate(spark):
         incremental_gold_refresh(spark, SF_DIR, gold, ckpt)
         again = {
             r["event_type"]: (r["n_events"], round(float(r["total_value"]), 6))
-            for r in spark.read.parquet(gold).collect()
+            for r in read_gold(spark, gold).collect()
         }
         assert again == want
 
@@ -297,7 +300,10 @@ def test_incremental_gold_refresh_second_run_with_new_data_no_double_count(spark
     counted twice."""
     import tempfile
 
-    from f1_lakehouse_spark.streaming.ingest import incremental_gold_refresh
+    from f1_lakehouse_spark.streaming.ingest import (
+        incremental_gold_refresh,
+        read_gold,
+    )
 
     import glob as globmod
     import os
@@ -321,7 +327,7 @@ def test_incremental_gold_refresh_second_run_with_new_data_no_double_count(spark
         incremental_gold_refresh(spark, src, gold, ckpt, glob="*.parquet")
         got = {
             r["event_type"]: (r["n_events"], round(float(r["total_value"]), 6))
-            for r in spark.read.parquet(gold).collect()
+            for r in read_gold(spark, gold).collect()
         }
         want = {
             r["event_type"]: (r["n"], round(float(r["t"]), 6))
@@ -406,3 +412,71 @@ def test_streaming_incremental_dedup_matches_batch_cross_pairs(spark):
     }
     assert streamed == cross
     assert len(cross) > 0  # non-vacuous: the halves do share near-dups
+
+
+def test_incremental_gold_refresh_mvcc_layout_no_driver_collect(spark):
+    """The r2 merge collected gold to the driver to break the read-write
+    cycle on one path; the r3 merge publishes versioned dirs behind an
+    atomic pointer instead. Pin the layout contract: pointer resolves,
+    displaced version survives exactly one cycle, older versions pruned,
+    and the foreachBatch body contains no collect()."""
+    import inspect
+    import os
+    import tempfile
+
+    from f1_lakehouse_spark.streaming import ingest as ingest_mod
+    from f1_lakehouse_spark.streaming.ingest import (
+        GOLD_POINTER,
+        incremental_gold_refresh,
+        read_gold,
+    )
+
+    src_text = inspect.getsource(ingest_mod.incremental_gold_refresh)
+    code_after_docstring = src_text.split('"""')[-1]
+    assert ".collect()" not in code_after_docstring
+
+    ev = load_table(spark, SF_DIR, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+
+    import glob as globmod
+    import shutil
+
+    def drop_file(df, staging, src, name):
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = globmod.glob(f"{staging}/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/{name}")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src, gold, ckpt = f"{tmp}/src", f"{tmp}/gold", f"{tmp}/ckpt"
+        os.makedirs(src)
+        drop_file(first, f"{tmp}/stage1", src, "events_a.parquet")
+        incremental_gold_refresh(spark, src, gold, ckpt, glob="*.parquet")
+        versions1 = sorted(e for e in os.listdir(gold) if e.startswith("v"))
+        assert len(versions1) == 1
+        with open(os.path.join(gold, GOLD_POINTER)) as f:
+            assert f.read().strip() == versions1[0]
+
+        drop_file(second, f"{tmp}/stage2", src, "events_b.parquet")
+        incremental_gold_refresh(spark, src, gold, ckpt, glob="*.parquet")
+        versions2 = sorted(e for e in os.listdir(gold) if e.startswith("v"))
+        # new live version + the displaced one kept for in-flight readers
+        assert len(versions2) == 2 and versions1[0] in versions2
+        with open(os.path.join(gold, GOLD_POINTER)) as f:
+            live = f.read().strip()
+        assert live == max(versions2)
+
+        got = {
+            r["event_type"]: (r["n_events"], round(float(r["total_value"]), 6))
+            for r in read_gold(spark, gold).collect()
+        }
+        want = {
+            r["event_type"]: (r["n"], round(float(r["t"]), 6))
+            for r in ev.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(28,9)")).alias("t"),
+            )
+            .collect()
+        }
+        assert got == want
