@@ -12,7 +12,10 @@ emulated with pure DataFrame algebra — the standard pattern:
 Scale notes: both are one join on the business key (broadcast when the
 change set is small — change sets usually are) + union; no window over the
 full table. Rewriting the whole table per batch is the no-ACID-table
-trade-off; on Delta/Iceberg the same logic becomes a MERGE INTO statement.
+trade-off; on Delta the same logic IS a MERGE INTO — implemented, not just
+noted: ``sources/delta_ops.py`` carries the gated branch
+(``delta_merge_upsert`` / ``delta_scd2_merge`` / time travel / history),
+equivalence-tested against these functions wherever the jar exists.
 """
 
 from __future__ import annotations
