@@ -100,6 +100,47 @@ def _sql_signature(vec_expr: str) -> str:
 sql_signature = _sql_signature
 
 
+# --- input-size-adaptive signature width --------------------------------------------
+# The r2 10x scale stress measured the fixed 8-bit bucket going quadratic
+# (expected ~N^2/2^bits bucket pairs): signature bits must grow with
+# log2(N / target_bucket). The sizing rule, engine-lockstep by integer
+# thresholds (no float log2 whose rounding could diverge between engines):
+#
+#     nbits = smallest b in [LSH_MIN_BITS, LSH_MAX_BITS]
+#             with N <= LSH_TARGET_BUCKET * 2^b
+#
+# LSH_MIN_BITS is the r2 constant, so every SF up to ~8k vectors sizes
+# exactly as before (floor). Both engines compute the FULL-width signature
+# and take it mod 2^nbits — sum(bit_j * 2^j) mod 2^n keeps exactly the low
+# n planes, so the adaptive bucket equals the n-plane signature without
+# either engine having to pick how many plane literals to expand.
+
+LSH_TARGET_BUCKET = 32  # expected vectors per bucket at the chosen width
+LSH_MIN_BITS = 8  # = r2's N_PLANES constant (floor; sf0.001-0.1 unchanged)
+LSH_MAX_BITS = 24  # 32 * 2^24 ≈ 537M vectors; beyond that, band the planes
+
+
+def adaptive_nbits(n_rows: int) -> int:
+    """Smallest b in [MIN, MAX] with n_rows <= LSH_TARGET_BUCKET * 2^b."""
+    b = LSH_MIN_BITS
+    while b < LSH_MAX_BITS and n_rows > LSH_TARGET_BUCKET * (1 << b):
+        b += 1
+    return b
+
+
+def sql_adaptive_bucket_mod(count_expr: str) -> str:
+    """DuckDB twin of ``1 << adaptive_nbits(count)`` — the bucket modulus
+    as an unrolled integer-threshold CASE (exact lockstep, no float log)."""
+    cases = " ".join(
+        f"WHEN ({count_expr}) <= {LSH_TARGET_BUCKET * (1 << b)} THEN {1 << b}"
+        for b in range(LSH_MIN_BITS, LSH_MAX_BITS)
+    )
+    return f"(CASE {cases} ELSE {1 << LSH_MAX_BITS} END)"
+
+
+PLANES_FULL: list[list[float]] = [_plane(j) for j in range(LSH_MAX_BITS)]
+
+
 # --- brute-force cosine top-k -----------------------------------------------------
 
 _SQL_COS_AB = (
@@ -322,8 +363,11 @@ KNN_K = 3
 @register(
     "ann_knn_self_join",
     oracle=f"""
-WITH sigs AS (
-    SELECT vec_id, label, embedding, {{sig}} AS bucket FROM embeddings
+WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+sigs AS (
+    SELECT vec_id, label, embedding,
+           ({{sig}}) % {{bmod}} AS bucket
+    FROM embeddings
 ),
 pairs AS (
     SELECT a.vec_id, b.vec_id AS neighbor_id,
@@ -338,19 +382,34 @@ ranked AS (
     FROM pairs
 )
 SELECT vec_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {KNN_K}
-""".format(sig=_sql_signature("embedding")),
+""".format(
+        sig=sql_signature_planes("embedding", PLANES_FULL),
+        bmod=sql_adaptive_bucket_mod("SELECT n FROM cnt"),
+    ),
     doc=f"bulk kNN self-join: every vector's top-{KNN_K} neighbors among its "
     "own LSH bucket (hyperplane blocking bounds the candidate join; "
     "per-vector window with neighbor_id tiebreaker keeps the ranking a "
-    "total order)",
+    "total order). Bucket width is input-size-adaptive: "
+    "nbits = min b with N <= 32*2^b, floor 8 — the r2 10x-stress fix, "
+    "engine-lockstep via integer thresholds",
     tags=("pipeline", "similarity", "knn"),
 )
 def ann_knn_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
+    # one cheap count job sizes the bucket width (driver-side literal keeps
+    # the signature a plain column expression); the oracle recomputes the
+    # identical width from COUNT(*) via the integer-threshold CASE. Spark
+    # computes only the first nbits planes — identical to the oracle's
+    # full-signature mod 2^nbits, without paying for planes it discards.
+    nbits = adaptive_nbits(e.count())
     sigs = e.select(
-        "vec_id", "embedding", spark_signature(F.col("embedding")).alias("bucket")
+        "vec_id",
+        "embedding",
+        spark_signature_planes(F.col("embedding"), PLANES_FULL[:nbits]).alias(
+            "bucket"
+        ),
     )
     # self-join on a derived frame: persist + materialize first
     sigs = sigs.persist()

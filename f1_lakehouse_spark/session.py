@@ -68,3 +68,42 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# --- input-volume-derived shuffle sizing --------------------------------------------
+# AQE coalesces too-small shuffle partitions at runtime but never SPLITS
+# oversized non-skew-join ones, so the initial partition count must scale
+# with data volume or each reducer spills at 100 TB. Rule (documented in
+# docs/SCALE.md, measured by scripts/scale_stress.py):
+#
+#     partitions = clamp(input_bytes / TARGET_SHUFFLE_PARTITION_BYTES,
+#                        floor = local core count (the sf0.01 constant),
+#                        cap   = SHUFFLE_PARTITIONS_CAP)
+
+TARGET_SHUFFLE_PARTITION_BYTES = 128 << 20  # post-shuffle ~128 MB per task
+SHUFFLE_PARTITIONS_CAP = 20_000
+
+
+def input_bytes(spark: SparkSession, paths: list[str]) -> int:
+    """Total on-disk bytes of the inputs, via the Hadoop FileSystem API so
+    the same call works for local dirs, HDFS, and object stores."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for p in paths:
+        hpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hpath.getFileSystem(conf)
+        total += fs.getContentSummary(hpath).getLength()
+    return total
+
+
+def autosize_shuffle_partitions(spark: SparkSession, paths: list[str]) -> int:
+    """Set ``spark.sql.shuffle.partitions`` from the actual input volume
+    (call once per job, before the first shuffle is planned). Returns the
+    chosen count. Floor = the session's core parallelism (the constant the
+    small-SF tests run with), cap = SHUFFLE_PARTITIONS_CAP."""
+    floor = int(spark.sparkContext.defaultParallelism)
+    n = input_bytes(spark, paths) // TARGET_SHUFFLE_PARTITION_BYTES
+    chosen = max(floor, min(int(n), SHUFFLE_PARTITIONS_CAP))
+    spark.conf.set("spark.sql.shuffle.partitions", str(chosen))
+    return chosen

@@ -301,3 +301,28 @@ def test_python_datasource_stream_offsets(spark, tmp_path):
         for r in got.filter("reading_id < 20").collect()
     }
     assert first == {_telemetry_row(0, i, 8) for i in range(20)}
+
+
+def test_autosize_shuffle_partitions_scales_with_volume(spark):
+    """partitions = clamp(bytes/128MB, defaultParallelism, cap): small
+    inputs stay at the core-count floor; the rule kicks in once volume
+    crosses floor*128MB (verified arithmetically — the testdata is far
+    below the floor threshold, so the floor binds here)."""
+    from f1_lakehouse_spark import session as sess_mod
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        sz = sess_mod.input_bytes(spark, ["/root/testdata/sf0.01"])
+        assert sz > 0
+        chosen = sess_mod.autosize_shuffle_partitions(
+            spark, ["/root/testdata/sf0.01"]
+        )
+        floor = int(spark.sparkContext.defaultParallelism)
+        assert chosen == floor  # testdata << floor*128MB
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(chosen)
+        # the rule itself, without 100 TB on disk: pure arithmetic
+        tb100 = 100 * (1 << 40)
+        n = tb100 // sess_mod.TARGET_SHUFFLE_PARTITION_BYTES
+        assert min(n, sess_mod.SHUFFLE_PARTITIONS_CAP) == sess_mod.SHUFFLE_PARTITIONS_CAP
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
