@@ -204,6 +204,46 @@ def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (same broadcast-profile-join + argmax plan, different feature space).
 
 
+# --- shared char-trigram frame ------------------------------------------------------
+# Both trained-model text queries (chargram lang-ID profiles, trigram-LM
+# surprisal — and any future model-based filter) start from the identical
+# exploded (doc_id, lang, g) frame; building it twice costs a full corpus
+# scan + explode each. One persisted, materialized frame is shared through
+# a single-entry cache (keyed by session + sf_dir; switching inputs
+# unpersists the previous frame, so executor storage holds at most one
+# corpus's grams — no session-lifetime leak across datasets).
+
+
+_TRIGRAM_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def char_trigram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded char-trigram frame (doc_id, lang, g), persisted + shared.
+
+    Docs shorter than a trigram contribute no rows — pinned explicitly
+    because Spark's sequence(1, n) runs DESCENDING for n < 1 and would
+    fabricate phantom grams where DuckDB's generate_series is empty (same
+    guard as _spark_shingle_keys)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _TRIGRAM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for old_key in list(_TRIGRAM_CACHE):
+        _TRIGRAM_CACHE.pop(old_key).unpersist()
+    d = load_table(spark, sf_dir, "documents")
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.length("text") - F.lit(2)),
+        lambda i: F.col("text").substr(i, F.lit(3)),
+    )
+    grams_arr = F.when(F.length("text") >= 3, grams_arr).otherwise(
+        F.array().cast("array<string>")
+    )
+    grams = d.select("doc_id", "lang", F.explode(grams_arr).alias("g")).persist()
+    grams.count()  # materialize: every consumer self-joins against it
+    _TRIGRAM_CACHE[key] = grams
+    return grams
+
+
 @register(
     "text_lang_id_chargram",
     oracle=f"""
@@ -242,19 +282,7 @@ FROM best GROUP BY 1, 2
     tags=("pipeline", "text", "langid"),
 )
 def text_lang_id_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    grams_arr = F.transform(
-        F.sequence(F.lit(1), F.length("text") - F.lit(2)),
-        lambda i: F.col("text").substr(i, F.lit(3)),
-    )
-    # Spark sequence(1, n) runs DESCENDING for n < 1 (docs shorter than a
-    # trigram) and would fabricate phantom grams where DuckDB's
-    # generate_series is empty — pin the short-doc case to no grams, same
-    # guard as _spark_shingle_keys / text_lm_surprisal
-    grams_arr = F.when(F.length("text") >= 3, grams_arr).otherwise(
-        F.array().cast("array<string>")
-    )
-    grams = d.select("doc_id", "lang", F.explode(grams_arr).alias("g"))
+    grams = char_trigram_frame(spark, sf_dir)
     doc_grams = grams.distinct()
     freq = grams.groupBy(F.col("lang").alias("profile_lang"), "g").agg(
         F.count("*").alias("cnt")
@@ -404,16 +432,11 @@ GROUP BY 1, 2
     tags=("pipeline", "text", "lm"),
 )
 def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
-    grams_arr = F.transform(
-        F.sequence(F.lit(1), F.length("text") - F.lit(2)),
-        lambda i: F.col("text").substr(i, F.lit(3)),
-    )
-    grams = d.select("doc_id", "lang", F.explode(grams_arr).alias("g"))
-    # model and totals both re-read grams, and grams joins back against
-    # them — persist AND materialize before building the self-join
-    grams = grams.persist()
-    grams.count()
+    # the shared frame is already persisted + materialized (model and
+    # totals both re-read grams, and grams joins back against them); docs
+    # shorter than a trigram contribute no rows, subsuming the old
+    # length-filter
+    grams = char_trigram_frame(spark, sf_dir)
     model = grams.groupBy("lang", "g").agg(F.count("*").alias("cnt"))
     tot = grams.groupBy("lang").agg(F.count("*").alias("tot"))
     bits = F.length(F.bin(F.expr("tot div cnt"))) - F.lit(1)
@@ -435,7 +458,8 @@ def text_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = out.persist()
     out.count()
-    grams.unpersist()
+    # grams stays persisted: it is the shared cached frame (released when
+    # the cache rolls over to another input)
     return out
 
 
