@@ -13,7 +13,7 @@ globally. Week arithmetic stays in exact integer seconds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from f1_lakehouse_spark.registry import register
@@ -305,3 +305,58 @@ def events_dedup_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lagged.filter(
         F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
     ).select("event_id", "user_id", "event_type", "ts")
+
+
+# --- gaps and islands ---------------------------------------------------------------
+# The classic difference-of-row_numbers trick: a user's consecutive-DAY
+# activity runs collapse to one group key (day - dense day-rank), no
+# iterative logic and no self-join. Complements sessionization: sessions
+# split on a TIME GAP threshold inside a day-scale stream; islands are
+# calendar-granular streak analytics (DAU streaks, retention runs).
+# Scale: distinct day per user (one shuffle), one window over (user, day)
+# partitions bounded by days-per-user, final per-island aggregate — no
+# operator wider than a user's activity span.
+
+
+@register(
+    "events_gaps_islands",
+    oracle="""
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+    FROM events
+),
+ranked AS (
+    SELECT user_id, d,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+    FROM days
+),
+islands AS (
+    SELECT user_id, d, d - CAST(rn AS INTEGER) AS grp FROM ranked
+)
+SELECT user_id,
+       MIN(d) AS streak_start,
+       MAX(d) AS streak_end,
+       COUNT(*) AS streak_days
+FROM islands
+GROUP BY user_id, grp
+""",
+    doc="gaps-and-islands: per-user consecutive-day activity streaks via "
+    "the difference-of-row_numbers group key — no self-join, no iteration",
+    tags=("events", "windows", "islands"),
+)
+def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id",
+        "d",
+        F.date_sub("d", F.row_number().over(w)).alias("grp"),
+    )
+    return islands.groupBy("user_id", "grp").agg(
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+        F.count("*").alias("streak_days"),
+    ).drop("grp")

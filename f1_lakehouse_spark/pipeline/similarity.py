@@ -194,6 +194,48 @@ def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- threshold (range) retrieval ----------------------------------------------------
+# The retrieval dual of top-k: EVERY vector within a similarity radius of
+# the query, however many there are — the shape behind "find all near-
+# duplicates of this item" and recall-first retrieval (top-k truncates;
+# range search does not). Map-only: broadcast the 1-row query, filter on
+# cosine — no sort, no window, no shuffle of the corpus at all; at 100 TB
+# the same filter runs bucket-pruned via the LSH index (ann_lsh_materialized)
+# with multiprobe as the recall knob.
+
+RANGE_TAU = 0.30
+
+
+@register(
+    "ann_range_search",
+    oracle=f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT a.vec_id, a.label, {_SQL_COS_AB} AS cosine
+FROM embeddings a, q
+WHERE a.vec_id <> {QUERY_VEC_ID} AND {_SQL_COS_AB} >= {RANGE_TAU}
+""",
+    doc=f"range search: every vector with cosine >= {RANGE_TAU} of the "
+    "query (threshold retrieval — no top-k truncation); map-only broadcast "
+    "filter, zero corpus shuffle",
+    tags=("pipeline", "similarity", "range"),
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            _spark_cosine(F.col("embedding"), F.col("q_embedding")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= RANGE_TAU)
+    )
+
+
 # --- LSH-bucketed ANN ---------------------------------------------------------------
 
 

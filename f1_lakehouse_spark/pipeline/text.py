@@ -830,3 +830,101 @@ def text_phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_occurrences"))
     )
+
+
+# --- corpus n-gram novelty (dedup-aware curriculum signal) --------------------------
+# Per-document novelty: the fraction of a doc's DISTINCT word trigrams
+# whose FIRST corpus occurrence (min doc_id — ingestion order) is this
+# document. The signal behind dedup-aware sampling / curriculum ordering:
+# late documents made of already-seen n-grams are boilerplate-heavy and
+# get down-weighted; high-novelty documents carry new content. (The
+# per-gram min-owner attribution is the same first-writer-wins rule as
+# dedup_substring_exact's representative pick.)
+#
+# Scale: explode is linear in corpus tokens; one shuffle on the gram for
+# the min-owner aggregate, one shuffle back on doc_id for the per-doc
+# ratio. No joins against anything wider than the gram frame itself and
+# the min-owner side collapses to one row per distinct gram before the
+# join — both sides of every shuffle are bounded by the corpus size.
+
+NOVELTY_N = 3  # word trigrams
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    WHERE text IS NOT NULL
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS g
+    FROM toks, unnest(generate_series(1, len(ws) - {NOVELTY_N - 1})) AS t(i)
+    WHERE len(ws) >= {NOVELTY_N}
+),
+first_owner AS (
+    SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY 1
+)
+SELECT gr.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel,
+       round(CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 9) AS novelty_ratio
+FROM grams gr JOIN first_owner f USING (g)
+GROUP BY 1
+""",
+    doc="per-doc novelty: fraction of distinct word trigrams first seen in "
+    "this doc (min-doc_id owner) — dedup-aware curriculum/sampling signal",
+    tags=("pipeline", "text", "novelty"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select("doc_id", F.split("text", " ").alias("ws"))
+    ws = F.col("ws")
+    # ascending-sequence guard (same trap as char_trigram_frame): docs with
+    # fewer than N tokens contribute no grams
+    grams_arr = F.when(
+        F.size(ws) >= NOVELTY_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - F.lit(NOVELTY_N - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ws, i),
+                F.element_at(ws, i + F.lit(1)),
+                F.element_at(ws, i + F.lit(2)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        toks.select("doc_id", F.explode(grams_arr).alias("g")).distinct()
+    )
+    # self-join on a derived frame: persist + materialize first (CLAUDE.md)
+    grams = grams.persist()
+    grams.count()
+    first_owner = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    out = (
+        grams.join(first_owner, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams"), 9
+            ).alias("novelty_ratio"),
+        )
+    )
+    out = out.persist()
+    out.count()
+    grams.unpersist()
+    return out
