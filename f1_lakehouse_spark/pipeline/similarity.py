@@ -1619,3 +1619,160 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= HARD_NEG_K
     )
+
+
+# --- top principal component by power iteration -------------------------------------
+# Distributed spectral analysis of the embedding cloud: the dominant
+# eigenvector of the (uncentered) second-moment matrix E[x xT] by T
+# unrolled power iterations — the direction embeddings concentrate along
+# (anisotropy/"rogue dimension" diagnostics; the common-direction removal
+# step of post-processing schemes like all-but-the-top).
+#
+# One iteration = w[i] = SUM_rows dot(x, v) * x[i]; the matrix is NEVER
+# materialized (64x64 would be fine, but 4096-dim wouldn't) — each row
+# contributes rank-1, and the per-dimension sums are ONE shuffle of
+# (dim, scaled-int partial sums) with map-side combine, exactly the
+# k-means mean-update shape. Determinism chain, identical to _train_kmeans:
+# dot is a left-fold in index order (IEEE-identical both engines),
+# per-dim sums go through floor(x*1e6+0.5) DECIMAL (exact, order-free),
+# the 64-element normalize runs driver-side in dim order (the oracle's
+# list_reduce folds the same order). After T iterations both engines hold
+# the SAME vector; loadings are rounded to 9 dp for the compare.
+
+PI_ITERS = 2
+_PI_V0 = 0.125  # exact in binary: v0 = [1/8]*DIM
+
+
+def _sql_dot_list(vec_expr: str, v_list_expr: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {DIM}), "
+        f"i -> CAST({vec_expr}[i] AS DOUBLE) * {v_list_expr}[i]), (x, y) -> x + y)"
+    )
+
+
+def _sql_pi_iter(prev_v: str, out: str) -> str:
+    """One power-iteration CTE chain: per-dim scaled-decimal sums of
+    dot(x, v_prev) * x[i], then an in-order normalize. The 1-row previous
+    vector joins in via the FROM clause (DuckDB forbids subqueries inside
+    lambdas)."""
+    dot = _sql_dot_list("v.embedding", "pv.vv")
+    return f"""
+{out}_m AS (
+    SELECT CAST(i AS INTEGER) - 1 AS dim,
+           CAST(SUM(CAST(floor(({dot}) * CAST(v.embedding[i] AS DOUBLE) * 1e6
+                                + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS s
+    FROM embeddings v, {prev_v} pv, range(1, {DIM + 1}) t(i)
+    GROUP BY 1
+),
+{out}_n AS (
+    SELECT list(s ORDER BY dim) AS sv,
+           sqrt(list_reduce(list_transform(list(s ORDER BY dim), x -> x * x),
+                            (a, b) -> a + b)) AS nrm
+    FROM {out}_m
+),
+{out} AS (SELECT list_transform(sv, x -> x / nrm) AS vv FROM {out}_n)"""
+
+
+_PI_ORACLE = f"""
+WITH v0 AS (
+    SELECT list_transform(generate_series(1, {DIM}), i -> {_PI_V0}) AS vv
+),{_sql_pi_iter("v0", "p1")},{_sql_pi_iter("p1", "p2")}
+SELECT CAST(t.i AS INTEGER) - 1 AS dim, round(p.vv[t.i], 9) AS loading
+FROM p{PI_ITERS} p, range(1, {DIM + 1}) t(i)
+"""
+
+
+def _spark_pi_update(e: DataFrame, v: list[float]) -> list[float]:
+    vlit = F.array(*[F.lit(float(x)) for x in v])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), vlit, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, term: acc + term,
+    )
+    exploded = e.select(dot.alias("dv"), F.posexplode("embedding").alias("dim", "x"))
+    scaled = F.floor(
+        F.col("dv") * F.col("x").cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    rows = (
+        exploded.groupBy("dim")
+        .agg((F.sum(scaled).cast("double") / F.lit(1e6)).alias("s"))
+        .collect()  # DIM rows — the tiny model, same as _spark_update
+    )
+    s = [0.0] * DIM
+    for r in rows:
+        s[r["dim"]] = r["s"]
+    nrm = 0.0
+    for x in s:  # left fold in dim order, matching the oracle's list_reduce
+        nrm += x * x
+    nrm = nrm**0.5
+    return [x / nrm for x in s]
+
+
+@register(
+    "embedding_top_pc_power_iter",
+    oracle=_PI_ORACLE,
+    doc=f"top principal direction of the embedding cloud: {PI_ITERS} power "
+    "iterations over the uncentered second moment, matrix-free (one "
+    "(dim, scaled-int) shuffle per iteration, model to driver like "
+    "k-means); oracle unrolls the identical iterations in SQL",
+    tags=("pipeline", "similarity", "spectral"),
+)
+def embedding_top_pc_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = [_PI_V0] * DIM
+    for _ in range(PI_ITERS):
+        v = _spark_pi_update(e, v)
+    rows = [(i, round(x, 9)) for i, x in enumerate(v)]
+    return spark.createDataFrame(rows, "dim int, loading double")
+
+
+# --- per-dimension moment diagnostics -----------------------------------------------
+# Embedding-health monitoring: mean / variance / range per dimension —
+# collapsed dimensions (zero variance) and scale outliers are the standard
+# symptoms of a broken encoder or a bad normalization deploy. One
+# posexplode + one (dim)-keyed aggregate with decimal-exact moments; at
+# 100 TB the shuffle carries DIM partial-sum rows per map task, nothing
+# row-scale.
+
+
+@register(
+    "embedding_dim_moments",
+    oracle=f"""
+SELECT CAST(i AS INTEGER) - 1 AS dim,
+       COUNT(*) AS n,
+       round(CAST(SUM(CAST(floor(CAST(v.embedding[i] AS DOUBLE) * 1e9 + 0.5)
+                           AS DECIMAL(38,0))) AS DOUBLE) / (COUNT(*) * 1e9), 9)
+           AS mean_v,
+       round((CAST(SUM(CAST(floor(CAST(v.embedding[i] AS DOUBLE)
+                                  * CAST(v.embedding[i] AS DOUBLE) * 1e9 + 0.5)
+                            AS DECIMAL(38,0))) AS DOUBLE) / (COUNT(*) * 1e9))
+             - (CAST(SUM(CAST(floor(CAST(v.embedding[i] AS DOUBLE) * 1e9 + 0.5)
+                              AS DECIMAL(38,0))) AS DOUBLE) / (COUNT(*) * 1e9))
+               * (CAST(SUM(CAST(floor(CAST(v.embedding[i] AS DOUBLE) * 1e9 + 0.5)
+                                AS DECIMAL(38,0))) AS DOUBLE) / (COUNT(*) * 1e9)),
+             9) AS var_v,
+       MIN(CAST(v.embedding[i] AS DOUBLE)) AS min_v,
+       MAX(CAST(v.embedding[i] AS DOUBLE)) AS max_v
+FROM embeddings v, range(1, {DIM + 1}) t(i)
+GROUP BY 1
+""",
+    doc="per-dimension embedding moments (mean/var via decimal-exact sums, "
+    "min/max): collapsed-dimension + scale-outlier diagnostics; one "
+    "posexplode + one dim-keyed aggregate",
+    tags=("pipeline", "similarity", "diagnostics"),
+)
+def embedding_dim_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    s1 = F.sum(F.floor(x * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)"))
+    s2 = F.sum(F.floor(x * x * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)"))
+    exploded = e.select(F.posexplode("embedding").alias("dim", "x"))
+    mean_v = s1.cast("double") / (F.count("*") * F.lit(1e9))
+    m2 = s2.cast("double") / (F.count("*") * F.lit(1e9))
+    return exploded.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.round(mean_v, 9).alias("mean_v"),
+        F.round(m2 - mean_v * mean_v, 9).alias("var_v"),
+        F.min(x).alias("min_v"),
+        F.max(x).alias("max_v"),
+    )
