@@ -247,3 +247,28 @@ def test_prefix_filter_completeness_vs_exhaustive_jaccard(spark):
         tables.load_table = orig
         dd.load_table = orig
     assert got_pairs == truth_pairs, (got_pairs, truth_pairs)
+
+
+def test_adaptive_nbits_rule_and_sql_twin_lockstep():
+    """The LSH sizing rule (smallest b in [8,24] with N <= 32*2^b) and its
+    SQL twin must agree for any N — integer thresholds, no float log2."""
+    import duckdb
+
+    from f1_lakehouse_spark.pipeline.similarity import (
+        LSH_MAX_BITS,
+        LSH_MIN_BITS,
+        LSH_TARGET_BUCKET,
+        adaptive_nbits,
+        sql_adaptive_bucket_mod,
+    )
+
+    assert adaptive_nbits(0) == LSH_MIN_BITS
+    assert adaptive_nbits(LSH_TARGET_BUCKET * (1 << LSH_MIN_BITS)) == LSH_MIN_BITS
+    assert adaptive_nbits(LSH_TARGET_BUCKET * (1 << LSH_MIN_BITS) + 1) == LSH_MIN_BITS + 1
+    assert adaptive_nbits(10**12) == LSH_MAX_BITS  # cap binds
+
+    con = duckdb.connect()
+    expr = sql_adaptive_bucket_mod("n")
+    for n in [1, 500, 5000, 8192, 8193, 50_000, 10**6, 10**9, 10**12]:
+        (bmod,) = con.execute(f"SELECT {expr} FROM (SELECT {n} AS n)").fetchone()
+        assert bmod == 1 << adaptive_nbits(n), n
