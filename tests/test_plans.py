@@ -326,3 +326,34 @@ def test_containment_no_cartesian(spark):
     corpus-level cross join."""
     plan = _plan(spark, "dedup_containment")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_search_broadcast_no_corpus_shuffle(spark):
+    """Threshold retrieval is a map-only broadcast filter: the 1-row query
+    broadcasts (nested-loop against ONE row is free), and the corpus side
+    must not shuffle — no Exchange above the scan on the big side."""
+    plan = _plan(spark, "ann_range_search")
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    # only exchanges allowed are broadcast exchanges (of the 1-row query)
+    import re
+
+    non_broadcast = re.findall(r"(?<!Broadcast)Exchange hashpartitioning", plan)
+    assert non_broadcast == [], plan[:2000]
+
+
+def test_gaps_islands_window_reuses_distinct_partitioning(spark):
+    """distinct-day, the row_number window, and the island aggregate all
+    key on user_id — one hash exchange total; everything downstream reuses
+    the partitioning."""
+    plan = _plan(spark, "events_gaps_islands")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_dim_moments_partial_aggregation(spark):
+    """The per-dimension moment aggregate must combine map-side: shuffle
+    carries DIM partial rows per task, not the exploded row stream."""
+    plan = _plan(spark, "embedding_dim_moments")
+    assert "partial_" in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
