@@ -360,3 +360,65 @@ def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").alias("streak_end"),
         F.count("*").alias("streak_days"),
     ).drop("grp")
+
+
+# --- rolling 7-day distinct users ---------------------------------------------------
+# Rolling MAU/WAU-style distinct counts: for every active day, the number
+# of distinct users seen in the trailing 7 days. DISTINCT does not
+# partial-aggregate across sliding windows, so the scale-correct exact
+# shape is the covering-window fan-out: dedup to (user, day) FIRST (the
+# fact stream collapses to at most users x days rows), then each (user,
+# day) row contributes to the <=7 window-end days it covers — a bounded
+# map-only explode — and one (window_day) aggregate counts distinct users.
+# Fan-out is bounded by the window/granularity ratio (7), independent of
+# corpus size; the approximate twin at larger ratios is day-level HLL
+# sketches merged across the window (hll_mergeable_distinct shows the
+# sketch algebra).
+
+ROLL_DAYS = 7
+
+
+@register(
+    "events_rolling_distinct_users",
+    oracle=f"""
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+    FROM events
+),
+bounds AS (SELECT MAX(d) AS max_d FROM ud),
+fan AS (
+    SELECT ud.user_id, CAST(ud.d + CAST(t.i AS INTEGER) AS DATE) AS w
+    FROM ud, range(0, {ROLL_DAYS}) t(i), bounds b
+    WHERE ud.d + CAST(t.i AS INTEGER) <= b.max_d
+)
+SELECT w AS window_day, COUNT(DISTINCT user_id) AS rolling_users
+FROM fan GROUP BY 1
+""",
+    doc=f"rolling {ROLL_DAYS}-day distinct users per day via covering-window "
+    "fan-out: (user, day) dedup first, bounded x7 map-only explode, one "
+    "window-day aggregate — the exact shape for sliding DISTINCT, which "
+    "never partial-aggregates",
+    tags=("events", "windows", "distinct"),
+)
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    bounds = ud.agg(F.max("d").alias("max_d"))
+    fan = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(ROLL_DAYS - 1)),
+                    lambda i: F.date_add(F.col("d"), i),
+                )
+            ).alias("w"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("w") <= F.col("max_d"))
+    )
+    return fan.groupBy(F.col("w").alias("window_day")).agg(
+        F.count_distinct("user_id").alias("rolling_users")
+    )

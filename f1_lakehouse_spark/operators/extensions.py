@@ -865,3 +865,114 @@ def join_asof_nearest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(use_before, F.col("bk")).otherwise(F.col("ak")).alias("nearest_orderkey"),
         F.when(use_before, F.col("bd")).otherwise(F.col("ad")).alias("nearest_order_ts"),
     )
+
+
+# --- Pareto / ABC classification (distributed global prefix sum) --------------------
+# "Which parts make up the top 80% of revenue?" — the warehouse ABC
+# analysis. The hard part at scale is the GLOBAL cumulative sum: a naive
+# window over a global ORDER BY collapses to one partition. The two-phase
+# prefix-sum shape used here stays parallel:
+#
+#   1. revenue per part (one shuffle, map-side combine), kept in DECIMAL
+#      end-to-end so every later sum is exact and order-independent;
+#   2. repartitionByRange on the cum order (rev DESC, partkey) — range
+#      boundaries come from sampling and are NOT deterministic, but the
+#      RESULT is: per-partition window cumsums + driver-side prefix
+#      offsets of the per-partition totals (#partitions rows, a model-
+#      sized collect) reconstruct the exact global cumsum under any
+#      boundary placement because the order itself is total (unique
+#      partkey tiebreak) and decimal addition is associative.
+#
+# Class thresholds apply to cum_share = cum/total, one double division at
+# the end (identical inputs → identical IEEE result in both engines).
+
+PARETO_A = 0.80
+PARETO_B = 0.95
+_PARETO_PARTS = 8
+
+
+@register(
+    "pareto_abc_parts",
+    oracle=f"""
+WITH rev AS (
+    SELECT l_partkey,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS rev
+    FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(rev) AS total FROM rev),
+cum AS (
+    SELECT l_partkey, rev,
+           SUM(rev) OVER (ORDER BY rev DESC, l_partkey) AS c
+    FROM rev
+)
+SELECT cum.l_partkey,
+       CAST(cum.rev AS DOUBLE) AS revenue,
+       CAST(cum.c AS DOUBLE) / CAST(t.total AS DOUBLE) AS cum_share,
+       CASE WHEN CAST(cum.c AS DOUBLE) / CAST(t.total AS DOUBLE) <= {PARETO_A}
+            THEN 'A'
+            WHEN CAST(cum.c AS DOUBLE) / CAST(t.total AS DOUBLE) <= {PARETO_B}
+            THEN 'B' ELSE 'C' END AS abc_class
+FROM cum, tot t
+""",
+    doc="ABC/Pareto revenue classification per part: exact global "
+    "cumulative share via the two-phase distributed prefix sum (range "
+    "repartition + per-partition window + driver prefix offsets) — never "
+    "a single-partition global window",
+    tags=("extensions", "pareto", "prefix-sum"),
+)
+def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from decimal import Decimal  # noqa: PLC0415
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(27,6)"
+            )
+        ).alias("rev")
+    )
+    tot = rev.agg(F.sum("rev").alias("total"))
+    r = rev.repartitionByRange(
+        _PARETO_PARTS, F.col("rev").desc(), F.col("l_partkey").asc()
+    ).withColumn("pid", F.spark_partition_id())
+    # two derived uses (per-partition totals + the window): persist and
+    # materialize first (CLAUDE.md discipline)
+    r = r.persist()
+    r.count()
+    ptots = {
+        row["pid"]: row["ptot"]
+        for row in r.groupBy("pid").agg(F.sum("rev").alias("ptot")).collect()
+    }
+    acc = Decimal(0)
+    offsets = []
+    for pid in range(_PARETO_PARTS):
+        offsets.append((pid, acc))
+        acc += ptots.get(pid, Decimal(0))
+    offdf = spark.createDataFrame(offsets, "pid int, offset decimal(38,6)")
+    w = Window.partitionBy("pid").orderBy(F.col("rev").desc(), "l_partkey")
+    cum = (
+        r.withColumn("cum_in", F.sum("rev").over(w))
+        .join(F.broadcast(offdf), "pid")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            F.col("rev").cast("double").alias("revenue"),
+            (
+                (F.col("cum_in") + F.col("offset")).cast("double")
+                / F.col("total").cast("double")
+            ).alias("cum_share"),
+        )
+    )
+    out = cum.select(
+        "l_partkey",
+        "revenue",
+        "cum_share",
+        F.when(F.col("cum_share") <= PARETO_A, "A")
+        .when(F.col("cum_share") <= PARETO_B, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    out = out.persist()
+    out.count()
+    r.unpersist()
+    return out

@@ -357,3 +357,15 @@ def test_dim_moments_partial_aggregation(spark):
     plan = _plan(spark, "embedding_dim_moments")
     assert "partial_" in plan, plan[:2000]
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_pareto_prefix_sum_is_range_partitioned_not_global_window(spark):
+    """The global cumulative share must come from the two-phase prefix sum:
+    a range repartition on the cum order + per-partition windows — the plan
+    must show range partitioning, and the only single-partition exchange
+    allowed is the 1-row grand-total aggregate."""
+    plan = _plan(spark, "pareto_abc_parts")
+    assert "rangepartitioning" in plan, plan[:2000]
+    # the window itself runs partitioned (by pid), not over one partition:
+    # spark_partition_id appears as the window's partition key
+    assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan, plan[:2000]
