@@ -107,6 +107,14 @@ EXTENDED = [
     "o6_pagination_offset",
     "events_last_touch_attribution",
     "text_phrase_search_postings",
+    # round-3 additions
+    "text_ngram_novelty",
+    "ann_range_search",
+    "events_gaps_islands",
+    "events_rolling_distinct_users",
+    "embedding_top_pc_power_iter",
+    "embedding_dim_moments",
+    "pareto_abc_parts",
 ]
 
 

@@ -115,9 +115,9 @@ sql_signature = _sql_signature
 # n planes, so the adaptive bucket equals the n-plane signature without
 # either engine having to pick how many plane literals to expand.
 
-LSH_TARGET_BUCKET = 32  # expected vectors per bucket at the chosen width
+LSH_TARGET_BUCKET = 16  # expected vectors per bucket at the chosen width
 LSH_MIN_BITS = 8  # = r2's N_PLANES constant (floor; sf0.001-0.1 unchanged)
-LSH_MAX_BITS = 24  # 32 * 2^24 ≈ 537M vectors; beyond that, band the planes
+LSH_MAX_BITS = 24  # 16 * 2^24 ≈ 268M vectors; beyond that, band the planes
 
 
 def adaptive_nbits(n_rows: int) -> int:
@@ -432,7 +432,7 @@ SELECT vec_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {KNN_K}
     "own LSH bucket (hyperplane blocking bounds the candidate join; "
     "per-vector window with neighbor_id tiebreaker keeps the ranking a "
     "total order). Bucket width is input-size-adaptive: "
-    "nbits = min b with N <= 32*2^b, floor 8 — the r2 10x-stress fix, "
+    "nbits = min b with N <= 16*2^b, floor 8 — the r2 10x-stress fix, "
     "engine-lockstep via integer thresholds",
     tags=("pipeline", "similarity", "knn"),
 )

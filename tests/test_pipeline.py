@@ -250,7 +250,7 @@ def test_prefix_filter_completeness_vs_exhaustive_jaccard(spark):
 
 
 def test_adaptive_nbits_rule_and_sql_twin_lockstep():
-    """The LSH sizing rule (smallest b in [8,24] with N <= 32*2^b) and its
+    """The LSH sizing rule (smallest b in [8,24] with N <= TARGET*2^b) and its
     SQL twin must agree for any N — integer thresholds, no float log2."""
     import duckdb
 
