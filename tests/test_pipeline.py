@@ -272,3 +272,22 @@ def test_adaptive_nbits_rule_and_sql_twin_lockstep():
     for n in [1, 500, 5000, 8192, 8193, 50_000, 10**6, 10**9, 10**12]:
         (bmod,) = con.execute(f"SELECT {expr} FROM (SELECT {n} AS n)").fetchone()
         assert bmod == 1 << adaptive_nbits(n), n
+
+
+def test_snm_block_width_does_not_change_recall_here(spark):
+    """The r3 widening argument, pinned: on this corpus the SNM result set
+    is IDENTICAL at block widths 1 and 8 (a pair diverging inside the
+    block prefix sorts out of the W-window as soon as its block is
+    populated). If a future corpus breaks this, the assertion localizes
+    the recall change to the blocking choice."""
+    from unittest import mock
+
+    from f1_lakehouse_spark.pipeline import dedup as dedup_mod
+
+    def run(width):
+        with mock.patch.object(dedup_mod, "SNM_BLOCK_CHARS", width):
+            df = dedup_mod.dedup_sorted_neighborhood(spark, SF_DIR)
+            return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+    assert run(1) == run(8)
+    assert len(run(8)) > 0  # non-vacuous
