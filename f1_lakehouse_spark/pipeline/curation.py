@@ -427,3 +427,115 @@ def curation_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFram
     out.count()
     counts.unpersist()
     return out
+
+
+# --- greedy max-coverage selection (submodular subset curation) ---------------------
+# Diverse-subset selection: pick K documents greedily maximizing NEW word-
+# trigram coverage — the facility-location/max-coverage family behind
+# "select a small, maximally diverse seed set" (dedup-aware data selection,
+# eval-set seeding, active-learning pool picks). Greedy is the classic
+# (1 - 1/e) approximation; each step is fully distributed: one anti-join of
+# the gram frame against the covered set + one per-doc count + a global
+# argmax (TakeOrdered 1, a bounded driver hop exactly like the k-means
+# model), K steps total. The covered set grows by <= grams-per-doc per
+# step and lives as a persisted frame, never on the driver.
+# The oracle unrolls the SAME greedy steps in SQL CTEs (the text_bpe_merges
+# discipline applied to coverage instead of pair frequency).
+
+COVERAGE_K = 3
+
+
+def _sql_cov_grams() -> str:
+    return f"""
+grams AS (
+    SELECT DISTINCT doc_id,
+           concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents WHERE text IS NOT NULL) t,
+         unnest(generate_series(1, len(ws) - 2)) u(i)
+    WHERE len(ws) >= 3
+)"""
+
+
+def _sql_cov_step(step: int, covered: str | None) -> str:
+    """One greedy step: argmax over docs of |grams \\ covered|."""
+    anti = (
+        f"SELECT doc_id, g FROM grams WHERE g NOT IN (SELECT g FROM {covered})"
+        if covered
+        else "SELECT doc_id, g FROM grams"
+    )
+    prev_cov = f"SELECT g FROM {covered} UNION " if covered else ""
+    return f"""
+gain{step} AS (
+    SELECT doc_id, COUNT(*) AS gain
+    FROM ({anti}) a GROUP BY 1
+),
+pick{step} AS (
+    SELECT doc_id, gain FROM gain{step}
+    ORDER BY gain DESC, doc_id LIMIT 1
+),
+cov{step} AS (
+    {prev_cov}SELECT DISTINCT g FROM grams
+    WHERE doc_id IN (SELECT doc_id FROM pick{step})
+)"""
+
+
+@register(
+    "curation_greedy_coverage",
+    oracle=f"""
+WITH {_sql_cov_grams()},{_sql_cov_step(1, None)},{_sql_cov_step(2, "cov1")},{_sql_cov_step(3, "cov2")}
+SELECT 1 AS step, doc_id, gain FROM pick1
+UNION ALL SELECT 2, doc_id, gain FROM pick2
+UNION ALL SELECT 3, doc_id, gain FROM pick3
+""",
+    doc=f"greedy max-coverage selection of {COVERAGE_K} docs by new word-"
+    "trigram coverage (submodular (1-1/e) greedy, each step one anti-join "
+    "+ per-doc count + bounded argmax); oracle unrolls the same steps",
+    tags=("pipeline", "curation", "coverage"),
+)
+def curation_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select("doc_id", F.split("text", " ").alias("ws"))
+    ws = F.col("ws")
+    grams_arr = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - F.lit(2)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ws, i),
+                F.element_at(ws, i + F.lit(1)),
+                F.element_at(ws, i + F.lit(2)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select("doc_id", F.explode(grams_arr).alias("g")).distinct()
+    grams = grams.persist()
+    grams.count()
+
+    covered = None  # DataFrame["g"] of already-covered grams
+    picks: list[tuple[int, int, int]] = []
+    for step in range(1, COVERAGE_K + 1):
+        cand = grams if covered is None else grams.join(covered, "g", "left_anti")
+        top = (
+            cand.groupBy("doc_id")
+            .agg(F.count("*").alias("gain"))
+            .orderBy(F.col("gain").desc(), "doc_id")
+            .limit(1)
+            .collect()  # 1 row: the greedy argmax (bounded driver hop)
+        )[0]
+        picks.append((step, int(top["doc_id"]), int(top["gain"])))
+        step_cov = grams.filter(F.col("doc_id") == top["doc_id"]).select("g")
+        new_cov = (
+            step_cov if covered is None else covered.unionByName(step_cov)
+        ).distinct()
+        # the covered frame is re-joined next step: persist + materialize
+        new_cov = new_cov.persist()
+        new_cov.count()
+        if covered is not None:
+            covered.unpersist()
+        covered = new_cov
+    if covered is not None:
+        covered.unpersist()
+    grams.unpersist()
+    return spark.createDataFrame(picks, "step int, doc_id long, gain long")
