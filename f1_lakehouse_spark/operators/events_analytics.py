@@ -422,3 +422,92 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     return fan.groupBy(F.col("w").alias("window_day")).agg(
         F.count_distinct("user_id").alias("rolling_users")
     )
+
+
+# --- A/B experiment lift ------------------------------------------------------------
+# Experimentation analytics: users hash-assigned to two variants (salted
+# md5 — independent of every other hash decision, reproducible across
+# engines/runs, the same property the curation splits rely on), conversion
+# = the user produced a HIGH-VALUE purchase (value > AB_CONV_VALUE — in
+# this synthetic stream every user purchases eventually, so the raw
+# purchase flag is degenerate at 100%), lift = rate_b - rate_a. All counts
+# exact integers; the rates and lift are single IEEE divisions/subtractions
+# of identical inputs in both engines. Scale: one (user) dedup shuffle +
+# one map-side-combined global aggregate — the event stream never joins.
+
+
+AB_CONV_VALUE = 150  # ~p95 of purchase values: non-degenerate conversion rates
+
+
+@register(
+    "events_ab_test_lift",
+    oracle=f"""
+WITH users AS (
+    SELECT user_id,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 12))
+                AS BIGINT) % 2 AS variant,
+           MAX(CASE WHEN event_type = 'purchase' AND value > {AB_CONV_VALUE}
+               THEN 1 ELSE 0 END) AS converted
+    FROM events GROUP BY 1
+)
+SELECT
+    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+    CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b,
+    CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS DOUBLE)
+        / SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS rate_a,
+    CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS DOUBLE)
+        / SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS rate_b,
+    CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS DOUBLE)
+        / SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+    - CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS DOUBLE)
+        / SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS abs_lift
+FROM users
+""",
+    doc="A/B lift: salted-hash variant assignment per user, purchase "
+    "conversion, absolute lift — exact counts, one user dedup + one "
+    "global aggregate, no joins",
+    tags=("events", "experiment", "ab"),
+)
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.pipeline.hashing import spark_salted_hash
+
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > AB_CONV_VALUE),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (spark_salted_hash("user_id", ":ab") % 2).alias("variant"),
+        "converted",
+    )
+    agg = users.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        (rate_b - rate_a).alias("abs_lift"),
+    )
