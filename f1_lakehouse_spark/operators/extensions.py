@@ -891,6 +891,54 @@ PARETO_B = 0.95
 _PARETO_PARTS = 8
 
 
+def global_prefix_sum(
+    spark: SparkSession,
+    df: DataFrame,
+    value_col: str,
+    order_cols: list,
+    n_parts: int = _PARETO_PARTS,
+):
+    """Exact distributed global cumulative sum of a DECIMAL column under a
+    TOTAL order (callers must include a unique tiebreaker in
+    ``order_cols``): range-repartition on the order, per-partition window
+    cumsums, driver-side prefix offsets of the ``n_parts`` per-partition
+    totals (a model-sized collect) broadcast back. Range boundaries come
+    from sampling and are nondeterministic; the result is exact under any
+    placement because the order is total and decimal addition associative.
+
+    Returns ``(frame_with_cum, release)``: the frame carries the input
+    columns plus ``cum``; call ``release()`` once downstream results have
+    materialized (the range-partitioned input is persisted for its two
+    derived uses, per the CLAUDE.md discipline)."""
+    from decimal import Decimal  # noqa: PLC0415
+
+    r = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    r = r.persist()
+    r.count()
+    ptots = {
+        row["pid"]: row["ptot"]
+        for row in r.groupBy("pid")
+        .agg(F.sum(value_col).alias("ptot"))
+        .collect()
+    }
+    acc = Decimal(0)
+    offsets = []
+    for pid in range(n_parts):
+        offsets.append((pid, acc))
+        acc += ptots.get(pid, Decimal(0))
+    offdf = spark.createDataFrame(offsets, "pid int, offset decimal(38,6)")
+    w = Window.partitionBy("pid").orderBy(*order_cols)
+    cum = (
+        r.withColumn("cum_in", F.sum(value_col).over(w))
+        .join(F.broadcast(offdf), "pid")
+        .withColumn("cum", F.col("cum_in") + F.col("offset"))
+        .drop("cum_in", "offset", "pid")
+    )
+    return cum, r.unpersist
+
+
 @register(
     "pareto_abc_parts",
     oracle=f"""
@@ -921,8 +969,6 @@ FROM cum, tot t
     tags=("extensions", "pareto", "prefix-sum"),
 )
 def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from decimal import Decimal  # noqa: PLC0415
-
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(
@@ -932,38 +978,20 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rev")
     )
     tot = rev.agg(F.sum("rev").alias("total"))
-    r = rev.repartitionByRange(
-        _PARETO_PARTS, F.col("rev").desc(), F.col("l_partkey").asc()
-    ).withColumn("pid", F.spark_partition_id())
-    # two derived uses (per-partition totals + the window): persist and
-    # materialize first (CLAUDE.md discipline)
-    r = r.persist()
-    r.count()
-    ptots = {
-        row["pid"]: row["ptot"]
-        for row in r.groupBy("pid").agg(F.sum("rev").alias("ptot")).collect()
-    }
-    acc = Decimal(0)
-    offsets = []
-    for pid in range(_PARETO_PARTS):
-        offsets.append((pid, acc))
-        acc += ptots.get(pid, Decimal(0))
-    offdf = spark.createDataFrame(offsets, "pid int, offset decimal(38,6)")
-    w = Window.partitionBy("pid").orderBy(F.col("rev").desc(), "l_partkey")
-    cum = (
-        r.withColumn("cum_in", F.sum("rev").over(w))
-        .join(F.broadcast(offdf), "pid")
-        .crossJoin(F.broadcast(tot))
+    cum, release = global_prefix_sum(
+        spark, rev, "rev", [F.col("rev").desc(), F.col("l_partkey").asc()]
+    )
+    shared = (
+        cum.crossJoin(F.broadcast(tot))
         .select(
             "l_partkey",
             F.col("rev").cast("double").alias("revenue"),
             (
-                (F.col("cum_in") + F.col("offset")).cast("double")
-                / F.col("total").cast("double")
+                F.col("cum").cast("double") / F.col("total").cast("double")
             ).alias("cum_share"),
         )
     )
-    out = cum.select(
+    out = shared.select(
         "l_partkey",
         "revenue",
         "cum_share",
@@ -974,5 +1002,75 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = out.persist()
     out.count()
-    r.unpersist()
+    release()
+    return out
+
+
+# --- weighted percentiles (second consumer of the distributed prefix sum) -----------
+# Quantity-weighted price percentiles: the smallest price p whose
+# cumulative weight reaches q of the total — inventory/pricing's
+# "half the volume moves at or below this price". Exact and
+# engine-lockstep with NO fractional arithmetic: the threshold test
+# k*cum >= m*total uses integer-scaled decimal comparison only
+# (q = m/k, e.g. 2*cum >= 1*total for p50), so no float rounding can
+# disagree between engines. Same two-phase prefix-sum machinery as
+# pareto_abc_parts; the order is total via (price, orderkey, linenumber).
+
+
+@register(
+    "weighted_percentile_price",
+    oracle="""
+WITH w AS (
+    SELECT l_extendedprice AS price,
+           CAST(l_quantity AS DECIMAL(27,6)) AS wt,
+           l_orderkey, l_linenumber
+    FROM lineitem
+),
+tot AS (SELECT SUM(wt) AS total FROM w),
+cum AS (
+    SELECT price,
+           SUM(wt) OVER (ORDER BY price, l_orderkey, l_linenumber) AS c
+    FROM w
+)
+SELECT 50 AS pct, MIN(price) AS price
+FROM cum, tot t WHERE 2 * cum.c >= t.total
+UNION ALL
+SELECT 90 AS pct, MIN(price) AS price
+FROM cum, tot t WHERE 10 * cum.c >= 9 * t.total
+""",
+    doc="quantity-weighted p50/p90 of price: distributed two-phase prefix "
+    "sum (shared global_prefix_sum helper), integer-scaled decimal "
+    "threshold tests — zero float comparisons",
+    tags=("extensions", "percentile", "prefix-sum"),
+)
+def weighted_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("decimal(27,6)").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    tot = w.agg(F.sum("wt").alias("total"))
+    cum, release = global_prefix_sum(
+        spark,
+        w,
+        "wt",
+        [F.col("price").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+    )
+    shared = cum.crossJoin(F.broadcast(tot))
+    p50 = (
+        shared.filter(2 * F.col("cum") >= F.col("total"))
+        .agg(F.min("price").alias("price"))
+        .select(F.lit(50).alias("pct"), "price")
+    )
+    p90 = (
+        shared.filter(10 * F.col("cum") >= 9 * F.col("total"))
+        .agg(F.min("price").alias("price"))
+        .select(F.lit(90).alias("pct"), "price")
+    )
+    out = p50.unionByName(p90)
+    out = out.persist()
+    out.count()
+    release()
     return out
