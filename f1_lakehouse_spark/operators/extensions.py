@@ -1074,3 +1074,107 @@ def weighted_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     release()
     return out
+
+
+# --- market-basket co-occurrence (association mining) -------------------------------
+# Frequent part PAIRS across orders with support / confidence / lift — the
+# association-rule primitive (recommendations, "bought together" analytics,
+# and in corpus work the co-occurrence backbone of PMI embeddings). Pair
+# generation stays inside each order: orders average a handful of lines, so
+# the per-order pair fan-out is bounded by lines²/2 (map-only after one
+# orderkey grouping); the oracle's a.partkey < b.partkey self-join is the
+# quadratic single-node equivalent. Counts are exact integers; the three
+# ratios are single IEEE divisions of identical inputs. Top pairs by
+# support with a (pk_a, pk_b) tiebreak — a total order, TakeOrdered shape.
+
+BASKET_TOP = 25
+
+
+@register(
+    "orders_market_basket",
+    oracle=f"""
+WITH per_order AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM per_order),
+item AS (SELECT l_partkey, COUNT(*) AS item_n FROM per_order GROUP BY 1),
+pairs AS (
+    SELECT a.l_partkey AS pk_a, b.l_partkey AS pk_b, COUNT(*) AS pair_n
+    FROM per_order a JOIN per_order b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+)
+SELECT p.pk_a, p.pk_b, p.pair_n,
+       CAST(p.pair_n AS DOUBLE) / t.n AS support,
+       CAST(p.pair_n AS DOUBLE) / ia.item_n AS confidence_a_b,
+       CAST(p.pair_n AS DOUBLE) * t.n / (ia.item_n * ib.item_n) AS lift
+FROM pairs p
+JOIN item ia ON ia.l_partkey = p.pk_a
+JOIN item ib ON ib.l_partkey = p.pk_b
+CROSS JOIN n_orders t
+ORDER BY p.pair_n DESC, p.pk_a, p.pk_b
+LIMIT {BASKET_TOP}
+""",
+    doc=f"market-basket pair mining: top-{BASKET_TOP} co-purchased part "
+    "pairs with support/confidence/lift — in-order pair fan-out bounded "
+    "by lines-per-order, broadcast item counts, TakeOrdered",
+    tags=("extensions", "basket", "association"),
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.select("l_orderkey", "l_partkey").distinct()
+    per_order = per_order.persist()
+    per_order.count()
+    n_orders = per_order.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    item = per_order.groupBy("l_partkey").agg(F.count("*").alias("item_n"))
+    # in-order pair generation: collect each order's part set (bounded by
+    # lines-per-order), emit ordered pairs array-side — no self-join of the
+    # full line table
+    baskets = per_order.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("pks")
+    )
+    pairs_arr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("pks"),
+                lambda a: F.transform(
+                    F.col("pks"), lambda b: F.struct(a.alias("pk_a"), b.alias("pk_b"))
+                ),
+            )
+        ),
+        lambda s: s["pk_a"] < s["pk_b"],
+    )
+    pairs = (
+        baskets.select(F.explode(pairs_arr).alias("p"))
+        .groupBy(F.col("p.pk_a").alias("pk_a"), F.col("p.pk_b").alias("pk_b"))
+        .agg(F.count("*").alias("pair_n"))
+    )
+    ia = item.select(F.col("l_partkey").alias("pk_a"), F.col("item_n").alias("ia_n"))
+    ib = item.select(F.col("l_partkey").alias("pk_b"), F.col("item_n").alias("ib_n"))
+    out = (
+        pairs.join(F.broadcast(ia), "pk_a")
+        .join(F.broadcast(ib), "pk_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pk_a",
+            "pk_b",
+            "pair_n",
+            (F.col("pair_n").cast("double") / F.col("n")).alias("support"),
+            (F.col("pair_n").cast("double") / F.col("ia_n")).alias(
+                "confidence_a_b"
+            ),
+            (
+                F.col("pair_n").cast("double")
+                * F.col("n")
+                / (F.col("ia_n") * F.col("ib_n"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("pair_n").desc(), "pk_a", "pk_b")
+        .limit(BASKET_TOP)
+    )
+    out = out.persist()
+    out.count()
+    per_order.unpersist()
+    return out
