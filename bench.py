@@ -115,6 +115,10 @@ EXTENDED = [
     "embedding_top_pc_power_iter",
     "embedding_dim_moments",
     "pareto_abc_parts",
+    "weighted_percentile_price",
+    "orders_market_basket",
+    "curation_greedy_coverage",
+    "events_ab_test_lift",
 ]
 
 
