@@ -511,3 +511,84 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate_b.alias("rate_b"),
         (rate_b - rate_a).alias("abs_lift"),
     )
+
+
+# --- CUSUM changepoint detection ----------------------------------------------------
+# Drift detection over the daily event-count series: the classic CUSUM
+# statistic max_k |sum_{i<=k}(c_i - mean)| locates the day the rate
+# shifted. Made INTEGER-EXACT by scaling out the mean division:
+# n*S_k - k*T (S_k = running count sum, T = total, n = #days) equals
+# n * sum_{i<=k}(c_i - T/n) — all int64, no float accumulation anywhere,
+# so both engines agree bit-for-bit. One shuffle on event_type; window
+# partitions bounded by days-per-type; argmax via a total-order
+# ROW_NUMBER (stat DESC, day ASC).
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+           COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+),
+tot AS (
+    SELECT event_type, CAST(SUM(c) AS BIGINT) AS t, COUNT(*) AS n
+    FROM daily GROUP BY 1
+),
+cum AS (
+    SELECT daily.event_type, d,
+           CAST(SUM(c) OVER (PARTITION BY daily.event_type ORDER BY d)
+                AS BIGINT) AS s,
+           CAST(ROW_NUMBER() OVER (PARTITION BY daily.event_type ORDER BY d)
+                AS BIGINT) AS k
+    FROM daily
+),
+stat AS (
+    SELECT cum.event_type, d, abs(tot.n * cum.s - cum.k * tot.t) AS cusum
+    FROM cum JOIN tot ON tot.event_type = cum.event_type
+)
+SELECT event_type, d AS change_day, cusum FROM (
+    SELECT event_type, d, cusum,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY cusum DESC, d) AS rk
+    FROM stat
+) WHERE rk = 1
+""",
+    doc="integer-exact CUSUM changepoint per event_type: argmax_k of "
+    "|n*S_k - k*T| over the daily count series — scaled-out mean, zero "
+    "float accumulation, one event_type shuffle",
+    tags=("events", "stats", "changepoint"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count("*").alias("c"))
+    daily = daily.persist()
+    daily.count()
+    tot = daily.groupBy("event_type").agg(
+        F.sum("c").alias("t"), F.count("*").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    cum = daily.select(
+        "event_type",
+        "d",
+        F.sum("c").over(w).alias("s"),
+        F.row_number().over(w).cast("long").alias("k"),
+    )
+    stat = cum.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "d",
+        F.abs(F.col("n") * F.col("s") - F.col("k") * F.col("t")).alias("cusum"),
+    )
+    rk = Window.partitionBy("event_type").orderBy(F.col("cusum").desc(), "d")
+    out = (
+        stat.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("d").alias("change_day"), "cusum")
+    )
+    out = out.persist()
+    out.count()
+    daily.unpersist()
+    return out

@@ -1178,3 +1178,70 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     per_order.unpersist()
     return out
+
+
+# --- Herfindahl–Hirschman concentration ---------------------------------------------
+# Market-concentration analytics: per nation, the HHI of supplier revenue
+# shares, sum((rev_i/T)^2). Fully INTEGER-EXACT: price*(1-discount) has
+# exactly 4 decimal places, so per-supplier revenue in 1e-4 units is an
+# exact BIGINT (a pure decimal scale shift, no rounding anywhere);
+# squares run in wide integers (Spark decimal(38,0) multiply, DuckDB
+# HUGEINT — both exact for values < 1e25) and only the final three
+# numbers become doubles, from identical exact integers. Two earlier
+# attempts are documented trap evidence: decimal-native squaring
+# (Spark silently reduces scale past precision 38; DuckDB's int64-backed
+# multiply overflows) and double->decimal(38,6) casts (Spark converts
+# the double's shortest decimal representation, DuckDB the exact binary
+# expansion — they disagree past 15 significant digits). One supplier-keyed aggregate + one
+# nation-keyed aggregate; scale-free.
+
+
+@register(
+    "nation_revenue_hhi",
+    oracle="""
+WITH rev AS (
+    SELECT s.s_nationkey, l.l_suppkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(19,4))) * 10000 AS BIGINT) AS ri
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY 1, 2
+)
+SELECT s_nationkey,
+       COUNT(*) AS n_suppliers,
+       CAST(SUM(ri) AS DOUBLE) / 10000 AS total_rev,
+       CAST(SUM(CAST(ri AS HUGEINT) * CAST(ri AS HUGEINT)) AS DOUBLE)
+           / (CAST(SUM(ri) AS DOUBLE) * CAST(SUM(ri) AS DOUBLE)) AS hhi
+FROM rev GROUP BY 1
+""",
+    doc="supplier-revenue concentration (HHI) per nation: decimal-exact "
+    "revenue squares over an exact total — one supplier aggregate + one "
+    "nation aggregate, broadcast dim join",
+    tags=("extensions", "concentration", "hhi"),
+)
+def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            (
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(19,4)"
+                    )
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("ri")
+        )
+    )
+    ri_wide = F.col("ri").cast("decimal(20,0)")
+    tot = F.sum("ri").cast("double")
+    sq = F.sum(ri_wide * ri_wide).cast("double")
+    return rev.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        (tot / 10000).alias("total_rev"),
+        (sq / (tot * tot)).alias("hhi"),
+    )
