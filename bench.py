@@ -119,6 +119,8 @@ EXTENDED = [
     "orders_market_basket",
     "curation_greedy_coverage",
     "events_ab_test_lift",
+    "events_cusum_changepoint",
+    "nation_revenue_hhi",
 ]
 
 
