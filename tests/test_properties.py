@@ -156,3 +156,40 @@ def test_hash_derived_ops_reproducible_across_executions(spark):
         base = {tuple(r) for r in REGISTRY[name].fn(spark, SF_DIR).collect()}
         again = {tuple(r) for r in REGISTRY[name].fn(spark, SF_DIR).collect()}
         assert base == again and len(base) > 0, name
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**9),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(min_value=1, max_value=16),
+)
+def test_global_prefix_sum_equals_sequential_cumsum(spark, values, n_parts):
+    """The two-phase distributed prefix sum must equal the sequential
+    cumulative sum for any value multiset and any partition count —
+    range boundaries come from sampling, so this pins boundary-placement
+    independence."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from f1_lakehouse_spark.operators.extensions import global_prefix_sum
+
+    rows = [(i, Decimal(v)) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "id long, v decimal(27,6)")
+    cum, release = global_prefix_sum(
+        spark, df, "v", [F.col("v").asc(), F.col("id").asc()], n_parts=n_parts
+    )
+    got = {
+        r["id"]: r["cum"]
+        for r in cum.select("id", "cum").collect()
+    }
+    release()
+    order = sorted(range(len(values)), key=lambda i: (values[i], i))
+    acc = Decimal(0)
+    for i in order:
+        acc += Decimal(values[i])
+        assert got[i] == acc, (i, got[i], acc)
