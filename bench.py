@@ -121,6 +121,7 @@ EXTENDED = [
     "events_ab_test_lift",
     "events_cusum_changepoint",
     "nation_revenue_hhi",
+    "events_spine_linear_interp",
 ]
 
 

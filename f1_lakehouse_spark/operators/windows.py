@@ -637,3 +637,126 @@ def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("attributed_value"),
         )
     )
+
+
+# --- linear interpolation over the date spine ----------------------------------------
+# The gap-fill twin of the forward-fill spine: absent days get LINEARLY
+# interpolated values between the surrounding present days (sensor/
+# metrics series where zero-fill is wrong and step-fill biases trends).
+# The series is deliberately SPARSE — daily totals of high-value
+# purchases per user-hash bucket — because the raw stream has an event
+# every few minutes and a dense series would never exercise the
+# interpolation branch (at sf0.01 over 100 of ~150 spine rows are real
+# gaps). Same array-side spine; prev/next anchors come from two mirrored
+# carry windows over the SAME bucket partitioning (one shuffle total);
+# the interpolation is pure arithmetic on identical inputs in both
+# engines (DSUM daily values, integer day distances, one IEEE
+# multiply-add per gap row). Spine bounds are the series' own min/max
+# days, so every gap has both anchors — no extrapolation branch.
+
+INTERP_VALUE_MIN = 200
+INTERP_BUCKETS = 8
+
+
+@register(
+    "events_spine_linear_interp",
+    oracle=f"""
+WITH daily AS (
+    SELECT user_id % {INTERP_BUCKETS} AS bucket, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v
+    FROM events
+    WHERE event_type = 'purchase' AND value > {INTERP_VALUE_MIN}
+    GROUP BY 1, 2
+),
+rng AS (
+    SELECT bucket, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+),
+spine AS (
+    SELECT bucket,
+           CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM rng
+),
+j AS (
+    SELECT s.bucket, s.day, d.v
+    FROM spine s LEFT JOIN daily d
+      ON d.bucket = s.bucket AND d.day = s.day
+),
+anchored AS (
+    SELECT bucket, day, v,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY bucket ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+           last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+               PARTITION BY bucket ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+           first_value(v IGNORE NULLS) OVER (
+               PARTITION BY bucket ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+           first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+               PARTITION BY bucket ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+    FROM j
+)
+SELECT bucket, day,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE prev_v + (next_v - prev_v)
+                 * date_diff('day', prev_d, day)
+                 / date_diff('day', prev_d, next_d) END AS value_filled,
+       CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_interpolated
+FROM anchored
+""",
+    doc="linear interpolation over a sparse per-bucket date spine: mirrored "
+    "ignore-nulls carry windows supply both anchors on one shuffle; "
+    "gap rows get prev + slope*distance, present rows pass through",
+    tags=("window", "spine", "interpolation"),
+)
+def events_spine_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("value") > INTERP_VALUE_MIN)
+    ).select(
+        (F.col("user_id") % INTERP_BUCKETS).alias("bucket"),
+        F.to_date("ts").alias("day"),
+        "value",
+    )
+    daily = e.groupBy("bucket", "day").agg(
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("v")
+    )
+    rng = daily.groupBy("bucket").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = rng.select(
+        "bucket", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    j = spine.join(daily, ["bucket", "day"], "left")
+    w_prev = (
+        Window.partitionBy("bucket")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("bucket")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    present_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    anchored = j.select(
+        "bucket",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(present_day, ignorenulls=True).over(w_prev).alias("prev_d"),
+        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(present_day, ignorenulls=True).over(w_next).alias("next_d"),
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * F.datediff(
+        F.col("day"), F.col("prev_d")
+    ) / F.datediff(F.col("next_d"), F.col("prev_d"))
+    return anchored.select(
+        "bucket",
+        "day",
+        F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp).alias(
+            "value_filled"
+        ),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("is_interpolated"),
+    )
