@@ -405,6 +405,10 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     ud = e.select(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
     ).distinct()
+    # bounds and fan both derive from ud: persist + materialize before the
+    # join (CLAUDE.md) so the events scan + dedup shuffle run once
+    ud = ud.persist()
+    ud.count()
     bounds = ud.agg(F.max("d").alias("max_d"))
     fan = (
         ud.select(
@@ -419,9 +423,13 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .crossJoin(F.broadcast(bounds))
         .filter(F.col("w") <= F.col("max_d"))
     )
-    return fan.groupBy(F.col("w").alias("window_day")).agg(
+    out = fan.groupBy(F.col("w").alias("window_day")).agg(
         F.count_distinct("user_id").alias("rolling_users")
     )
+    out = out.persist()
+    out.count()
+    ud.unpersist()
+    return out
 
 
 # --- A/B experiment lift ------------------------------------------------------------
@@ -439,13 +447,15 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
 AB_CONV_VALUE = 150  # ~p95 of purchase values: non-degenerate conversion rates
 
 
+from f1_lakehouse_spark.pipeline.hashing import sql_salted_hash  # noqa: E402
+
+
 @register(
     "events_ab_test_lift",
     oracle=f"""
 WITH users AS (
     SELECT user_id,
-           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 12))
-                AS BIGINT) % 2 AS variant,
+           {sql_salted_hash("user_id", ":ab")} % 2 AS variant,
            MAX(CASE WHEN event_type = 'purchase' AND value > {AB_CONV_VALUE}
                THEN 1 ELSE 0 END) AS converted
     FROM events GROUP BY 1

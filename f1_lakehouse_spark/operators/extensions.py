@@ -906,10 +906,12 @@ def global_prefix_sum(
     from sampling and are nondeterministic; the result is exact under any
     placement because the order is total and decimal addition associative.
 
-    Returns ``(frame_with_cum, release)``: the frame carries the input
-    columns plus ``cum``; call ``release()`` once downstream results have
-    materialized (the range-partitioned input is persisted for its two
-    derived uses, per the CLAUDE.md discipline)."""
+    Returns ``(frame_with_cum, release, total)``: the frame carries the
+    input columns plus ``cum``; ``total`` is the exact decimal grand total
+    (the offsets loop's final accumulator — callers needing SUM(value)
+    must NOT re-scan the source for it); call ``release()`` once
+    downstream results have materialized (the range-partitioned input is
+    persisted for its two derived uses, per the CLAUDE.md discipline)."""
     from decimal import Decimal  # noqa: PLC0415
 
     r = df.repartitionByRange(n_parts, *order_cols).withColumn(
@@ -936,7 +938,7 @@ def global_prefix_sum(
         .withColumn("cum", F.col("cum_in") + F.col("offset"))
         .drop("cum_in", "offset", "pid")
     )
-    return cum, r.unpersist
+    return cum, r.unpersist, acc
 
 
 @register(
@@ -977,19 +979,17 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rev")
     )
-    tot = rev.agg(F.sum("rev").alias("total"))
-    cum, release = global_prefix_sum(
+    cum, release, total = global_prefix_sum(
         spark, rev, "rev", [F.col("rev").desc(), F.col("l_partkey").asc()]
     )
-    shared = (
-        cum.crossJoin(F.broadcast(tot))
-        .select(
-            "l_partkey",
-            F.col("rev").cast("double").alias("revenue"),
-            (
-                F.col("cum").cast("double") / F.col("total").cast("double")
-            ).alias("cum_share"),
-        )
+    # total is the prefix-sum's own exact decimal grand total — re-scanning
+    # the source for SUM(rev) would be a whole extra aggregation of lineitem
+    shared = cum.select(
+        "l_partkey",
+        F.col("rev").cast("double").alias("revenue"),
+        (F.col("cum").cast("double") / F.lit(total).cast("double")).alias(
+            "cum_share"
+        ),
     )
     out = shared.select(
         "l_partkey",
@@ -1051,21 +1051,22 @@ def weighted_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    tot = w.agg(F.sum("wt").alias("total"))
-    cum, release = global_prefix_sum(
+    cum, release, total = global_prefix_sum(
         spark,
         w,
         "wt",
         [F.col("price").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
     )
-    shared = cum.crossJoin(F.broadcast(tot))
+    # total comes back from the prefix sum itself (exact decimal) — no
+    # second scan of lineitem for SUM(wt)
+    tot_lit = F.lit(total)
     p50 = (
-        shared.filter(2 * F.col("cum") >= F.col("total"))
+        cum.filter(2 * F.col("cum") >= tot_lit)
         .agg(F.min("price").alias("price"))
         .select(F.lit(50).alias("pct"), "price")
     )
     p90 = (
-        shared.filter(10 * F.col("cum") >= 9 * F.col("total"))
+        cum.filter(10 * F.col("cum") >= 9 * tot_lit)
         .agg(F.min("price").alias("price"))
         .select(F.lit(90).alias("pct"), "price")
     )
@@ -1117,7 +1118,8 @@ LIMIT {BASKET_TOP}
 """,
     doc=f"market-basket pair mining: top-{BASKET_TOP} co-purchased part "
     "pairs with support/confidence/lift — in-order pair fan-out bounded "
-    "by lines-per-order, broadcast item counts, TakeOrdered",
+    "by lines-per-order, shuffled item-count joins (AQE broadcasts when "
+    "small), TakeOrdered",
     tags=("extensions", "basket", "association"),
 )
 def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1153,9 +1155,12 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ia = item.select(F.col("l_partkey").alias("pk_a"), F.col("item_n").alias("ia_n"))
     ib = item.select(F.col("l_partkey").alias("pk_b"), F.col("item_n").alias("ib_n"))
+    # item counts are one row per DISTINCT part — unbounded at corpus
+    # scale, so no broadcast hint: pairs is already shuffled on these keys
+    # and AQE still broadcasts when the side is actually small
     out = (
-        pairs.join(F.broadcast(ia), "pk_a")
-        .join(F.broadcast(ib), "pk_b")
+        pairs.join(ia, "pk_a")
+        .join(ib, "pk_b")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "pk_a",

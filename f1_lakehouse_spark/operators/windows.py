@@ -722,6 +722,11 @@ def events_spine_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy("bucket", "day").agg(
         F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("v")
     )
+    # spine derives from daily (via rng) and joins back onto daily:
+    # persist + materialize first (CLAUDE.md) so the filtered events
+    # aggregate runs once
+    daily = daily.persist()
+    daily.count()
     rng = daily.groupBy("bucket").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
@@ -752,7 +757,7 @@ def events_spine_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * F.datediff(
         F.col("day"), F.col("prev_d")
     ) / F.datediff(F.col("next_d"), F.col("prev_d"))
-    return anchored.select(
+    out = anchored.select(
         "bucket",
         "day",
         F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp).alias(
@@ -760,3 +765,7 @@ def events_spine_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(F.col("v").isNull(), 1).otherwise(0).alias("is_interpolated"),
     )
+    out = out.persist()
+    out.count()
+    daily.unpersist()
+    return out

@@ -32,6 +32,7 @@ from f1_lakehouse_spark.pipeline.hashing import (
     spark_salted_hash,
     sql_md5_hash48,
 )
+from f1_lakehouse_spark.pipeline.text import SQL_WORD_TRIGRAMS_CTE
 from f1_lakehouse_spark.registry import register
 from f1_lakehouse_spark.tables import load_table
 
@@ -445,18 +446,6 @@ def curation_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFram
 COVERAGE_K = 3
 
 
-def _sql_cov_grams() -> str:
-    return f"""
-grams AS (
-    SELECT DISTINCT doc_id,
-           concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS g
-    FROM (SELECT doc_id, string_split(text, ' ') AS ws
-          FROM documents WHERE text IS NOT NULL) t,
-         unnest(generate_series(1, len(ws) - 2)) u(i)
-    WHERE len(ws) >= 3
-)"""
-
-
 def _sql_cov_step(step: int, covered: str | None) -> str:
     """One greedy step: argmax over docs of |grams \\ covered|."""
     anti = (
@@ -483,7 +472,7 @@ cov{step} AS (
 @register(
     "curation_greedy_coverage",
     oracle=f"""
-WITH {_sql_cov_grams()},{_sql_cov_step(1, None)},{_sql_cov_step(2, "cov1")},{_sql_cov_step(3, "cov2")}
+WITH {SQL_WORD_TRIGRAMS_CTE},{_sql_cov_step(1, None)},{_sql_cov_step(2, "cov1")},{_sql_cov_step(3, "cov2")}
 SELECT 1 AS step, doc_id, gain FROM pick1
 UNION ALL SELECT 2, doc_id, gain FROM pick2
 UNION ALL SELECT 3, doc_id, gain FROM pick3
@@ -494,22 +483,14 @@ UNION ALL SELECT 3, doc_id, gain FROM pick3
     tags=("pipeline", "curation", "coverage"),
 )
 def curation_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toks = d.select("doc_id", F.split("text", " ").alias("ws"))
-    ws = F.col("ws")
-    grams_arr = F.when(
-        F.size(ws) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - F.lit(2)),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(ws, i),
-                F.element_at(ws, i + F.lit(1)),
-                F.element_at(ws, i + F.lit(2)),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = toks.select("doc_id", F.explode(grams_arr).alias("g")).distinct()
+    # shared Spark/SQL word-trigram pair (pipeline/text.py) — one guard,
+    # one gram shape, two oracles that cannot drift apart
+    from f1_lakehouse_spark.pipeline.text import (  # noqa: PLC0415
+        spark_word_trigram_frame,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = spark_word_trigram_frame(d)
     grams = grams.persist()
     grams.count()
 
@@ -517,13 +498,18 @@ def curation_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks: list[tuple[int, int, int]] = []
     for step in range(1, COVERAGE_K + 1):
         cand = grams if covered is None else grams.join(covered, "g", "left_anti")
-        top = (
+        rows = (
             cand.groupBy("doc_id")
             .agg(F.count("*").alias("gain"))
             .orderBy(F.col("gain").desc(), "doc_id")
             .limit(1)
             .collect()  # 1 row: the greedy argmax (bounded driver hop)
-        )[0]
+        )
+        if not rows:
+            # every remaining doc is fully covered: the oracle's pickN CTE
+            # is empty and its UNION contributes no row — stop, same shape
+            break
+        top = rows[0]
         picks.append((step, int(top["doc_id"]), int(top["gain"])))
         step_cov = grams.filter(F.col("doc_id") == top["doc_id"]).select("g")
         new_cov = (

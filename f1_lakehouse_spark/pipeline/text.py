@@ -850,19 +850,48 @@ def text_phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 NOVELTY_N = 3  # word trigrams
 
 
-@register(
-    "text_ngram_novelty",
-    oracle=f"""
-WITH toks AS (
-    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-    WHERE text IS NOT NULL
-),
+# One shared Spark/SQL pair for the DISTINCT word-trigram frame — the
+# novelty scorer here and curation_greedy_coverage both start from it;
+# two hand-kept copies of gram construction (with its descending-sequence
+# guard) would let the engine-lockstep oracles drift apart.
+SQL_WORD_TRIGRAMS_CTE = f"""
 grams AS (
     SELECT DISTINCT doc_id,
            concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS g
-    FROM toks, unnest(generate_series(1, len(ws) - {NOVELTY_N - 1})) AS t(i)
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents WHERE text IS NOT NULL) toks,
+         unnest(generate_series(1, len(ws) - {NOVELTY_N - 1})) AS t(i)
     WHERE len(ws) >= {NOVELTY_N}
-),
+)"""
+
+
+def spark_word_trigram_frame(d: DataFrame) -> DataFrame:
+    """DISTINCT (doc_id, g) word-trigram frame; ascending-sequence guard
+    (same trap as char_trigram_frame): docs with fewer than N tokens
+    contribute no rows."""
+    toks = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    ws = F.col("ws")
+    grams_arr = F.when(
+        F.size(ws) >= NOVELTY_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - F.lit(NOVELTY_N - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ws, i),
+                F.element_at(ws, i + F.lit(1)),
+                F.element_at(ws, i + F.lit(2)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select("doc_id", F.explode(grams_arr).alias("g")).distinct()
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+WITH {SQL_WORD_TRIGRAMS_CTE},
 first_owner AS (
     SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY 1
 )
@@ -880,26 +909,8 @@ GROUP BY 1
     tags=("pipeline", "text", "novelty"),
 )
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toks = d.select("doc_id", F.split("text", " ").alias("ws"))
-    ws = F.col("ws")
-    # ascending-sequence guard (same trap as char_trigram_frame): docs with
-    # fewer than N tokens contribute no grams
-    grams_arr = F.when(
-        F.size(ws) >= NOVELTY_N,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - F.lit(NOVELTY_N - 1)),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(ws, i),
-                F.element_at(ws, i + F.lit(1)),
-                F.element_at(ws, i + F.lit(2)),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = (
-        toks.select("doc_id", F.explode(grams_arr).alias("g")).distinct()
-    )
+    d = load_table(spark, sf_dir, "documents")
+    grams = spark_word_trigram_frame(d)
     # self-join on a derived frame: persist + materialize first (CLAUDE.md)
     grams = grams.persist()
     grams.count()

@@ -34,6 +34,22 @@ from f1_lakehouse_spark.pipeline.hashing import spark_md5_hash48, spark_salted_h
 
 MANIFEST_NAME = "_MANIFEST.json"
 
+_NULL_SENTINEL = "\x00<NULL>"
+
+
+def _row_hash(cols: list[str]):
+    """Order-independent-summable per-row hash over the named columns (name
+    order). NULLs are encoded with an explicit sentinel: plain concat_ws
+    SKIPS null elements, so (x, NULL) and (NULL, x) — or a corrupted shard
+    that nulls one column and shifts the value into another — would hash
+    identically and slip past verification."""
+    return spark_md5_hash48(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)) for c in cols],
+        )
+    )
+
 
 def write_training_shards(
     df: DataFrame,
@@ -45,12 +61,13 @@ def write_training_shards(
     manifest; returns the manifest dict. Columns are hashed in name order
     for the row checksum, so schema drift changes the checksum (by
     design — a consumer pinned to a manifest notices silent column
-    changes)."""
+    changes). The manifest's counts/checksums are computed by READING THE
+    WRITTEN FILES BACK — recomputing from the source lineage would describe
+    what a second evaluation of ``df`` produces, not what landed on disk
+    (nondeterministic/time-varying sources would silently void the
+    corruption guarantee), and would cost a second scan of the source."""
     shard = (spark_salted_hash(key_col, ":shard") % n_shards).alias("shard")
     cols = sorted(df.columns)
-    row_hash = spark_md5_hash48(
-        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
-    )
     sharded = df.withColumn("shard", shard)
     (
         sharded.repartition(n_shards, "shard")
@@ -58,11 +75,12 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(out_dir)
     )
+    written = sharded.sparkSession.read.parquet(out_dir)
     stats = (
-        sharded.groupBy("shard")
+        written.groupBy("shard")
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum(row_hash.cast("decimal(38,0)")).alias("checksum"),
+            F.sum(_row_hash(cols).cast("decimal(38,0)")).alias("checksum"),
         )
         .collect()
     )
@@ -92,15 +110,12 @@ def verify_training_shards(spark, out_dir: str) -> dict:
         manifest = json.load(f)
     df = spark.read.parquet(out_dir)
     cols = manifest["columns"]
-    row_hash = spark_md5_hash48(
-        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
-    )
     stats = {
         str(r["shard"]): (int(r["n_rows"]), str(r["checksum"]))
         for r in df.groupBy("shard")
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum(row_hash.cast("decimal(38,0)")).alias("checksum"),
+            F.sum(_row_hash(cols).cast("decimal(38,0)")).alias("checksum"),
         )
         .collect()
     }

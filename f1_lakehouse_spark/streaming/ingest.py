@@ -205,6 +205,53 @@ def read_gold(spark: SparkSession, gold_path: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(gold_path, version))
 
 
+def _gold_merge(batch_df: DataFrame, batch_id: int, gold_path: str) -> None:
+    """One micro-batch's key-replace merge + MVCC publish — module-level so
+    the crash-replay no-op is unit-testable; ``incremental_gold_refresh``
+    wraps it in foreachBatch."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    sess = batch_df.sparkSession
+    version = f"v{batch_id:010d}"
+    ptr = os.path.join(gold_path, GOLD_POINTER)
+    prev = None
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            prev = f.read().strip()
+    if prev == version:
+        # crash-replay AFTER a completed publish: this batch's merge is
+        # already durable and live. Re-running it would read the live
+        # version THROUGH the pointer and overwrite the same directory —
+        # re-forming the read-write cycle (Spark refuses: "Cannot
+        # overwrite a path that is also being read from") and wedging
+        # the stream on every restart. The no-op IS the idempotent
+        # replay. (A crash BETWEEN write and repoint leaves prev on the
+        # older version, so the normal path below re-runs safely: it
+        # reads prev's dir and overwrites its own, disjoint dir.)
+        return
+    old = read_gold(sess, gold_path)
+    if old is None:
+        out = batch_df
+    else:
+        # key-replace upsert: update-mode rows are already cumulative
+        kept = old.join(
+            batch_df.select("event_type"), "event_type", "left_anti"
+        )
+        out = kept.unionByName(batch_df)
+    out.write.mode("overwrite").parquet(os.path.join(gold_path, version))
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(version)
+    os.replace(tmp, ptr)
+    # retention: the displaced live version survives one cycle for
+    # readers mid-scan; everything older is pruned
+    keep = {version, prev}
+    for entry in os.listdir(gold_path):
+        if entry.startswith("v") and entry not in keep:
+            shutil.rmtree(os.path.join(gold_path, entry), ignore_errors=True)
+
+
 def incremental_gold_refresh(
     spark: SparkSession,
     src_dir: str,
@@ -239,53 +286,24 @@ def incremental_gold_refresh(
       rename (os.replace locally; the same commit maps to an atomic HDFS
       rename or a single S3 pointer PUT — and on a Delta/Iceberg deployment
       the whole merge is one MERGE INTO, see sources/scd2.py);
-    - the version dir is derived from ``batch_id``, so a crash-replayed
-      batch overwrites ITS OWN version dir and re-points the pointer to the
-      same value (idempotent); a crash BETWEEN write and repoint leaves the
-      pointer on the old, fully-consistent version;
+    - the version dir is derived from ``batch_id``: a replay AFTER a
+      completed publish sees the pointer already on its own version and
+      NO-OPS (re-running would read the live dir through the pointer while
+      overwriting it — the read-write cycle again); a crash BETWEEN write
+      and repoint leaves the pointer on the old, fully-consistent version,
+      and the replay re-runs safely against disjoint directories;
     - all versions before the previous one are pruned after the swap (the
       previous survives one cycle for readers mid-scan).
 
     Read the table back with ``read_gold`` (pointer-resolving)."""
-    import os  # noqa: PLC0415
-    import shutil  # noqa: PLC0415
-
-    from pyspark.sql import DataFrame as _DF
-
     src = stream_events(spark, src_dir, glob=glob)
     partial = src.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(28,9)")).alias("total_value"),
     )
 
-    def merge(batch_df: _DF, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        old = read_gold(sess, gold_path)
-        if old is None:
-            out = batch_df
-        else:
-            # key-replace upsert: update-mode rows are already cumulative
-            kept = old.join(
-                batch_df.select("event_type"), "event_type", "left_anti"
-            )
-            out = kept.unionByName(batch_df)
-        version = f"v{batch_id:010d}"
-        ptr = os.path.join(gold_path, GOLD_POINTER)
-        prev = None
-        if os.path.exists(ptr):
-            with open(ptr) as f:
-                prev = f.read().strip()
-        out.write.mode("overwrite").parquet(os.path.join(gold_path, version))
-        tmp = ptr + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(version)
-        os.replace(tmp, ptr)
-        # retention: the displaced live version survives one cycle for
-        # readers mid-scan; everything older is pruned
-        keep = {version, prev}
-        for entry in os.listdir(gold_path):
-            if entry.startswith("v") and entry not in keep:
-                shutil.rmtree(os.path.join(gold_path, entry), ignore_errors=True)
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        _gold_merge(batch_df, batch_id, gold_path)
 
     q = (
         partial.writeStream.foreachBatch(merge)

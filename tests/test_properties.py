@@ -180,9 +180,10 @@ def test_global_prefix_sum_equals_sequential_cumsum(spark, values, n_parts):
 
     rows = [(i, Decimal(v)) for i, v in enumerate(values)]
     df = spark.createDataFrame(rows, "id long, v decimal(27,6)")
-    cum, release = global_prefix_sum(
+    cum, release, total = global_prefix_sum(
         spark, df, "v", [F.col("v").asc(), F.col("id").asc()], n_parts=n_parts
     )
+    assert total == sum(Decimal(v) for v in values)
     got = {
         r["id"]: r["cum"]
         for r in cum.select("id", "cum").collect()

@@ -480,3 +480,49 @@ def test_incremental_gold_refresh_mvcc_layout_no_driver_collect(spark):
             .collect()
         }
         assert got == want
+
+
+def test_gold_merge_replay_after_publish_is_noop(spark):
+    """Crash-replay of a batch whose publish COMPLETED must no-op: the
+    pointer already names this batch's version, and re-running the merge
+    would read the live version dir through the pointer while overwriting
+    that same dir (Spark refuses and the stream would wedge on every
+    restart)."""
+    import os
+    import tempfile
+
+    from f1_lakehouse_spark.streaming.ingest import (
+        GOLD_POINTER,
+        _gold_merge,
+        read_gold,
+    )
+
+    batch = spark.createDataFrame(
+        [("click", 3, 1.5)], "event_type string, n_events long, total_value double"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        gold = f"{tmp}/gold"
+        _gold_merge(batch, 7, gold)
+        with open(os.path.join(gold, GOLD_POINTER)) as f:
+            assert f.read().strip() == "v0000000007"
+        before = {tuple(r) for r in read_gold(spark, gold).collect()}
+        mtime = os.path.getmtime(os.path.join(gold, "v0000000007"))
+
+        # replay the SAME batch id with different (stale re-emitted) data:
+        # must not touch the published version
+        stale = spark.createDataFrame(
+            [("click", 999, 9.9)],
+            "event_type string, n_events long, total_value double",
+        )
+        _gold_merge(stale, 7, gold)
+        after = {tuple(r) for r in read_gold(spark, gold).collect()}
+        assert after == before
+        assert os.path.getmtime(os.path.join(gold, "v0000000007")) == mtime
+
+        # a NEW batch id still merges normally
+        nxt = spark.createDataFrame(
+            [("view", 5, 2.0)], "event_type string, n_events long, total_value double"
+        )
+        _gold_merge(nxt, 8, gold)
+        got = {r["event_type"]: r["n_events"] for r in read_gold(spark, gold).collect()}
+        assert got == {"click": 3, "view": 5}
