@@ -31,7 +31,9 @@ from f1_lakehouse_spark.pipeline.hashing import (
     MINHASH_PARAMS,
     MOD,
     spark_md5_hash48,
+    spark_poly_hash,
     sql_md5_hash48,
+    sql_poly_hash,
 )
 from f1_lakehouse_spark.registry import REGISTRY, register
 from f1_lakehouse_spark.tables import load_table
@@ -1435,4 +1437,74 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.persist()
     out.count()
     grouped.unpersist()
+    return out
+
+
+# --- dup-rate monitoring per source --------------------------------------------------
+# The ops dashboard query over the dedup machinery: per source, how much
+# of the feed shares its normalized 40-char prefix with an earlier doc
+# (first-writer-wins representative — the boilerplate/near-dup-prefix
+# signal; this corpus has ZERO byte-exact duplicates, so a raw-text
+# fingerprint would report a degenerate all-zeros table). This is the
+# signal source-quota and mixture decisions read — a source whose dup
+# share spikes is re-crawling itself. One fingerprint groupBy + one
+# fingerprint-keyed join back + one tiny source aggregate.
+
+DUP_PREFIX_CHARS = 40
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=f"""
+WITH fp AS (
+    SELECT doc_id, source,
+           {sql_poly_hash(f"substr(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'), 1, {DUP_PREFIX_CHARS})")}
+               AS fingerprint
+    FROM documents
+),
+grp AS (SELECT fingerprint, MIN(doc_id) AS rep FROM fp GROUP BY 1)
+SELECT fp.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN fp.doc_id <> g.rep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dups,
+       round(CAST(SUM(CASE WHEN fp.doc_id <> g.rep THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 9) AS dup_rate
+FROM fp JOIN grp g USING (fingerprint)
+GROUP BY 1
+""",
+    doc="per-source normalized-prefix duplicate share (first-writer-wins "
+    "rep) — the boilerplate feed-health signal quota/mixture decisions "
+    "read",
+    tags=("pipeline", "dedup", "monitoring"),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    key = F.substring(
+        F.regexp_replace(F.lower("text"), "[^a-z0-9]+", ""), 1, DUP_PREFIX_CHARS
+    )
+    fp = d.select("doc_id", "source", spark_poly_hash(key).alias("fingerprint"))
+    fp = fp.persist()
+    fp.count()
+    grp = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("rep"))
+    out = (
+        fp.join(grp, "fingerprint")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("doc_id") != F.col("rep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dups"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dups",
+            F.round(
+                F.col("n_dups").cast("double") / F.col("n_docs"), 9
+            ).alias("dup_rate"),
+        )
+    )
+    out = out.persist()
+    out.count()
+    fp.unpersist()
     return out
