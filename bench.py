@@ -122,6 +122,9 @@ EXTENDED = [
     "events_cusum_changepoint",
     "nation_revenue_hhi",
     "events_spine_linear_interp",
+    "dedup_rate_by_source",
+    "embedding_drift_centroid_shift",
+    "events_peak_concurrency",
 ]
 
 

@@ -1250,3 +1250,131 @@ def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (tot / 10000).alias("total_rev"),
         (sq / (tot * tot)).alias("hhi"),
     )
+
+
+# --- sweep-line: peak concurrent sessions -------------------------------------------
+# "What was our peak concurrency, and when?" — the classic interval
+# sweep: every session contributes +1 at its start and -1 at its end,
+# the running sum over the GLOBAL time order is the instantaneous
+# concurrency, and the answer is its argmax. The global running sum is
+# the third consumer of `global_prefix_sum` (after Pareto shares and
+# weighted percentiles) — never a single-partition window. Total order:
+# (ts, delta DESC, user_id, session_id) — at an instant where one
+# session ends and another starts, +1 processes first, i.e. touching
+# sessions count as concurrent (closed intervals); ties broken by the
+# unique (user, session) pair. Argmax tiebreak: earliest instant, then
+# smallest user/session.
+
+SESSION_GAP_US = 1_800_000_000  # 30 min, same as w_sessionize_events
+
+
+@register(
+    "events_peak_concurrency",
+    oracle=f"""
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                  OR LAG(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS session_id,
+           ts
+    FROM flagged
+),
+bounds AS (
+    SELECT user_id, session_id, MIN(ts) AS s0, MAX(ts) AS s1
+    FROM sess GROUP BY 1, 2
+),
+deltas AS (
+    SELECT user_id, session_id, s0 AS at_ts, 1 AS delta FROM bounds
+    UNION ALL
+    SELECT user_id, session_id, s1 AS at_ts, -1 AS delta FROM bounds
+),
+swept AS (
+    SELECT at_ts, user_id, session_id,
+           SUM(delta) OVER (ORDER BY at_ts, delta DESC, user_id, session_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS conc
+    FROM deltas
+)
+SELECT CAST(conc AS BIGINT) AS peak_concurrency, at_ts
+FROM swept
+ORDER BY conc DESC, at_ts, user_id, session_id
+LIMIT 1
+""",
+    doc="peak concurrent 30-min-gap sessions + the instant it happened: "
+    "interval sweep (+1/-1 deltas) with the global running sum via the "
+    "distributed prefix-sum helper — no single-partition window",
+    tags=("extensions", "sweep", "prefix-sum"),
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.tables import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_user))
+                > SESSION_GAP_US
+            )
+            | F.lag("ts").over(w_user).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w_cum = w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.select(
+        "user_id",
+        F.sum("new_session").over(w_cum).cast("long").alias("session_id"),
+        "ts",
+    )
+    bounds = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s0"), F.max("ts").alias("s1")
+    )
+    deltas = bounds.select(
+        "user_id", "session_id", F.col("s0").alias("at_ts"), F.lit(1).alias("delta")
+    ).unionByName(
+        bounds.select(
+            "user_id",
+            "session_id",
+            F.col("s1").alias("at_ts"),
+            F.lit(-1).alias("delta"),
+        )
+    ).withColumn("delta_dec", F.col("delta").cast("decimal(27,6)"))
+    cum, release, _total = global_prefix_sum(
+        spark,
+        deltas,
+        "delta_dec",
+        [
+            F.col("at_ts").asc(),
+            F.col("delta").desc(),
+            F.col("user_id").asc(),
+            F.col("session_id").asc(),
+        ],
+    )
+    out = (
+        cum.orderBy(
+            F.col("cum").desc(),
+            F.col("at_ts").asc(),
+            F.col("user_id").asc(),
+            F.col("session_id").asc(),
+        )
+        .limit(1)
+        .select(F.col("cum").cast("long").alias("peak_concurrency"), "at_ts")
+    )
+    out = out.persist()
+    out.count()
+    release()
+    return out

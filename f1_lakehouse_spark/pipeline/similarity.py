@@ -1776,3 +1776,90 @@ def embedding_dim_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(x).alias("min_v"),
         F.max(x).alias("max_v"),
     )
+
+
+# --- embedding drift: centroid shift between corpus halves --------------------------
+# ML-ops drift detection: per label, the L2 distance between the class
+# centroid computed on one half of the corpus (vec_id % 2 = 0 — stand-in
+# for "last week's snapshot") and the other half. A retrained/broken
+# encoder shows up as a large shift concentrated in some labels long
+# before downstream metrics move. Per-(label, half) means use the exact
+# floor-scaled decimal element-wise mean (the k-means update discipline),
+# so both engines hold identical centroids; the final L2 folds squared
+# diffs in dim order (identical IEEE ops). One (label, half, dim) shuffle
+# with map-side combine — DIM partial rows per task, nothing row-scale.
+
+
+@register(
+    "embedding_drift_centroid_shift",
+    oracle=f"""
+WITH m AS (
+    SELECT label, v.vec_id % 2 AS half, CAST(i AS INTEGER) - 1 AS dim,
+           CAST(SUM(CAST(floor(CAST(v.embedding[i] AS DOUBLE) * 1e9 + 0.5)
+                         AS DECIMAL(38,0))) AS DOUBLE) / (COUNT(*) * 1e9) AS mu
+    FROM embeddings v, range(1, {DIM + 1}) t(i)
+    GROUP BY 1, 2, 3
+),
+paired AS (
+    SELECT a.label, a.dim, a.mu AS mu0, b.mu AS mu1
+    FROM m a JOIN m b ON a.label = b.label AND a.dim = b.dim
+    WHERE a.half = 0 AND b.half = 1
+)
+SELECT label,
+       round(sqrt(list_reduce(list_transform(list((mu1 - mu0) * (mu1 - mu0)
+                                                  ORDER BY dim), x -> x),
+                              (x, y) -> x + y)), 9) AS centroid_shift
+FROM paired
+GROUP BY label
+""",
+    doc="per-label centroid L2 shift between corpus halves (vec_id parity "
+    "as the snapshot split) — embedding drift monitoring; exact decimal "
+    "means (k-means discipline), dim-ordered fold for the distance",
+    tags=("pipeline", "similarity", "drift"),
+)
+def embedding_drift_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    scaled = F.floor(F.col("x").cast("double") * F.lit(1e9) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    m = exploded.groupBy("label", "half", "dim").agg(
+        (F.sum(scaled).cast("double") / (F.count("*") * F.lit(1e9))).alias("mu")
+    )
+    m = m.persist()
+    m.count()
+    a = m.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("mu").alias("mu0")
+    )
+    b = m.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("mu").alias("mu1")
+    )
+    d2 = (F.col("mu1") - F.col("mu0")) * (F.col("mu1") - F.col("mu0"))
+    # fold squared diffs in dim order: collect per-label dim-sorted array,
+    # then an in-order aggregate — matches the oracle's ordered list_reduce
+    paired = (
+        a.join(b, ["label", "dim"])
+        .select("label", "dim", d2.alias("d2"))
+        .groupBy("label")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "d2"))),
+                    lambda s: s["d2"],
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("ss")
+        )
+    )
+    out = paired.select(
+        "label", F.round(F.sqrt("ss"), 9).alias("centroid_shift")
+    )
+    out = out.persist()
+    out.count()
+    m.unpersist()
+    return out
