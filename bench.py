@@ -125,6 +125,7 @@ EXTENDED = [
     "dedup_rate_by_source",
     "embedding_drift_centroid_shift",
     "events_peak_concurrency",
+    "dedup_snm_multipass",
 ]
 
 

@@ -1508,3 +1508,105 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     fp.unpersist()
     return out
+
+
+# --- multi-pass sorted neighborhood --------------------------------------------------
+# Production SNM (Hernandez & Stolfo '95) runs SEVERAL passes with
+# rotated sort keys precisely because one key's early divergence is
+# another key's shared prefix: pass 1 sorts on the normalized prefix
+# (same as dedup_sorted_neighborhood), pass 2 on the REVERSED normalized
+# key (suffix-anchored — catches pairs whose edits cluster at the front).
+# Each pass is the same one-sort zero-pair-shuffle window-lead compare;
+# the union of verified pairs is DISTINCT (a pair found by both passes
+# reports once). Recall strictly dominates the single pass at exactly 2x
+# the (linear) cost.
+
+
+def _snm_pass(d: DataFrame, key_col) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    s = d.select("doc_id", key_col.alias("skey")).withColumn(
+        "blk", F.substring("skey", 1, SNM_BLOCK_CHARS)
+    )
+    win = Window.partitionBy("blk").orderBy("skey", "doc_id")
+    leads = s.select(
+        "doc_id",
+        "skey",
+        F.array(
+            *[
+                F.struct(
+                    F.lead("doc_id", i).over(win).alias("nid"),
+                    F.lead("skey", i).over(win).alias("nkey"),
+                )
+                for i in range(1, SNM_WINDOW)
+            ]
+        ).alias("nbrs"),
+    )
+    pairs = leads.select("doc_id", "skey", F.explode("nbrs").alias("p")).filter(
+        F.col("p.nid").isNotNull()
+    )
+    lev = F.levenshtein("skey", F.col("p.nkey"))
+    denom = F.greatest(F.length("skey"), F.length(F.col("p.nkey")), F.lit(1))
+    return (
+        pairs.select(
+            F.least("doc_id", F.col("p.nid")).alias("doc_a"),
+            F.greatest("doc_id", F.col("p.nid")).alias("doc_b"),
+        )
+        .filter((lev.cast("double") / denom) <= SNM_REL_THRESHOLD)
+    )
+
+
+_SQL_SNM_NORM = (
+    f"substr(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'), 1, {SNM_KEY_CHARS})"
+)
+
+
+def _sql_snm_pass(key_expr: str, out: str) -> str:
+    return f"""
+{out}_s AS (
+    SELECT doc_id, {key_expr} AS skey,
+           substr({key_expr}, 1, {SNM_BLOCK_CHARS}) AS blk
+    FROM documents
+),
+{out}_w AS (
+    SELECT doc_id, skey,
+           lead(doc_id, 1) OVER win AS d1, lead(skey, 1) OVER win AS k1,
+           lead(doc_id, 2) OVER win AS d2, lead(skey, 2) OVER win AS k2,
+           lead(doc_id, 3) OVER win AS d3, lead(skey, 3) OVER win AS k3
+    FROM {out}_s
+    WINDOW win AS (PARTITION BY blk ORDER BY skey, doc_id)
+),
+{out} AS (
+    SELECT LEAST(doc_id, p.nid) AS doc_a, GREATEST(doc_id, p.nid) AS doc_b
+    FROM {out}_w, unnest([{{'nid': d1, 'nkey': k1}},
+                          {{'nid': d2, 'nkey': k2}},
+                          {{'nid': d3, 'nkey': k3}}]) AS t(p)
+    WHERE p.nid IS NOT NULL
+      AND CAST(levenshtein(skey, p.nkey) AS DOUBLE)
+          / GREATEST(len(skey), len(p.nkey), 1) <= {SNM_REL_THRESHOLD}
+)"""
+
+
+@register(
+    "dedup_snm_multipass",
+    oracle=f"""
+WITH {_sql_snm_pass(_SQL_SNM_NORM, "p1")},
+{_sql_snm_pass(f"reverse({_SQL_SNM_NORM})", "p2")}
+SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b FROM p1
+    UNION ALL SELECT doc_a, doc_b FROM p2
+)
+""",
+    doc="multi-pass SNM: prefix-key pass + reversed-key (suffix-anchored) "
+    "pass, DISTINCT union of verified pairs — production Merge/Purge, "
+    "recall strictly dominates the single pass at 2x linear cost",
+    tags=("pipeline", "dedup", "snm"),
+)
+def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.substring(
+        F.regexp_replace(F.lower("text"), "[^a-z0-9]+", ""), 1, SNM_KEY_CHARS
+    )
+    p1 = _snm_pass(d, norm)
+    p2 = _snm_pass(d, F.reverse(norm))
+    return p1.unionByName(p2).distinct()

@@ -153,3 +153,54 @@ def delta_history(spark: SparkSession, path: str) -> DataFrame:
     operation, operationMetrics)."""
     DeltaTable = _require_delta(spark)
     return DeltaTable.forPath(spark, path).history()
+
+
+# --- Iceberg twins -------------------------------------------------------------------
+# Same gated pattern as the Delta branch: real code wherever the runtime
+# jar exists, clean error + parquet-emulation fallback here. Iceberg's
+# MERGE INTO is SQL-level (no DeltaTable-style API), so the upsert twin
+# issues the statement against a registered table.
+
+
+class IcebergUnavailableError(RuntimeError):
+    """Raised when an Iceberg op is requested without the runtime jar on
+    the session classpath; callers fall back to ``sources/scd2.py``."""
+
+
+def _require_iceberg(spark: SparkSession) -> None:
+    from f1_lakehouse_spark.sources.formats import iceberg_available  # noqa: PLC0415
+
+    if not iceberg_available(spark):
+        raise IcebergUnavailableError(
+            "Iceberg runtime jar not on the classpath - use sources/scd2.py "
+            "(merge_upsert / scd2_apply) for identical row semantics on parquet"
+        )
+
+
+def iceberg_merge_upsert(
+    spark: SparkSession, table: str, updates: DataFrame, key: str
+) -> None:
+    """MERGE INTO an Iceberg TABLE (name, not path — Iceberg merges are
+    SQL-level): updates win on key collision, unmatched rows insert —
+    row-for-row ``scd2.merge_upsert`` semantics."""
+    _require_iceberg(spark)
+    updates.createOrReplaceTempView("_iceberg_updates")
+    spark.sql(
+        f"""
+        MERGE INTO {table} t
+        USING _iceberg_updates u
+        ON t.{key} = u.{key}
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+
+
+def iceberg_time_travel(
+    spark: SparkSession, table: str, snapshot_id: int
+) -> DataFrame:
+    """Snapshot-pinned read (audit / reproducible training snapshots)."""
+    _require_iceberg(spark)
+    return (
+        spark.read.option("snapshot-id", snapshot_id).format("iceberg").load(table)
+    )

@@ -94,3 +94,16 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     clean = cached.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = cached.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return clean, bad, cached
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """Iceberg twin of :func:`delta_available` — a real ``Class.forName``
+    probe for the Spark runtime jar (py4j attribute access never raises on
+    a missing class, so probing attributes reports True everywhere)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False

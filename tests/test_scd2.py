@@ -160,3 +160,16 @@ def test_delta_scd2_merge_equals_parquet_emulation(spark, tmp_path):
         for r in scd2_apply(history, changes, "k", ["team"], eff).collect()
     )
     assert got == want
+
+
+def test_iceberg_gate_raises_cleanly_without_jar(spark):
+    from f1_lakehouse_spark.sources import delta_ops
+    from f1_lakehouse_spark.sources.formats import iceberg_available
+
+    if iceberg_available(spark):
+        pytest.skip("Iceberg jar present - gate cannot fire")
+    updates = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(delta_ops.IcebergUnavailableError, match="scd2"):
+        delta_ops.iceberg_merge_upsert(spark, "nowhere.t", updates, "k")
+    with pytest.raises(delta_ops.IcebergUnavailableError):
+        delta_ops.iceberg_time_travel(spark, "nowhere.t", 1)
