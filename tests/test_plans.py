@@ -369,3 +369,20 @@ def test_pareto_prefix_sum_is_range_partitioned_not_global_window(spark):
     # the window itself runs partitioned (by pid), not over one partition:
     # spark_partition_id appears as the window's partition key
     assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan, plan[:2000]
+
+
+def test_snm_multipass_no_joins_bounded_exchanges(spark):
+    """Both SNM passes stay window-lead compares (no join anywhere); the
+    only exchanges are the two block-sorts + the final DISTINCT."""
+    plan = _plan(spark, "dedup_snm_multipass")
+    assert "Join" not in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") <= 3, plan[:2000]
+
+
+def test_peak_concurrency_uses_range_partitioned_sweep(spark):
+    """The sweep's global running sum must come from the distributed
+    prefix sum (range partitioning present), not a single-partition
+    window over the whole delta stream."""
+    plan = _plan(spark, "events_peak_concurrency")
+    assert "rangepartitioning" in plan, plan[:2000]
+    assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan, plan[:2000]
