@@ -1378,3 +1378,224 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     release()
     return out
+
+# --- RFM segmentation (distributed exact NTILE) -------------------------------------
+# Classic customer segmentation: quintile scores for Recency / Frequency /
+# Monetary. The textbook formulation is three NTILE(5) windows over GLOBAL
+# orders — three single-partition sorts at cluster scale. Here each score
+# comes from a distributed exact rank (the same range-partition + offset
+# prefix-sum machinery as pareto_abc_parts, summing literal 1s) plus the
+# closed-form NTILE bucket formula; the oracle keeps the plain NTILE
+# windows, proving the distributed formulation bit-identical. Ranks order
+# ascending with the unique custkey tiebreaker, so score 5 = most recent /
+# most frequent / highest spend.
+
+RFM_K = 5
+
+
+def _ntile_from_rank(rank, n: int, k: int):
+    """SQL NTILE(k) bucket for 1-based ``rank`` of ``n`` rows: the first
+    n%k buckets hold ceil(n/k) rows, the rest floor(n/k)."""
+    base, rem = n // k, n % k
+    cut = rem * (base + 1)
+    # the else-branch is only reached when rank > cut, which requires
+    # base >= 1; greatest() keeps the unreached division well-defined
+    base_safe = max(base, 1)
+    return F.when(
+        rank <= cut, ((rank - 1) / F.lit(base + 1)).cast("long") + 1
+    ).otherwise(rem + ((rank - cut - 1) / F.lit(base_safe)).cast("long") + 1)
+
+
+@register(
+    "orders_rfm_segmentation",
+    oracle=f"""
+WITH rfm AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_ts, COUNT(*) AS freq,
+         SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS monetary_d
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey, last_ts, freq, CAST(monetary_d AS DOUBLE) AS monetary,
+       NTILE({RFM_K}) OVER (ORDER BY last_ts, o_custkey) AS r_score,
+       NTILE({RFM_K}) OVER (ORDER BY freq, o_custkey) AS f_score,
+       NTILE({RFM_K}) OVER (ORDER BY monetary_d, o_custkey) AS m_score
+FROM rfm
+""",
+    doc="RFM quintile segmentation per customer: three exact NTILE(5) "
+    "scores computed WITHOUT single-partition global windows — each rank "
+    "is a distributed prefix sum of ones over a range-partitioned total "
+    "order, mapped through the closed-form NTILE bucket formula",
+    tags=("extensions", "rfm", "prefix-sum"),
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_ts"),
+            F.count("*").alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("monetary_d"),
+        )
+        .withColumn("one", F.lit(1).cast("decimal(27,6)"))
+    )
+    rfm = rfm.persist()
+    rfm.count()  # materialize before the three derived prefix-sum scans
+
+    def score(order_col: str, out_name: str) -> tuple[DataFrame, callable]:
+        cum, release, total = global_prefix_sum(
+            spark, rfm, "one", [F.col(order_col).asc(), F.col("o_custkey").asc()]
+        )
+        n = int(total)
+        ranked = cum.select(
+            "o_custkey",
+            _ntile_from_rank(F.col("cum").cast("long"), n, RFM_K).alias(out_name),
+        )
+        return ranked, release
+
+    r_s, rel_r = score("last_ts", "r_score")
+    f_s, rel_f = score("freq", "f_score")
+    m_s, rel_m = score("monetary_d", "m_score")
+    out = (
+        rfm.select(
+            "o_custkey",
+            "last_ts",
+            "freq",
+            F.col("monetary_d").cast("double").alias("monetary"),
+        )
+        .join(r_s, "o_custkey")
+        .join(f_s, "o_custkey")
+        .join(m_s, "o_custkey")
+    )
+    out = out.persist()
+    out.count()
+    rel_r(); rel_f(); rel_m()
+    rfm.unpersist()
+    return out
+
+
+# --- year-over-year growth ----------------------------------------------------------
+# Revenue per nation-year with LAG-based growth: the window partitions on
+# nation (parallel across the grouping key, never global). Revenue stays
+# DECIMAL through the aggregate; the growth ratio is one double division of
+# exact inputs, IEEE-identical across engines.
+
+
+@register(
+    "nation_yoy_growth",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS yr,
+         SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS rev_d
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, yr, CAST(rev_d AS DOUBLE) AS revenue,
+       CAST(LAG(rev_d) OVER (PARTITION BY n_name ORDER BY yr) AS DOUBLE)
+           AS prev_revenue,
+       (CAST(rev_d AS DOUBLE)
+        - CAST(LAG(rev_d) OVER (PARTITION BY n_name ORDER BY yr) AS DOUBLE))
+       / CAST(LAG(rev_d) OVER (PARTITION BY n_name ORDER BY yr) AS DOUBLE)
+           AS yoy_growth
+FROM rev
+""",
+    doc="year-over-year revenue growth per nation: orders->customer shuffle "
+    "join + broadcast nation dim, decimal-exact yearly revenue, LAG window "
+    "partitioned by nation (no global sort)",
+    tags=("extensions", "window", "yoy"),
+)
+def nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("rev_d"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("rev_d").over(w).cast("double")
+    return rev.select(
+        "n_name",
+        "yr",
+        F.col("rev_d").cast("double").alias("revenue"),
+        prev.alias("prev_revenue"),
+        ((F.col("rev_d").cast("double") - prev) / prev).alias("yoy_growth"),
+    )
+
+
+# --- tolerance-bounded as-of join (attribution window) ------------------------------
+# Same union+carry-forward shape as join_asof_latest_order, with a max-gap
+# guard: each click is attributed to the user's latest prior purchase ONLY
+# if it happened within the last 24 h. The gap test is integer microseconds
+# (unix_micros / epoch_us) on both engines — no float time arithmetic.
+
+ASOF_TOL_US = 86_400_000_000  # 24 h
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+WITH p1 AS (
+  SELECT user_id, ts, MAX(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.ts,
+       CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= {ASOF_TOL_US}
+            THEN p.purchase_id END AS attributed_purchase,
+       CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= {ASOF_TOL_US}
+            THEN p.ts END AS purchase_ts
+FROM clicks c
+ASOF LEFT JOIN p1 p ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+    doc="as-of join with tolerance: click -> latest prior purchase within "
+    "24 h, else NULL. One shuffle on user_id (union both sides + one "
+    "carry-forward window); gap test in integer epoch-microseconds",
+    tags=("join", "asof", "extension"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    left = clicks.withColumns(
+        {"side": F.lit(1), "purchase_id": F.lit(None).cast("long"),
+         "p_ts": F.lit(None).cast("timestamp")}
+    )
+    right = purchases.withColumns(
+        {"side": F.lit(0), "event_id": F.lit(None).cast("long"),
+         "p_ts": F.col("ts")}
+    )
+    cols = ["user_id", "ts", "side", "event_id", "purchase_id", "p_ts"]
+    unioned = left.select(*cols).unionByName(right.select(*cols))
+    # side 0 < 1 puts purchases first at equal ts (>= semantics); purchase_id
+    # as last key totals the order so ties carry MAX(event_id), matching the
+    # oracle's pre-collapsed p1 CTE
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", F.col("purchase_id").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumns(
+        {
+            "last_pid": F.last("purchase_id", ignorenulls=True).over(w),
+            "last_pts": F.last("p_ts", ignorenulls=True).over(w),
+        }
+    )
+    in_tol = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_pts"))
+    ) <= ASOF_TOL_US
+    return carried.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(in_tol, F.col("last_pid")).alias("attributed_purchase"),
+        F.when(in_tol, F.col("last_pts")).alias("purchase_ts"),
+    )

@@ -1,0 +1,147 @@
+"""Model-based data-selection scoring (DSIR-style importance weights).
+
+DSIR (Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling") scores every raw document by how target-domain-like it is:
+``log p_target(x) - log p_raw(x)`` under hashed bag-of-n-gram models
+trained on the target set and the raw corpus. Both models are
+bucket-count tables (a fixed number of hash buckets), so "training" is one
+aggregation and scoring is a broadcast join — the raw corpus never
+shuffles for the model lookup.
+
+Determinism across engines: log-probabilities are integer-quantized to
+bits exactly like ``text_lm_surprisal`` — ``floor(log2(tot/cnt))`` via
+``length(bin(tot div cnt)) - 1`` on int64, with +1/(tot+B) Laplace
+smoothing kept integer. No float logs anywhere, so the DuckDB oracle is
+bit-identical.
+
+At 100 TB: the feature explode is map-side; both count models are at most
+``DSIR_B`` rows (broadcast); the only shuffles are the two bucket-count
+aggregations (map-side combined to <= DSIR_B rows per task) and the final
+per-doc aggregation. ``DSIR_B`` is a collision/quality knob, not a scale
+knob — raise it for diverse corpora, the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_lakehouse_spark.pipeline.hashing import spark_md5_hash48, sql_md5_hash48
+from f1_lakehouse_spark.registry import register
+from f1_lakehouse_spark.tables import load_table
+
+DSIR_B = 1024  # hash buckets per n-gram model
+DSIR_TARGET_LANG = "en"  # the "target domain" for the importance weights
+
+
+_SQL_FEATS_CTE = f"""
+toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+feats AS (
+  SELECT doc_id, lang, {sql_md5_hash48("g")} % {DSIR_B} AS b FROM (
+    SELECT doc_id, lang, unnest(ws) AS g FROM toks
+    UNION ALL
+    SELECT doc_id, lang,
+           unnest(list_transform(generate_series(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i + 1])) AS g
+    FROM toks WHERE len(ws) >= 2
+  )
+)"""
+
+_SQL_BITS_R = f"length(bin((tot_r + {DSIR_B}) // (cnt_r + 1))) - 1"
+_SQL_BITS_T = f"length(bin((tot_t + {DSIR_B}) // (COALESCE(cnt_t, 0) + 1))) - 1"
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+WITH {_SQL_FEATS_CTE},
+raw AS (SELECT b, COUNT(*) AS cnt_r FROM feats GROUP BY 1),
+rtot AS (SELECT COUNT(*) AS tot_r FROM feats),
+tgt AS (SELECT b, COUNT(*) AS cnt_t FROM feats
+        WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
+ttot AS (SELECT COUNT(*) AS tot_t FROM feats
+         WHERE lang = '{DSIR_TARGET_LANG}')
+SELECT f.doc_id, f.lang, COUNT(*) AS n_feats,
+       CAST(SUM(({_SQL_BITS_R}) - ({_SQL_BITS_T})) AS BIGINT) AS score_bits,
+       CAST(SUM(({_SQL_BITS_R}) - ({_SQL_BITS_T})) AS BIGINT) / COUNT(*)
+           AS avg_bits
+FROM feats f
+JOIN raw USING (b)
+CROSS JOIN rtot
+LEFT JOIN tgt USING (b)
+CROSS JOIN ttot
+GROUP BY 1, 2
+""",
+    doc="DSIR importance weights: per-doc quantized log p_target - log "
+    "p_raw under hashed unigram+bigram bucket models (target = lang='"
+    + DSIR_TARGET_LANG
+    + "' docs). Models are DSIR_B-row broadcast tables; scoring is a "
+    "broadcast join + one per-doc aggregation — the corpus shuffles once",
+    tags=("pipeline", "scoring", "dsir"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", "lang", F.split("text", " ").alias("ws")
+    )
+    ws = F.col("ws")
+    bigrams = F.when(
+        F.size(ws) >= 2,  # ascending-sequence guard (see text.py)
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - F.lit(1)),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(F.concat(ws, bigrams)).alias("g"),
+    ).select("doc_id", "lang", (spark_md5_hash48("g") % DSIR_B).alias("b"))
+    # two derived count models + a join back onto feats: persist the shared
+    # explode first (CLAUDE.md discipline)
+    feats = feats.persist()
+    feats.count()
+
+    raw = feats.groupBy("b").agg(F.count("*").alias("cnt_r"))
+    rtot = feats.agg(F.count("*").alias("tot_r"))
+    tgt_feats = feats.filter(F.col("lang") == DSIR_TARGET_LANG)
+    tgt = tgt_feats.groupBy("b").agg(F.count("*").alias("cnt_t"))
+    ttot = tgt_feats.agg(F.count("*").alias("tot_t"))
+
+    # floor(log2((tot + B) / (cnt + 1))) via binary-length, all int64
+    bits_r = (
+        F.length(F.bin(F.expr(f"(tot_r + {DSIR_B}) div (cnt_r + 1)"))) - F.lit(1)
+    )
+    bits_t = (
+        F.length(
+            F.bin(F.expr(f"(tot_t + {DSIR_B}) div (coalesce(cnt_t, 0) + 1)"))
+        )
+        - F.lit(1)
+    )
+    out = (
+        feats.join(F.broadcast(raw), "b")
+        .crossJoin(F.broadcast(rtot))
+        .join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(ttot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum(bits_r - bits_t).cast("long").alias("score_bits"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            "score_bits",
+            (F.col("score_bits") / F.col("n_feats")).alias("avg_bits"),
+        )
+    )
+    out = out.persist()
+    out.count()
+    feats.unpersist()
+    return out

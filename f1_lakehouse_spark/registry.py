@@ -157,6 +157,7 @@ def _ensure_loaded() -> None:
         graph,
         incremental,
         multimodal,
+        scoring,
         similarity,
         text,
     )
