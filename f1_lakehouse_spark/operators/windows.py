@@ -769,3 +769,62 @@ def events_spine_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     daily.unpersist()
     return out
+
+
+# --- NTH_VALUE / LAST_VALUE with explicit frames ------------------------------------
+# The remaining window-navigation vocabulary: LAST_VALUE and NTH_VALUE are
+# frame-sensitive (the SQL default frame stops at CURRENT ROW, silently
+# turning LAST_VALUE into "current value") — both here use the explicit
+# full-partition frame, plus a centered ROWS frame moving average.
+# Partitioned by user_id: parallel across users at any scale, never a
+# global sort. The (ts, event_id) order is total, and the moving average
+# is decimal-accumulated before the one double division.
+
+
+@register(
+    "w_first_last_nth",
+    oracle="""
+SELECT event_id, user_id, ts,
+       FIRST_VALUE(value) OVER wfull AS first_v,
+       LAST_VALUE(value)  OVER wfull AS last_v,
+       NTH_VALUE(value, 3) OVER wfull AS third_v,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER wc AS DOUBLE)
+            / COUNT(*) OVER wc AS DOUBLE) AS centered_avg
+FROM events
+WINDOW
+  wfull AS (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+  wc    AS (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+""",
+    doc="FIRST/LAST/NTH_VALUE over the explicit full-partition frame plus a "
+    "centered 3-row moving average (decimal-accumulated): the "
+    "frame-sensitive navigation vocabulary, partitioned per user",
+    tags=("window", "frame", "events"),
+)
+def w_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wfull = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-1, 1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.first("value").over(wfull).alias("first_v"),
+        F.last("value").over(wfull).alias("last_v"),
+        F.nth_value("value", 3).over(wfull).alias("third_v"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(wc).cast("double")
+            / F.count("*").over(wc)
+        )
+        .cast("double")
+        .alias("centered_avg"),
+    )

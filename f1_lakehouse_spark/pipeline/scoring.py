@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from f1_lakehouse_spark.pipeline.hashing import spark_md5_hash48, sql_md5_hash48
+from f1_lakehouse_spark.pipeline.hashing import (
+    spark_md5_hash48,
+    spark_salted_hash,
+    sql_md5_hash48,
+    sql_salted_hash,
+)
 from f1_lakehouse_spark.registry import register
 from f1_lakehouse_spark.tables import load_table
 
@@ -54,26 +59,32 @@ _SQL_BITS_R = f"length(bin((tot_r + {DSIR_B}) // (cnt_r + 1))) - 1"
 _SQL_BITS_T = f"length(bin((tot_t + {DSIR_B}) // (COALESCE(cnt_t, 0) + 1))) - 1"
 
 
-@register(
-    "dsir_importance_weights",
-    oracle=f"""
+_SQL_DSIR_SCORED = f"""
 WITH {_SQL_FEATS_CTE},
 raw AS (SELECT b, COUNT(*) AS cnt_r FROM feats GROUP BY 1),
 rtot AS (SELECT COUNT(*) AS tot_r FROM feats),
 tgt AS (SELECT b, COUNT(*) AS cnt_t FROM feats
         WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1),
 ttot AS (SELECT COUNT(*) AS tot_t FROM feats
-         WHERE lang = '{DSIR_TARGET_LANG}')
-SELECT f.doc_id, f.lang, COUNT(*) AS n_feats,
-       CAST(SUM(({_SQL_BITS_R}) - ({_SQL_BITS_T})) AS BIGINT) AS score_bits,
-       CAST(SUM(({_SQL_BITS_R}) - ({_SQL_BITS_T})) AS BIGINT) / COUNT(*)
-           AS avg_bits
-FROM feats f
-JOIN raw USING (b)
-CROSS JOIN rtot
-LEFT JOIN tgt USING (b)
-CROSS JOIN ttot
-GROUP BY 1, 2
+         WHERE lang = '{DSIR_TARGET_LANG}'),
+dsir_scored AS (
+  SELECT f.doc_id, f.lang, COUNT(*) AS n_feats,
+         CAST(SUM(({_SQL_BITS_R}) - ({_SQL_BITS_T})) AS BIGINT) AS score_bits
+  FROM feats f
+  JOIN raw USING (b)
+  CROSS JOIN rtot
+  LEFT JOIN tgt USING (b)
+  CROSS JOIN ttot
+  GROUP BY 1, 2
+)"""
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=_SQL_DSIR_SCORED
+    + """
+SELECT doc_id, lang, n_feats, score_bits, score_bits / n_feats AS avg_bits
+FROM dsir_scored
 """,
     doc="DSIR importance weights: per-doc quantized log p_target - log "
     "p_raw under hashed unigram+bigram bucket models (target = lang='"
@@ -83,6 +94,19 @@ GROUP BY 1, 2
     tags=("pipeline", "scoring", "dsir"),
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _dsir_scored_frame(spark, sf_dir)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_feats",
+        "score_bits",
+        (F.col("score_bits") / F.col("n_feats")).alias("avg_bits"),
+    )
+
+
+def _dsir_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_feats, score_bits) — the shared trained-and-scored
+    DSIR frame (persisted + materialized before return)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.filter(F.col("text").isNotNull()).select(
         "doc_id", "lang", F.split("text", " ").alias("ws")
@@ -133,15 +157,45 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_feats"),
             F.sum(bits_r - bits_t).cast("long").alias("score_bits"),
         )
-        .select(
-            "doc_id",
-            "lang",
-            "n_feats",
-            "score_bits",
-            (F.col("score_bits") / F.col("n_feats")).alias("avg_bits"),
-        )
     )
     out = out.persist()
     out.count()
     feats.unpersist()
     return out
+
+
+# --- DSIR resampling (the selection step) -------------------------------------------
+# The second half of DSIR: sample raw docs with probability increasing in
+# the importance weight. Acceptance is integer-exact: a salted hash draw
+# in [0, 1024) against a clamped affine-in-bits threshold — every +1 bit
+# of target-likeness adds 32/1024 acceptance probability, saturating at
+# [0, 1]. Deterministic, map-only on top of the scored frame, and
+# reproducible across engines/cluster layouts (no RNG state).
+
+DSIR_SLOPE = 32  # acceptance per bit, /1024
+DSIR_PIVOT = 768  # acceptance at score_bits = 0, /1024
+
+
+@register(
+    "dsir_resample",
+    oracle=_SQL_DSIR_SCORED
+    + f"""
+SELECT doc_id, lang, score_bits
+FROM dsir_scored
+WHERE {sql_salted_hash("doc_id", ":dsir")} % 1024
+      < least(1024, greatest(0, {DSIR_PIVOT} + {DSIR_SLOPE} * score_bits))
+""",
+    doc="DSIR importance resampling: keep docs with probability affine in "
+    "the quantized importance bits (clamped to [0,1]), decided by a salted "
+    "integer hash draw — deterministic, map-only selection on the scored "
+    "frame",
+    tags=("pipeline", "scoring", "dsir", "curation"),
+)
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _dsir_scored_frame(spark, sf_dir)
+    draw = spark_salted_hash("doc_id", ":dsir") % 1024
+    thresh = F.least(
+        F.lit(1024),
+        F.greatest(F.lit(0), F.lit(DSIR_PIVOT) + F.lit(DSIR_SLOPE) * F.col("score_bits")),
+    )
+    return scored.filter(draw < thresh).select("doc_id", "lang", "score_bits")

@@ -1087,6 +1087,20 @@ def _pq_adc_scored(
 ) -> tuple[DataFrame, DataFrame, list[float]]:
     """(embeddings frame, ADC-scored frame, query embedding) — the shared
     front half of the PQ search path (ann_pq_adc_topk / ann_pq_rerank)."""
+    e, adc, q_emb = _pq_adc_expr(spark, sf_dir)
+    scored = e.filter(F.col("vec_id") != QUERY_VEC_ID).select(
+        "vec_id", adc.alias("adc_dist")
+    )
+    return e, scored, q_emb
+
+
+def _pq_adc_expr(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, Column, list[float]]:
+    """(embeddings frame, ADC distance Column over an ``embedding`` column,
+    query embedding). The Column closes over the trained per-subspace
+    codebooks + query lookup tables as literals, so callers can apply it to
+    ANY frame carrying ``embedding`` — e.g. only the IVF-probed cell."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     seed_rows = e.filter(F.col("vec_id") < PQ_K).collect()
     seeds = {
@@ -1132,10 +1146,7 @@ def _pq_adc_scored(
             )
         return expr  # total: codes[m] is always a trained cid
     adc = ((lookup(0) + lookup(1)) + lookup(2)) + lookup(3)
-    scored = e.filter(F.col("vec_id") != QUERY_VEC_ID).select(
-        "vec_id", adc.alias("adc_dist")
-    )
-    return e, scored, q_emb
+    return e, adc, q_emb
 
 
 def _py_l2(a: list[float], b: list[float]) -> float:
@@ -1862,4 +1873,289 @@ def embedding_drift_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFram
     out = out.persist()
     out.count()
     m.unpersist()
+    return out
+
+
+# --- IVF-PQ composed retrieval ------------------------------------------------------
+# The production ANN shape at 100 TB: a coarse IVF stage prunes the corpus
+# to one cell, then PQ asymmetric-distance scoring ranks ONLY that cell —
+# compression (PQ codes) and pruning (IVF) composed, exactly how
+# FAISS-style IndexIVFPQ serves billion-vector search. Here the coarse
+# cells are the label partitions (as in ann_ivf_centroid_probe), the cell
+# pick is mean-dot affinity, and the ADC lookup tables are trained literals
+# (codebooks from one Lloyd iteration, differentially checked end-to-end).
+# Plan shape: one aggregation for affinity, broadcast 1-row cell filter,
+# map-only ADC scoring of the cell, TakeOrdered top-k. Nothing quadratic,
+# nothing global.
+
+
+@register(
+    "ann_ivf_pq",
+    oracle=_PQ_ADC_SCORED_SQL
+    + f""",
+aff AS (
+    SELECT a.label,
+           CAST(SUM(CAST({_SQL_DOT_QA} AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*)
+               AS cell_score
+    FROM embeddings a, (SELECT embedding FROM embeddings
+                        WHERE vec_id = {QUERY_VEC_ID}) q
+    WHERE a.vec_id <> {QUERY_VEC_ID}
+    GROUP BY a.label
+),
+best_cell AS (SELECT label FROM aff ORDER BY cell_score DESC, label LIMIT 1)
+SELECT s.vec_id, e.label, s.adc_dist
+FROM scored s
+JOIN embeddings e ON e.vec_id = s.vec_id
+WHERE e.label IN (SELECT label FROM best_cell)
+ORDER BY s.adc_dist, s.vec_id
+LIMIT {TOP_K}
+""",
+    doc=f"IVF-PQ composed retrieval: coarse cell pick by mean-dot affinity, "
+    f"then PQ ADC top-{TOP_K} scored over the probed cell only — the "
+    "FAISS IndexIVFPQ shape (prune, then compressed-score) with map-only "
+    "scoring and TakeOrderedAndProject",
+    tags=("pipeline", "similarity", "ivf", "pq"),
+)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    full = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    q = full.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    candidates = full.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(
+        F.broadcast(q)
+    )
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v_: acc + v_,
+        )
+
+    affinity = (
+        candidates.select(
+            "label", dot(F.col("embedding"), F.col("q_embedding")).alias("d")
+        )
+        .groupBy("label")
+        .agg(
+            (
+                F.sum(F.col("d").cast("decimal(27,9)")).cast("double")
+                / F.count("*")
+            ).alias("cell_score")
+        )
+    )
+    best_cell = (
+        affinity.orderBy(F.col("cell_score").desc(), "label")
+        .limit(1)
+        .select("label")
+    )
+    _, adc, _ = _pq_adc_expr(spark, sf_dir)
+    cell = full.filter(F.col("vec_id") != QUERY_VEC_ID).join(
+        F.broadcast(best_cell), "label"
+    )
+    return (
+        cell.select("vec_id", "label", adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )
+
+
+# --- embedding outlier scoring (diagonal Mahalanobis) -------------------------------
+# Embedding-space outlier detection for data curation: per-dimension
+# standardized squared distance summed over dims (Mahalanobis with a
+# diagonal covariance). Per-dim means/variances use the floor-scaled
+# decimal discipline (exact, order-independent — same as
+# embedding_dim_moments); the per-vector sum of z^2 terms is
+# decimal-accumulated so the shuffle order can't change the value. Stats
+# are DIM rows (broadcast); scoring is one posexplode + one vec_id-keyed
+# aggregation — linear, no joins between big sides.
+
+MAHA_TOP = 20
+
+
+@register(
+    "embedding_mahalanobis_outliers",
+    oracle=f"""
+WITH dims AS (
+  SELECT v.vec_id, CAST(i AS INTEGER) - 1 AS dim,
+         CAST(v.embedding[i] AS DOUBLE) AS x
+  FROM embeddings v, range(1, {DIM + 1}) t(i)
+),
+st AS (
+  SELECT dim, COUNT(*) AS n,
+         SUM(CAST(floor(x * 1e9 + 0.5) AS DECIMAL(38,0))) AS s1,
+         SUM(CAST(floor(x * x * 1e9 + 0.5) AS DECIMAL(38,0))) AS s2
+  FROM dims GROUP BY 1
+),
+mv AS (
+  SELECT dim,
+         CAST(s1 AS DOUBLE) / (n * 1e9) AS mu,
+         CAST(s2 AS DOUBLE) / (n * 1e9)
+           - (CAST(s1 AS DOUBLE) / (n * 1e9)) * (CAST(s1 AS DOUBLE) / (n * 1e9))
+             AS var
+  FROM st
+)
+SELECT d.vec_id,
+       round(CAST(SUM(CAST(((d.x - mu) * (d.x - mu)) / var AS DECIMAL(27,9)))
+                  AS DOUBLE), 9) AS maha_sq
+FROM dims d JOIN mv USING (dim)
+GROUP BY 1
+ORDER BY maha_sq DESC, d.vec_id
+LIMIT {MAHA_TOP}
+""",
+    doc=f"top-{MAHA_TOP} embedding outliers by diagonal-covariance "
+    "Mahalanobis distance: decimal-exact per-dim stats (DIM broadcast "
+    "rows), decimal-accumulated per-vector z^2 sum, TakeOrdered top-k — "
+    "the embedding-quality prune step of a curation pipeline",
+    tags=("pipeline", "similarity", "diagnostics"),
+)
+def embedding_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    x = F.col("x")
+    st = dims.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(x * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")).alias(
+            "s1"
+        ),
+        F.sum(
+            F.floor(x * x * F.lit(1e9) + F.lit(0.5)).cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    mu = F.col("s1").cast("double") / (F.col("n") * F.lit(1e9))
+    mv = st.select(
+        "dim",
+        mu.alias("mu"),
+        (F.col("s2").cast("double") / (F.col("n") * F.lit(1e9)) - mu * mu).alias(
+            "var"
+        ),
+    )
+    z2 = ((x - F.col("mu")) * (x - F.col("mu"))) / F.col("var")
+    return (
+        dims.join(F.broadcast(mv), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum(z2.cast("decimal(27,9)")).cast("double"), 9
+            ).alias("maha_sq")
+        )
+        .orderBy(F.col("maha_sq").desc(), F.col("vec_id").asc())
+        .limit(MAHA_TOP)
+    )
+
+
+# --- greedy k-center diversity selection --------------------------------------------
+# Farthest-point sampling over embeddings: the classic 2-approximation to
+# the k-center objective, used in data curation to pick a maximally
+# DIVERSE training subset (coreset seeding, SemDeDup's dual). Greedy loop:
+# start from vec_id 0, repeatedly add the point with the largest
+# min-distance to the chosen set (vec_id tiebreak => total order). Each
+# round is one map-only least()-fold over literal chosen vectors plus one
+# TakeOrdered(1) — K scans, nothing quadratic; the chosen set (K rows) is
+# the only driver-side state, exactly like the k-means model loop. The
+# oracle unrolls the same K rounds as chained CTEs with the identical
+# left-fold L2, so distances are bit-equal.
+
+KCENTER_K = 4
+
+
+def _kcenter_oracle() -> str:
+    parts = [
+        f"""WITH c0 AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings WHERE vec_id = 0
+),
+s1 AS (
+  SELECT e.vec_id, {_sql_l2("e.embedding", "c.cvec")} AS d
+  FROM embeddings e, c0 c WHERE e.vec_id <> 0
+),
+p1 AS (SELECT vec_id, d FROM s1 ORDER BY d DESC, vec_id LIMIT 1)"""
+    ]
+    for k in range(2, KCENTER_K):
+        prev_s, prev_p = f"s{k - 1}", f"p{k - 1}"
+        parts.append(
+            f""",
+c{k - 1} AS (
+  SELECT list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings e JOIN {prev_p} p ON e.vec_id = p.vec_id
+),
+s{k} AS (
+  SELECT s.vec_id, least(s.d, {_sql_l2("e.embedding", "c.cvec")}) AS d
+  FROM {prev_s} s JOIN embeddings e USING (vec_id), c{k - 1} c
+  WHERE s.vec_id NOT IN (SELECT vec_id FROM {prev_p})
+),
+p{k} AS (SELECT vec_id, d FROM s{k} ORDER BY d DESC, vec_id LIMIT 1)"""
+        )
+    finals = [
+        "SELECT 0 AS pick_order, CAST(0 AS BIGINT) AS vec_id, 0.0 AS min_dist"
+    ] + [
+        f"SELECT {k}, vec_id, d FROM p{k}" for k in range(1, KCENTER_K)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL ".join(finals)
+
+
+@register(
+    "curation_kcenter_diversity",
+    oracle=_kcenter_oracle(),
+    doc=f"greedy k-center (farthest-point) diversity selection, K={KCENTER_K}: "
+    "per round one map-only least()-fold over broadcast-literal chosen "
+    "vectors + TakeOrdered(1); the coreset/diversity dual of semantic dedup",
+    tags=("pipeline", "similarity", "curation"),
+)
+def curation_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = e.persist()
+    e.count()  # scanned once per greedy round
+    seed = e.filter(F.col("vec_id") == 0).collect()[0]
+    chosen_emb = [float(x) for x in seed["embedding"]]
+    picks = []  # (pick_order, frame-of-one-row)
+    df = e.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        "embedding",
+        _spark_l2_lit(F.col("embedding"), chosen_emb).alias("d"),
+    )
+    for k in range(1, KCENTER_K):
+        top = df.orderBy(F.col("d").desc(), F.col("vec_id").asc()).limit(1)
+        picks.append(
+            top.select(
+                F.lit(k).alias("pick_order"),
+                "vec_id",
+                F.col("d").alias("min_dist"),
+            )
+        )
+        row = top.collect()[0]  # 1-row model state for the next round
+        if k == KCENTER_K - 1:
+            break
+        new_emb = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == row["vec_id"]).collect()[0][
+                "embedding"
+            ]
+        ]
+        df = df.filter(F.col("vec_id") != row["vec_id"]).select(
+            "vec_id",
+            "embedding",
+            F.least(
+                F.col("d"), _spark_l2_lit(F.col("embedding"), new_emb)
+            ).alias("d"),
+        )
+    # seed row built as a 1-row union head (literal projection of the seed)
+    head = (
+        e.filter(F.col("vec_id") == 0)
+        .select(
+            F.lit(0).alias("pick_order"),
+            "vec_id",
+            F.lit(0.0).alias("min_dist"),
+        )
+    )
+    out = head
+    for p in picks:
+        out = out.unionByName(p)
+    out = out.persist()
+    out.count()
+    e.unpersist()
     return out

@@ -939,3 +939,117 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     grams.unpersist()
     return out
+
+
+# --- tokenizer fertility by language ------------------------------------------------
+# Pretraining capacity planning: tokens-per-character ("fertility") per
+# language tells you how a whitespace tokenizer (or any tokenizer whose
+# counts you substitute) spends sequence budget across languages. Pure
+# aggregate — integer token/char totals, one double ratio at the end.
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) * 100.0
+         / CAST(SUM(length(text)) AS BIGINT) AS tokens_per_100_chars
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY 1
+""",
+    doc="tokenizer fertility per language: tokens and chars are exact "
+    "integer totals (map-side combined), one double ratio at the end — "
+    "sequence-budget planning across languages",
+    tags=("pipeline", "text", "diagnostics"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.size(F.split("text", " "))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).cast("long").alias("total_tokens"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        (
+            F.sum(toks).cast("long") * F.lit(100.0)
+            / F.sum(F.length("text")).cast("long")
+        ).alias("tokens_per_100_chars"),
+    )
+
+
+# --- CCNet-style perplexity buckets -------------------------------------------------
+# CCNet (Wenzek et al. 2020) buckets web documents into head/middle/tail by
+# language-model perplexity percentile WITHIN each language, then trains
+# mostly on the head. Composition: the self-trained trigram-LM surprisal
+# (text_lm_surprisal's integer-quantized bits) ranked per-language with an
+# NTILE(3) window — partitioned by lang, so the sort parallelizes across
+# languages; the doc_id tiebreaker totals the order.
+
+
+@register(
+    "quality_perplexity_buckets",
+    oracle="""
+WITH docs AS (SELECT doc_id, lang, text FROM documents WHERE length(text) >= 3),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(generate_series(1, length(text) - 2),
+                               i -> substr(text, i, 3))) AS g
+  FROM docs
+),
+model AS (SELECT lang, g, COUNT(*) AS cnt FROM grams GROUP BY 1, 2),
+tot AS (SELECT lang, COUNT(*) AS tot FROM grams GROUP BY 1),
+scored AS (
+  SELECT gr.doc_id, gr.lang,
+         COUNT(*) AS n_trigrams,
+         CAST(SUM(length(bin(t.tot // m.cnt)) - 1) AS BIGINT) AS surprisal_bits
+  FROM grams gr
+  JOIN model m ON m.lang = gr.lang AND m.g = gr.g
+  JOIN tot t ON t.lang = gr.lang
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang, surprisal_bits,
+       CASE NTILE(3) OVER (PARTITION BY lang
+                           ORDER BY surprisal_bits * 1000000 // n_trigrams,
+                                    doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM scored
+""",
+    doc="CCNet-style head/middle/tail buckets: per-language NTILE(3) over "
+    "integer-scaled avg trigram surprisal (micro-bits, no float ranking "
+    "keys); the window partitions by lang — parallel across languages",
+    tags=("pipeline", "text", "quality"),
+)
+def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = char_trigram_frame(spark, sf_dir)
+    model = grams.groupBy("lang", "g").agg(F.count("*").alias("cnt"))
+    tot = grams.groupBy("lang").agg(F.count("*").alias("tot"))
+    bits = F.length(F.bin(F.expr("tot div cnt"))) - F.lit(1)
+    scored = (
+        grams.join(F.broadcast(model), ["lang", "g"])
+        .join(F.broadcast(tot), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.sum(bits).cast("long").alias("surprisal_bits"),
+        )
+    )
+    # integer-scaled ranking key: micro-bits per trigram (exact int64 div —
+    # a double avg as the ORDER BY key could tie-break differently across
+    # engines at the ntile boundary)
+    rank_key = F.expr("surprisal_bits * 1000000 div n_trigrams")
+    w = Window.partitionBy("lang").orderBy(rank_key, F.col("doc_id").asc())
+    nt = F.ntile(3).over(w)
+    out = scored.select(
+        "doc_id",
+        "lang",
+        "surprisal_bits",
+        F.when(nt == 1, "head").when(nt == 2, "middle").otherwise("tail").alias(
+            "bucket"
+        ),
+    )
+    out = out.persist()
+    out.count()
+    return out
