@@ -386,3 +386,55 @@ def test_peak_concurrency_uses_range_partitioned_sweep(spark):
     plan = _plan(spark, "events_peak_concurrency")
     assert "rangepartitioning" in plan, plan[:2000]
     assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan, plan[:2000]
+
+
+def test_rfm_ntile_is_range_partitioned_not_global_window(spark):
+    """All three RFM quintile scores must come from the distributed prefix
+    sum (range partitioning + pid-keyed windows), never a single-partition
+    NTILE window over the whole customer set."""
+    plan = _plan(spark, "orders_rfm_segmentation")
+    assert "rangepartitioning" in plan, plan[:2000]
+    assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan
+    assert "ntile" not in plan.lower()  # closed-form bucket math, no window ntile
+
+
+def test_dsir_models_broadcast_corpus_never_shuffles_for_lookup(spark):
+    """Both DSIR count models are bucket-sized: the feats->model lookups
+    must be broadcast joins, never sort-merge."""
+    plan = _plan(spark, "dsir_importance_weights")
+    assert plan.count("BroadcastHashJoin") >= 2  # raw + target models
+    assert "SortMergeJoin" not in plan
+
+
+def test_mahalanobis_broadcast_stats_and_takeordered(spark):
+    """Per-dim stats are DIM broadcast rows; top-k outliers via
+    TakeOrdered, no global sort materialization."""
+    plan = _plan(spark, "embedding_mahalanobis_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_pq_probed_cell_broadcast_no_cartesian_scoring(spark):
+    """IVF-PQ: the 1-row best-cell filter must broadcast, ADC scoring is
+    map-only over the probed cell (lookup tables are literals, not joins),
+    and top-k is TakeOrdered."""
+    plan = _plan(spark, "ann_ivf_pq")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_tolerance_single_shuffle_on_key(spark):
+    """Union+carry-forward as-of with tolerance: exactly one exchange (the
+    user_id window), no join operator at all."""
+    plan = _plan(spark, "join_asof_tolerance")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1, plan[:2000]
+
+
+def test_perplexity_buckets_window_partitioned_by_lang(spark):
+    """The CCNet ntile runs partitioned by lang (parallel across
+    languages) — no single-partition window exchange."""
+    plan = _plan(spark, "quality_perplexity_buckets")
+    assert "SinglePartition" not in plan, plan[:2000]
