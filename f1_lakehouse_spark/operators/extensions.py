@@ -1599,3 +1599,164 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_tol, F.col("last_pid")).alias("attributed_purchase"),
         F.when(in_tol, F.col("last_pts")).alias("purchase_ts"),
     )
+
+
+# --- distributed OLS trend (sufficient statistics) ----------------------------------
+# Per-nation linear trend of daily revenue: OLS fitted from sufficient
+# statistics (n, Sx, Sy, Sx2, Sxy, Sy2). Exactness discipline: x is an
+# integer day index and every revenue-bearing statistic is scaled to a
+# scale-0 integer decimal (x1e6; y² exactly as rev6², never a float
+# floor — Spark's floor(double) returns LONG and saturates past 2^63), so the
+# normal-equation numerators/denominators are computed EXACTLY in integer
+# decimals (no decimal-scale inference differences between engines), then
+# slope/intercept/r2 are a fixed tree of double ops on exact inputs
+# (IEEE-identical). Two map-side-combined aggregates; output is
+# model-sized (|nations| rows).
+
+REG_EPOCH = "1995-01-01"
+
+
+@register(
+    "regression_nation_trend",
+    oracle=f"""
+WITH daily AS (
+  SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS day,
+         SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+),
+st AS (
+  SELECT n_name,
+         COUNT(*) AS n,
+         SUM(CAST(day - DATE '{REG_EPOCH}' AS BIGINT)) AS sx,
+         SUM(CAST(day - DATE '{REG_EPOCH}' AS BIGINT)
+             * CAST(day - DATE '{REG_EPOCH}' AS BIGINT)) AS sxx,
+         SUM(CAST(rev * 1000000 AS DECIMAL(38,0))) AS sy6,
+         SUM(CAST(day - DATE '{REG_EPOCH}' AS BIGINT)
+             * CAST(rev * 1000000 AS DECIMAL(38,0))) AS sxy6,
+         SUM(CAST(rev * 1000000 AS HUGEINT)
+             * CAST(rev * 1000000 AS HUGEINT)) AS syy12
+  FROM daily GROUP BY 1
+),
+ex AS (
+  SELECT n_name, n, sx, sy6,
+         CAST(CAST(n AS HUGEINT) * CAST(sxy6 AS HUGEINT)
+              - CAST(sx AS HUGEINT) * CAST(sy6 AS HUGEINT) AS DOUBLE) AS num6,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+         CAST(CAST(n AS HUGEINT) * syy12
+              - CAST(sy6 AS HUGEINT) * CAST(sy6 AS HUGEINT) AS DOUBLE) AS deny12
+  FROM st
+)
+SELECT n_name, n,
+       round(num6 / (den * 1e6), 6) AS slope,
+       round((CAST(sy6 AS DOUBLE) / 1e6
+        - (num6 / (den * 1e6)) * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+       round((num6 * num6) / (den * deny12), 9) AS r2
+FROM ex
+""",
+    doc="per-nation OLS trend of daily revenue from sufficient statistics: "
+    "scale-0 decimal-exact normal equations (no cross-engine decimal "
+    "inference), fixed double op tree for slope/intercept/r2, two "
+    "map-side-combined aggregates, model-sized output",
+    tags=("extensions", "regression", "stats"),
+)
+def regression_nation_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nat), c["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("n_name", F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("rev"))
+    )
+    x = F.datediff(F.col("day"), F.lit(REG_EPOCH).cast("date")).cast("long")
+    rev6 = (F.col("rev") * F.lit(1000000)).cast("decimal(38,0)")
+    st = daily.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(rev6).alias("sy6"),
+        F.sum(x * rev6).alias("sxy6"),
+        F.sum(rev6 * rev6).alias("syy12"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    # every difference of near-equal statistics is computed EXACTLY in
+    # scale-0 decimal (int128-class) BEFORE the one double cast — a double
+    # subtraction of ~equal 1e30-range casts would cancel catastrophically
+    # and diverge across engines (observed at sf0.1)
+    num6 = (nd * F.col("sxy6") - F.col("sx").cast("decimal(38,0)") * F.col("sy6")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num6 / (den * F.lit(1e6))
+    sy_d = F.col("sy6").cast("double")
+    deny12 = (nd * F.col("syy12") - F.col("sy6") * F.col("sy6")).cast("double")
+    return st.select(
+        "n_name",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (sy_d / F.lit(1e6) - slope * F.col("sx").cast("double")) / F.col("n"), 6
+        ).alias("intercept"),
+        F.round((num6 * num6) / (den * deny12), 9).alias("r2"),
+    )
+
+
+# --- exponential time-decay engagement score ----------------------------------------
+# Recency-weighted per-user engagement: sum of value * 2^(-age_days), the
+# feature-engineering staple for churn/propensity models. Exactness trick:
+# the decay base is 2 with an INTEGER day exponent, so instead of dividing
+# (whose decimal quantization rounds differently across engines at
+# half-ulp ties), each term is SCALED UP by 2^(MAX-age) — value * 2^m is
+# an exact IEEE double op, and the true product has exactly the value's 2
+# decimals, so the decimal(38,2) cast is tie-free and engine-identical.
+# The aggregate is then exact; one final division by the power-of-two
+# constant (an exact IEEE op) recovers the score. Map-only terms + one
+# user-keyed aggregate.
+
+DECAY_ANCHOR = "2024-01-31"
+DECAY_MAX_DAYS = 62  # 1 << k must stay in int64
+
+
+@register(
+    "events_time_decay_engagement",
+    oracle=f"""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       round(CAST(SUM(CAST(round(value * 100, 0) AS DECIMAL(38,0))
+                      * CAST(1 << ({DECAY_MAX_DAYS} - least(
+                            CAST(DATE '{DECAY_ANCHOR}' - CAST(ts AS DATE) AS BIGINT),
+                            {DECAY_MAX_DAYS})) AS BIGINT))
+                  AS DOUBLE) / 100.0 / 4611686018427387904, 9)
+           AS decayed_score
+FROM events
+GROUP BY 1
+""",
+    doc="per-user exponentially time-decayed engagement (half-life 1 day): "
+    "power-of-two weights with integer day exponents, terms scaled to "
+    "tie-free decimal(38,2) integers times the value's own scale - exact "
+    "order-independent aggregate, one exact final division by 2^62",
+    tags=("extensions", "events", "feature"),
+)
+def events_time_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    age = F.least(
+        F.datediff(F.lit(DECAY_ANCHOR).cast("date"), F.col("ts").cast("date")).cast(
+            "long"
+        ),
+        F.lit(DECAY_MAX_DAYS).cast("long"),
+    )
+    ev = ev.withColumn("m_exp", (F.lit(DECAY_MAX_DAYS) - age).cast("int"))
+    # value has 2-decimal source data: round(value*100) is the exact integer
+    # cents (tie-free), and cents * 2^m is exact in decimal(38,0)
+    cents = F.round(F.col("value") * F.lit(100), 0).cast("decimal(38,0)")
+    term = cents * F.expr("shiftleft(1L, m_exp)")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(term).cast("double") / F.lit(100.0) / F.lit(float(1 << 62)), 9
+        ).alias("decayed_score"),
+    )
