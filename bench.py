@@ -126,6 +126,17 @@ EXTENDED = [
     "embedding_drift_centroid_shift",
     "events_peak_concurrency",
     "dedup_snm_multipass",
+    # round-3 second batch
+    "dsir_importance_weights",
+    "dsir_resample",
+    "quality_perplexity_buckets",
+    "embedding_mahalanobis_outliers",
+    "ann_ivf_pq",
+    "curation_kcenter_diversity",
+    "orders_rfm_segmentation",
+    "regression_nation_trend",
+    "events_time_decay_engagement",
+    "join_asof_tolerance",
 ]
 
 

@@ -602,3 +602,123 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     daily.unpersist()
     return out
+
+
+# --- time-bounded funnel ------------------------------------------------------------
+# The ordered funnel with a conversion-window constraint: each later step
+# must land within 48 h of the prior step — the form product analytics
+# actually runs ("viewed within 2 days of signing up"). Same two
+# hash-join + aggregate stages as events_funnel_ordered; the gap guard is
+# an integer epoch-microsecond compare pushed into the join filter.
+
+FUNNEL_WINDOW_US = 172_800_000_000  # 48 h
+
+
+@register(
+    "events_funnel_time_bound",
+    oracle=f"""
+WITH s AS (
+    SELECT user_id, MIN(ts) AS signup_ts
+    FROM events WHERE event_type = 'signup' GROUP BY 1
+), v AS (
+    SELECT e.user_id, MIN(e.ts) AS view_ts
+    FROM events e JOIN s ON s.user_id = e.user_id
+        AND e.ts > s.signup_ts
+        AND epoch_us(e.ts) - epoch_us(s.signup_ts) <= {FUNNEL_WINDOW_US}
+    WHERE e.event_type = 'view' GROUP BY 1
+), p AS (
+    SELECT e.user_id, MIN(e.ts) AS purchase_ts
+    FROM events e JOIN v ON v.user_id = e.user_id
+        AND e.ts > v.view_ts
+        AND epoch_us(e.ts) - epoch_us(v.view_ts) <= {FUNNEL_WINDOW_US}
+    WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+       (SELECT COUNT(*) FROM v) AS n_view_48h,
+       (SELECT COUNT(*) FROM p) AS n_purchase_48h
+""",
+    doc="ordered 3-step funnel with a 48 h per-step conversion window "
+    "(integer epoch-microsecond gap guard in the join filter)",
+    tags=("events", "funnel"),
+)
+def events_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+
+    def within(ts_col: str, base_col: str):
+        return (F.col(ts_col) > F.col(base_col)) & (
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col(base_col))
+            <= FUNNEL_WINDOW_US
+        )
+
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(within("ts", "signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(within("ts", "view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(v.agg(F.count("*").alias("n_view_48h")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_48h")))
+    )
+
+
+# --- top event-type trigram paths ---------------------------------------------------
+# "What do users actually do?" — the most frequent 3-step event-type
+# sequences across the stream. Per-user LEAD windows (parallel across
+# users), then one count aggregate and TakeOrdered top-k with the path
+# string itself as the total-order tiebreaker.
+
+PATHS_TOP = 5
+
+
+@register(
+    "events_trigram_paths",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT {PATHS_TOP}
+""",
+    doc=f"top-{PATHS_TOP} 3-step event-type paths: per-user LEAD windows + "
+    "one map-side-combined count + TakeOrdered (path tiebreak)",
+    tags=("events", "paths"),
+)
+def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(PATHS_TOP)
+    )

@@ -31,6 +31,7 @@ from f1_lakehouse_spark.pipeline.hashing import (
     spark_md5_hash48,
     spark_salted_hash,
     sql_md5_hash48,
+    sql_salted_hash,
 )
 from f1_lakehouse_spark.pipeline.text import SQL_WORD_TRIGRAMS_CTE
 from f1_lakehouse_spark.registry import register
@@ -525,3 +526,52 @@ def curation_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         covered.unpersist()
     grams.unpersist()
     return spark.createDataFrame(picks, "step int, doc_id long, gain long")
+
+
+# --- shard balance audit ------------------------------------------------------------
+# Training-shard health monitoring: per-shard doc and token totals plus the
+# global max/min doc-count skew ratio — the number an epoch scheduler
+# watches (a skewed shard is a straggler every epoch). Integer totals with
+# map-side combine; the 1-row global extremes broadcast back over the
+# |shards|-row frame.
+
+
+@register(
+    "curation_shard_balance_audit",
+    oracle=f"""
+WITH sh AS (
+  SELECT {sql_salted_hash("doc_id", ":shuffle")} % {N_SHUFFLE_SHARDS} AS shard,
+         COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN text IS NULL THEN 0
+                       ELSE len(string_split(text, ' ')) END) AS BIGINT)
+             AS total_tokens
+  FROM documents GROUP BY 1
+),
+g AS (SELECT MAX(n_docs) AS mx, MIN(n_docs) AS mn FROM sh)
+SELECT shard, n_docs, total_tokens,
+       CAST(g.mx AS DOUBLE) / g.mn AS doc_skew_ratio
+FROM sh, g
+""",
+    doc="per-shard doc/token totals + global max/min skew ratio for the "
+    "deterministic shuffle-shard assignment: integer totals map-side "
+    "combined to |shards| rows, 1-row extremes broadcast back",
+    tags=("pipeline", "curation", "diagnostics"),
+)
+def curation_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.when(
+        F.col("text").isNull(), F.lit(0)
+    ).otherwise(F.size(F.split("text", " ")))
+    sh = d.groupBy(
+        (spark_salted_hash("doc_id", ":shuffle") % N_SHUFFLE_SHARDS).alias("shard")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).cast("long").alias("total_tokens"),
+    )
+    g = sh.agg(F.max("n_docs").alias("mx"), F.min("n_docs").alias("mn"))
+    return sh.crossJoin(F.broadcast(g)).select(
+        "shard",
+        "n_docs",
+        "total_tokens",
+        (F.col("mx").cast("double") / F.col("mn")).alias("doc_skew_ratio"),
+    )

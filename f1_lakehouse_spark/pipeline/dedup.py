@@ -1610,3 +1610,40 @@ def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 = _snm_pass(d, norm)
     p2 = _snm_pass(d, F.reverse(norm))
     return p1.unionByName(p2).distinct()
+
+
+# --- duplicate-group size histogram -------------------------------------------------
+# Dedup monitoring: the log2 histogram of duplicate-group sizes under the
+# 40-char prefix fingerprint (the cheap near-dup blocking key) — the shape
+# that tells you whether duplication is a long tail of pairs or a few
+# pathological mega-groups (which need the df-cap treatment). Two cheap
+# aggregations; the bucket is integer binary-length (engine-exact).
+
+HIST_PREFIX = 40
+
+
+@register(
+    "dedup_group_size_histogram",
+    oracle=f"""
+WITH g AS (SELECT md5(substr(text, 1, {HIST_PREFIX})) AS k, COUNT(*) AS sz
+           FROM documents GROUP BY 1)
+SELECT CAST(length(bin(sz)) - 1 AS INTEGER) AS log2_bucket,
+       COUNT(*) AS n_groups,
+       CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM g GROUP BY 1
+""",
+    doc=f"log2 histogram of duplicate-group sizes under the {HIST_PREFIX}-char "
+    "prefix fingerprint: two map-side-combined aggregations, |buckets| rows",
+    tags=("pipeline", "dedup", "diagnostics"),
+)
+def dedup_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy(
+        F.md5(F.substring("text", 1, HIST_PREFIX)).alias("k")
+    ).agg(F.count("*").alias("sz"))
+    return g.groupBy(
+        (F.length(F.bin("sz")) - F.lit(1)).cast("int").alias("log2_bucket")
+    ).agg(
+        F.count("*").alias("n_groups"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    )

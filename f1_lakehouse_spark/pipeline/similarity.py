@@ -2159,3 +2159,58 @@ def curation_kcenter_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     e.unpersist()
     return out
+
+
+# --- PQ distortion audit ------------------------------------------------------------
+# Index-quality monitoring for the PQ chain: per-subspace mean quantization
+# distortion (L2 between each sub-vector and its assigned codeword). A
+# drifting corpus shows up here as rising distortion long before recall
+# drops — the retrain trigger. Per-row distortions are already computed by
+# the assignment argmin; the audit is one decimal-quantized aggregate per
+# subspace (4 scans of the codes path, each map-only + 1-row aggregate).
+
+
+@register(
+    "ann_pq_distortion_audit",
+    oracle="WITH "
+    + ",".join(_sql_pq_subspace(m).lstrip() for m in range(PQ_M))
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"""SELECT {m} AS subspace, COUNT(*) AS n,
+       round(CAST(SUM(CAST(d AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*), 9)
+           AS avg_distortion
+FROM a2_{m}"""
+        for m in range(PQ_M)
+    ),
+    doc="per-subspace mean PQ quantization distortion (decimal-quantized "
+    "L2 to the assigned codeword): the compressed-index health metric "
+    "that triggers retraining — map-only scoring, 1-row aggregate per "
+    "subspace",
+    tags=("pipeline", "similarity", "pq", "diagnostics"),
+)
+def ann_pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed_rows = e.filter(F.col("vec_id") < PQ_K).collect()
+    seeds = {
+        m: {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]][
+                m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM
+            ]
+            for r in seed_rows
+        }
+        for m in range(PQ_M)
+    }
+    out = None
+    for m in range(PQ_M):
+        trained = _pq_update(e, seeds[m], m)  # same training hop as ann_pq_codes
+        d = _pq_best(trained, m)["d"]
+        row = e.select(d.alias("d")).agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("d").cast("decimal(27,9)")).cast("double")
+                / F.count("*"),
+                9,
+            ).alias("avg_distortion"),
+        ).select(F.lit(m).alias("subspace"), "n", "avg_distortion")
+        out = row if out is None else out.unionByName(row)
+    return out

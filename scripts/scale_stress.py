@@ -72,6 +72,11 @@ QUERIES = [
     "join_asof_nearest_order",
     "skyline_price_size",
     "bloom_prefilter_stats",
+    "dsir_importance_weights",
+    "ann_ivf_pq",
+    "orders_rfm_segmentation",
+    "embedding_mahalanobis_outliers",
+    "events_time_decay_engagement",
 ]
 
 

@@ -1,0 +1,129 @@
+"""Invariant tests for the round-3 second-batch operators — properties the
+DuckDB differential can't express (the differential itself is covered by
+test_operators.py picking every registered query up automatically)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from f1_lakehouse_spark.operators.extensions import RFM_K, _ntile_from_rank
+from f1_lakehouse_spark.registry import REGISTRY, _ensure_loaded
+from tests.conftest import SF_DIR
+
+_ensure_loaded()
+
+
+def _py_ntile(rank: int, n: int, k: int) -> int:
+    """Reference NTILE semantics: first n%k buckets hold ceil(n/k) rows."""
+    base, rem = n // k, n % k
+    cut = rem * (base + 1)
+    if rank <= cut:
+        return (rank - 1) // (base + 1) + 1
+    return rem + (rank - cut - 1) // max(base, 1) + 1
+
+
+@given(n=st.integers(min_value=1, max_value=5000), k=st.integers(min_value=1, max_value=10))
+@settings(max_examples=200, deadline=None)
+def test_ntile_formula_partitions_correctly(n: int, k: int):
+    """The closed-form bucket assignment must produce exactly NTILE's
+    bucket sizes: first n%k buckets ceil(n/k), rest floor(n/k), monotone
+    non-decreasing in rank."""
+    buckets = [_py_ntile(i, n, k) for i in range(1, n + 1)]
+    assert buckets == sorted(buckets)
+    sizes = [buckets.count(b) for b in range(1, min(k, n) + 1)]
+    base, rem = n // k, n % k
+    expected = [base + 1] * rem + [base] * (k - rem)
+    expected = [s for s in expected if s > 0]
+    assert sizes == expected
+
+
+def test_ntile_spark_formula_matches_python(spark):
+    """The Column expression mirrors the python reference over a grid that
+    crosses every branch (rank<=cut, rank>cut, base=0)."""
+    from pyspark.sql import functions as F
+
+    cases = [(n, k) for n in (1, 4, 5, 7, 100, 101) for k in (1, 3, 5)]
+    for n, k in cases:
+        df = spark.range(1, n + 1).select(
+            F.col("id").alias("rank"),
+            _ntile_from_rank(F.col("id"), n, k).alias("bucket"),
+        )
+        got = {r["rank"]: r["bucket"] for r in df.collect()}
+        want = {i: _py_ntile(i, n, k) for i in range(1, n + 1)}
+        assert got == want, (n, k)
+
+
+def test_dsir_target_language_scores_highest(spark):
+    """DSIR importance weights must rank the target domain (en) above the
+    per-language average of every other language — the scoring is trained
+    to prefer target-like text, so this is the semantic smoke test."""
+    out = REGISTRY["dsir_importance_weights"].fn(spark, SF_DIR).collect()
+    by_lang: dict[str, list[int]] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["score_bits"])
+    means = {lang: sum(v) / len(v) for lang, v in by_lang.items() if v}
+    assert "en" in means
+    for lang, m in means.items():
+        if lang != "en":
+            assert means["en"] > m, (lang, means)
+
+
+def test_kcenter_min_dist_monotone_nonincreasing(spark):
+    """Greedy farthest-point picks: each later pick's min-distance can't
+    exceed an earlier one's (the covered radius shrinks), and picks are
+    distinct."""
+    rows = sorted(
+        REGISTRY["curation_kcenter_diversity"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["pick_order"],
+    )
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
+    dists = [r["min_dist"] for r in rows[1:]]  # pick 0 is the seed (0.0)
+    assert all(a >= b for a, b in zip(dists, dists[1:])), dists
+
+
+def test_regression_r2_in_unit_interval(spark):
+    out = REGISTRY["regression_nation_trend"].fn(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert 0.0 <= r["r2"] <= 1.0 + 1e-9, r
+        assert r["n"] >= 2
+
+
+def test_decay_score_bounded_by_recent_total(spark):
+    """Decayed score <= plain sum of values (weights <= 1), and > 0 when a
+    user has any positive-value event on the anchor day."""
+    from pyspark.sql import functions as F
+
+    from f1_lakehouse_spark.tables import load_table
+
+    out = {
+        r["user_id"]: r["decayed_score"]
+        for r in REGISTRY["events_time_decay_engagement"].fn(spark, SF_DIR).collect()
+    }
+    totals = {
+        r["user_id"]: r["tot"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("tot"))
+        .collect()
+    }
+    assert set(out) == set(totals)
+    for uid, score in out.items():
+        assert score <= totals[uid] + 1e-6, uid
+
+
+def test_mahalanobis_scores_positive_and_sorted(spark):
+    rows = REGISTRY["embedding_mahalanobis_outliers"].fn(spark, SF_DIR).collect()
+    scores = [r["maha_sq"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ivf_pq_subset_of_probed_cell(spark):
+    """Every IVF-PQ result must come from ONE cell (the probed one)."""
+    rows = REGISTRY["ann_ivf_pq"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert len({r["label"] for r in rows}) == 1
