@@ -722,3 +722,73 @@ def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("path").asc())
         .limit(PATHS_TOP)
     )
+
+
+# --- DAU/WAU stickiness -------------------------------------------------------------
+# The engagement-health ratio: daily actives over 7-day rolling actives.
+# Same covering-window fan-out as events_rolling_distinct_users (sliding
+# DISTINCT never partial-aggregates, so dedup to (user, day) FIRST, then a
+# bounded x7 map-only explode) — here both granularities aggregate from
+# ONE persisted (user, day) frame, and the ratio is a single double
+# division of exact counts.
+
+STICKY_DAYS = 7
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle=f"""
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+    FROM events
+),
+bounds AS (SELECT MAX(d) AS max_d FROM ud),
+dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY 1),
+fan AS (
+    SELECT ud.user_id, CAST(ud.d + CAST(t.i AS INTEGER) AS DATE) AS w
+    FROM ud, range(0, {STICKY_DAYS}) t(i), bounds b
+    WHERE ud.d + CAST(t.i AS INTEGER) <= b.max_d
+),
+wau AS (SELECT w, COUNT(DISTINCT user_id) AS wau FROM fan GROUP BY 1)
+SELECT dau.d AS day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+FROM dau JOIN wau ON wau.w = dau.d
+""",
+    doc="DAU/WAU stickiness per day: one (user, day) dedup feeds both "
+    "granularities; WAU via the bounded x7 covering-window fan-out; ratio "
+    "is one double division of exact counts",
+    tags=("events", "windows", "distinct"),
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    ud = ud.persist()
+    ud.count()  # three derived uses: dau, fan, bounds (CLAUDE.md)
+    bounds = ud.agg(F.max("d").alias("max_d"))
+    dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    fan = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(STICKY_DAYS - 1)),
+                    lambda i: F.date_add(F.col("d"), i),
+                )
+            ).alias("w"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("w") <= F.col("max_d"))
+    )
+    wau = fan.groupBy("w").agg(F.count_distinct("user_id").alias("wau"))
+    out = dau.join(wau, dau["d"] == wau["w"]).select(
+        F.col("d").alias("day"),
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+    )
+    out = out.persist()
+    out.count()
+    ud.unpersist()
+    return out

@@ -2214,3 +2214,110 @@ def ann_pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(m).alias("subspace"), "n", "avg_distortion")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- second principal component (deflated power iteration) --------------------------
+# Projected power iteration on top of embedding_top_pc_power_iter:
+# w <- normalize(P s) with s = M w and P = I - v1 v1^T — each round is the
+# SAME map-only coefficient + (dim, scaled-int) shuffle as the top-PC op,
+# followed by a model-sized driver-side projection against the learned v1
+# (so the result is orthogonal to v1 BY CONSTRUCTION, independent of how
+# converged v1 is). The oracle chains the exact same folds: v1 is the
+# unrolled p2 chain, then two projected iterations d1, d2.
+
+
+def _sql_pi_iter_deflated(prev_w: str, v1: str, out: str) -> str:
+    dot = _sql_dot_list("v.embedding", "pw.vv")
+    dot_v1s = (
+        f"list_reduce(list_transform(generate_series(1, {DIM}), "
+        f"i -> pv1.vv[i] * cc.sv[i]), (x, y) -> x + y)"
+    )
+    return f"""
+{out}_m AS (
+    SELECT CAST(i AS INTEGER) - 1 AS dim,
+           CAST(SUM(CAST(floor(({dot}) * CAST(v.embedding[i] AS DOUBLE) * 1e6
+                                + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS s
+    FROM embeddings v, {prev_w} pw, range(1, {DIM + 1}) t(i)
+    GROUP BY 1
+),
+{out}_sv AS (SELECT list(s ORDER BY dim) AS sv FROM {out}_m),
+{out}_d AS (SELECT {dot_v1s} AS c FROM {out}_sv cc, {v1} pv1),
+{out}_p AS (
+    SELECT list_transform(generate_series(1, {DIM}),
+                          i -> cc.sv[i] - dd.c * pv1.vv[i]) AS pv
+    FROM {out}_sv cc, {out}_d dd, {v1} pv1
+),
+{out}_n AS (
+    SELECT pv,
+           sqrt(list_reduce(list_transform(pv, x -> x * x), (a, b) -> a + b))
+               AS nrm
+    FROM {out}_p
+),
+{out} AS (SELECT list_transform(pv, x -> x / nrm) AS vv FROM {out}_n)"""
+
+
+_PI2_ORACLE = f"""
+WITH v0 AS (
+    SELECT list_transform(generate_series(1, {DIM}), i -> {_PI_V0}) AS vv
+),{_sql_pi_iter("v0", "p1")},{_sql_pi_iter("p1", "p2")},
+{_sql_pi_iter_deflated("v0", "p2", "d1").lstrip()},
+{_sql_pi_iter_deflated("d1", "p2", "d2").lstrip()}
+SELECT CAST(t.i AS INTEGER) - 1 AS dim, round(d.vv[t.i], 9) AS loading2
+FROM d2 d, range(1, {DIM + 1}) t(i)
+"""
+
+
+def _spark_pi_update_deflated(
+    e: DataFrame, w: list[float], v1: list[float]
+) -> list[float]:
+    wlit = F.array(*[F.lit(float(x)) for x in w])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), wlit, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, term: acc + term,
+    )
+    exploded = e.select(dot.alias("dv"), F.posexplode("embedding").alias("dim", "x"))
+    scaled = F.floor(
+        F.col("dv") * F.col("x").cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    rows = (
+        exploded.groupBy("dim")
+        .agg((F.sum(scaled).cast("double") / F.lit(1e6)).alias("s"))
+        .collect()
+    )
+    s = [0.0] * DIM
+    for r in rows:
+        s[r["dim"]] = r["s"]
+    c = 0.0
+    for a, b in zip(v1, s):  # left fold in dim order, matching list_reduce
+        c += a * b
+    p = [s[i] - c * v1[i] for i in range(DIM)]
+    nrm = 0.0
+    for x in p:
+        nrm += x * x
+    nrm = nrm**0.5
+    return [x / nrm for x in p]
+
+
+@register(
+    "embedding_top2_pc_deflation",
+    oracle=_PI2_ORACLE,
+    doc=f"second principal direction via projected (deflated) power "
+    f"iteration: the learned top PC projected out of each iterate — per "
+    "round one map-only coefficient + one (dim, scaled-int) shuffle, "
+    "model-sized driver projection; oracle unrolls the identical folds",
+    tags=("pipeline", "similarity", "spectral"),
+)
+def embedding_top2_pc_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    e = e.persist()
+    e.count()  # scanned by 4 iteration rounds
+    v = [_PI_V0] * DIM
+    for _ in range(PI_ITERS):
+        v = _spark_pi_update(e, v)
+    w = [_PI_V0] * DIM
+    for _ in range(PI_ITERS):
+        w = _spark_pi_update_deflated(e, w, v)
+    e.unpersist()
+    rows = [(i, round(x, 9)) for i, x in enumerate(w)]
+    return spark.createDataFrame(rows, "dim int, loading2 double")

@@ -127,3 +127,21 @@ def test_ivf_pq_subset_of_probed_cell(spark):
     rows = REGISTRY["ann_ivf_pq"].fn(spark, SF_DIR).collect()
     assert rows
     assert len({r["label"] for r in rows}) == 1
+
+
+def test_top2_pc_orthogonal_to_top_pc(spark):
+    """Deflation must yield a direction ~orthogonal to the learned top PC
+    (2 iterations: not converged, but the v1 component is projected out —
+    tolerance reflects the fixed iteration count)."""
+    top = {
+        r["dim"]: r["loading"]
+        for r in REGISTRY["embedding_top_pc_power_iter"].fn(spark, SF_DIR).collect()
+    }
+    second = {
+        r["dim"]: r["loading2"]
+        for r in REGISTRY["embedding_top2_pc_deflation"].fn(spark, SF_DIR).collect()
+    }
+    dot = sum(top[d] * second[d] for d in top)
+    assert abs(dot) < 1e-6, dot  # orthogonal by construction (round-9 loadings)
+    n2 = sum(x * x for x in second.values())
+    assert abs(n2 - 1.0) < 1e-6
