@@ -1760,3 +1760,149 @@ def events_time_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term).cast("double") / F.lit(100.0) / F.lit(float(1 << 62)), 9
         ).alias("decayed_score"),
     )
+
+
+# --- day-of-week seasonality index --------------------------------------------------
+# Revenue seasonality: mean daily revenue per ISO weekday over the overall
+# mean daily revenue. Exact decimal daily totals; the index is a ratio of
+# two exact averages (identical double trees). ISO weekday avoids the
+# engines' differing default week numbering (Spark dayofweek: Sun=1;
+# DuckDB dow: Sun=0) — Spark weekday()+1 == DuckDB isodow.
+
+
+@register(
+    "orders_dow_seasonality",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS rev
+  FROM orders GROUP BY 1
+),
+by_dow AS (
+  SELECT CAST(isodow(day) AS INTEGER) AS iso_dow,
+         COUNT(*) AS n_days, SUM(rev) AS rev_d
+  FROM daily GROUP BY 1
+),
+tot AS (SELECT COUNT(*) AS n_all, SUM(rev) AS rev_all FROM daily)
+SELECT iso_dow, n_days,
+       round((CAST(rev_d AS DOUBLE) / n_days)
+             / (CAST(rev_all AS DOUBLE) / n_all), 9) AS seasonality_index
+FROM by_dow, tot
+""",
+    doc="ISO-weekday revenue seasonality index (mean daily revenue over "
+    "overall mean): two decimal-exact aggregates, 7-row output, 1-row "
+    "grand total broadcast back",
+    tags=("extensions", "seasonality"),
+)
+def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("rev")
+    )
+    daily = daily.persist()
+    daily.count()  # two derived aggregates (CLAUDE.md)
+    by_dow = daily.groupBy(
+        (F.weekday("day") + F.lit(1)).cast("int").alias("iso_dow")
+    ).agg(F.count("*").alias("n_days"), F.sum("rev").alias("rev_d"))
+    tot = daily.agg(F.count("*").alias("n_all"), F.sum("rev").alias("rev_all"))
+    out = by_dow.crossJoin(F.broadcast(tot)).select(
+        "iso_dow",
+        "n_days",
+        F.round(
+            (F.col("rev_d").cast("double") / F.col("n_days"))
+            / (F.col("rev_all").cast("double") / F.col("n_all")),
+            9,
+        ).alias("seasonality_index"),
+    )
+    out = out.persist()
+    out.count()
+    daily.unpersist()
+    return out
+
+
+# --- log2 value histogram -----------------------------------------------------------
+# Stream-health monitoring: the log2 histogram of event values (integer
+# cents, binary-length buckets — engine-exact, no float log). Map-only
+# bucketing + one aggregate; |buckets| output rows at any volume.
+
+
+@register(
+    "events_value_histogram_log2",
+    oracle="""
+SELECT CAST(CASE WHEN CAST(round(value * 100, 0) AS BIGINT) <= 0 THEN -1
+            ELSE length(bin(CAST(round(value * 100, 0) AS BIGINT))) - 1
+            END AS INTEGER) AS log2_cents,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM events
+GROUP BY 1
+""",
+    doc="log2 histogram of event values (exact integer cents, binary-length "
+    "buckets, no float log): map-only bucketing, |buckets| output rows",
+    tags=("extensions", "events", "diagnostics"),
+)
+def events_value_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100), 0).cast("long")
+    bucket = F.when(cents <= 0, F.lit(-1)).otherwise(
+        F.length(F.bin(cents)) - F.lit(1)
+    )
+    return ev.groupBy(bucket.cast("int").alias("log2_cents")).agg(
+        F.count("*").alias("n"),
+        F.sum(cents).cast("long").alias("total_cents"),
+    )
+
+
+# --- ratio-to-report window ---------------------------------------------------------
+# The share-of-total window vocabulary: each supplier's revenue share
+# within its nation — SUM() OVER (PARTITION BY nation) as the denominator,
+# no join. Decimal-exact partition sums; one double division. Partitioned
+# by nation: parallel across nations at any scale.
+
+
+@register(
+    "w_ratio_to_report",
+    oracle="""
+WITH srev AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6)))
+             AS rev
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+)
+SELECT s_nationkey, l_suppkey,
+       CAST(rev AS DOUBLE) AS revenue,
+       round(CAST(rev AS DOUBLE)
+             / CAST(SUM(rev) OVER (PARTITION BY s_nationkey) AS DOUBLE), 9)
+           AS nation_share
+FROM srev
+""",
+    doc="ratio-to-report: supplier revenue share within nation via a "
+    "PARTITION BY window sum (no self-join), decimal-exact partition "
+    "totals, parallel across nations",
+    tags=("window", "ratio", "extension"),
+)
+def w_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    srev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(27,6)"
+                )
+            ).alias("rev")
+        )
+    )
+    w = Window.partitionBy("s_nationkey")
+    return srev.select(
+        "s_nationkey",
+        "l_suppkey",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 9
+        ).alias("nation_share"),
+    )
