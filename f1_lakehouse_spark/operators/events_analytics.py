@@ -792,3 +792,46 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     ud.unpersist()
     return out
+
+
+# --- alert debounce (cooldown rate limiting) ----------------------------------------
+# Ops-pipeline staple: collapse bursts of error events into one alert per
+# burst — keep an error only if the user's previous error is more than
+# DEBOUNCE_US away (or there is none). Session-gap semantics via one LAG
+# window partitioned per user; the gap test is integer epoch-microseconds.
+# NOTE this is the MARKED-first-of-burst form (lag > cooldown), i.e. gap
+# sessionization — not a stateful "since last EMITTED" filter; for bursts
+# shorter than the cooldown the two agree, and this form needs no
+# iteration. One shuffle on user_id.
+
+DEBOUNCE_US = 3_600_000_000  # 1 h cooldown
+
+
+@register(
+    "events_error_debounce",
+    oracle=f"""
+WITH errs AS (
+  SELECT event_id, user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT event_id, user_id, ts
+FROM errs
+WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > {DEBOUNCE_US}
+""",
+    doc="alert debounce: keep the first error of each >1 h-gap burst per "
+    "user (LAG window + integer-microsecond gap test, one user_id shuffle)",
+    tags=("events", "sessionize", "alerting"),
+)
+def events_error_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    errs = e.select(
+        "event_id", "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    return errs.filter(
+        F.col("prev_ts").isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts")) > DEBOUNCE_US)
+    ).select("event_id", "user_id", "ts")

@@ -1053,3 +1053,58 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.persist()
     out.count()
     return out
+
+
+# --- per-source vocabulary entropy --------------------------------------------------
+# Corpus-diversity monitoring: an integer-quantized Shannon entropy of the
+# word distribution per source — a collapsed scrape (one page repeated)
+# shows near-zero entropy, a healthy crawl sits near the corpus ceiling.
+# Same no-float-log discipline as the LM surprisal: per-word surprisal is
+# floor(log2(tot/cnt)) via binary length, and H_hat is the count-weighted
+# mean of those integer bits (one double division at the end). Two
+# word-keyed aggregates with map-side combine; model-sized output.
+
+
+@register(
+    "text_source_vocab_entropy",
+    oracle="""
+WITH words AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+cnts AS (SELECT source, w, COUNT(*) AS cnt FROM words GROUP BY 1, 2),
+tots AS (SELECT source, SUM(cnt) AS tot, COUNT(*) AS vocab FROM cnts GROUP BY 1)
+SELECT c.source, t.vocab, CAST(t.tot AS BIGINT) AS n_tokens,
+       round(CAST(SUM(c.cnt * (length(bin(t.tot // c.cnt)) - 1)) AS DOUBLE)
+             / t.tot, 9) AS entropy_bits
+FROM cnts c JOIN tots t USING (source)
+GROUP BY 1, 2, t.tot
+""",
+    doc="per-source vocabulary entropy (integer-quantized bits, no float "
+    "logs): count-weighted mean word surprisal — collapsed-scrape "
+    "detection; two map-side-combined aggregates, |sources| output rows",
+    tags=("pipeline", "text", "diagnostics"),
+)
+def text_source_vocab_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    cnts = words.groupBy("source", "w").agg(F.count("*").alias("cnt"))
+    cnts = cnts.persist()
+    cnts.count()  # two derived uses: totals + the weighted sum (CLAUDE.md)
+    tots = cnts.groupBy("source").agg(
+        F.sum("cnt").alias("tot"), F.count("*").alias("vocab")
+    )
+    bits = F.length(F.bin(F.expr("tot div cnt"))) - F.lit(1)
+    out = (
+        cnts.join(F.broadcast(tots), "source")
+        .groupBy("source", "vocab", F.col("tot").cast("long").alias("n_tokens"))
+        .agg(
+            F.round(
+                F.sum(F.col("cnt") * bits).cast("double") / F.first("tot"), 9
+            ).alias("entropy_bits")
+        )
+    )
+    out = out.persist()
+    out.count()
+    cnts.unpersist()
+    return out
