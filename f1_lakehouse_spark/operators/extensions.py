@@ -11,7 +11,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from f1_lakehouse_spark.operators.aggregations import DSUM, dsum
-from f1_lakehouse_spark.pipeline.hashing import sql_indexed_hash48, sql_md5_hash48
+from f1_lakehouse_spark.pipeline.hashing import (
+    spark_salted_hash,
+    sql_indexed_hash48,
+    sql_md5_hash48,
+    sql_salted_hash,
+)
 from f1_lakehouse_spark.registry import register
 from f1_lakehouse_spark.tables import load_table
 
@@ -1906,3 +1911,124 @@ def w_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 9
         ).alias("nation_share"),
     )
+
+
+# --- watermark late-data audit (distributed global running max) ---------------------
+# Streaming-semantics audit run as a batch query: treating event_id as the
+# ARRIVAL order, an event would be dropped by a Structured Streaming
+# watermark of W if its event time is older than (max event time seen
+# before it) - W. The global exclusive running max is the same two-phase
+# shape as global_prefix_sum: range-repartition on arrival order,
+# per-partition exclusive-max windows, driver-side prefix maxima of the
+# per-partition totals broadcast back — never a single-partition window.
+# Max is associative+commutative, so the result is exact under any range
+# boundary placement.
+
+WATERMARK_US = 600_000_000  # 10 min
+NET_DELAY_S = 1800  # simulated arrival jitter: 0..30 min
+_WM_PARTS = 8
+
+
+def global_prefix_max(
+    spark: SparkSession,
+    df: DataFrame,
+    value_col: str,
+    order_cols: list,
+    n_parts: int = _WM_PARTS,
+):
+    """Exact distributed EXCLUSIVE global running max of an int64 column
+    under a TOTAL order: the frame gains ``excl_max`` (NULL for the global
+    first row). Returns (frame, release)."""
+    r = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    r = r.persist()
+    r.count()
+    ptots = {
+        row["pid"]: row["pmax"]
+        for row in r.groupBy("pid").agg(F.max(value_col).alias("pmax")).collect()
+    }
+    run = None
+    offsets = []  # (pid, max over all earlier partitions)
+    for pid in range(n_parts):
+        offsets.append((pid, run))
+        cur = ptots.get(pid)
+        if cur is not None and (run is None or cur > run):
+            run = cur
+    offdf = spark.createDataFrame(offsets, "pid int, offset long")
+    w = (
+        Window.partitionBy("pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        r.withColumn("local_excl", F.max(value_col).over(w))
+        .join(F.broadcast(offdf), "pid")
+        .withColumn("excl_max", F.greatest("local_excl", "offset"))
+        .drop("local_excl", "offset", "pid")
+    )
+    return out, r.unpersist
+
+
+@register(
+    "events_late_data_audit",
+    oracle=f"""
+WITH arr AS (
+  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+         epoch_us(ts) + ({sql_salted_hash("event_id", ":net")} % {NET_DELAY_S})
+           * 1000000 AS arrival_us
+  FROM events
+),
+wm AS (
+  SELECT event_id, event_type, ts_us,
+         MAX(ts_us) OVER (ORDER BY arrival_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS excl_max
+  FROM arr
+)
+SELECT event_type,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN excl_max - {WATERMARK_US} > ts_us
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(MAX(CASE WHEN excl_max > ts_us THEN excl_max - ts_us
+                     ELSE 0 END) AS BIGINT) AS max_lateness_us
+FROM wm GROUP BY 1
+""",
+    doc=f"watermark late-data audit ({WATERMARK_US // 60_000_000} min): "
+    "events that a Structured Streaming watermark would drop, via an "
+    "exact DISTRIBUTED exclusive running max over arrival order "
+    "(range repartition + pid windows + driver prefix maxima — no "
+    "single-partition window); per-type drop counts and max lateness",
+    tags=("extensions", "events", "streaming-audit", "prefix-sum"),
+)
+def events_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    # deterministic simulated network delay (0..30 min, salted hash):
+    # events in this synthetic stream are generated in time order, so with
+    # arrival == event order no watermark ever drops — the jitter recreates
+    # the out-of-order arrival a real collector sees, reproducibly
+    e = e.withColumn(
+        "arrival_us",
+        F.col("ts_us")
+        + (spark_salted_hash("event_id", ":net") % NET_DELAY_S) * F.lit(1_000_000),
+    )
+    wm, release = global_prefix_max(
+        spark, e, "ts_us", [F.col("arrival_us").asc(), F.col("event_id").asc()]
+    )
+    dropped = F.when(
+        F.col("excl_max") - F.lit(WATERMARK_US) > F.col("ts_us"), 1
+    ).otherwise(0)
+    lateness = F.when(
+        F.col("excl_max") > F.col("ts_us"), F.col("excl_max") - F.col("ts_us")
+    ).otherwise(F.lit(0))
+    out = wm.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(dropped).cast("long").alias("n_dropped"),
+        F.max(lateness).cast("long").alias("max_lateness_us"),
+    )
+    out = out.persist()
+    out.count()
+    release()
+    return out
