@@ -575,3 +575,88 @@ def curation_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         (F.col("mx").cast("double") / F.col("mn")).alias("doc_skew_ratio"),
     )
+
+
+# qualified twin of _SPLIT_SQL for use after a join (bare doc_id would be
+# ambiguous); same hash, same tag — identical assignment
+_SPLIT_D_SQL = sql_md5_hash48("CAST(d.doc_id AS VARCHAR) || ':split'") + " % 100"
+
+
+# --- training-data card (end-to-end pipeline composition) ---------------------------
+# The report a training run ships with: per (lang, split, quality gate),
+# surviving doc and token counts AFTER exact dedup + quality filtering +
+# the deterministic split assignment — every stage the same semantics as
+# its standalone operator (dedup_exact keep rule, text_quality_score gate,
+# curation_train_val_test_split hash). One dedup aggregate + one
+# broadcast-keep semi join + map-only features + one final aggregate;
+# model-sized output.
+
+
+@register(
+    "pipeline_training_data_card",
+    oracle=f"""
+WITH keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+feats AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN {_SPLIT_D_SQL} < {TRAIN_PCT} THEN 'train'
+              WHEN {_SPLIT_D_SQL} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         CASE WHEN len(string_split(d.text, ' ')) >= 20
+               AND CAST(len(regexp_extract_all(d.text, '[^a-zA-Z0-9\\s]'))
+                        AS DOUBLE) / length(d.text) < 0.1
+               AND CAST(length(d.text) AS DOUBLE)
+                     / len(string_split(d.text, ' ')) BETWEEN 3 AND 12
+              THEN 1 ELSE 0 END AS passes_quality,
+         len(string_split(d.text, ' ')) AS toks
+  FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+  WHERE d.text IS NOT NULL
+)
+SELECT lang, split, passes_quality,
+       COUNT(*) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS total_tokens
+FROM feats GROUP BY 1, 2, 3
+""",
+    doc="training-data card: surviving doc/token counts per (lang, split, "
+    "quality gate) after exact dedup + quality filter + deterministic "
+    "split — the end-to-end composition of the standalone stages, "
+    "model-sized output",
+    tags=("pipeline", "curation", "composition"),
+)
+def pipeline_training_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    keep = d.groupBy(F.md5("text").alias("k")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    h = spark_salted_hash("doc_id", ":split") % 100
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    punct_ratio = (
+        F.size(F.regexp_extract_all("text", F.lit("[^a-zA-Z0-9\\s]"), 0)).cast(
+            "double"
+        )
+        / F.length("text")
+    )
+    mwl = F.length("text").cast("double") / n_words
+    feats = (
+        d.join(keep, "doc_id")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "lang",
+            F.when(h < TRAIN_PCT, "train")
+            .when(h < TRAIN_PCT + VAL_PCT, "val")
+            .otherwise("test")
+            .alias("split"),
+            F.when(
+                (n_words >= 20) & (punct_ratio < 0.1) & mwl.between(3, 12), 1
+            )
+            .otherwise(0)
+            .alias("passes_quality"),
+            n_words.alias("toks"),
+        )
+    )
+    return feats.groupBy("lang", "split", "passes_quality").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+    )
