@@ -2032,3 +2032,87 @@ def events_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     release()
     return out
+
+
+# --- inter-arrival median gap -------------------------------------------------------
+# Per-customer median days between consecutive orders (reorder cadence).
+# Gaps via a LAG window partitioned per customer; the median is exact —
+# integer day gaps, and the even-count midpoint average of two int64s is
+# an exact IEEE double in both engines. Window + aggregate share the
+# customer partitioning: one shuffle total.
+
+
+@register(
+    "orders_interarrival_median",
+    oracle="""
+WITH gaps AS (
+  SELECT o_custkey,
+         CAST(CAST(o_orderdate AS DATE)
+              - LAG(CAST(o_orderdate AS DATE))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS gap_d
+  FROM orders
+)
+SELECT o_custkey, COUNT(gap_d) AS n_gaps,
+       MEDIAN(gap_d) AS median_gap_days,
+       CAST(MAX(gap_d) AS BIGINT) AS max_gap_days
+FROM gaps
+WHERE gap_d IS NOT NULL
+GROUP BY 1
+""",
+    doc="per-customer median/max days between consecutive orders: LAG "
+    "window + aggregate on one customer shuffle; integer day gaps make "
+    "the even-count median midpoint an exact IEEE average",
+    tags=("extensions", "window", "median"),
+)
+def orders_interarrival_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            )
+        )
+        .cast("long")
+        .alias("gap_d"),
+    ).filter(F.col("gap_d").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count("gap_d").alias("n_gaps"),
+        F.median("gap_d").alias("median_gap_days"),
+        F.max("gap_d").cast("long").alias("max_gap_days"),
+    )
+
+
+# --- event-rate spike detection -----------------------------------------------------
+# Peak minutes: top-5 minutes by event count — the on-call "when did it
+# spike" query. Minute truncation map-side, one count aggregate,
+# TakeOrdered with the minute as tiebreaker.
+
+SPIKE_TOP = 5
+
+
+@register(
+    "events_top_minute_rate",
+    oracle=f"""
+SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+ORDER BY n_events DESC, minute
+LIMIT {SPIKE_TOP}
+""",
+    doc=f"top-{SPIKE_TOP} spike minutes by event count: map-side minute "
+    "truncation + one combined count + TakeOrdered",
+    tags=("extensions", "events", "diagnostics"),
+)
+def events_top_minute_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.col("n_events").desc(), F.col("minute").asc())
+        .limit(SPIKE_TOP)
+    )
