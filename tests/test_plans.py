@@ -438,3 +438,31 @@ def test_perplexity_buckets_window_partitioned_by_lang(spark):
     languages) — no single-partition window exchange."""
     plan = _plan(spark, "quality_perplexity_buckets")
     assert "SinglePartition" not in plan, plan[:2000]
+
+
+def test_late_data_audit_running_max_is_range_partitioned(spark):
+    """The global exclusive running max must be the two-phase prefix shape
+    (range repartition + pid-keyed windows), never one global window."""
+    plan = _plan(spark, "events_late_data_audit")
+    assert "rangepartitioning" in plan, plan[:2000]
+    assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan
+
+
+def test_ratio_to_report_window_not_single_partition(spark):
+    """Share-of-total runs partitioned by nation; supplier dim broadcasts."""
+    plan = _plan(spark, "w_ratio_to_report")
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_entropy_totals_broadcast(spark):
+    """The |sources|-row totals join back as a broadcast, not a shuffle."""
+    plan = _plan(spark, "text_source_vocab_entropy")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_training_data_card_no_cartesian_partial_agg(spark):
+    plan = _plan(spark, "pipeline_training_data_card")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
