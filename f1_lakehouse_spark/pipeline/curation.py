@@ -660,3 +660,49 @@ def pipeline_training_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("toks").cast("long").alias("total_tokens"),
     )
+
+
+# --- minority-language oversampling -------------------------------------------------
+# The replication dual of class-balance weights: each doc is emitted
+# ceil(max_lang_count / lang_count) times (epoch-level oversampling of
+# minority languages). Deterministic integer replication factors from one
+# |langs|-row broadcast; the fan-out is a map-only explode of a sequence —
+# no shuffle beyond the counting aggregate.
+
+
+@register(
+    "curation_minority_oversample",
+    oracle="""
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+mx AS (SELECT MAX(n) AS mxn FROM counts),
+factors AS (
+  SELECT lang, CAST((mxn + n - 1) // n AS INTEGER) AS n_copies
+  FROM counts, mx
+)
+SELECT d.doc_id, d.lang, f.n_copies, t.copy_id
+FROM documents d
+JOIN factors f USING (lang),
+     unnest(generate_series(1, f.n_copies)) AS t(copy_id)
+""",
+    doc="minority-language oversampling: ceil(max/n) integer replication "
+    "factors from a |langs|-row broadcast, map-only sequence explode — "
+    "deterministic epoch-level class balancing",
+    tags=("pipeline", "curation", "balance"),
+)
+def curation_minority_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    mx = counts.agg(F.max("n").alias("mxn"))
+    factors = counts.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        F.expr("(mxn + n - 1) div n").cast("int").alias("n_copies"),
+    )
+    return (
+        d.join(F.broadcast(factors), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_copies",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_id"),
+        )
+    )

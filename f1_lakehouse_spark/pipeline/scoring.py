@@ -199,3 +199,94 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.lit(0), F.lit(DSIR_PIVOT) + F.lit(DSIR_SLOPE) * F.col("score_bits")),
     )
     return scored.filter(draw < thresh).select("doc_id", "lang", "score_bits")
+
+
+# --- source distribution drift (chi-square) -----------------------------------------
+# Per-source chi-square statistic of the hashed-unigram distribution
+# against the whole-corpus distribution — the "did this crawl change?"
+# drift monitor. Exactness: with o = source bucket count, e's rational
+# form e = tot_s * cnt_b / tot, each term (o - e)^2 / e is computed as
+#     (o*tot - tot_s*cnt_b)^2 / (tot_s * cnt_b * tot)
+# — numerator/denominator EXACT in scale-0 decimals (no cancellation in
+# floats), one double division per bucket, decimal-quantized terms so the
+# per-source sum is order-independent. Both count models are bucket-sized
+# broadcasts; the corpus shuffles only for the two bucket aggregations.
+
+
+@register(
+    "text_source_drift_chi2",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+feats AS (
+  SELECT source, {sql_md5_hash48("g")} % {DSIR_B} AS b FROM (
+    SELECT source, unnest(ws) AS g FROM toks
+  )
+),
+sb AS (SELECT source, b, COUNT(*) AS o FROM feats GROUP BY 1, 2),
+cb AS (SELECT b, COUNT(*) AS cnt_b FROM feats GROUP BY 1),
+st AS (SELECT source, COUNT(*) AS tot_s FROM feats GROUP BY 1),
+tt AS (SELECT COUNT(*) AS tot FROM feats),
+terms AS (
+  SELECT sb.source,
+         CAST(CAST(CAST(sb.o AS HUGEINT) * tt.tot
+                   - CAST(st.tot_s AS HUGEINT) * cb.cnt_b AS HUGEINT)
+              * CAST(CAST(sb.o AS HUGEINT) * tt.tot
+                     - CAST(st.tot_s AS HUGEINT) * cb.cnt_b AS HUGEINT)
+              AS DOUBLE)
+           / CAST(CAST(st.tot_s AS HUGEINT) * cb.cnt_b * tt.tot AS DOUBLE)
+             AS term
+  FROM sb JOIN cb USING (b) JOIN st USING (source) CROSS JOIN tt
+)
+SELECT source,
+       COUNT(*) AS n_buckets,
+       round(CAST(SUM(CAST(term AS DECIMAL(27,9))) AS DOUBLE), 9) AS chi2
+FROM terms GROUP BY 1
+""",
+    doc="per-source chi-square drift of the hashed-unigram distribution vs "
+    "the corpus: exact integer numerators (no float cancellation), "
+    "decimal-quantized terms, bucket-sized broadcast models — the crawl "
+    "drift monitor",
+    tags=("pipeline", "scoring", "diagnostics"),
+)
+def text_source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    feats = (
+        d.filter(F.col("text").isNotNull())
+        .select("source", F.explode(F.split("text", " ")).alias("g"))
+        .select("source", (spark_md5_hash48("g") % DSIR_B).alias("b"))
+    )
+    feats = feats.persist()
+    feats.count()  # four derived aggregates (CLAUDE.md)
+    sb = feats.groupBy("source", "b").agg(F.count("*").alias("o"))
+    cb = feats.groupBy("b").agg(F.count("*").alias("cnt_b"))
+    st = feats.groupBy("source").agg(F.count("*").alias("tot_s"))
+    tt = feats.agg(F.count("*").alias("tot"))
+    dec = "decimal(38,0)"
+    num = (
+        F.col("o").cast(dec) * F.col("tot").cast(dec)
+        - F.col("tot_s").cast(dec) * F.col("cnt_b").cast(dec)
+    )
+    den = (
+        F.col("tot_s").cast(dec) * F.col("cnt_b").cast(dec) * F.col("tot").cast(dec)
+    )
+    term = (num * num).cast("double") / den.cast("double")
+    out = (
+        sb.join(F.broadcast(cb), "b")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tt))
+        .select("source", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.round(
+                F.sum(F.col("term").cast("decimal(27,9)")).cast("double"), 9
+            ).alias("chi2"),
+        )
+    )
+    out = out.persist()
+    out.count()
+    feats.unpersist()
+    return out
