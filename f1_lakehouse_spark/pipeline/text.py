@@ -1108,3 +1108,118 @@ def text_source_vocab_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     cnts.unpersist()
     return out
+
+
+# --- top collocations by PMI --------------------------------------------------------
+# Collocation mining: the adjacent word pairs most over-represented vs
+# their unigram frequencies — tokenizer-merge candidates and stock-phrase
+# detectors. Ranking is the EXACT integer floor of the PMI ratio
+#     cnt_xy * tot_u^2 div (tot_b * cnt_x * cnt_y)
+# (scale-0 decimals / HUGEINT — no float logs, no division rounding
+# ambiguity), tie-broken by count then bigram. Unigram model broadcasts;
+# one bigram aggregate + TakeOrdered.
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 20
+
+
+@register(
+    "text_bigram_pmi_top",
+    oracle=f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL
+),
+uni AS (
+  SELECT g, COUNT(*) AS cnt FROM (SELECT unnest(ws) AS g FROM toks) GROUP BY 1
+),
+ut AS (SELECT SUM(cnt) AS tot_u FROM uni),
+big AS (
+  SELECT w1, w2, COUNT(*) AS cnt_xy FROM (
+    SELECT ws[i] AS w1, ws[i + 1] AS w2
+    FROM toks, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    WHERE len(ws) >= 2
+  ) GROUP BY 1, 2
+),
+bt AS (SELECT SUM(cnt_xy) AS tot_b FROM big)
+SELECT b.w1 || ' ' || b.w2 AS bigram,
+       b.cnt_xy,
+       CAST(CAST(b.cnt_xy AS HUGEINT) * CAST(ut.tot_u AS HUGEINT)
+            * CAST(ut.tot_u AS HUGEINT)
+            // (CAST(bt.tot_b AS HUGEINT) * u1.cnt * u2.cnt)
+            AS BIGINT) AS pmi_ratio_floor
+FROM big b
+JOIN uni u1 ON u1.g = b.w1
+JOIN uni u2 ON u2.g = b.w2
+CROSS JOIN ut CROSS JOIN bt
+WHERE b.cnt_xy >= {PMI_MIN_COUNT}
+ORDER BY pmi_ratio_floor DESC, b.cnt_xy DESC, bigram
+LIMIT {PMI_TOP}
+""",
+    doc=f"top-{PMI_TOP} collocations by exact integer-floor PMI ratio "
+    "(no float logs): broadcast unigram model, one bigram aggregate, "
+    "TakeOrdered — tokenizer-merge / stock-phrase mining",
+    tags=("pipeline", "text", "collocation"),
+)
+def text_bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(F.split("text", " ").alias("ws"))
+    toks = toks.persist()
+    toks.count()  # feeds both the unigram and bigram extracts (CLAUDE.md)
+    uni = (
+        toks.select(F.explode("ws").alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ws = F.col("ws")
+    pairs = F.when(
+        F.size(ws) >= 2,  # ascending-sequence guard
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - F.lit(1)),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("w1"),
+                F.element_at(ws, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = (
+        toks.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt_xy"))
+    )
+    big = big.persist()
+    big.count()  # feeds the total and the scored join (CLAUDE.md)
+    ut = uni.agg(F.sum("cnt").alias("tot_u"))
+    bt = big.agg(F.sum("cnt_xy").alias("tot_b"))
+    dec = "decimal(38,0)"
+    u1 = uni.select(F.col("g").alias("w1"), F.col("cnt").alias("cnt_x"))
+    u2 = uni.select(F.col("g").alias("w2"), F.col("cnt").alias("cnt_y"))
+    score = F.expr(
+        "CAST(cnt_xy AS DECIMAL(38,0)) * CAST(tot_u AS DECIMAL(38,0))"
+        " * CAST(tot_u AS DECIMAL(38,0))"
+        " div (CAST(tot_b AS DECIMAL(38,0)) * cnt_x * cnt_y)"
+    )
+    out = (
+        big.filter(F.col("cnt_xy") >= PMI_MIN_COUNT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(ut))
+        .crossJoin(F.broadcast(bt))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "cnt_xy",
+            score.cast("long").alias("pmi_ratio_floor"),
+        )
+        .orderBy(
+            F.col("pmi_ratio_floor").desc(),
+            F.col("cnt_xy").desc(),
+            F.col("bigram").asc(),
+        )
+        .limit(PMI_TOP)
+    )
+    out = out.persist()
+    out.count()
+    toks.unpersist()
+    big.unpersist()
+    return out

@@ -194,3 +194,34 @@ def test_global_prefix_sum_equals_sequential_cumsum(spark, values, n_parts):
     for i in order:
         acc += Decimal(values[i])
         assert got[i] == acc, (i, got[i], acc)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(min_value=1, max_value=16),
+)
+def test_global_prefix_max_equals_sequential(spark, values, n_parts):
+    """The two-phase distributed EXCLUSIVE running max must equal the
+    sequential computation for any multiset and any partition count —
+    pins boundary-placement independence (max is associative/commutative)
+    and the NULL-for-first-row contract."""
+    from pyspark.sql import functions as F
+
+    from f1_lakehouse_spark.operators.extensions import global_prefix_max
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    out, release = global_prefix_max(
+        spark, df, "v", [F.col("id").asc()], n_parts=n_parts
+    )
+    got = {r["id"]: r["excl_max"] for r in out.select("id", "excl_max").collect()}
+    release()
+    run = None
+    for i, v in enumerate(values):
+        assert got[i] == run, (i, got[i], run)
+        run = v if run is None or v > run else run
