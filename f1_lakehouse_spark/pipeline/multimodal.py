@@ -17,10 +17,10 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from f1_lakehouse_spark.pipeline.hashing import MOD, sql_poly_hash
+from f1_lakehouse_spark.pipeline.hashing import MOD, sql_md5_hash48, sql_poly_hash
 from f1_lakehouse_spark.registry import register
 from f1_lakehouse_spark.tables import load_table
 
@@ -324,4 +324,101 @@ def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_off",
         F.octet_length(F.encode(chunk, "UTF-8")).alias("chunk_len"),
         spark_poly_hash(chunk).alias("chunk_hash"),
+    )
+
+
+# --- content-defined chunking (CDC storage dedup) -----------------------------------
+# The storage-layer dedup trick (Rabin-style): split every payload at
+# positions where a rolling window hash hits a boundary pattern, so an
+# insertion early in a file only changes the chunks it touches — chunk
+# fingerprints then dedup ACROSS documents. Boundaries here are
+# "md5-derived hash of the 4-byte window % CDC_MOD == 0" (the engines'
+# shared md5 integer hash, no RNG); expected chunk length = CDC_MOD bytes.
+# All array ops are per-doc and bounded by doc length (the window-hash
+# pass is O(len · window)); the only shuffle is the fingerprint dedup
+# aggregate. Output is the 1-row storage-savings report.
+
+CDC_W = 4  # rolling window bytes
+CDC_MOD = 64  # boundary selectivity => expected chunk ~64 bytes
+
+
+@register(
+    "mm_payload_cdc_chunks",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents WHERE text IS NOT NULL AND length(text) >= {CDC_W}
+),
+bounds AS (
+  SELECT doc_id, text, n,
+         list_concat(
+             list_concat(
+                 [CAST(1 AS BIGINT)],
+                 list_filter(generate_series({CDC_W}, n),
+                             i -> {sql_md5_hash48(f"substr(text, i - {CDC_W - 1}, {CDC_W})")}
+                                  % {CDC_MOD} = 0)),
+             [CAST(n + 1 AS BIGINT)]) AS b
+  FROM docs
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(b) - 1),
+                               j -> substr(text, b[j], b[j + 1] - b[j]))) AS c
+  FROM bounds
+),
+fp AS (
+  SELECT md5(c) AS f, length(c) AS clen FROM chunks WHERE length(c) > 0
+)
+SELECT COUNT(*) AS total_chunks,
+       COUNT(DISTINCT f) AS distinct_chunks,
+       CAST(SUM(clen) AS BIGINT) AS total_bytes,
+       CAST(SUM(CASE WHEN rn = 1 THEN clen ELSE 0 END) AS BIGINT)
+           AS distinct_bytes
+FROM (SELECT f, clen,
+             ROW_NUMBER() OVER (PARTITION BY f ORDER BY f) AS rn
+      FROM fp)
+""",
+    doc="content-defined chunking dedup report: rolling-window hash "
+    "boundaries (md5-derived, expected ~64-byte chunks), cross-document "
+    "chunk fingerprint dedup, total vs distinct bytes — the storage-layer "
+    "dedup shape for multimodal payload stores",
+    tags=("pipeline", "multimodal", "dedup", "cdc"),
+)
+def mm_payload_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") >= CDC_W))
+        .select("doc_id", "text", F.length("text").alias("n"))
+    )
+    # boundary positions via SQL expr (substring with a per-element start
+    # needs the expr form); the window hash is the shared md5-derived int48
+    d = d.withColumn(
+        "b",
+        F.expr(
+            f"concat(array(1), "
+            f"filter(sequence({CDC_W}, n), i -> "
+            f"CAST(conv(substring(md5(substring(text, i - {CDC_W - 1}, {CDC_W})), 1, 12), 16, 10) AS BIGINT) % {CDC_MOD} = 0), "
+            f"array(n + 1))"
+        ),
+    )
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(b) - 1), "
+                "j -> substring(text, element_at(b, j), "
+                "element_at(b, j + 1) - element_at(b, j)))"
+            )
+        ).alias("c"),
+    ).filter(F.length("c") > 0)
+    fp = chunks.select(F.md5("c").alias("f"), F.length("c").alias("clen"))
+    w = Window.partitionBy("f").orderBy("f")
+    ranked = fp.withColumn("rn", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").alias("total_chunks"),
+        F.count_distinct("f").alias("distinct_chunks"),
+        F.sum("clen").cast("long").alias("total_bytes"),
+        F.sum(F.when(F.col("rn") == 1, F.col("clen")).otherwise(0))
+        .cast("long")
+        .alias("distinct_bytes"),
     )
