@@ -2116,3 +2116,73 @@ def events_top_minute_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), F.col("minute").asc())
         .limit(SPIKE_TOP)
     )
+
+
+# --- Wilson-interval reliability ranking --------------------------------------------
+# Rank suppliers by return rate with small-sample honesty: the Wilson score
+# lower bound, not the raw rate (a supplier with 1/2 returns must not
+# outrank one with 40/100). Determinism: counts are exact integers; the
+# interval is a FIXED tree of double ops on them — sqrt is IEEE
+# correctly-rounded in both engines, so identical inputs give identical
+# bounds; output rounded to 9 (bounds are in [0,1], well inside double
+# precision). One broadcast-dim join + one aggregate.
+
+WILSON_Z = 1.959963984540054  # 97.5th normal quantile, pinned literal
+WILSON_TOP = 25
+
+
+@register(
+    "supplier_return_rate_wilson",
+    oracle=f"""
+WITH per_s AS (
+  SELECT l_suppkey,
+         COUNT(*) AS n_lines,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returns
+  FROM lineitem GROUP BY 1
+)
+SELECT l_suppkey, n_lines, n_returns,
+       round(CAST(n_returns AS DOUBLE) / n_lines, 9) AS return_rate,
+       round(((CAST(n_returns AS DOUBLE) / n_lines)
+              + {WILSON_Z} * {WILSON_Z} / (2 * n_lines)
+              - {WILSON_Z} * sqrt(((CAST(n_returns AS DOUBLE) / n_lines)
+                                   * (1 - CAST(n_returns AS DOUBLE) / n_lines)
+                                   + {WILSON_Z} * {WILSON_Z} / (4 * n_lines * n_lines))
+                                  / n_lines))
+             / (1 + {WILSON_Z} * {WILSON_Z} / n_lines), 9) AS wilson_low
+FROM per_s
+ORDER BY wilson_low DESC, l_suppkey
+LIMIT {WILSON_TOP}
+""",
+    doc=f"top-{WILSON_TOP} suppliers by Wilson lower bound of the return "
+    "rate (small-sample-honest ranking): exact integer counts, fixed "
+    "double tree with correctly-rounded sqrt, TakeOrdered",
+    tags=("extensions", "stats", "ranking"),
+)
+def supplier_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_s = li.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("n_returns"),
+    )
+    z = F.lit(WILSON_Z)
+    n = F.col("n_lines")
+    p = F.col("n_returns").cast("double") / n
+    low = (
+        p
+        + z * z / (2 * n)
+        - z * F.sqrt((p * (1 - p) + z * z / (4 * n * n)) / n)
+    ) / (1 + z * z / n)
+    return (
+        per_s.select(
+            "l_suppkey",
+            "n_lines",
+            "n_returns",
+            F.round(p, 9).alias("return_rate"),
+            F.round(low, 9).alias("wilson_low"),
+        )
+        .orderBy(F.col("wilson_low").desc(), F.col("l_suppkey").asc())
+        .limit(WILSON_TOP)
+    )

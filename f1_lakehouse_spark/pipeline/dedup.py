@@ -1647,3 +1647,198 @@ def dedup_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_groups"),
         F.sum("sz").cast("long").alias("n_docs"),
     )
+
+
+# --- LSH banding S-curve (measured) -------------------------------------------------
+# The banding trade quantified on the real corpus: from the SAME 16
+# minhashes, three configs — 2 bands x 8 rows (high precision), 4x4 (the
+# production setting), 8x2 (high recall) — each emitting its candidate
+# count and its exact-Jaccard-verified count, i.e. the measured precision
+# of each point on the S-curve. Band hashes here are modular polynomial
+# sums (31^k mod MOD weights) so the 8-row band fits int64; all three
+# configs reuse ONE minhash aggregate and ONE shingle-set verify pass.
+# Candidates are bounded by the banding itself, so the verify join is
+# candidate-sized — nothing quadratic.
+
+CURVE_CONFIGS = [("b2r8", 2, 8), ("b4r4", 4, 4), ("b8r2", 8, 2)]
+_CURVE_P = [pow(31, k, MOD) for k in range(8)]
+
+
+def _curve_oracle() -> str:
+    parts = [
+        f"""WITH shh AS (
+    SELECT doc_id, sk AS x FROM ({_SQL_SHINGLE_KEYS})
+),
+params AS (SELECT * FROM (VALUES {_PARAMS_SQL}) t(i, a, b)),
+mh AS (
+    SELECT doc_id, i, MIN((a * x + b) % {MOD}) AS m
+    FROM shh, params GROUP BY 1, 2
+),
+shk AS ({_SQL_SHINGLE_KEYS}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shk GROUP BY 1)"""
+    ]
+    for cfg, nb, rpb in CURVE_CONFIGS:
+        pw = ", ".join(f"({k}, {_CURVE_P[k]})" for k in range(rpb))
+        parts.append(
+            f""",
+pw_{cfg} AS (SELECT * FROM (VALUES {pw}) t(k, pw)),
+bands_{cfg} AS (
+    SELECT doc_id, i // {rpb} AS band,
+           SUM((m * pw) % {MOD}) % {MOD} AS band_hash
+    FROM mh JOIN pw_{cfg} ON pw_{cfg}.k = i % {rpb}
+    GROUP BY 1, 2
+),
+pairs_{cfg} AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands_{cfg} a
+    JOIN bands_{cfg} b ON a.band = b.band AND a.band_hash = b.band_hash
+                      AND a.doc_id < b.doc_id
+)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT '{cfg}' AS cfg, doc_a, doc_b FROM pairs_{cfg}"
+        for cfg, _, _ in CURVE_CONFIGS
+    )
+    cfg_dims = ", ".join(f"('{c}', {nb}, {r})" for c, nb, r in CURVE_CONFIGS)
+    parts.append(
+        f""",
+allc AS ({union}),
+common AS (
+    SELECT c.cfg, c.doc_a, c.doc_b, COUNT(*) AS n_common
+    FROM allc c
+    JOIN shk a ON a.doc_id = c.doc_a
+    JOIN shk b ON b.doc_id = c.doc_b AND b.sk = a.sk
+    GROUP BY 1, 2, 3
+),
+ver AS (
+    SELECT cm.cfg, COUNT(*) AS n_verified
+    FROM common cm
+    JOIN sizes sa ON sa.doc_id = cm.doc_a
+    JOIN sizes sb ON sb.doc_id = cm.doc_b
+    WHERE CAST(cm.n_common AS DOUBLE) / (sa.sz + sb.sz - cm.n_common)
+          >= {JACCARD_THRESHOLD}
+    GROUP BY 1
+),
+counts AS (SELECT cfg, COUNT(*) AS n_candidates FROM allc GROUP BY 1),
+dims AS (SELECT * FROM (VALUES {cfg_dims}) t(cfg, n_bands, rows_per_band))
+SELECT d.cfg, d.n_bands, d.rows_per_band,
+       COALESCE(c.n_candidates, 0) AS n_candidates,
+       COALESCE(v.n_verified, 0) AS n_verified,
+       CASE WHEN COALESCE(c.n_candidates, 0) = 0 THEN 0.0
+            ELSE CAST(COALESCE(v.n_verified, 0) AS DOUBLE) / c.n_candidates
+       END AS precision_est
+FROM dims d
+LEFT JOIN counts c USING (cfg)
+LEFT JOIN ver v USING (cfg)"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "dedup_minhash_band_curve",
+    oracle=_curve_oracle(),
+    doc="LSH banding S-curve measured on the corpus: candidate count and "
+    "exact-Jaccard-verified precision for 2x8 / 4x4 / 8x2 band configs "
+    "from ONE minhash aggregate and ONE shingle verify pass — the "
+    "banding-knob evidence, all candidate-bounded",
+    tags=("pipeline", "dedup", "minhash", "diagnostics"),
+)
+def dedup_minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shk_raw = _spark_shingle_keys(d, distinct=False).persist()
+    shk_raw.count()
+    shh = shk_raw.select("doc_id", F.col("sk").alias("x"))
+    mh = shh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MOD)).alias(f"m{i}")
+            for i, a, b in MINHASH_PARAMS
+        ]
+    )
+    mh = mh.persist()
+    mh.count()  # shared by the three band projections (CLAUDE.md)
+    allc = None
+    band_frames = []
+    for cfg, nb, rpb in CURVE_CONFIGS:
+        structs = [
+            F.struct(
+                F.lit(band).alias("band"),
+                (
+                    sum(
+                        (
+                            F.col(f"m{band * rpb + k}") * F.lit(_CURVE_P[k])
+                        )
+                        % F.lit(MOD)
+                        for k in range(rpb)
+                    )
+                    % F.lit(MOD)
+                ).alias("band_hash"),
+            )
+            for band in range(nb)
+        ]
+        bands = mh.select(
+            "doc_id", F.explode(F.array(*structs)).alias("bs")
+        ).select("doc_id", "bs.band", "bs.band_hash")
+        bands = bands.persist()
+        bands.count()  # self-join on a derived frame (CLAUDE.md)
+        band_frames.append(bands)
+        a = bands.alias("a")
+        b = bands.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.lit(cfg).alias("cfg"),
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        allc = pairs if allc is None else allc.unionByName(pairs)
+    allc = allc.persist()
+    allc.count()
+    docsets = shk_raw.groupBy("doc_id").agg(F.collect_set("sk").alias("ds"))
+    sa = docsets.select(F.col("doc_id").alias("a_id"), F.col("ds").alias("ds_a"))
+    sb = docsets.select(F.col("doc_id").alias("b_id"), F.col("ds").alias("ds_b"))
+    n_common = F.size(F.array_intersect("ds_a", "ds_b"))
+    jaccard = n_common.cast("double") / (
+        F.size("ds_a") + F.size("ds_b") - n_common
+    )
+    ver = (
+        allc.join(sa, F.col("a_id") == F.col("doc_a"))
+        .join(sb, F.col("b_id") == F.col("doc_b"))
+        .filter(jaccard >= JACCARD_THRESHOLD)
+        .groupBy("cfg")
+        .agg(F.count("*").alias("n_verified"))
+    )
+    counts = allc.groupBy("cfg").agg(F.count("*").alias("n_candidates"))
+    dims = spark.createDataFrame(
+        CURVE_CONFIGS, "cfg string, n_bands int, rows_per_band int"
+    )
+    out = (
+        dims.join(counts, "cfg", "left")
+        .join(ver, "cfg", "left")
+        .select(
+            "cfg",
+            "n_bands",
+            "rows_per_band",
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_verified", F.lit(0)).alias("n_verified"),
+            F.when(F.coalesce("n_candidates", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_verified").cast("double") / F.col("n_candidates")
+            )
+            .alias("precision_est"),
+        )
+    )
+    out = out.persist()
+    out.count()
+    for bf in band_frames:
+        bf.unpersist()
+    allc.unpersist()
+    mh.unpersist()
+    shk_raw.unpersist()
+    return out
