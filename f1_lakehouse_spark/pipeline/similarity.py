@@ -13,7 +13,7 @@ compute bit-identical signatures.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from f1_lakehouse_spark.registry import register
@@ -2321,3 +2321,139 @@ def embedding_top2_pc_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e.unpersist()
     rows = [(i, round(x, 9)) for i, x in enumerate(w)]
     return spark.createDataFrame(rows, "dim int, loading2 double")
+
+
+# --- IVF nprobe sweep (measured recall curve) ---------------------------------------
+# The IVF recall knob quantified: probe the top-1 / top-2 / top-4 cells by
+# mean-dot affinity and measure recall@K of each against the exact
+# brute-force top-K. One affinity aggregate and one scored frame are
+# shared; each sweep point is a cell-subset filter + TakeOrdered, and the
+# recall join is K-row sized. The sweep is the measured basis for choosing
+# nprobe at scale (recall rises with probes, scanned fraction ~nprobe/cells).
+
+NPROBE_SWEEP = (1, 2, 4)
+
+
+def _nprobe_oracle() -> str:
+    head = f"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+    SELECT a.vec_id, a.label, {_SQL_COS_AB} AS cosine
+    FROM embeddings a, q
+    WHERE a.vec_id <> {QUERY_VEC_ID}
+),
+exact_k AS (
+    SELECT vec_id FROM scored ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+),
+aff AS (
+    SELECT label,
+           CAST(SUM(CAST(cosine AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*)
+               AS cell_score
+    FROM scored GROUP BY 1
+),
+ranked_cells AS (
+    SELECT label, ROW_NUMBER() OVER (ORDER BY cell_score DESC, label) AS rk
+    FROM aff
+)"""
+    parts = [head]
+    for np_ in NPROBE_SWEEP:
+        parts.append(
+            f""",
+cand_{np_} AS (
+    SELECT s.vec_id, s.cosine FROM scored s
+    JOIN ranked_cells rc ON rc.label = s.label AND rc.rk <= {np_}
+),
+top_{np_} AS (
+    SELECT vec_id FROM cand_{np_} ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+),
+rec_{np_} AS (
+    SELECT {np_} AS nprobe,
+           (SELECT COUNT(*) FROM cand_{np_}) AS n_scanned,
+           (SELECT COUNT(*) FROM top_{np_} t JOIN exact_k e USING (vec_id))
+               AS n_hit
+)"""
+        )
+    union = "\nUNION ALL ".join(f"SELECT * FROM rec_{n}" for n in NPROBE_SWEEP)
+    return (
+        "".join(parts)
+        + f"""
+SELECT nprobe, n_scanned, n_hit,
+       CAST(n_hit AS DOUBLE) / {TOP_K} AS recall_at_{TOP_K}
+FROM ({union})
+"""
+    )
+
+
+@register(
+    "ann_ivf_nprobe_sweep",
+    oracle=_nprobe_oracle(),
+    doc=f"IVF nprobe sweep: recall@{TOP_K} and scanned-candidate count at "
+    "nprobe = 1/2/4 cells vs the exact top-K — ONE shared affinity pass "
+    "and scored frame, K-row recall joins; the measured basis for the "
+    "probe-count knob",
+    tags=("pipeline", "similarity", "ivf", "diagnostics"),
+)
+def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            _spark_cosine(F.col("embedding"), F.col("q_embedding")).alias(
+                "cosine"
+            ),
+        )
+    )
+    scored = scored.persist()
+    scored.count()  # shared by exact-k, affinity, and 3 sweep points
+    exact_k = (
+        scored.orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    exact_k = exact_k.persist()
+    exact_k.count()
+    aff = scored.groupBy("label").agg(
+        (
+            F.sum(F.col("cosine").cast("decimal(27,9)")).cast("double")
+            / F.count("*")
+        ).alias("cell_score")
+    )
+    rkw = Window.orderBy(F.col("cell_score").desc(), F.col("label").asc())
+    ranked = aff.select("label", F.row_number().over(rkw).alias("rk"))
+    ranked = ranked.persist()
+    ranked.count()  # |cells| rows; the single-partition window is model-sized
+    out = None
+    for np_ in NPROBE_SWEEP:
+        cells = ranked.filter(F.col("rk") <= np_).select("label")
+        cand = scored.join(F.broadcast(cells), "label")
+        top = (
+            cand.orderBy(F.col("cosine").desc(), "vec_id")
+            .limit(TOP_K)
+            .select("vec_id")
+        )
+        row = (
+            cand.agg(F.count("*").alias("n_scanned"))
+            .crossJoin(
+                top.join(exact_k, "vec_id").agg(F.count("*").alias("n_hit"))
+            )
+            .select(
+                F.lit(np_).alias("nprobe"),
+                "n_scanned",
+                "n_hit",
+                (F.col("n_hit").cast("double") / F.lit(TOP_K)).alias(
+                    f"recall_at_{TOP_K}"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    out = out.persist()
+    out.count()
+    scored.unpersist()
+    exact_k.unpersist()
+    ranked.unpersist()
+    return out
