@@ -137,6 +137,16 @@ EXTENDED = [
     "regression_nation_trend",
     "events_time_decay_engagement",
     "join_asof_tolerance",
+    "pipeline_training_data_card",
+    "events_late_data_audit",
+    "text_source_drift_chi2",
+    "text_bigram_pmi_top",
+    "mm_payload_cdc_chunks",
+    "dedup_minhash_band_curve",
+    "ann_ivf_nprobe_sweep",
+    "events_dau_wau_stickiness",
+    "embedding_top2_pc_deflation",
+    "supplier_return_rate_wilson",
 ]
 
 

@@ -835,3 +835,75 @@ def events_error_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_ts").isNull()
         | (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts")) > DEBOUNCE_US)
     ).select("event_id", "user_id", "ts")
+
+
+# --- bot / abuse heuristic ----------------------------------------------------------
+# Training-data hygiene for behavioral streams: flag users whose activity
+# is superhumanly dense or suspiciously regular. Features are exact
+# integers (events, active minutes, min gap in µs); the density ratio is
+# one double division. The flag thresholds are explicit constants — the
+# point is the FEATURE computation shape (one user-keyed pass: aggregate +
+# lag window share the same shuffle).
+
+BOT_EPM = 2.0  # events per active minute considered superhuman here
+BOT_MIN_GAP_US = 5_000_000  # any gap under 5 s is bot-like
+
+
+@register(
+    "events_bot_heuristic",
+    oracle=f"""
+WITH gaps AS (
+  SELECT user_id, ts,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id))
+             AS gap_us
+  FROM events
+),
+per_u AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         COUNT(DISTINCT date_trunc('minute', ts)) AS active_minutes,
+         MIN(gap_us) AS min_gap_us
+  FROM gaps GROUP BY 1
+)
+SELECT user_id, n_events, active_minutes,
+       CAST(n_events AS DOUBLE) / active_minutes AS events_per_minute,
+       CAST(min_gap_us AS BIGINT) AS min_gap_us,
+       CASE WHEN CAST(n_events AS DOUBLE) / active_minutes > {BOT_EPM}
+              OR min_gap_us < {BOT_MIN_GAP_US}
+            THEN 1 ELSE 0 END AS bot_flag
+FROM per_u
+""",
+    doc="bot/abuse heuristic per user: exact integer features (events, "
+    "active minutes, min inter-event gap) from one user-keyed pass — "
+    "the behavioral-data hygiene filter",
+    tags=("events", "quality", "diagnostics"),
+)
+def events_bot_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        "ts",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    )
+    per_u = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct(F.date_trunc("minute", "ts")).alias("active_minutes"),
+        F.min("gap_us").alias("min_gap_us"),
+    )
+    epm = F.col("n_events").cast("double") / F.col("active_minutes")
+    return per_u.select(
+        "user_id",
+        "n_events",
+        "active_minutes",
+        epm.alias("events_per_minute"),
+        F.col("min_gap_us").cast("long").alias("min_gap_us"),
+        F.when(
+            (epm > BOT_EPM) | (F.col("min_gap_us") < BOT_MIN_GAP_US), 1
+        )
+        .otherwise(0)
+        .alias("bot_flag"),
+    )
