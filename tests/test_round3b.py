@@ -145,3 +145,76 @@ def test_top2_pc_orthogonal_to_top_pc(spark):
     assert abs(dot) < 1e-6, dot  # orthogonal by construction (round-9 loadings)
     n2 = sum(x * x for x in second.values())
     assert abs(n2 - 1.0) < 1e-6
+
+
+def test_band_curve_monotone_in_bands(spark):
+    """More, narrower bands can only ADD candidate pairs (a pair colliding
+    on a wide band also collides on one of its sub-bands? — not in general,
+    but candidates must be monotone in the banding threshold: 8x2 is the
+    loosest, 2x8 the strictest; verified counts are subsets of candidates)."""
+    rows = {
+        r["cfg"]: r
+        for r in REGISTRY["dedup_minhash_band_curve"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"b2r8", "b4r4", "b8r2"}
+    for r in rows.values():
+        assert r["n_verified"] <= r["n_candidates"]
+        assert 0.0 <= r["precision_est"] <= 1.0
+    # recall ordering: the loose config can't find fewer TRUE pairs than
+    # the strict one (every 8-row band match implies both 2-row halves and
+    # all four 2-row quarters match)
+    assert rows["b8r2"]["n_verified"] >= rows["b4r4"]["n_verified"]
+    assert rows["b4r4"]["n_verified"] >= rows["b2r8"]["n_verified"]
+
+
+def test_nprobe_sweep_monotone(spark):
+    rows = sorted(
+        REGISTRY["ann_ivf_nprobe_sweep"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    scanned = [r["n_scanned"] for r in rows]
+    hits = [r["n_hit"] for r in rows]
+    assert scanned == sorted(scanned)  # more probes scan more
+    assert hits == sorted(hits)  # probed cells are nested => recall monotone
+    assert all(0 <= h <= 10 for h in hits)
+
+
+def test_cdc_chunks_reassemble_byte_totals(spark):
+    """Distinct bytes <= total bytes; total chunk bytes must equal the
+    corpus bytes of the chunked docs (chunking is a partition, not a
+    sample)."""
+    from pyspark.sql import functions as F
+
+    from f1_lakehouse_spark.pipeline.multimodal import CDC_W
+    from f1_lakehouse_spark.tables import load_table
+
+    row = REGISTRY["mm_payload_cdc_chunks"].fn(spark, SF_DIR).collect()[0]
+    assert row["distinct_chunks"] <= row["total_chunks"]
+    assert row["distinct_bytes"] <= row["total_bytes"]
+    corpus_bytes = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") >= CDC_W))
+        .agg(F.sum(F.length("text")))
+        .collect()[0][0]
+    )
+    assert row["total_bytes"] == corpus_bytes
+
+
+def test_chi2_nonnegative(spark):
+    rows = REGISTRY["text_source_drift_chi2"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["chi2"] >= 0.0
+
+
+def test_oversample_majority_lang_single_copy(spark):
+    """The majority language must get factor 1 (no replication); every
+    factor >= 1; copy ids run 1..n_copies."""
+    rows = REGISTRY["curation_minority_oversample"].fn(spark, SF_DIR).collect()
+    by_lang: dict[str, set[int]] = {}
+    for r in rows:
+        assert r["n_copies"] >= 1
+        assert 1 <= r["copy_id"] <= r["n_copies"]
+        by_lang.setdefault(r["lang"], set()).add(r["n_copies"])
+    assert all(len(v) == 1 for v in by_lang.values())  # factor is per-lang
+    assert min(min(v) for v in by_lang.values()) == 1  # majority unreplicated
