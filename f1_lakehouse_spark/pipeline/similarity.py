@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from f1_lakehouse_spark.registry import register
+from f1_lakehouse_spark.registry import REGISTRY, register
 from f1_lakehouse_spark.tables import load_table
 
 QUERY_VEC_ID = 0  # the corpus vector used as the search query
@@ -2457,3 +2457,82 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_k.unpersist()
     ranked.unpersist()
     return out
+
+
+# --- IVF-PQ end-to-end recall -------------------------------------------------------
+# The composed index measured: recall@K of the full IVF-PQ chain (cell
+# prune + ADC ranking) against the exact L2 top-K over the whole corpus.
+# This is the number that justifies (or rejects) shipping the compressed
+# index — cell pruning and PQ quantization each lose recall; this measures
+# their PRODUCT. K-row joins only; shares the trained chain with
+# ann_ivf_pq.
+
+
+@register(
+    "ann_ivfpq_recall",
+    oracle=_PQ_ADC_SCORED_SQL
+    + f""",
+aff AS (
+    SELECT a.label,
+           CAST(SUM(CAST({_SQL_DOT_QA} AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*)
+               AS cell_score
+    FROM embeddings a, (SELECT embedding FROM embeddings
+                        WHERE vec_id = {QUERY_VEC_ID}) q
+    WHERE a.vec_id <> {QUERY_VEC_ID}
+    GROUP BY a.label
+),
+best_cell AS (SELECT label FROM aff ORDER BY cell_score DESC, label LIMIT 1),
+ivfpq_k AS (
+    SELECT s.vec_id
+    FROM scored s JOIN embeddings e ON e.vec_id = s.vec_id
+    WHERE e.label IN (SELECT label FROM best_cell)
+    ORDER BY s.adc_dist, s.vec_id
+    LIMIT {TOP_K}
+),
+exact_k AS (
+    SELECT a.vec_id
+    FROM embeddings a, (SELECT embedding FROM embeddings
+                        WHERE vec_id = {QUERY_VEC_ID}) q
+    WHERE a.vec_id <> {QUERY_VEC_ID}
+    ORDER BY {_sql_l2("a.embedding",
+                      "list_transform(q.embedding, x -> CAST(x AS DOUBLE))")},
+             a.vec_id
+    LIMIT {TOP_K}
+)
+SELECT (SELECT COUNT(*) FROM ivfpq_k i JOIN exact_k e USING (vec_id))
+           AS n_hit,
+       CAST((SELECT COUNT(*) FROM ivfpq_k i JOIN exact_k e USING (vec_id))
+            AS DOUBLE) / {TOP_K} AS recall_at_{TOP_K}
+""",
+    doc=f"end-to-end IVF-PQ recall@{TOP_K} vs exact L2 top-{TOP_K}: the "
+    "product of cell-prune and quantization losses, measured — the "
+    "ship/retrain gate for the compressed index; K-row joins only",
+    tags=("pipeline", "similarity", "ivf", "pq", "diagnostics"),
+)
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivfpq_k = (
+        REGISTRY["ann_ivf_pq"].fn(spark, sf_dir).select("vec_id")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q_emb = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0][
+            "embedding"
+        ]
+    ]
+    exact_k = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id", _spark_l2_lit(F.col("embedding"), q_emb).alias("d")
+        )
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    hit = ivfpq_k.join(exact_k, "vec_id").agg(F.count("*").alias("n_hit"))
+    return hit.select(
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.lit(TOP_K)).alias(
+            f"recall_at_{TOP_K}"
+        ),
+    )
