@@ -116,7 +116,10 @@ PRIORITY: tuple[str, ...] = (
     "ann_pq_rerank",
     "ann_lsh_multiprobe",
     "ann_mips_norm_augment",
-    "ann_hard_negatives",
+    # scoring family (new in r3) must hold a window slot until it has a
+    # recorded driver row — ann_hard_negatives rotated out (its family
+    # already carries r2 greens); verified via DRIVE_ONLY before the swap.
+    "dsir_importance_weights",
     "graph_triangle_count",  # r2 verdict promotion
 )
 
