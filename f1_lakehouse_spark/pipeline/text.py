@@ -634,10 +634,25 @@ p3 AS ({_sql_bpe_pairs("w2")}),
 w3 AS ({_sql_bpe_merge("w2", "p3")})"""
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str):
-    """Run the BPE training loop; return (final (w, cnt, seq) DataFrame —
-    persisted, caller unpersists — and the merge list
+# Trained-model cache, same single-entry discipline as _TRIGRAM_CACHE:
+# both BPE queries (merges table, encode/apply) consume the identical
+# trained vocabulary; training runs the iterative merge loop (3 actions +
+# a driver round-trip each), so sharing it saves a full re-train per
+# consumer. Consumers must NOT unpersist the returned frame (CLAUDE.md
+# shared-frame convention); the cache rolls over on input change.
+_BPE_CACHE: dict[tuple[str, str], tuple[DataFrame, list]] = {}
+
+
+def bpe_trained_frame(spark: SparkSession, sf_dir: str):
+    """Trained BPE state: (final (w, cnt, seq) DataFrame — persisted,
+    shared, do not unpersist — and the merge list
     [(iteration, a, b, weighted_count)])."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BPE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for old_key in list(_BPE_CACHE):
+        _BPE_CACHE.pop(old_key)[0].unpersist()
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -686,6 +701,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         merged.count()
         seqs.unpersist()
         seqs = merged
+    _BPE_CACHE[key] = (seqs, merges)
     return seqs, merges
 
 
@@ -705,8 +721,7 @@ UNION ALL SELECT 3, a, b, CAST(total AS BIGINT) FROM p3
     tags=("pipeline", "text", "bpe"),
 )
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    seqs, merges = _bpe_train(spark, sf_dir)
-    seqs.unpersist()
+    _, merges = bpe_trained_frame(spark, sf_dir)
     return spark.createDataFrame(
         merges, "iteration int, left_sym string, right_sym string, pair_count long"
     )
@@ -733,13 +748,13 @@ GROUP BY 1
     tags=("pipeline", "text", "bpe"),
 )
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    seqs, _ = _bpe_train(spark, sf_dir)
+    seqs, _ = bpe_trained_frame(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     vocab = seqs.select(
         "w", (F.size(F.split("seq", _D)) - F.lit(1)).alias("n_sym")
     )
-    out = (
+    return (
         toks.join(F.broadcast(vocab), "w")
         .groupBy("doc_id")
         .agg(
@@ -747,10 +762,6 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
         )
     )
-    out = out.persist()
-    out.count()  # materialize before releasing the trained vocab cache
-    seqs.unpersist()
-    return out
 
 
 # --- positional inverted index + phrase query -----------------------------------------
