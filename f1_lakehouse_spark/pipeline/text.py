@@ -1234,3 +1234,118 @@ def text_bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks.unpersist()
     big.unpersist()
     return out
+
+
+# --- within-document repeated-span removal --------------------------------------------
+# The in-document half of corpus dedup (RefinedWeb/C4 run line-level and
+# repeated-span removal INSIDE each page before any cross-doc pass; Lee et
+# al. '22 deduplicate repeated substrings wherever they occur, including
+# within one document). The cross-doc family here already covers
+# minhash/simhash/substring fingerprints; this op is the per-doc TRANSFORM:
+# a token 3-gram whose exact content already occurred earlier in the same
+# document marks its 3-token span, every token inside any marked span is
+# removed, and the cleaned text is re-joined. Everything is array
+# higher-order functions on one row — map-only, zero shuffle, scan-speed;
+# at 100 TB it parallelizes perfectly by split (cost is O(len^2) string
+# compares per doc worst case from the first-occurrence probe, bounded by
+# the corpus max doc length — the explode+window alternative trades that
+# for a per-doc shuffle, the wrong trade while max doc length is bounded).
+# The cleaned text itself is evidenced by an md5 signature so the oracle
+# hash-checks the exact reconstruction, not just the counts.
+
+
+@register(
+    "text_intradoc_span_dedup",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks
+    FROM documents WHERE text IS NOT NULL
+), g AS (
+    SELECT doc_id, toks,
+           CASE WHEN len(toks) >= 3 THEN
+               [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                FOR i IN generate_series(1, len(toks) - 2)]
+           ELSE [] END AS grams
+    FROM t
+), dd AS (
+    SELECT doc_id, toks,
+           list_filter(generate_series(1, len(grams)),
+                       i -> list_position(grams, grams[i]) < i) AS dups
+    FROM g
+), k AS (
+    SELECT doc_id, toks, dups,
+           list_filter(generate_series(1, len(toks)),
+                       j -> len(list_filter(dups,
+                                d -> d >= j - 2 AND d <= j)) = 0) AS kept
+    FROM dd
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(dups) AS BIGINT) AS n_dup_spans,
+       CAST(len(toks) - len(kept) AS BIGINT) AS n_tokens_removed,
+       substr(md5(array_to_string(list_transform(kept, j -> toks[j]), ' ')),
+              1, 12) AS clean_sig
+FROM k
+""",
+    doc="within-document repeated 3-gram span removal (RefinedWeb-style "
+    "in-doc dedup): spans whose 3-gram occurred earlier in the same doc "
+    "are cut, cleaned text evidenced via md5 signature; map-only array "
+    "ops, zero shuffle",
+    tags=("pipeline", "text", "dedup"),
+)
+def text_intradoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # each derived array is materialized as a real column in its own
+    # projection before any lambda indexes into it (the element_at-over-
+    # unmaterialized-transform O(n^2) trap, CLAUDE.md)
+    tokd = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    toks = F.col("toks")
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(2)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + F.lit(1)),
+            F.element_at(toks, i + F.lit(2)),
+        ),
+    )
+    # sequence(1, n) runs DESCENDING for n < 1 — same guard as everywhere
+    gramd = tokd.select(
+        "doc_id",
+        "toks",
+        F.when(F.size(toks) >= 3, grams_arr)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    grams = F.col("grams")
+    dup_starts = F.filter(
+        F.sequence(F.lit(1), F.size(grams)),
+        lambda i: F.array_position(grams, F.element_at(grams, i)) < i,
+    )
+    dupd = gramd.select(
+        "doc_id",
+        "toks",
+        F.when(F.size(grams) >= 1, dup_starts)
+        .otherwise(F.array().cast("array<int>"))
+        .alias("dups"),
+    )
+    dups = F.col("dups")
+    kept = F.filter(
+        # split() on non-null text yields >= 1 element, so this sequence
+        # is always ascending
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda j: ~F.exists(dups, lambda dd: (dd >= j - F.lit(2)) & (dd <= j)),
+    )
+    keptd = dupd.select("doc_id", "toks", "dups", kept.alias("kept"))
+    clean_text = F.array_join(
+        F.transform(F.col("kept"), lambda j: F.element_at(toks, j)), " "
+    )
+    return keptd.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(dups).cast("long").alias("n_dup_spans"),
+        (F.size(toks) - F.size(F.col("kept"))).cast("long").alias("n_tokens_removed"),
+        F.substring(F.md5(clean_text), 1, 12).alias("clean_sig"),
+    )
