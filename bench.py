@@ -147,6 +147,11 @@ EXTENDED = [
     "events_dau_wau_stickiness",
     "embedding_top2_pc_deflation",
     "supplier_return_rate_wilson",
+    # round-3 third batch
+    "ann_ivfpq_recall",
+    "events_bot_heuristic",
+    "curation_minority_oversample",
+    "text_intradoc_span_dedup",
 ]
 
 

@@ -77,6 +77,8 @@ QUERIES = [
     "orders_rfm_segmentation",
     "embedding_mahalanobis_outliers",
     "events_time_decay_engagement",
+    "text_intradoc_span_dedup",
+    "text_bpe_encode",
 ]
 
 
