@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from f1_lakehouse_spark.pipeline.hashing import spark_salted_hash, sql_salted_hash
 from f1_lakehouse_spark.registry import REGISTRY, register
 from f1_lakehouse_spark.tables import load_table
 
@@ -2536,3 +2537,61 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"recall_at_{TOP_K}"
         ),
     )
+
+
+# --- embedding-space health: pairwise-similarity histogram ----------------------------
+# Pre-training diagnostic over the embedding space itself: the
+# distribution of pairwise cosine similarity (all-same ⇒ collapsed
+# embeddings; all-orthogonal ⇒ no near-dup signal for semantic dedup;
+# a heavy right tail ⇒ duplicate clusters). All-pairs over the corpus is
+# N² and never runs at scale — the estimator is all-pairs over a
+# HASH-SAMPLED subset: vec_id is kept when its salted 48-bit hash ≡ 0
+# (mod SIMHIST_MOD), giving a deterministic, reproducible ~N/MOD sample
+# whose pair count (N/MOD)²/2 is the sizing knob (at 100 TB, MOD grows
+# as N/target_sample — the same derive-from-input rule as
+# adaptive_nbits; the constant here is the small-SF floor). The sampled
+# frame is persisted + materialized before the self-join per the
+# derived-frame convention, and the small side broadcasts.
+
+SIMHIST_MOD = 4
+
+
+@register(
+    "embedding_pairwise_sim_hist",
+    oracle=f"""
+WITH s AS (
+    SELECT vec_id, embedding FROM embeddings
+    WHERE {sql_salted_hash("vec_id", ":simhist")} % {SIMHIST_MOD} = 0
+)
+SELECT CAST(floor(({_SQL_COS_AB.replace("q.embedding", "b.embedding")}) * 10)
+            AS BIGINT) AS sim_bin,
+       COUNT(*) AS n_pairs
+FROM s a JOIN s b ON a.vec_id < b.vec_id
+GROUP BY 1
+""",
+    doc="pairwise cosine-similarity histogram over a deterministic "
+    "hash-sampled subset of the embedding space (collapse / duplicate-"
+    "cluster diagnostic); pair count bounded by (N/mod)^2/2, never "
+    "corpus-quadratic",
+    tags=("pipeline", "similarity"),
+)
+def embedding_pairwise_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    s = e.filter(
+        spark_salted_hash("vec_id", ":simhist") % SIMHIST_MOD == 0
+    ).select("vec_id", "embedding")
+    s = s.persist()
+    s.count()  # materialize before the self-join (derived-frame convention)
+    a = s.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    b = s.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    sim = _spark_cosine(F.col("a_emb"), F.col("b_emb"))
+    out = (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .select(F.floor(sim * 10).cast("long").alias("sim_bin"))
+        .groupBy("sim_bin")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    out = out.persist()
+    out.count()
+    s.unpersist()
+    return out
