@@ -706,3 +706,86 @@ def curation_minority_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_id"),
         )
     )
+
+
+# --- token-budget epoch/repeat schedule ------------------------------------------------
+# The data-schedule step between mixture weights and the actual sampler:
+# given a total training token budget (here 2 passes over the corpus) split
+# uniformly across sources, each source's repeat factor is
+# budget_share / source_tokens, capped at 4 epochs (the standard
+# "repeat small sources a few times, never dozens" rule from data-
+# constrained scaling guidance). Everything is 64-bit integer arithmetic
+# (factors carried as x100 fixed-point, floor division) so the schedule is
+# bit-identical across engines and runs: two tiny aggregates over a
+# per-source frame — the corpus scans once, the totals broadcast back.
+# At 100 TB: corpus tokens ~2e13 → budget*100 ~4e15 < 2^63, no overflow.
+
+REPEAT_CAP_X100 = 400  # ≤ 4 epochs per source
+
+
+@register(
+    "curation_epoch_repeat_schedule",
+    oracle=f"""
+WITH toks AS (
+    SELECT source,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n_tokens) * 2 AS BIGINT) AS budget,
+           COUNT(*) AS n_sources
+    FROM toks
+),
+fac AS (
+    SELECT t.source, t.n_tokens,
+           least({REPEAT_CAP_X100},
+                 (b.budget * 100) // (b.n_sources * t.n_tokens))
+               AS repeat_factor_x100
+    FROM toks t, tot b
+)
+SELECT source, n_tokens, repeat_factor_x100,
+       (n_tokens * repeat_factor_x100) // 100 AS planned_tokens
+FROM fac
+""",
+    doc="token-budget epoch/repeat schedule per source (2-pass budget, "
+    "uniform share, 4-epoch cap): integer fixed-point factors, one "
+    "corpus scan + broadcast totals",
+    tags=("pipeline", "curation", "schedule"),
+)
+def curation_epoch_repeat_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # NULL text contributes 0 tokens (DuckDB SUM skips NULL; Spark size()
+    # on a null array is -1, so guard explicitly)
+    tok_len = F.when(
+        F.col("text").isNotNull(), F.size(F.split("text", " "))
+    ).otherwise(F.lit(0))
+    toks = d.groupBy("source").agg(
+        F.sum(tok_len).cast("long").alias("n_tokens")
+    )
+    # totals aggregate the same derived frame they broadcast back onto:
+    # persist AND materialize first (CLAUDE.md convention)
+    toks = toks.persist()
+    toks.count()
+    tot = toks.agg(
+        (F.sum("n_tokens") * 2).cast("long").alias("budget"),
+        F.count("*").alias("n_sources"),
+    )
+    fac = toks.crossJoin(F.broadcast(tot)).withColumn(
+        "repeat_factor_x100",
+        F.least(
+            F.lit(REPEAT_CAP_X100).cast("long"),
+            F.expr("(budget * 100) div (n_sources * n_tokens)"),
+        ),
+    )
+    out = fac.select(
+        "source",
+        "n_tokens",
+        "repeat_factor_x100",
+        F.expr("(n_tokens * repeat_factor_x100) div 100").alias(
+            "planned_tokens"
+        ),
+    )
+    out = out.persist()
+    out.count()
+    toks.unpersist()
+    return out
