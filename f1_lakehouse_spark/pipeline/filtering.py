@@ -375,3 +375,139 @@ def pipeline_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         )
     )
+
+
+# --- contamination provenance (the auditor's inverse report) ---------------------------
+# decontam_ngram_overlap answers "which TRAINING docs must go"; the eval
+# auditor needs the other direction: for each BENCHMARK item, how exposed
+# is it — how many surviving-corpus docs share a gram with it, and which
+# single doc leaks it hardest. Same gram frame as decontam (48-bit hashed
+# word-4-grams, distinct per doc), the small benchmark side broadcasts
+# into the pair join, per-pair overlap counts aggregate before the
+# per-bench argmax (deterministic: count desc, doc_id asc). Zero-exposure
+# benchmark items still report (LEFT join back), with -1 as the no-
+# offender sentinel so the row stays hash-comparable.
+
+
+@register(
+    "decontam_provenance",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, string_split(text, ' ') AS ws,
+           {_BENCH_SQL} AS bench_slot
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id, bench_slot, g FROM (
+        SELECT doc_id, bench_slot,
+               unnest([{sql_md5_hash48(
+                   "array_to_string(ws[i:i+" + str(DECONTAM_N - 1) + "], ' ')")}
+                       FOR i IN generate_series(1, len(ws) - {DECONTAM_N - 1})]) AS g
+        FROM base WHERE len(ws) >= {DECONTAM_N}
+    )
+),
+pairs AS (
+    SELECT b.doc_id AS bench_doc_id, t.doc_id AS train_doc_id,
+           COUNT(*) AS shared_grams
+    FROM grams b JOIN grams t USING (g)
+    WHERE b.bench_slot = 0 AND t.bench_slot <> 0
+    GROUP BY 1, 2
+),
+best AS (
+    SELECT bench_doc_id,
+           COUNT(*) AS n_contaminating_docs,
+           MAX(shared_grams) AS max_shared_grams
+    FROM pairs GROUP BY 1
+),
+worst AS (
+    SELECT bench_doc_id, train_doc_id AS worst_doc_id FROM (
+        SELECT bench_doc_id, train_doc_id,
+               ROW_NUMBER() OVER (PARTITION BY bench_doc_id
+                                  ORDER BY shared_grams DESC,
+                                           train_doc_id ASC) AS rk
+        FROM pairs
+    ) WHERE rk = 1
+)
+SELECT bb.doc_id AS bench_doc_id,
+       CAST(COALESCE(b.n_contaminating_docs, 0) AS BIGINT)
+           AS n_contaminating_docs,
+       CAST(COALESCE(b.max_shared_grams, 0) AS BIGINT) AS max_shared_grams,
+       COALESCE(w.worst_doc_id, -1) AS worst_doc_id
+FROM (SELECT doc_id FROM base WHERE bench_slot = 0) bb
+LEFT JOIN best b ON b.bench_doc_id = bb.doc_id
+LEFT JOIN worst w ON w.bench_doc_id = bb.doc_id
+""",
+    doc="per-benchmark-item contamination exposure: count of corpus docs "
+    "sharing a 4-gram, max per-doc shared-gram count, deterministic worst "
+    "offender — the eval-side audit decontam_ngram_overlap doesn't give",
+    tags=("pipeline", "filtering", "decontam"),
+)
+def decontam_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+        (spark_salted_hash("doc_id", ":bench") % BENCH_MOD).alias("bench_slot"),
+    )
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - F.lit(DECONTAM_N - 1)),
+        lambda i: spark_md5_hash48(
+            F.concat_ws(" ", F.slice("ws", i, F.lit(DECONTAM_N)))
+        ),
+    )
+    grams = (
+        base.filter(F.size("ws") >= DECONTAM_N)
+        .select("doc_id", "bench_slot", F.explode(gram_arr).alias("g"))
+        .distinct()
+        .persist()
+    )
+    grams.count()  # both join sides derive from this frame (convention)
+    bench_g = grams.filter(F.col("bench_slot") == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), "g"
+    )
+    train_g = grams.filter(F.col("bench_slot") != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "g"
+    )
+    pairs = (
+        train_g.join(F.broadcast(bench_g), "g")
+        .groupBy("bench_doc_id", "train_doc_id")
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    pairs = pairs.persist()
+    pairs.count()
+    best = pairs.groupBy("bench_doc_id").agg(
+        F.count("*").alias("n_contaminating_docs"),
+        F.max("shared_grams").alias("max_shared_grams"),
+    )
+    from pyspark.sql import Window
+
+    rk = Window.partitionBy("bench_doc_id").orderBy(
+        F.col("shared_grams").desc(), F.col("train_doc_id").asc()
+    )
+    worst = (
+        pairs.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("bench_doc_id", F.col("train_doc_id").alias("worst_doc_id"))
+    )
+    bench_docs = base.filter(F.col("bench_slot") == 0).select(
+        F.col("doc_id").alias("bench_doc_id")
+    )
+    out = (
+        bench_docs.join(best, "bench_doc_id", "left")
+        .join(worst, "bench_doc_id", "left")
+        .select(
+            "bench_doc_id",
+            F.coalesce("n_contaminating_docs", F.lit(0))
+            .cast("long")
+            .alias("n_contaminating_docs"),
+            F.coalesce("max_shared_grams", F.lit(0))
+            .cast("long")
+            .alias("max_shared_grams"),
+            F.coalesce("worst_doc_id", F.lit(-1)).alias("worst_doc_id"),
+        )
+    )
+    out = out.persist()
+    out.count()
+    pairs.unpersist()
+    grams.unpersist()
+    return out
