@@ -152,6 +152,9 @@ EXTENDED = [
     "events_bot_heuristic",
     "curation_minority_oversample",
     "text_intradoc_span_dedup",
+    "embedding_pairwise_sim_hist",
+    "curation_epoch_repeat_schedule",
+    "decontam_provenance",
 ]
 
 
