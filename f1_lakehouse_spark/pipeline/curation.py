@@ -789,3 +789,66 @@ def curation_epoch_repeat_schedule(spark: SparkSession, sf_dir: str) -> DataFram
     out.count()
     toks.unpersist()
     return out
+
+
+# --- leakage-safe (cluster-aware) split ------------------------------------------------
+# The plain hash split up top assigns DOCUMENTS independently — two near-
+# duplicates can land in train and test, and the eval silently measures
+# memorization. The leakage-safe variant hashes the near-dup CLUSTER
+# (connected components over MinHash-LSH pairs, `dedup_clusters`;
+# singletons are their own cluster), so an entire duplicate family moves
+# as one unit and no cluster ever straddles the split boundary — the
+# standard eval-hygiene requirement for LLM corpora. Costs exactly the
+# cluster pass plus a map-only hash; the cluster frame is corpus-sized
+# but the pairs it derives from are LSH-bounded (see dedup_clusters).
+
+
+def _cluster_safe_split_oracle() -> str:
+    # dedup registers before this statement runs (plain import, no cycle:
+    # dedup does not import curation)
+    from f1_lakehouse_spark.pipeline import dedup as _dedup  # noqa: F401
+    from f1_lakehouse_spark.registry import REGISTRY as _R
+
+    clusters = _R["dedup_clusters"].oracle
+    h = sql_salted_hash("cl.cluster_id", ":clsplit")
+    return f"""
+WITH clus AS ({clusters}),
+full_map AS (
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id
+)
+SELECT cl.doc_id, cl.cluster_id,
+       CASE WHEN {h} % 100 < {TRAIN_PCT} THEN 'train'
+            WHEN {h} % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM full_map cl
+"""
+
+
+@register(
+    "curation_cluster_safe_split",
+    oracle=_cluster_safe_split_oracle(),
+    doc="leakage-safe train/val/test split: the near-dup cluster (not the "
+    "document) is the unit of assignment, so duplicate families never "
+    "straddle the eval boundary; cluster pass + map-only salted hash",
+    tags=("pipeline", "curation", "split"),
+)
+def curation_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.pipeline.dedup import dedup_clusters
+
+    clus = dedup_clusters(spark, sf_dir).withColumnRenamed(
+        "cluster_id", "cl_id"
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    full = d.join(clus, "doc_id", "left").select(
+        "doc_id", F.coalesce("cl_id", "doc_id").alias("cluster_id")
+    )
+    h = spark_salted_hash("cluster_id", ":clsplit") % 100
+    return full.select(
+        "doc_id",
+        "cluster_id",
+        F.when(h < TRAIN_PCT, "train")
+        .when(h < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

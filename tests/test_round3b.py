@@ -10,6 +10,7 @@ from hypothesis import strategies as st
 
 from f1_lakehouse_spark.operators.extensions import RFM_K, _ntile_from_rank
 from f1_lakehouse_spark.registry import REGISTRY, _ensure_loaded
+from f1_lakehouse_spark.tables import load_table
 from tests.conftest import SF_DIR
 
 _ensure_loaded()
@@ -218,3 +219,56 @@ def test_oversample_majority_lang_single_copy(spark):
         by_lang.setdefault(r["lang"], set()).add(r["n_copies"])
     assert all(len(v) == 1 for v in by_lang.values())  # factor is per-lang
     assert min(min(v) for v in by_lang.values()) == 1  # majority unreplicated
+
+
+def test_cluster_safe_split_no_straddle(spark):
+    """A near-dup cluster must land entirely inside one split — the
+    leakage-safety property the operator exists for — and every document
+    must be assigned exactly once."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = REGISTRY["curation_cluster_safe_split"].fn(spark, SF_DIR).collect()
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert len(rows) == n_docs
+    splits_per_cluster: dict[int, set[str]] = {}
+    for r in rows:
+        splits_per_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(v) == 1 for v in splits_per_cluster.values())
+    # multi-doc clusters exist at this SF (otherwise the test is vacuous)
+    from collections import Counter
+
+    sizes = Counter(r["cluster_id"] for r in rows)
+    assert max(sizes.values()) >= 2
+
+
+def test_intradoc_span_dedup_bounds(spark):
+    """Removed tokens are bounded by total tokens; a doc with zero dup
+    spans removes zero tokens and its clean_sig equals the md5 prefix of
+    the original text."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["text_intradoc_span_dedup"].fn(spark, SF_DIR).collect()
+    }
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert len(out) == len(docs)
+    checked_clean = 0
+    for d in docs:
+        r = out[d["doc_id"]]
+        assert 0 <= r["n_tokens_removed"] <= r["n_tokens"]
+        if r["n_dup_spans"] == 0:
+            assert r["n_tokens_removed"] == 0
+            assert (
+                r["clean_sig"]
+                == hashlib.md5(d["text"].encode()).hexdigest()[:12]
+            )
+            checked_clean += 1
+    assert checked_clean >= 1
