@@ -466,3 +466,36 @@ def test_training_data_card_no_cartesian_partial_agg(spark):
     plan = _plan(spark, "pipeline_training_data_card")
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
+
+
+def test_intradoc_span_dedup_map_only(spark):
+    """In-doc span removal is pure array higher-order functions — any
+    Exchange means a refactor introduced a shuffle into a scan-speed op."""
+    plan = _plan(spark, "text_intradoc_span_dedup")
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_pairwise_sim_hist_broadcasts_sample(spark):
+    """The hash-sampled embedding subset self-joins via broadcast; the
+    corpus-sized side never shuffles and the pair join is never a
+    cartesian product over the full table."""
+    plan = _plan(spark, "embedding_pairwise_sim_hist")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_epoch_schedule_broadcast_totals_partial_agg(spark):
+    """One corpus scan with map-side partial aggregation; the 1-row totals
+    frame joins back as a broadcast."""
+    plan = _plan(spark, "curation_epoch_repeat_schedule")
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontam_provenance_broadcasts_benchmark(spark):
+    """Provenance joins the corpus gram stream against the BROADCAST
+    benchmark grams — same no-corpus-shuffle contract as decontam."""
+    plan = _plan(spark, "decontam_provenance")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
