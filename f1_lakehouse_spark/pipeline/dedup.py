@@ -1842,3 +1842,107 @@ def dedup_minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh.unpersist()
     shk_raw.unpersist()
     return out
+
+
+# --- quality-aware cluster representative ----------------------------------------------
+# dedup_keep_list keeps the MIN-doc_id member of each near-dup cluster —
+# correct but arbitrary. Production corpora keep the BEST member (the
+# highest-quality duplicate survives; the SemDeDup/RefinedWeb papers both
+# note representative choice matters downstream). Deterministic quality
+# key: passes_quality DESC, n_words DESC, doc_id ASC — all integers from
+# the quality-filter features, so the argmax is bit-stable. One window
+# over cluster_id (the same key the CC labeling already shuffled on) and
+# a same-key join back; the representative table is |clusters|-sized.
+
+
+def _best_rep_oracle() -> str:
+    from f1_lakehouse_spark.registry import REGISTRY as _R
+
+    quality = _R["text_quality_score"].oracle
+    return f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+),
+full_map AS (
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+),
+q AS ({quality}),
+scored AS (
+    SELECT f.doc_id, f.cluster_id, q.passes_quality, q.n_words
+    FROM full_map f JOIN q ON q.doc_id = f.doc_id
+),
+ranked AS (
+    SELECT doc_id, cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY passes_quality DESC, n_words DESC,
+                                       doc_id ASC) AS rk
+    FROM scored
+)
+SELECT a.doc_id, a.cluster_id,
+       CASE WHEN a.rk = 1 THEN 1 ELSE 0 END AS is_representative,
+       b.doc_id AS rep_doc_id
+FROM ranked a
+JOIN (SELECT cluster_id, doc_id FROM ranked WHERE rk = 1) b
+  ON b.cluster_id = a.cluster_id
+"""
+
+
+@register(
+    "dedup_best_representative",
+    oracle=_best_rep_oracle(),
+    doc="quality-aware near-dup representative: per cluster the best "
+    "member by (passes_quality, n_words, doc_id) survives — integer-"
+    "deterministic argmax, one cluster_id window + same-key join back",
+    tags=("pipeline", "dedup", "apply"),
+)
+def dedup_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.pipeline.text import text_quality_score
+
+    clus = dedup_clusters(spark, sf_dir).withColumnRenamed(
+        "cluster_id", "cl_id"
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    full = d.join(clus, "doc_id", "left").select(
+        "doc_id", F.coalesce("cl_id", "doc_id").alias("cluster_id")
+    )
+    qual = text_quality_score(spark, sf_dir).select(
+        "doc_id", "n_words", "passes_quality"
+    )
+    scored = full.join(qual, "doc_id")
+    from pyspark.sql import Window
+
+    rk_w = Window.partitionBy("cluster_id").orderBy(
+        F.col("passes_quality").desc(), F.col("n_words").desc(),
+        F.col("doc_id").asc(),
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(rk_w)).select(
+        "doc_id", "cluster_id", "rk"
+    )
+    # ranked feeds both join sides (derived-frame self-join convention)
+    ranked = ranked.persist()
+    ranked.count()
+    reps = ranked.filter(F.col("rk") == 1).select(
+        "cluster_id", F.col("doc_id").alias("rep_doc_id")
+    )
+    out = ranked.join(reps, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        F.when(F.col("rk") == 1, 1).otherwise(0).alias("is_representative"),
+        "rep_doc_id",
+    )
+    out = out.persist()
+    out.count()
+    ranked.unpersist()
+    return out
