@@ -155,6 +155,8 @@ EXTENDED = [
     "embedding_pairwise_sim_hist",
     "curation_epoch_repeat_schedule",
     "decontam_provenance",
+    "curation_cluster_safe_split",
+    "dedup_best_representative",
 ]
 
 
