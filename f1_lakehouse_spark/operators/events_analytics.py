@@ -907,3 +907,136 @@ def events_bot_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("bot_flag"),
     )
+
+
+# --- CUPED variance-reduced lift --------------------------------------------------------
+# The experimentation-platform upgrade to events_ab_test_lift: CUPED
+# (Deng et al., controlled-experiment variance reduction) regresses the
+# experiment-period metric on the PRE-period metric and removes the
+# explained variance: theta = cov(x,y)/var(x) pooled across arms,
+# adjusted arm mean = mean(y) - theta*(mean(x) - mean(x_all)). The
+# pre/post boundary is the integer epoch-microsecond midpoint of the
+# event window. Every cross-user moment accumulates via the
+# DECIMAL(28,9) idiom (order-independent, partitioning-independent);
+# theta and the lifts are computed on the single 1-row aggregate, where
+# IEEE double arithmetic is engine-identical. Shape at 100 TB: one
+# broadcast of the 1-row bounds, one user-keyed aggregate (map-side
+# combined), one global 1-row aggregate — the stream shuffles once.
+
+
+@register(
+    "events_cuped_adjusted_lift",
+    oracle=f"""
+WITH b AS (
+    SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS cutoff FROM events
+),
+users AS (
+    SELECT e.user_id,
+           {sql_salted_hash("e.user_id", ":ab")} % 2 AS variant,
+           CAST(SUM(CASE WHEN epoch_us(e.ts) <= b.cutoff
+                         THEN CAST(e.value AS DECIMAL(28,9))
+                         ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE) AS x,
+           CAST(SUM(CASE WHEN epoch_us(e.ts) > b.cutoff
+                         THEN CAST(e.value AS DECIMAL(28,9))
+                         ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE) AS y
+    FROM events e, b GROUP BY 1, 2
+),
+m AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * x AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(x * y AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+           CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN variant = 0 THEN CAST(x AS DECIMAL(28,9))
+                         ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE) AS sx_a,
+           CAST(SUM(CASE WHEN variant = 1 THEN CAST(x AS DECIMAL(28,9))
+                         ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE) AS sx_b,
+           CAST(SUM(CASE WHEN variant = 0 THEN CAST(y AS DECIMAL(28,9))
+                         ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE) AS sy_a,
+           CAST(SUM(CASE WHEN variant = 1 THEN CAST(y AS DECIMAL(28,9))
+                         ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE) AS sy_b
+    FROM users
+)
+SELECT n_a, n_b,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+       sy_b / n_b - sy_a / n_a AS lift_raw,
+       (sy_b / n_b - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                      * (sx_b / n_b - sx / n))
+       - (sy_a / n_a - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                        * (sx_a / n_a - sx / n)) AS lift_cuped
+FROM m
+""",
+    doc="CUPED variance-reduced A/B lift: pre-period covariate from the "
+    "epoch-midpoint split, pooled theta from decimal-exact moments, "
+    "adjusted arm means — one user aggregate + one 1-row aggregate",
+    tags=("events", "experiment", "ab"),
+)
+def events_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.pipeline.hashing import spark_salted_hash
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    bounds = e.agg(
+        F.min(us).alias("minu"), F.max(us).alias("maxu")
+    ).select(F.expr("(minu + maxu) div 2").alias("cutoff"))
+    dec0 = F.lit(0).cast("decimal(28,9)")
+    v = F.col("value")
+    users = (
+        e.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(us <= F.col("cutoff"), v.cast("decimal(28,9)")).otherwise(dec0)
+            )
+            .cast("double")
+            .alias("x"),
+            F.sum(
+                F.when(us > F.col("cutoff"), v.cast("decimal(28,9)")).otherwise(dec0)
+            )
+            .cast("double")
+            .alias("y"),
+        )
+        .select(
+            (spark_salted_hash("user_id", ":ab") % 2).alias("variant"), "x", "y"
+        )
+    )
+    x, y = F.col("x"), F.col("y")
+    is_a, is_b = F.col("variant") == 0, F.col("variant") == 1
+    m = users.agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(28,9)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(28,9)")).cast("double").alias("sy"),
+        F.sum((x * x).cast("decimal(28,9)")).cast("double").alias("sxx"),
+        F.sum((x * y).cast("decimal(28,9)")).cast("double").alias("sxy"),
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, x.cast("decimal(28,9)")).otherwise(dec0))
+        .cast("double")
+        .alias("sx_a"),
+        F.sum(F.when(is_b, x.cast("decimal(28,9)")).otherwise(dec0))
+        .cast("double")
+        .alias("sx_b"),
+        F.sum(F.when(is_a, y.cast("decimal(28,9)")).otherwise(dec0))
+        .cast("double")
+        .alias("sy_a"),
+        F.sum(F.when(is_b, y.cast("decimal(28,9)")).otherwise(dec0))
+        .cast("double")
+        .alias("sy_b"),
+    )
+    n = F.col("n")
+    sx, sy, sxx, sxy = F.col("sx"), F.col("sy"), F.col("sxx"), F.col("sxy")
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    mean_y_a, mean_y_b = F.col("sy_a") / F.col("n_a"), F.col("sy_b") / F.col("n_b")
+    mean_x_a, mean_x_b = F.col("sx_a") / F.col("n_a"), F.col("sx_b") / F.col("n_b")
+    mean_x = sx / n
+    adj_a = mean_y_a - theta * (mean_x_a - mean_x)
+    adj_b = mean_y_b - theta * (mean_x_b - mean_x)
+    return m.select(
+        "n_a",
+        "n_b",
+        theta.alias("theta"),
+        (mean_y_b - mean_y_a).alias("lift_raw"),
+        (adj_b - adj_a).alias("lift_cuped"),
+    )
