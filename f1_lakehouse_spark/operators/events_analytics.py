@@ -916,12 +916,17 @@ def events_bot_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # explained variance: theta = cov(x,y)/var(x) pooled across arms,
 # adjusted arm mean = mean(y) - theta*(mean(x) - mean(x_all)). The
 # pre/post boundary is the integer epoch-microsecond midpoint of the
-# event window. Every cross-user moment accumulates via the
-# DECIMAL(28,9) idiom (order-independent, partitioning-independent);
-# theta and the lifts are computed on the single 1-row aggregate, where
-# IEEE double arithmetic is engine-identical. Shape at 100 TB: one
-# broadcast of the 1-row bounds, one user-keyed aggregate (map-side
-# combined), one global 1-row aggregate — the stream shuffles once.
+# event window. Determinism: the per-user covariates stay DECIMAL end to
+# end (rescaled to (18,6) so the cross product (37,12) fits), every
+# cross-user moment is an exact decimal sum, and doubles appear only in
+# the final 1-row select where IEEE arithmetic is engine-identical.
+# (Squaring a DOUBLE and casting the product to DECIMAL is NOT
+# engine-stable — Spark rounds the product's shortest decimal repr,
+# DuckDB rounds the true binary expansion, and they disagree on edge
+# values; measured on this exact op at sf0.001.)
+# Shape at 100 TB: one broadcast of the 1-row bounds, one user-keyed
+# aggregate (map-side combined), one global 1-row aggregate — the stream
+# shuffles once.
 
 
 @register(
@@ -935,28 +940,28 @@ users AS (
            {sql_salted_hash("e.user_id", ":ab")} % 2 AS variant,
            CAST(SUM(CASE WHEN epoch_us(e.ts) <= b.cutoff
                          THEN CAST(e.value AS DECIMAL(28,9))
-                         ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE) AS x,
+                         ELSE CAST(0 AS DECIMAL(28,9)) END) AS DECIMAL(19,6)) AS x,
            CAST(SUM(CASE WHEN epoch_us(e.ts) > b.cutoff
                          THEN CAST(e.value AS DECIMAL(28,9))
-                         ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE) AS y
+                         ELSE CAST(0 AS DECIMAL(28,9)) END) AS DECIMAL(19,6)) AS y
     FROM events e, b GROUP BY 1, 2
 ),
 m AS (
     SELECT COUNT(*) AS n,
-           CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) AS sx,
-           CAST(SUM(CAST(y AS DECIMAL(28,9))) AS DOUBLE) AS sy,
-           CAST(SUM(CAST(x * x AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
-           CAST(SUM(CAST(x * y AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+           CAST(round(SUM(x), 3) AS DOUBLE) AS sx,
+           CAST(round(SUM(y), 3) AS DOUBLE) AS sy,
+           CAST(round(SUM(x * x), 3) AS DOUBLE) AS sxx,
+           CAST(round(SUM(x * y), 3) AS DOUBLE) AS sxy,
            CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
            CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-           CAST(SUM(CASE WHEN variant = 0 THEN CAST(x AS DECIMAL(28,9))
-                         ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE) AS sx_a,
-           CAST(SUM(CASE WHEN variant = 1 THEN CAST(x AS DECIMAL(28,9))
-                         ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE) AS sx_b,
-           CAST(SUM(CASE WHEN variant = 0 THEN CAST(y AS DECIMAL(28,9))
-                         ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE) AS sy_a,
-           CAST(SUM(CASE WHEN variant = 1 THEN CAST(y AS DECIMAL(28,9))
-                         ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE) AS sy_b
+           CAST(round(SUM(CASE WHEN variant = 0 THEN x
+                         ELSE CAST(0 AS DECIMAL(19,6)) END), 3) AS DOUBLE) AS sx_a,
+           CAST(round(SUM(CASE WHEN variant = 1 THEN x
+                         ELSE CAST(0 AS DECIMAL(19,6)) END), 3) AS DOUBLE) AS sx_b,
+           CAST(round(SUM(CASE WHEN variant = 0 THEN y
+                         ELSE CAST(0 AS DECIMAL(19,6)) END), 3) AS DOUBLE) AS sy_a,
+           CAST(round(SUM(CASE WHEN variant = 1 THEN y
+                         ELSE CAST(0 AS DECIMAL(19,6)) END), 3) AS DOUBLE) AS sy_b
     FROM users
 )
 SELECT n_a, n_b,
@@ -969,8 +974,9 @@ SELECT n_a, n_b,
 FROM m
 """,
     doc="CUPED variance-reduced A/B lift: pre-period covariate from the "
-    "epoch-midpoint split, pooled theta from decimal-exact moments, "
-    "adjusted arm means — one user aggregate + one 1-row aggregate",
+    "epoch-midpoint split, pooled theta from decimal-exact moments "
+    "(covariates held in DECIMAL through the cross products), adjusted "
+    "arm means — one user aggregate + one 1-row aggregate",
     tags=("events", "experiment", "ab"),
 )
 def events_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -982,6 +988,7 @@ def events_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(us).alias("minu"), F.max(us).alias("maxu")
     ).select(F.expr("(minu + maxu) div 2").alias("cutoff"))
     dec0 = F.lit(0).cast("decimal(28,9)")
+    dec0_6 = F.lit(0).cast("decimal(16,6)")
     v = F.col("value")
     users = (
         e.crossJoin(F.broadcast(bounds))
@@ -990,12 +997,12 @@ def events_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(us <= F.col("cutoff"), v.cast("decimal(28,9)")).otherwise(dec0)
             )
-            .cast("double")
+            .cast("decimal(16,6)")
             .alias("x"),
             F.sum(
                 F.when(us > F.col("cutoff"), v.cast("decimal(28,9)")).otherwise(dec0)
             )
-            .cast("double")
+            .cast("decimal(16,6)")
             .alias("y"),
         )
         .select(
@@ -1006,24 +1013,16 @@ def events_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_a, is_b = F.col("variant") == 0, F.col("variant") == 1
     m = users.agg(
         F.count("*").alias("n"),
-        F.sum(x.cast("decimal(28,9)")).cast("double").alias("sx"),
-        F.sum(y.cast("decimal(28,9)")).cast("double").alias("sy"),
-        F.sum((x * x).cast("decimal(28,9)")).cast("double").alias("sxx"),
-        F.sum((x * y).cast("decimal(28,9)")).cast("double").alias("sxy"),
+        F.sum(x).cast("decimal(38,3)").cast("double").alias("sx"),
+        F.sum(y).cast("decimal(38,3)").cast("double").alias("sy"),
+        F.sum(x * x).cast("decimal(38,3)").cast("double").alias("sxx"),
+        F.sum(x * y).cast("decimal(38,3)").cast("double").alias("sxy"),
         F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
         F.sum(F.when(is_b, 1).otherwise(0)).cast("long").alias("n_b"),
-        F.sum(F.when(is_a, x.cast("decimal(28,9)")).otherwise(dec0))
-        .cast("double")
-        .alias("sx_a"),
-        F.sum(F.when(is_b, x.cast("decimal(28,9)")).otherwise(dec0))
-        .cast("double")
-        .alias("sx_b"),
-        F.sum(F.when(is_a, y.cast("decimal(28,9)")).otherwise(dec0))
-        .cast("double")
-        .alias("sy_a"),
-        F.sum(F.when(is_b, y.cast("decimal(28,9)")).otherwise(dec0))
-        .cast("double")
-        .alias("sy_b"),
+        F.sum(F.when(is_a, x).otherwise(dec0_6)).cast("decimal(38,3)").cast("double").alias("sx_a"),
+        F.sum(F.when(is_b, x).otherwise(dec0_6)).cast("decimal(38,3)").cast("double").alias("sx_b"),
+        F.sum(F.when(is_a, y).otherwise(dec0_6)).cast("decimal(38,3)").cast("double").alias("sy_a"),
+        F.sum(F.when(is_b, y).otherwise(dec0_6)).cast("decimal(38,3)").cast("double").alias("sy_b"),
     )
     n = F.col("n")
     sx, sy, sxx, sxy = F.col("sx"), F.col("sy"), F.col("sxx"), F.col("sxy")
