@@ -157,6 +157,7 @@ EXTENDED = [
     "decontam_provenance",
     "curation_cluster_safe_split",
     "dedup_best_representative",
+    "events_cuped_adjusted_lift",
 ]
 
 
