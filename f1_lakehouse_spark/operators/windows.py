@@ -524,9 +524,9 @@ spine AS (
 )
 SELECT s.user_id, s.day,
        COALESCE(p.n, 0) AS n_events,
-       SUM(COALESCE(p.n, 0)) OVER (
+       CAST(SUM(COALESCE(p.n, 0)) OVER (
            PARTITION BY s.user_id ORDER BY s.day
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_events
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events
 FROM spine s LEFT JOIN per p ON p.user_id = s.user_id AND p.day = s.day
 """,
     doc="per-user daily activity densified onto a complete date spine "

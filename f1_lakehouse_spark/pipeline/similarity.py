@@ -1720,20 +1720,55 @@ def _spark_pi_update(e: DataFrame, v: list[float]) -> list[float]:
     return [x / nrm for x in s]
 
 
+# Both spectral queries train the SAME top-PC vector (the deflation op
+# projects it out of every iterate), so the trained model — a DIM-sized
+# Python list, driver-side only, no executor storage — is shared through a
+# single-entry cache keyed by (session, input), the same discipline as
+# text.char_trigram_frame. Whichever spectral query runs first pays the
+# PI_ITERS corpus scans; the other reuses the vector for free.
+_TOP_PC_CACHE: dict[tuple[str, str], list[float]] = {}
+
+
+def top_pc_vector(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> list[float]:
+    """Trained top-PC direction, cached per (session, sf_dir).
+
+    Pass a pre-persisted embeddings frame ``e`` to reuse its storage for
+    the training scans; otherwise the helper persists (and materializes,
+    per the self-join/iteration discipline) its own frame for the
+    iterations and unpersists it before returning.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _TOP_PC_CACHE.get(key)
+    if hit is not None:
+        return hit
+    _TOP_PC_CACHE.clear()  # one entry: model rolls over on input change
+    own = e is None
+    if own:
+        e = load_table(spark, sf_dir, "embeddings").persist()
+        e.count()  # materialize: scanned PI_ITERS times
+    v = [_PI_V0] * DIM
+    for _ in range(PI_ITERS):
+        v = _spark_pi_update(e, v)
+    if own:
+        e.unpersist()
+    _TOP_PC_CACHE[key] = v
+    return v
+
+
 @register(
     "embedding_top_pc_power_iter",
     oracle=_PI_ORACLE,
     doc=f"top principal direction of the embedding cloud: {PI_ITERS} power "
     "iterations over the uncentered second moment, matrix-free (one "
     "(dim, scaled-int) shuffle per iteration, model to driver like "
-    "k-means); oracle unrolls the identical iterations in SQL",
+    "k-means); oracle unrolls the identical iterations in SQL; trained "
+    "vector shared with the deflation op via the (session, input) cache",
     tags=("pipeline", "similarity", "spectral"),
 )
 def embedding_top_pc_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
-    v = [_PI_V0] * DIM
-    for _ in range(PI_ITERS):
-        v = _spark_pi_update(e, v)
+    v = top_pc_vector(spark, sf_dir)
     rows = [(i, round(x, 9)) for i, x in enumerate(v)]
     return spark.createDataFrame(rows, "dim int, loading double")
 
@@ -2312,10 +2347,8 @@ def _spark_pi_update_deflated(
 def embedding_top2_pc_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     e = e.persist()
-    e.count()  # scanned by 4 iteration rounds
-    v = [_PI_V0] * DIM
-    for _ in range(PI_ITERS):
-        v = _spark_pi_update(e, v)
+    e.count()  # scanned by up to 4 iteration rounds (2 on a v1 cache hit)
+    v = top_pc_vector(spark, sf_dir, e)  # shared trained model (cache)
     w = [_PI_V0] * DIM
     for _ in range(PI_ITERS):
         w = _spark_pi_update_deflated(e, w, v)

@@ -48,15 +48,18 @@ def register(
 
 # The external driver differentially checks only the FIRST 50 entries of
 # ``queries()``, so the dict is emitted in an explicit priority order.
-# Rotation policy (round 3): the window holds 4 always-keep anchors
-# (flagship + the three core shapes that must stay green every round) and
-# fills the remaining 46 slots with queries that have NEVER had a driver
-# row in CORRECTNESS_r01/r02 (96 unique queries were driver-green across
-# those rounds; everything below is exact-oracle and already MATCHes in
-# the full local `drive_contract.py` differential at sf0.01, so rotating
-# them in grows the driver-verified unique count to ~142 with no risk to
-# the gate). `approx_sketches` (no exact DuckDB twin by nature) is OUT of
-# the window per the r2 verdict — it stays registered and pytest-pinned.
+# Rotation policy (round 4): 4 always-keep anchors + `events_date_spine_ffill`
+# (the one r3 red row — oracle windowed SUM now CAST to BIGINT; it stays in
+# the window until it has a green driver row) + 45 queries with NO driver row
+# in any CORRECTNESS_r01/r02/r03, prioritized per the r3 verdict: the
+# prefix-sum family, the composed IVF-PQ retrieval chain, experimentation
+# (CUPED/AB), the training-data card, and the families whose machinery has
+# never been driver-exercised (text/curation/embedding diagnostics, CDC,
+# cluster-safe split). Every entry below is exact-oracle and pre-verified
+# via `DRIVE_ONLY=... python scripts/drive_contract.py` (the documented
+# convention), so rotation grows driver-verified unique coverage 142 → ~188
+# with no risk to the gate. `hll_mergeable_distinct` (rows-only by nature)
+# and `approx_sketches` stay OUT of the window per the r2 verdict.
 DRIVER_WINDOW = 50
 
 PRIORITY: tuple[str, ...] = (
@@ -65,62 +68,61 @@ PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "join_asof_latest_order",
     "dedup_minhash_verified",  # dedup anchor: exercises shingle→minhash→band→verify
-    # --- r3 rotation: TPC-H derived-plan suite (never driver-checked) ---
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q20_excess_supply_suppliers",
-    "q21_waiting_orders",
-    # --- windows / event analytics ---
-    "w_running_total",
-    "w_lag_lead_frames",
-    "w_percentrank_cumedist",
-    "w_topk_per_group_limit",
-    "w_session_window_native",
-    "events_sliding_window",
-    "events_multires_rollup",
+    # --- r3 red row, fixed this round; held until green ---
     "events_date_spine_ffill",
-    "events_last_touch_attribution",
-    "events_markov_transitions",
-    "events_path_regex_conversion",
-    "events_anomaly_zscore",
-    # --- grouping sets / semi-structured / sketches / skyline ---
-    "grouping_sets_mixed",
-    "json_roundtrip_events",
-    "variant_events_extract",
-    "xml_roundtrip_events",
-    "cms_heavy_hitters",  # exact-oracle CountMin (r2 verdict promotion)
-    "skyline_price_size",
-    # --- join strategies ---
-    "join_asof_nearest_order",
-    "join_interval_overlap_bucketed",
-    "join_minmax_prefilter",
-    "join_full_outer_reconcile",
-    # --- sorts / sets / skew / argmax ---
-    "o6_pagination_offset",
-    "set_intersect_active_years",
-    "set_except_inactive_customers",
-    "skew_salted_aggregate",
-    "a14_mode_argmax",
-    # --- Arrow/pandas exemplar twins ---
-    "scalar_pandas_udf_revenue",
-    "a7_median_groupedagg",
-    "maparrow_token_stats",
-    # --- ANN compressed-retrieval chain + graph ---
-    "ann_pq_adc_topk",
-    "ann_pq_rerank",
-    "ann_lsh_multiprobe",
-    "ann_mips_norm_augment",
-    # scoring family (new in r3) must hold a window slot until it has a
-    # recorded driver row — ann_hard_negatives rotated out (its family
-    # already carries r2 greens); verified via DRIVE_ONLY before the swap.
-    "dsir_importance_weights",
-    "graph_triangle_count",  # r2 verdict promotion
+    # --- global prefix-sum family (range repartition + pid offsets) ---
+    "pareto_abc_parts",
+    "weighted_percentile_price",
+    "events_peak_concurrency",
+    "orders_rfm_segmentation",
+    # --- composed IVF-PQ retrieval chain ---
+    "ann_ivf_pq",
+    "ann_ivfpq_recall",
+    "ann_ivf_nprobe_sweep",
+    # --- experimentation / event analytics ---
+    "events_cuped_adjusted_lift",
+    "events_ab_test_lift",
+    "events_gaps_islands",
+    "events_cusum_changepoint",
+    "events_funnel_time_bound",
+    "events_dau_wau_stickiness",
+    "events_bot_heuristic",
+    "events_late_data_audit",
+    "join_asof_tolerance",
+    # --- dedup machinery never driver-exercised ---
+    "dedup_snm_multipass",
+    "dedup_best_representative",
+    "dedup_minhash_band_curve",
+    "dedup_lsh_candidate_recall",
+    "dedup_edit_distance",
+    "curation_cluster_safe_split",
+    # --- text / scoring ---
+    "text_bigram_pmi_top",
+    "text_intradoc_span_dedup",
+    "text_bpe_encode",
+    "text_source_vocab_entropy",
+    "text_tokenizer_fertility",
+    "text_phrase_search_postings",
+    "quality_perplexity_buckets",
+    "dsir_resample",
+    # --- embedding diagnostics ---
+    "embedding_top_pc_power_iter",
+    "embedding_top2_pc_deflation",
+    "embedding_pairwise_sim_hist",
+    "embedding_mahalanobis_outliers",
+    "embedding_quantize_int8",
+    "embedding_drift_centroid_shift",
+    # --- curation ---
+    "curation_epoch_repeat_schedule",
+    "curation_greedy_coverage",
+    "curation_kcenter_diversity",
+    "curation_shard_balance_audit",
+    "curation_global_shuffle_shard",
+    # --- multimodal / filtering / report ---
+    "mm_payload_cdc_chunks",
+    "mm_frame_sample",
+    "decontam_provenance",
+    "pipeline_training_data_card",
 )
 
 

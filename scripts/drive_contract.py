@@ -6,6 +6,7 @@ from pyspark.sql import SparkSession
 import duckdb
 
 import __spark_entry__ as m
+from f1_lakehouse_spark.quality.dtype_lint import family_mismatches
 
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "8")
@@ -42,8 +43,14 @@ for name, fn in sorted(qs.items()):
         res = con.execute(oracles[name])
         dcols = sorted(d[0] for d in res.description)
         drows = res.fetchall()
+        rel = con.sql(oracles[name])
+        fams = family_mismatches(dict(sdf.dtypes), dict(zip(rel.columns, map(str, rel.types))))
         if scols != dcols:
             fails.append((name, "schema", scols, dcols)); status="SCHEMA-FAIL"
+        elif fams:
+            # the driver's value hash is dtype-sensitive; a str()-equal result
+            # with a diverging type family would pass here but fail there
+            fails.append((name, "dtype-family", fams)); status="DTYPE-FAIL"
         elif len(srows) != len(drows):
             fails.append((name, "rowcount", len(srows), len(drows))); status="COUNT-FAIL"
         else:
