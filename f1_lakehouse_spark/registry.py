@@ -87,8 +87,11 @@ PRIORITY: tuple[str, ...] = (
     "events_funnel_time_bound",
     "events_dau_wau_stickiness",
     "events_bot_heuristic",
-    "events_late_data_audit",
     "join_asof_tolerance",
+    # --- F1 parity layer (r3 verdict item 6: the dashboard/model functions
+    # themselves, run over the documented lineitem→silver mapping) ---
+    "f1_driver_session_summary",
+    "f1_fastest_laps",
     # --- dedup machinery never driver-exercised ---
     "dedup_snm_multipass",
     "dedup_best_representative",
@@ -120,7 +123,6 @@ PRIORITY: tuple[str, ...] = (
     "curation_global_shuffle_shard",
     # --- multimodal / filtering / report ---
     "mm_payload_cdc_chunks",
-    "mm_frame_sample",
     "decontam_provenance",
     "pipeline_training_data_card",
 )
@@ -155,6 +157,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     import f1_lakehouse_spark.operators  # noqa: F401
+    from f1_lakehouse_spark.f1 import adapters  # noqa: F401
     from f1_lakehouse_spark.pipeline import (  # noqa: F401
         curation,
         dedup,
