@@ -158,7 +158,22 @@ EXTENDED = [
     "curation_cluster_safe_split",
     "dedup_best_representative",
     "events_cuped_adjusted_lift",
+    # round-4 additions: F1 parity adapters (the dashboard/model functions
+    # over the documented lineitem/orders mapping)
+    "f1_driver_session_summary",
+    "f1_team_event_summary",
+    "f1_fastest_laps",
+    "f1_weather_pace_join",
 ]
+
+# Bench breadth freeze (r3 verdict item 8): the extended suite passed 100
+# queries, where single-run noise on the shared VM starts to swamp
+# round-over-round signal and inflates the driver's bench wall-time. The
+# printed JSON line (what the driver records as BENCH_r{N}) is now the
+# STABLE headline only — comparable one-to-one across rounds — and the
+# extended sweep runs only when explicitly requested; its full detail is
+# committed in BENCH_LOCAL.json each round.
+EXTENDED_ENABLED = os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "0") == "1"
 
 
 def main() -> None:
@@ -207,28 +222,33 @@ def main() -> None:
         return out
 
     times = time_set(HEADLINE)
-    extended = time_set(EXTENDED)
+    extended = time_set(EXTENDED) if EXTENDED_ENABLED else None
     total = round(sum(times.values()), 3)
     payload = {
         "metric": "headline_suite_total_sec",
         "value": total,
         "unit": "sec",
         "queries": times,
-        "extended": extended,
         "calib": calib,
         "sf": float(sf),
     }
+    if extended is not None:
+        payload["extended"] = extended
     # The driver tail-captures stdout; r2's stored line was truncated by
     # post-print JVM shutdown noise + line length. Defend both ways:
     # full payload to a file, then stop Spark BEFORE printing so the JSON
     # line is the absolute last stdout output (extended detail lives in the
     # file to keep the printed line comfortably inside any tail window).
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
-        json.dump(payload, f, indent=1)
+    # Extended detail only overwrites the committed BENCH_LOCAL.json when the
+    # extended sweep actually ran (headline-only runs would clobber it).
+    if extended is not None:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+            json.dump(payload, f, indent=1)
     spark.stop()
     line = dict(payload)
-    line["extended_total_sec"] = round(sum(extended.values()), 3)
-    del line["extended"]
+    if extended is not None:
+        line["extended_total_sec"] = round(sum(extended.values()), 3)
+        del line["extended"]
     print(json.dumps(line), flush=True)
 
 
