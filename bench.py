@@ -164,6 +164,12 @@ EXTENDED = [
     "f1_team_event_summary",
     "f1_fastest_laps",
     "f1_weather_pace_join",
+    # round-4 additions: pipeline operators
+    "dedup_corpus_lines",
+    "text_repetition_loop_detect",
+    "scoring_hashed_linear_quality",
+    "curation_doremi_reweight",
+    "events_retention_cohorts",
 ]
 
 # Bench breadth freeze (r3 verdict item 8): the extended suite passed 100

@@ -852,3 +852,120 @@ def curation_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# --- DoReMi-style domain reweighting (coupled fixed-point rounds) --------------------
+# The mixture-optimization step between "measure per-domain loss" and
+# "set sampling weights" (DoReMi, Group DRO): domains whose excess loss is
+# high AND whose current mixture share is low get their weight multiplied
+# up; the coupling through the share term means each round depends on the
+# previous round's normalized weights — a genuine fixed-point iteration,
+# not a closed form. Everything is int64 fixed-point (ppm shares,
+# milli-factors, floor division) so T unrolled rounds are bit-identical
+# across engines and cluster topologies — the same discipline as
+# curation_epoch_repeat_schedule.
+#
+# Scale: one corpus aggregate produces the |domains|-row model frame; each
+# round is a broadcast of a 1-row sum into that model frame. The corpus is
+# scanned ONCE regardless of T.
+
+DOREMI_ROUNDS = 3
+DOREMI_PPM = 1_000_000
+DOREMI_M0 = 1_000_000
+DOREMI_ECAP = 1000  # cap excess so a round's factor stays <= 2x
+
+
+def _doremi_round_sql(prev: str, out: str) -> str:
+    return f"""
+{out}_tot AS (SELECT SUM(m) AS tot FROM {prev}),
+{out} AS (
+    SELECT p.source, p.n_docs, p.loss, p.ec,
+           (p.m * (1000 + (p.ec * ({DOREMI_PPM} - (p.m * {DOREMI_PPM} // t.tot))
+                           // {DOREMI_PPM}))) // 1000 AS m
+    FROM {prev} p, {out}_tot t
+)"""
+
+
+@register(
+    "curation_doremi_reweight",
+    oracle=f"""
+WITH base AS (
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(n_chars) // COUNT(*) AS loss
+    FROM documents GROUP BY 1
+),
+lmin AS (SELECT MIN(loss) AS l0 FROM base),
+r0 AS (
+    SELECT b.source, b.n_docs, b.loss,
+           least(b.loss - m.l0, {DOREMI_ECAP}) AS ec,
+           CAST({DOREMI_M0} AS BIGINT) AS m
+    FROM base b, lmin m
+),{_doremi_round_sql("r0", "r1")},{_doremi_round_sql("r1", "r2")},{_doremi_round_sql("r2", "r3")},
+fin AS (SELECT SUM(m) AS tot FROM r3)
+SELECT r.source,
+       CAST(r.n_docs AS BIGINT) AS n_docs,
+       CAST(r.loss AS BIGINT) AS loss,
+       CAST(r.ec AS BIGINT) AS excess,
+       CAST(r.m AS BIGINT) AS m_final,
+       CAST(r.m * {DOREMI_PPM} // f.tot AS BIGINT) AS weight_ppm
+FROM r3 r, fin f
+""",
+    doc=f"DoReMi-style domain mixture reweighting: {DOREMI_ROUNDS} coupled "
+    "fixed-point rounds where high-excess low-share domains multiply up, "
+    "all int64 ppm arithmetic (bit-identical across engines/topologies); "
+    "one corpus scan, then model-frame-only rounds",
+    tags=("pipeline", "curation", "mixture"),
+)
+def curation_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("sum(n_chars) div count(*)").alias("loss"),
+    )
+    # persist + materialize the |domains|-row model frame BEFORE the coupled
+    # rounds: every round's sum and the final plan re-derive their lineage,
+    # which without the cache re-runs the corpus aggregate dozens of times
+    # (each round doubles the scan count). With it, the corpus is scanned
+    # exactly once — the property test pins this.
+    base = base.persist()
+    base.count()
+    lmin = base.agg(F.min("loss").alias("l0"))
+    f = (
+        base.crossJoin(F.broadcast(lmin))
+        .select(
+            "source",
+            "n_docs",
+            "loss",
+            F.least(F.col("loss") - F.col("l0"), F.lit(DOREMI_ECAP)).alias("ec"),
+            F.lit(DOREMI_M0).cast("long").alias("m"),
+        )
+    )
+    for _ in range(DOREMI_ROUNDS):
+        tot = f.agg(F.sum("m").alias("tot"))
+        f = (
+            f.crossJoin(F.broadcast(tot))
+            .select(
+                "source",
+                "n_docs",
+                "loss",
+                "ec",
+                F.expr(
+                    f"(m * (1000 + (ec * ({DOREMI_PPM} - (m * {DOREMI_PPM} div tot))"
+                    f" div {DOREMI_PPM}))) div 1000"
+                ).alias("m"),
+            )
+        )
+    fin = f.agg(F.sum("m").alias("tot"))
+    res = f.crossJoin(F.broadcast(fin)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("loss").cast("long").alias("loss"),
+        F.col("ec").cast("long").alias("excess"),
+        F.col("m").cast("long").alias("m_final"),
+        F.expr(f"m * {DOREMI_PPM} div tot").cast("long").alias("weight_ppm"),
+    )
+    # materialize the |domains|-row result, then release the model cache
+    res = res.persist()
+    res.count()
+    base.unpersist()
+    return res

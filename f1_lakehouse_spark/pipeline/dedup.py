@@ -1946,3 +1946,108 @@ def dedup_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     ranked.unpersist()
     return out
+
+
+# --- corpus-level line dedup (CCNet-style) -------------------------------------------
+# The other axis of textual dedup: intradoc span dedup (text.py) removes
+# repeats WITHIN a document; this removes segments repeated ACROSS the
+# corpus — boilerplate headers/footers/navigation that survive doc-level
+# near-dup because the surrounding text differs (the CCNet/RefinedWeb
+# "line-level dedup" stage). A "line" here is a fixed non-overlapping
+# 8-word window (the synthetic corpus has no newlines; the window plays
+# the paragraph-line role deterministically).
+#
+# Scale shape: explode docs into (doc_id, line_no, line_hash) — map-side;
+# ONE hash-keyed aggregate counts distinct docs per line (map-side
+# combine, hash keys distribute evenly); segments re-join counts on the
+# SAME key (no second shuffle of the corpus text — only 48-bit hashes
+# move); one final doc_id aggregate rebuilds per-doc stats and the kept
+# signature from hashes in line order. Nothing is all-pairs; the dup-line
+# set is never collected or broadcast (it can be corpus-sized at 100 TB).
+
+LINE_W = 8  # words per pseudo-line
+LINE_DUP_DOCS = 2  # a line in >= 2 distinct docs is corpus-duplicated
+
+
+@register(
+    "dedup_corpus_lines",
+    oracle=f"""
+WITH segs AS (
+    SELECT doc_id, j AS line_no,
+           {sql_md5_hash48("array_to_string(ws[(j-1)*" + str(LINE_W) + "+1:j*" + str(LINE_W) + "], ' ')")} AS h
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+         unnest(generate_series(1, len(ws) // {LINE_W})) AS u(j)
+    WHERE len(ws) >= {LINE_W}
+),
+counts AS (
+    SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM segs GROUP BY 1
+),
+marked AS (
+    SELECT s.doc_id, s.line_no, s.h,
+           CASE WHEN c.ndocs >= {LINE_DUP_DOCS} THEN 1 ELSE 0 END AS is_dup
+    FROM segs s JOIN counts c USING (h)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_lines,
+       substr(md5(COALESCE(array_to_string(
+           list(CAST(h AS VARCHAR) ORDER BY line_no)
+               FILTER (WHERE is_dup = 0), ' '), '')), 1, 12)
+           AS kept_sig
+FROM marked GROUP BY 1
+""",
+    doc="corpus-level line dedup (CCNet/RefinedWeb line stage): fixed "
+    "8-word pseudo-lines hashed and counted across the corpus, lines in "
+    ">=2 distinct docs marked duplicated, per-doc kept-line signature "
+    "rebuilt from hashes in line order — two hash-keyed shuffles, text "
+    "never re-shuffles, no broadcast of the (corpus-sized) dup set",
+    tags=("pipeline", "dedup", "lines"),
+)
+def dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= LINE_W
+    )
+    ws = F.col("ws")
+    seg_hash = F.transform(
+        # size >= LINE_W here, so the sequence is ascending (guard above);
+        # floor() keeps the bound integral (a `/` would make it double)
+        F.sequence(F.lit(1).cast("long"), F.floor(F.size(ws) / F.lit(LINE_W))),
+        lambda j: spark_md5_hash48(
+            F.concat_ws(" ", F.slice(ws, (j - 1) * F.lit(LINE_W) + 1, F.lit(LINE_W)))
+        ),
+    )
+    segs = base.select(
+        "doc_id", F.posexplode(seg_hash).alias("pos", "h")
+    ).select("doc_id", (F.col("pos") + 1).alias("line_no"), "h")
+    # segs feeds both the count side and the join-back (derived-frame
+    # self-join convention: persist AND materialize)
+    segs = segs.persist()
+    segs.count()
+    counts = segs.groupBy("h").agg(F.count_distinct("doc_id").alias("ndocs"))
+    marked = segs.join(counts, "h").select(
+        "doc_id",
+        "line_no",
+        "h",
+        F.when(F.col("ndocs") >= LINE_DUP_DOCS, 1).otherwise(0).alias("is_dup"),
+    )
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("is_dup") == 0,
+                    F.struct(F.col("line_no"), F.col("h").cast("string").alias("hs")),
+                )
+            )
+        ),
+        lambda s: s["hs"],
+    )
+    out = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("is_dup").cast("long").alias("n_dup_lines"),
+        F.substring(F.md5(F.concat_ws(" ", kept_sorted)), 1, 12).alias("kept_sig"),
+    )
+    out = out.persist()
+    out.count()
+    segs.unpersist()
+    return out

@@ -290,3 +290,100 @@ def text_source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     feats.unpersist()
     return out
+
+
+# --- hashed-linear quality classifier (fastText-style, zero-shuffle) -----------------
+# The production corpus-quality gate most LLM pipelines run (CCNet /
+# fastText linear classifier): hashed unigram+bigram features dotted with
+# a weight vector, mean feature weight squashed into a keep/drop band. The
+# weight table here is hash-derived (w(h) = h mod 2001 - 1000, a fixed
+# pseudo-model) so both engines score identically with no model file; in
+# production the same shape broadcasts a trained weight map.
+#
+# Scale: the entire classifier is ONE map-side fold per document — grams
+# are built, hashed and folded inside array expressions (left fold, fixed
+# order, integer arithmetic), so scoring 100 TB is a scan with zero
+# shuffles and no Python. The only aggregation is the caller's.
+
+LINW_RANGE = 2001  # weights in [-1000, 1000]
+
+
+@register(
+    "scoring_hashed_linear_quality",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS ws
+    FROM documents WHERE text IS NOT NULL
+),
+feats AS (
+    SELECT doc_id, lang,
+           list_concat(
+               ws,
+               CASE WHEN len(ws) >= 2 THEN
+                   list_transform(generate_series(1, len(ws) - 1),
+                                  i -> ws[i] || ' ' || ws[i+1])
+               ELSE [] END) AS gs
+    FROM toks
+),
+scored AS (
+    SELECT doc_id, lang, len(gs) AS n_feats,
+           list_reduce(list_prepend(0::BIGINT,
+               list_transform(gs, g -> ({sql_md5_hash48('g')}) % {LINW_RANGE} - 1000)),
+               (acc, w) -> acc + w) AS score_sum
+    FROM feats
+)
+SELECT doc_id, lang,
+       CAST(n_feats AS BIGINT) AS n_feats,
+       CAST(score_sum AS BIGINT) AS score_sum,
+       round(CAST(score_sum AS DOUBLE) / n_feats, 9) AS mean_w,
+       CASE WHEN score_sum >= 0 THEN 'keep' ELSE 'drop' END AS verdict
+FROM scored
+""",
+    doc="fastText-style hashed linear quality classifier: unigram+bigram "
+    "features hashed to a fixed pseudo-weight table, scored by ONE "
+    "map-side integer fold per doc (zero shuffle, no Python, no model "
+    "broadcast needed for the hash-derived weights)",
+    tags=("pipeline", "scoring", "classifier"),
+)
+def scoring_hashed_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", "lang", F.split("text", " ").alias("ws")
+    )
+    ws = F.col("ws")
+    bigrams = F.when(
+        F.size(ws) >= 2,  # ascending-sequence guard (see text.py)
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - F.lit(1)),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # materialize the gram array as a real column before the fold
+    # references it (unmaterialized-expression trap, CLAUDE.md)
+    g = toks.select("doc_id", "lang", F.concat(ws, bigrams).alias("gs"))
+    gs = F.col("gs")
+    score_sum = F.aggregate(
+        gs,
+        F.lit(0).cast("long"),
+        lambda acc, gr: acc + (spark_md5_hash48(gr) % LINW_RANGE - F.lit(1000)),
+    )
+    out = g.select(
+        "doc_id",
+        "lang",
+        F.size(gs).cast("long").alias("n_feats"),
+        score_sum.alias("score_sum"),
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_feats",
+        "score_sum",
+        F.round(F.col("score_sum").cast("double") / F.col("n_feats"), 9).alias(
+            "mean_w"
+        ),
+        F.when(F.col("score_sum") >= 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("verdict"),
+    )

@@ -1349,3 +1349,129 @@ def text_intradoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(toks) - F.size(F.col("kept"))).cast("long").alias("n_tokens_removed"),
         F.substring(F.md5(clean_text), 1, 12).alias("clean_sig"),
     )
+
+
+# --- trailing repetition-loop detection ----------------------------------------------
+# The degenerate-output audit for model-generated or crawler-mangled text:
+# a document whose tail is the same 1..4-word block repeated over and over
+# ("the end the end the end ...") poisons LM training far out of
+# proportion to its token count. For each period p, the tail run length is
+# the longest m with ws[n-i] == ws[n-i-p] for i in 0..m-1 (each tail word
+# equals the word p earlier), found as (first mismatch - 1) — one
+# array-fold per period, map-only, no shuffle at all; the smallest period
+# that yields >= 2 consecutive blocks wins. All integer arithmetic, so the
+# oracle is exact.
+
+REP_MAX_PERIOD = 4
+
+
+def _rep_runs_sql() -> str:
+    # indices stay >= 1 by construction (greatest + reversed array); an
+    # i+p beyond the list yields NULL, NULL != x is NULL, list_filter
+    # drops it — identical to Spark's element_at/filter semantics
+    runs = []
+    for p in range(1, REP_MAX_PERIOD + 1):
+        runs.append(
+            f"CASE WHEN len(rws) > {p} THEN "
+            f"COALESCE(list_min(list_filter(generate_series(1, greatest(len(rws)-{p}, 1)), "
+            f"i -> rws[i] != rws[i+{p}])) - 1, len(rws)-{p}) "
+            f"ELSE 0 END AS run{p}"
+        )
+    return ",\n           ".join(runs)
+
+
+def _rep_best_sql(expr: str) -> str:
+    clauses = " ".join(
+        f"WHEN run{p} >= {p} THEN {expr.format(p=p)}"
+        for p in range(1, REP_MAX_PERIOD + 1)
+    )
+    return f"CASE {clauses} ELSE {expr.format(p=0)} END"
+
+
+@register(
+    "text_repetition_loop_detect",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, list_reverse(string_split(text, ' ')) AS rws
+    FROM documents WHERE text IS NOT NULL
+),
+runs AS (
+    SELECT doc_id, len(rws) AS n,
+           {_rep_runs_sql()}
+    FROM base
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST({_rep_best_sql("{p}")} AS INTEGER) AS loop_period,
+       CAST(CASE """
+    + " ".join(
+        f"WHEN run{p} >= {p} THEN run{p} // {p} + 1"
+        for p in range(1, REP_MAX_PERIOD + 1)
+    )
+    + """ ELSE 1 END AS BIGINT) AS loop_repeats
+FROM runs
+""",
+    doc="trailing repetition-loop detector (degenerate-generation audit): "
+    "per period p in 1..4, tail run = longest suffix matching itself "
+    "shifted by p, via one array-fold per period; smallest looping period "
+    "and its block-repeat count; map-only, zero shuffle",
+    tags=("pipeline", "text", "quality"),
+)
+def text_repetition_loop_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # reversed token array materialized as a real column (element_at-over-
+    # unmaterialized-expression trap, CLAUDE.md); tail comparisons become
+    # head-aligned rws[i] vs rws[i+p], so every index is >= 1 and an i+p
+    # past the end returns NULL, which the filter predicate drops — no
+    # descending-sequence / index-zero hazard in any branch
+    base = d.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.reverse(F.split("text", " ")).alias("rws")
+    )
+    rws = F.col("rws")
+    n = F.size(rws)
+
+    # NOTE: the predicate must be a ONE-argument lambda — `lambda i, p=p:`
+    # would be treated by F.filter as the documented two-arg (value, index)
+    # form and the second parameter would silently receive the ARRAY INDEX
+    # instead of the closure default. Capture p with a factory instead.
+    def _mismatch_pred(p: int):
+        return lambda i: F.try_element_at(rws, i) != F.try_element_at(
+            rws, i + F.lit(p)
+        )
+
+    runs = []
+    for p in range(1, REP_MAX_PERIOD + 1):
+        mism = F.filter(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(p), F.lit(1))),
+            _mismatch_pred(p),
+        )
+        run = F.when(
+            n > p, F.coalesce(F.array_min(mism) - 1, n - F.lit(p))
+        ).otherwise(F.lit(0))
+        runs.append(run.alias(f"run{p}"))
+    r = base.select("doc_id", n.alias("n"), *runs)
+    hits = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("p"),
+                    (F.floor(F.col(f"run{p}") / F.lit(p)) + 1).alias("reps"),
+                    F.col(f"run{p}").alias("run"),
+                )
+                for p in range(1, REP_MAX_PERIOD + 1)
+            ]
+        ),
+        lambda s: s["run"] >= s["p"],
+    )
+    return r.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.when(F.size(hits) >= 1, F.element_at(hits, 1)["p"])
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("loop_period"),
+        F.when(F.size(hits) >= 1, F.element_at(hits, 1)["reps"])
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("loop_repeats"),
+    )

@@ -1,0 +1,194 @@
+"""Round-4 operator invariants + plan assertions.
+
+The exact-oracle differential in test_operators.py already covers every
+new registered query value-for-value; these tests pin the properties the
+differential can't see — plan shapes that must survive 100 TB and
+semantic invariants on crafted inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from f1_lakehouse_spark.registry import REGISTRY, _ensure_loaded
+from tests.conftest import SF_DIR
+
+_ensure_loaded()
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- dedup_corpus_lines --------------------------------------------------------------
+
+
+def test_corpus_lines_no_broadcast_of_dup_set(spark):
+    """The line-count side must join the segments on the hash key via a
+    shuffle join, never a broadcast — the dup set is corpus-sized at
+    100 TB. (The tiny sf0.001 input would tempt AQE into a broadcast; the
+    invariant we pin is that the per-doc re-aggregation exists and the
+    corpus text appears in no exchange after the segment explode — only
+    48-bit hashes move.)"""
+    plan = _plan(spark, "dedup_corpus_lines")
+    # the only text-typed column downstream of the explode is the md5 input;
+    # exchanges must carry (doc_id, line_no, h), never `ws`
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "ws#" not in line, line
+
+
+def test_corpus_lines_invariants(spark):
+    rows = REGISTRY["dedup_corpus_lines"].fn(spark, SF_DIR).collect()
+    assert rows, "non-empty at sf0.001"
+    for r in rows:
+        assert 0 <= r["n_dup_lines"] <= r["n_lines"]
+        assert len(r["kept_sig"]) == 12
+
+
+# --- text_repetition_loop_detect -----------------------------------------------------
+
+
+def _loop_rows(spark, texts):
+    """Run the detector's exact column logic over crafted texts via a temp
+    view exercising the registered function's internals is not possible
+    (it loads from sf_dir), so replicate the invariant check on the real
+    corpus and pin crafted cases through a direct python reference."""
+    return None
+
+
+def test_repetition_loop_invariants(spark):
+    rows = REGISTRY["text_repetition_loop_detect"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["loop_period"] <= 4
+        assert r["loop_repeats"] >= 1
+        # a detected loop means >= 2 consecutive blocks; no loop means 1
+        if r["loop_period"] == 0:
+            assert r["loop_repeats"] == 1
+        else:
+            assert r["loop_repeats"] >= 2
+
+
+def test_repetition_loop_detects_crafted_tail(spark, tmp_path):
+    """End-to-end on crafted docs: write a tiny documents.parquet and run
+    the registered function against it, so the detector (not a replica)
+    is what's tested."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta the end the end the end", "en", "s", 0),
+            (2, "one two three four", "en", "s", 0),
+            (3, "x loop loop loop loop", "en", "s", 0),
+            (4, "a b c a b c a b c", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sfrep")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {
+        r["doc_id"]: (r["loop_period"], r["loop_repeats"])
+        for r in REGISTRY["text_repetition_loop_detect"].fn(spark, sf).collect()
+    }
+    assert out[1] == (2, 3)  # "the end" x3
+    assert out[2] == (0, 1)  # no loop
+    assert out[3] == (1, 4)  # "loop" x4
+    assert out[4] == (3, 3)  # "a b c" x3
+
+
+def test_repetition_loop_is_map_only(spark):
+    plan = _plan(spark, "text_repetition_loop_detect")
+    assert "Exchange" not in plan
+
+
+# --- scoring_hashed_linear_quality ---------------------------------------------------
+
+
+def test_hashed_linear_scoring_is_map_only(spark):
+    """The classifier is one fold per doc — scoring must add zero
+    exchanges over the scan."""
+    plan = _plan(spark, "scoring_hashed_linear_quality")
+    assert "Exchange" not in plan
+
+
+def test_hashed_linear_scoring_invariants(spark):
+    rows = REGISTRY["scoring_hashed_linear_quality"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["score_sum"]) <= 1000 * r["n_feats"]
+        assert (r["verdict"] == "keep") == (r["score_sum"] >= 0)
+
+
+# --- curation_doremi_reweight --------------------------------------------------------
+
+
+def test_doremi_weights_sum_and_monotonicity(spark):
+    rows = REGISTRY["curation_doremi_reweight"].fn(spark, SF_DIR).collect()
+    assert rows
+    total_ppm = sum(r["weight_ppm"] for r in rows)
+    # floor division loses at most 1 ppm per domain
+    assert 1_000_000 - len(rows) <= total_ppm <= 1_000_000
+    # the zero-excess (lowest-loss) domain never multiplies up
+    for r in rows:
+        if r["excess"] == 0:
+            assert r["m_final"] == 1_000_000
+        else:
+            assert r["m_final"] >= 1_000_000
+
+
+def test_doremi_scans_corpus_once(spark):
+    """T coupled rounds operate on the persisted |domains|-row model frame;
+    without the cache every round re-derives the corpus aggregate and the
+    executed plan contains dozens of live parquet scans (observed: 32
+    before the fix). With it, execution reads the materialized cache: the
+    top-level plan (everything above the first InMemoryRelation, whose
+    toString recursively prints its cache-BUILD plan) must contain no
+    parquet scan of documents."""
+    plan = _plan(spark, "curation_doremi_reweight")
+    assert "InMemoryTableScan" in plan
+    top = plan.split("InMemoryRelation", 1)[0]
+    assert "documents" not in top, top
+
+
+# --- events_retention_cohorts --------------------------------------------------------
+
+
+def test_retention_cohort_invariants(spark):
+    rows = REGISTRY["events_retention_cohorts"].fn(spark, SF_DIR).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert r["weeks_since"] >= 0
+        assert 0 < r["n_active"] <= r["cohort_n"]
+        by_cohort.setdefault(r["cohort_week"], {})[r["weeks_since"]] = r
+    for cells in by_cohort.values():
+        # week 0 exists and is 100%: every cohort member is active in its
+        # own first week by construction
+        assert 0 in cells
+        assert cells[0]["n_active"] == cells[0]["cohort_n"]
+        assert cells[0]["retention_pct"] == 100.0
+
+
+def test_retention_cohort_sizes_broadcast(spark):
+    plan = _plan(spark, "events_retention_cohorts")
+    assert "BroadcastHashJoin" in plan
+
+
+# --- F1 parity adapters --------------------------------------------------------------
+
+
+def test_f1_adapters_run_the_real_functions(spark):
+    """The adapter queries must call the same functions the dashboard
+    calls — pin by identity on the module attributes they dispatch to."""
+    import f1_lakehouse_spark.f1.adapters as ad
+    from f1_lakehouse_spark.f1 import analytics, models
+
+    assert ad.analytics is analytics
+    assert ad.models is models
+    # spot-check one composed output against the model function directly
+    dss_direct = models.driver_session_summary(
+        ad.silver_laps_analog(spark, SF_DIR)
+    )
+    via_registry = REGISTRY["f1_driver_session_summary"].fn(spark, SF_DIR)
+    assert sorted(dss_direct.columns) == sorted(via_registry.columns)
+    assert dss_direct.count() == via_registry.count()
