@@ -169,7 +169,7 @@ EXTENDED = [
     "text_repetition_loop_detect",
     "scoring_hashed_linear_quality",
     "curation_doremi_reweight",
-    "events_retention_cohorts",
+    "ann_batch_query_topk",
 ]
 
 # Bench breadth freeze (r3 verdict item 8): the extended suite passed 100

@@ -1039,85 +1039,3 @@ def events_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mean_y_b - mean_y_a).alias("lift_raw"),
         (adj_b - adj_a).alias("lift_cuped"),
     )
-
-
-# --- weekly retention cohort matrix ---------------------------------------------------
-# The classic growth-analytics triangle the stickiness query doesn't give:
-# users cohorted by first-activity ISO week; for each (cohort_week,
-# weeks_since) cell, the share of the cohort active that week. Week
-# truncation is Monday-based in both engines (date_trunc 'week'), the
-# offset is integer day-arithmetic, and the retention ratio is a single
-# exact-int division — no float accumulation anywhere.
-#
-# Scale: one distinct over (user, week) — the raw stream never re-shuffles
-# after that; cohorts and cells are both user-keyed aggregates (map-side
-# combine), and the cohort-size join is |weeks|-sized, broadcastable.
-
-
-@register(
-    "events_retention_cohorts",
-    oracle="""
-WITH uw AS (
-    SELECT DISTINCT user_id,
-           CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk
-    FROM events
-),
-cohort AS (
-    SELECT user_id, MIN(wk) AS cohort_week FROM uw GROUP BY 1
-),
-cells AS (
-    SELECT c.cohort_week,
-           datediff('day', c.cohort_week, u.wk) // 7 AS weeks_since,
-           COUNT(DISTINCT u.user_id) AS n_active
-    FROM uw u JOIN cohort c USING (user_id)
-    GROUP BY 1, 2
-),
-sizes AS (
-    SELECT cohort_week, COUNT(*) AS cohort_n FROM cohort GROUP BY 1
-)
-SELECT ce.cohort_week, CAST(ce.weeks_since AS BIGINT) AS weeks_since,
-       CAST(ce.n_active AS BIGINT) AS n_active,
-       CAST(s.cohort_n AS BIGINT) AS cohort_n,
-       round(CAST(ce.n_active * 100 AS DOUBLE) / s.cohort_n, 9)
-           AS retention_pct
-FROM cells ce JOIN sizes s USING (cohort_week)
-""",
-    doc="weekly retention cohort triangle: Monday-week cohorts by first "
-    "activity, per-(cohort, weeks-since) active share via exact integer "
-    "division; one (user, week) distinct, then user-keyed aggregates and "
-    "a broadcastable |weeks|-row size join",
-    tags=("events", "retention", "cohort"),
-)
-def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    uw = e.select(
-        "user_id",
-        F.to_date(F.date_trunc("week", F.to_date("ts"))).alias("wk"),
-    ).distinct()
-    # uw feeds both the cohort derivation and the cell join (derived-frame
-    # self-join convention: persist AND materialize)
-    uw = uw.persist()
-    uw.count()
-    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
-    cells = (
-        uw.join(cohort, "user_id")
-        .groupBy(
-            "cohort_week",
-            F.expr("datediff(wk, cohort_week) div 7").alias("weeks_since"),
-        )
-        .agg(F.count_distinct("user_id").alias("n_active"))
-    )
-    sizes = cohort.groupBy("cohort_week").agg(F.count("*").alias("cohort_n"))
-    out = cells.join(F.broadcast(sizes), "cohort_week").select(
-        "cohort_week",
-        F.col("weeks_since").cast("long").alias("weeks_since"),
-        F.col("n_active").cast("long").alias("n_active"),
-        F.col("cohort_n").cast("long").alias("cohort_n"),
-        F.round(
-            (F.col("n_active") * 100).cast("double") / F.col("cohort_n"), 9
-        ).alias("retention_pct"),
-    )
-    out = out.persist()
-    out.count()
-    uw.unpersist()
-    return out

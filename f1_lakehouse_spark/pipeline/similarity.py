@@ -2628,3 +2628,67 @@ def embedding_pairwise_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     out.count()
     s.unpersist()
     return out
+
+
+# --- batch multi-query retrieval (one corpus pass) -----------------------------------
+# The production inference shape the single-query ops don't exercise:
+# serving Q queries by scanning the corpus ONCE with the whole query
+# batch broadcast, instead of Q separate passes. Each corpus partition
+# scores its vectors against every broadcast query (a map-side nested
+# loop over the Q-row build side — exactly what BroadcastNestedLoopJoin
+# does), then per-query top-k falls out of one WindowGroupLimit over
+# (query_id)-partitioned rank. At 100 TB with Q in the hundreds, the scan
+# amortizes across the batch: cost ~= 1 corpus pass + one (query_id,
+# rank<=k)-pruned shuffle of Q*k survivors per partition — NOT Q passes
+# and NOT a row-blowup shuffle of Q*N scored rows (the WindowGroupLimit
+# pushdown keeps per-partition output at Q*k).
+
+BATCH_Q_STRIDE = 100  # query batch = every 100th vector
+
+
+@register(
+    "ann_batch_query_topk",
+    oracle=f"""
+SELECT query_id, vec_id, label, cosine
+FROM (
+    SELECT q.vec_id AS query_id, a.vec_id, a.label,
+           {_SQL_COS_AB} AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_SQL_COS_AB} DESC, a.vec_id) AS rn
+    FROM embeddings a,
+         (SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id % {BATCH_Q_STRIDE} = 0) q
+    WHERE a.vec_id <> q.vec_id
+) t
+WHERE rn <= {TOP_K}
+""",
+    doc="batch multi-query exact retrieval: the whole query batch "
+    "broadcasts into ONE corpus scan (map-side scoring against every "
+    "query), per-query top-k via WindowGroupLimit — Q queries cost one "
+    "pass, not Q passes",
+    tags=("pipeline", "similarity", "batch"),
+)
+def ann_batch_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % BATCH_Q_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            _spark_cosine(F.col("embedding"), F.col("q_embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "vec_id", "label", "cosine")
+    )

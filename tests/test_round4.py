@@ -8,8 +8,6 @@ semantic invariants on crafted inputs.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from f1_lakehouse_spark.registry import REGISTRY, _ensure_loaded
 from tests.conftest import SF_DIR
 
@@ -48,14 +46,6 @@ def test_corpus_lines_invariants(spark):
 
 
 # --- text_repetition_loop_detect -----------------------------------------------------
-
-
-def _loop_rows(spark, texts):
-    """Run the detector's exact column logic over crafted texts via a temp
-    view exercising the registered function's internals is not possible
-    (it loads from sf_dir), so replicate the invariant check on the real
-    corpus and pin crafted cases through a direct python reference."""
-    return None
 
 
 def test_repetition_loop_invariants(spark):
@@ -150,30 +140,6 @@ def test_doremi_scans_corpus_once(spark):
     assert "documents" not in top, top
 
 
-# --- events_retention_cohorts --------------------------------------------------------
-
-
-def test_retention_cohort_invariants(spark):
-    rows = REGISTRY["events_retention_cohorts"].fn(spark, SF_DIR).collect()
-    assert rows
-    by_cohort = {}
-    for r in rows:
-        assert r["weeks_since"] >= 0
-        assert 0 < r["n_active"] <= r["cohort_n"]
-        by_cohort.setdefault(r["cohort_week"], {})[r["weeks_since"]] = r
-    for cells in by_cohort.values():
-        # week 0 exists and is 100%: every cohort member is active in its
-        # own first week by construction
-        assert 0 in cells
-        assert cells[0]["n_active"] == cells[0]["cohort_n"]
-        assert cells[0]["retention_pct"] == 100.0
-
-
-def test_retention_cohort_sizes_broadcast(spark):
-    plan = _plan(spark, "events_retention_cohorts")
-    assert "BroadcastHashJoin" in plan
-
-
 # --- F1 parity adapters --------------------------------------------------------------
 
 
@@ -192,3 +158,39 @@ def test_f1_adapters_run_the_real_functions(spark):
     via_registry = REGISTRY["f1_driver_session_summary"].fn(spark, SF_DIR)
     assert sorted(dss_direct.columns) == sorted(via_registry.columns)
     assert dss_direct.count() == via_registry.count()
+
+
+# --- ann_batch_query_topk ------------------------------------------------------------
+
+
+def test_batch_query_scans_corpus_once_with_group_limit(spark):
+    """Q queries must cost ONE corpus pass: the query batch broadcasts
+    (BroadcastNestedLoopJoin over the Q-row side), and per-query top-k
+    goes through WindowGroupLimit so partitions emit Q*k rows, not Q*N."""
+    plan = _plan(spark, "ann_batch_query_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+    scans = [
+        line
+        for line in plan.splitlines()
+        if "Scan parquet" in line and "embeddings" in line
+    ]
+    # corpus side + broadcast query side = exactly two scans, no re-derive
+    assert len(scans) == 2, plan
+
+
+def test_batch_query_agrees_with_single_query(spark):
+    """The batch result restricted to QUERY_VEC_ID must equal the
+    single-query brute-force op (same corpus, same tiebreak)."""
+    from f1_lakehouse_spark.pipeline.similarity import QUERY_VEC_ID
+
+    batch = {
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in REGISTRY["ann_batch_query_topk"].fn(spark, SF_DIR).collect()
+        if r["query_id"] == QUERY_VEC_ID
+    }
+    single = {
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in REGISTRY["ann_cosine_topk_bruteforce"].fn(spark, SF_DIR).collect()
+    }
+    assert batch == single
