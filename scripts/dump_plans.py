@@ -78,6 +78,21 @@ SHOWCASE: dict[str, str] = {
     "decimal-accumulated z-squared sums; TakeOrdered outliers.",
     "join_asof_tolerance": "Union + carry-forward as-of: exactly one "
     "exchange, no join operator; tolerance guard in integer microseconds.",
+    # round 4
+    "dedup_corpus_lines": "Line-stage dedup: only 48-bit hashes cross "
+    "exchanges (text never re-shuffles); count + mark-back co-partitioned "
+    "on the hash key; no broadcast of the corpus-sized dup set.",
+    "scoring_hashed_linear_quality": "Entire classifier is one map-side "
+    "integer fold per doc: zero Exchanges over the scan.",
+    "curation_doremi_reweight": "Coupled fixed-point rounds over the "
+    "persisted |domains|-row model frame — corpus scanned once "
+    "(InMemoryTableScan in every round), 1-row totals broadcast.",
+    "ann_batch_query_topk": "Q queries in ONE corpus pass: query batch "
+    "broadcast (BroadcastNestedLoopJoin), per-query top-k through "
+    "WindowGroupLimit — partitions emit Q*k rows, not Q*N.",
+    "f1_driver_session_summary": "The reference gold model over the mapped "
+    "driver tables: window + aggregates share one 7-key shuffle, "
+    "personal-best side broadcast back (flagship shape).",
 }
 
 
