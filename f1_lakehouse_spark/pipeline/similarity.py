@@ -742,13 +742,37 @@ def _spark_update(assigned: DataFrame) -> dict[int, list[float]]:
     return model
 
 
-def _train_kmeans(e: DataFrame) -> dict[int, list[float]]:
+# Cached like _PQ_MODEL_CACHE / top_pc_vector: the coarse quantizer is the
+# same trained model for every consumer (ann_ivf_kmeans, semdedup), and the
+# model is driver-side tiny (K x DIM floats).
+_KMEANS_CACHE: dict[tuple[str, str], dict[int, list[float]]] = {}
+
+
+def _train_kmeans(
+    e: DataFrame, spark: SparkSession | None = None, sf_dir: str | None = None
+) -> dict[int, list[float]]:
     """K corpus-seeded centroids after KMEANS_ITERS Lloyd iterations — the
-    deterministic training chain shared by ann_ivf_kmeans and semdedup."""
+    deterministic training chain shared by ann_ivf_kmeans and semdedup.
+    Pass (spark, sf_dir) to hit the (session, input) model cache; on a
+    miss the frame is persisted for the iteration scans."""
+    key = None
+    if spark is not None and sf_dir is not None:
+        key = (spark.sparkContext.applicationId, sf_dir)
+        hit = _KMEANS_CACHE.get(key)
+        if hit is not None:
+            return hit
+        _KMEANS_CACHE.clear()  # one entry: model rolls over on input change
+    own = key is not None
+    if own:
+        e = e.persist()
+        e.count()  # materialize: assign+update scan per iteration
     seeds = e.filter(F.col("vec_id") < KMEANS_K).collect()
     model = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds}
     for _ in range(KMEANS_ITERS):
         model = _spark_update(_spark_assign(e, model))
+    if own:
+        e.unpersist()
+        _KMEANS_CACHE[key] = model
     return model
 
 
@@ -765,7 +789,7 @@ def _train_kmeans(e: DataFrame) -> dict[int, list[float]]:
 )
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    final = _spark_assign(e, _train_kmeans(e))
+    final = _spark_assign(e, _train_kmeans(e, spark, sf_dir))
     q = final.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
     q_emb = F.array(*[F.lit(float(v)) for v in q["embedding"]])
     return (
@@ -903,20 +927,10 @@ def _pq_update(e: DataFrame, model_m: dict[int, list[float]], m: int) -> dict[in
 )
 def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seed_rows = e.filter(F.col("vec_id") < PQ_K).collect()
-    seeds = {
-        m: {
-            int(r["vec_id"]): [float(x) for x in r["embedding"]][
-                m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM
-            ]
-            for r in seed_rows
-        }
-        for m in range(PQ_M)
-    }
+    trained_list, _ = _pq_trained_models(spark, sf_dir, e)  # shared cache
     bests = []
     for m in range(PQ_M):
-        trained = _pq_update(e, seeds[m], m)  # one Lloyd iteration
-        bests.append(_pq_best(trained, m))
+        bests.append(_pq_best(trained_list[m], m))
     err = ((bests[0]["d"] + bests[1]["d"]) + bests[2]["d"]) + bests[3]["d"]
     return e.select(
         "vec_id",
@@ -1095,14 +1109,31 @@ def _pq_adc_scored(
     return e, scored, q_emb
 
 
-def _pq_adc_expr(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, Column, list[float]]:
-    """(embeddings frame, ADC distance Column over an ``embedding`` column,
-    query embedding). The Column closes over the trained per-subspace
-    codebooks + query lookup tables as literals, so callers can apply it to
-    ANY frame carrying ``embedding`` — e.g. only the IVF-probed cell."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+# The trained per-subspace PQ codebooks (+ the query embedding, which the
+# seed collect already carries) are identical for every PQ consumer in a
+# session — ADC top-k, rerank, distortion audit, the composed IVF-PQ chain
+# and its recall measurement — yet each call re-ran the PQ_M training
+# scans. One (session, input)-keyed cache of the DRIVER-SIDE model (tiny:
+# PQ_M x PQ_K x SUBDIM floats, no executor storage), same discipline as
+# text.char_trigram_frame / top_pc_vector.
+_PQ_MODEL_CACHE: dict[
+    tuple[str, str], tuple[list[dict[int, list[float]]], list[float]]
+] = {}
+
+
+def _pq_trained_models(
+    spark: SparkSession, sf_dir: str, e: DataFrame
+) -> tuple[list[dict[int, list[float]]], list[float]]:
+    """([per-subspace trained codebooks], query embedding), cached per
+    (session, sf_dir); on a miss the embeddings frame is persisted for the
+    PQ_M training scans and released before returning."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PQ_MODEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    _PQ_MODEL_CACHE.clear()  # one entry: model rolls over on input change
+    e = e.persist()
+    e.count()  # materialize: scanned once per subspace below
     seed_rows = e.filter(F.col("vec_id") < PQ_K).collect()
     seeds = {
         m: {
@@ -1118,10 +1149,25 @@ def _pq_adc_expr(
         for r in seed_rows
         if int(r["vec_id"]) == QUERY_VEC_ID
     )
+    trained_list = [_pq_update(e, seeds[m], m) for m in range(PQ_M)]
+    e.unpersist()
+    _PQ_MODEL_CACHE[key] = (trained_list, q_emb)
+    return trained_list, q_emb
+
+
+def _pq_adc_expr(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, Column, list[float]]:
+    """(embeddings frame, ADC distance Column over an ``embedding`` column,
+    query embedding). The Column closes over the trained per-subspace
+    codebooks + query lookup tables as literals, so callers can apply it to
+    ANY frame carrying ``embedding`` — e.g. only the IVF-probed cell."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    trained_list, q_emb = _pq_trained_models(spark, sf_dir, e)
     luts: list[dict[int, float]] = []
     codes = []
     for m in range(PQ_M):
-        trained = _pq_update(e, seeds[m], m)  # one Lloyd iteration, as codes op
+        trained = trained_list[m]  # one Lloyd iteration, as codes op
         codes.append(_pq_best(trained, m)["cid"])
         q_sub = q_emb[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
         # same left-fold the SQL runs: sum_i (q_i - c_i)^2 in index order
@@ -1290,7 +1336,7 @@ FROM a3 f LEFT JOIN dup d ON d.vec_id = f.vec_id
 )
 def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    final = _spark_assign(e, _train_kmeans(e))
+    final = _spark_assign(e, _train_kmeans(e, spark, sf_dir))
     # self-join on a derived frame: persist AND materialize first (CLAUDE.md)
     final = final.persist()
     final.count()
@@ -2226,20 +2272,10 @@ FROM a2_{m}"""
 )
 def ann_pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seed_rows = e.filter(F.col("vec_id") < PQ_K).collect()
-    seeds = {
-        m: {
-            int(r["vec_id"]): [float(x) for x in r["embedding"]][
-                m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM
-            ]
-            for r in seed_rows
-        }
-        for m in range(PQ_M)
-    }
+    trained_list, _ = _pq_trained_models(spark, sf_dir, e)  # shared cache
     out = None
     for m in range(PQ_M):
-        trained = _pq_update(e, seeds[m], m)  # same training hop as ann_pq_codes
-        d = _pq_best(trained, m)["d"]
+        d = _pq_best(trained_list[m], m)["d"]
         row = e.select(d.alias("d")).agg(
             F.count("*").alias("n"),
             F.round(
