@@ -170,6 +170,7 @@ EXTENDED = [
     "scoring_hashed_linear_quality",
     "curation_doremi_reweight",
     "ann_batch_query_topk",
+    "embedding_knn_ood_score",
 ]
 
 # Bench breadth freeze (r3 verdict item 8): the extended suite passed 100

@@ -2728,3 +2728,81 @@ def ann_batch_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "vec_id", "label", "cosine")
     )
+
+
+# --- non-parametric OOD scoring: k-NN distance to a reference sample -----------------
+# The "distance to data" curation signal (as used for OOD pruning and
+# novelty weighting): a vector far from its k-th nearest neighbor in a
+# reference sample of the corpus is an outlier/novelty candidate. This is
+# the non-parametric complement of embedding_mahalanobis_outliers (which
+# assumes a diagonal Gaussian).
+#
+# Scale: the reference sample is hash-selected (deterministic, ~N/OOD_MOD
+# vectors; at 100 TB the modulus derives from input size like
+# adaptive_nbits — the constant here is the small-SF floor) and collected
+# to the driver as a model-sized literal table. Scoring is then ONE
+# map-side pass: every vector folds its distances to the <=|sample|
+# literal refs inside codegen, sorts the tiny array, and picks the k-th —
+# zero shuffle, zero join, no N x sample row blowup.
+
+OOD_MOD = 16
+OOD_K = 3
+
+
+@register(
+    "embedding_knn_ood_score",
+    oracle=f"""
+WITH refs AS (
+    SELECT vec_id AS rid,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rvec
+    FROM embeddings
+    WHERE {sql_salted_hash("vec_id", ":ood")} % {OOD_MOD} = 0
+),
+dists AS (
+    SELECT e.vec_id, {_sql_l2("e.embedding", "r.rvec")} AS d
+    FROM embeddings e JOIN refs r ON r.rid <> e.vec_id
+)
+SELECT vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ref,
+       round(list_sort(list(d))[{OOD_K}], 9) AS knn_d
+FROM dists GROUP BY 1
+""",
+    doc=f"non-parametric OOD score: distance to the {OOD_K}-th nearest of a "
+    "hash-sampled reference set, computed as a map-side literal fold per "
+    "vector (zero shuffle/join; sample size is the model, not a row "
+    "blowup) — the kNN complement of the Mahalanobis outlier prune",
+    tags=("pipeline", "similarity", "diagnostics", "ood"),
+)
+def embedding_knn_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ref_rows = (
+        e.filter(spark_salted_hash("vec_id", ":ood") % OOD_MOD == 0)
+        .collect()
+    )
+    refs = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in ref_rows
+    )
+    dist_structs = F.array(
+        *[
+            F.struct(
+                F.lit(rid).alias("rid"),
+                _spark_l2_lit(F.col("embedding"), rvec).alias("d"),
+            )
+            for rid, rvec in refs
+        ]
+    )
+    # materialize the struct array as a real column before filtering/sorting
+    # references it (unmaterialized-expression trap, CLAUDE.md)
+    scored = e.select("vec_id", dist_structs.alias("ds"))
+    ds = F.col("ds")
+    others = F.filter(ds, lambda s: s["rid"] != F.col("vec_id"))
+    return scored.select(
+        "vec_id",
+        F.size(others).cast("long").alias("n_ref"),
+        F.round(
+            F.element_at(
+                F.array_sort(F.transform(others, lambda s: s["d"])), OOD_K
+            ),
+            9,
+        ).alias("knn_d"),
+    )

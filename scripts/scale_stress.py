@@ -79,6 +79,12 @@ QUERIES = [
     "events_time_decay_engagement",
     "text_intradoc_span_dedup",
     "text_bpe_encode",
+    # round 4
+    "dedup_corpus_lines",
+    "scoring_hashed_linear_quality",
+    "text_repetition_loop_detect",
+    "ann_batch_query_topk",
+    "curation_doremi_reweight",
 ]
 
 

@@ -194,3 +194,34 @@ def test_batch_query_agrees_with_single_query(spark):
         for r in REGISTRY["ann_cosine_topk_bruteforce"].fn(spark, SF_DIR).collect()
     }
     assert batch == single
+
+
+# --- embedding_knn_ood_score ---------------------------------------------------------
+
+
+def test_knn_ood_is_map_only(spark):
+    """Scoring folds distances to the literal reference sample inside the
+    scan stage — no shuffle, no join (the sample is the model)."""
+    plan = _plan(spark, "embedding_knn_ood_score")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_knn_ood_members_score_low(spark):
+    """A reference-sample member's k-th-NN distance is measured against
+    the OTHER refs (self excluded), and every vector's n_ref is the
+    sample size minus its own membership."""
+    from f1_lakehouse_spark.pipeline.hashing import spark_salted_hash
+    from f1_lakehouse_spark.pipeline.similarity import OOD_MOD
+    from f1_lakehouse_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    n_sample = e.filter(
+        spark_salted_hash("vec_id", ":ood") % OOD_MOD == 0
+    ).count()
+    rows = REGISTRY["embedding_knn_ood_score"].fn(spark, SF_DIR).collect()
+    assert len(rows) == e.count()
+    for r in rows:
+        assert r["n_ref"] in (n_sample, n_sample - 1)
+        assert r["knn_d"] >= 0.0
