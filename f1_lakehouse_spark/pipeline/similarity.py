@@ -2678,8 +2678,15 @@ def embedding_pairwise_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rank<=k)-pruned shuffle of Q*k survivors per partition — NOT Q passes
 # and NOT a row-blowup shuffle of Q*N scored rows (the WindowGroupLimit
 # pushdown keeps per-partition output at Q*k).
+#
+# The batch is a WORKLOAD, not a corpus property: Q is hard-capped at
+# BATCH_Q_MAX. The first cut of this op selected every stride-th vector
+# with no cap, so Q grew with N and per-pass work went O(N^2/stride) —
+# the 10x scale stress measured it 98x (vs ~10x for a linear op). With
+# the cap, the pass is O(N * BATCH_Q_MAX) at any corpus size.
 
-BATCH_Q_STRIDE = 100  # query batch = every 100th vector
+BATCH_Q_STRIDE = 100  # query batch = every 100th vector ...
+BATCH_Q_MAX = 20  # ... up to a FIXED batch size, independent of corpus N
 
 
 @register(
@@ -2693,7 +2700,8 @@ FROM (
                               ORDER BY {_SQL_COS_AB} DESC, a.vec_id) AS rn
     FROM embeddings a,
          (SELECT vec_id, embedding FROM embeddings
-          WHERE vec_id % {BATCH_Q_STRIDE} = 0) q
+          WHERE vec_id % {BATCH_Q_STRIDE} = 0
+            AND vec_id < {BATCH_Q_STRIDE * BATCH_Q_MAX}) q
     WHERE a.vec_id <> q.vec_id
 ) t
 WHERE rn <= {TOP_K}
@@ -2708,7 +2716,10 @@ def ann_batch_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window  # noqa: PLC0415
 
     e = load_table(spark, sf_dir, "embeddings")
-    queries = e.filter(F.col("vec_id") % BATCH_Q_STRIDE == 0).select(
+    queries = e.filter(
+        (F.col("vec_id") % BATCH_Q_STRIDE == 0)
+        & (F.col("vec_id") < BATCH_Q_STRIDE * BATCH_Q_MAX)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_embedding"),
     )
