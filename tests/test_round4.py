@@ -225,3 +225,111 @@ def test_knn_ood_members_score_low(spark):
     for r in rows:
         assert r["n_ref"] in (n_sample, n_sample - 1)
         assert r["knn_d"] >= 0.0
+
+
+# --- seeded-random batch differentials vs pure-Python references ---------------------
+# The DuckDB oracle proves Spark==DuckDB; these prove both match an
+# independent third implementation on adversarial inputs (short docs,
+# all-same-word docs, exact-period tails) that the synthetic corpus may
+# not contain.
+
+
+def _py_loop_detect(words, max_p=4):
+    n = len(words)
+    rws = words[::-1]
+    for p in range(1, max_p + 1):
+        if n <= p:
+            continue
+        run = 0
+        for i in range(n - p):
+            if rws[i] != rws[i + p]:
+                break
+            run += 1
+        if run >= p:
+            return p, run // p + 1
+    return 0, 1
+
+
+def test_repetition_loop_random_batch_vs_python(spark, tmp_path):
+    import random
+
+    rng = random.Random(1234)
+    vocab = ["a", "b", "c", "dd", "eee"]
+    cases = []
+    for i in range(200):
+        n = rng.randint(1, 12)
+        words = [rng.choice(vocab) for _ in range(n)]
+        if i % 3 == 0 and n >= 2:  # force tails with real loops
+            p = rng.randint(1, min(4, n))
+            reps = rng.randint(2, 3)
+            words = words + (words[-p:] * reps)
+        cases.append((i, " ".join(words)))
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in cases],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sfrand")
+    df.coalesce(2).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["loop_period"], r["loop_repeats"])
+        for r in REGISTRY["text_repetition_loop_detect"].fn(spark, sf).collect()
+    }
+    for i, t in cases:
+        assert got[i] == _py_loop_detect(t.split(" ")), (i, t, got[i])
+
+
+def _py_corpus_lines(docs, w=8, dup_docs=2):
+    import hashlib
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    segs = {}  # doc -> [hashes]
+    for did, text in docs:
+        ws = text.split(" ")
+        segs[did] = [
+            h48(" ".join(ws[j * w : (j + 1) * w])) for j in range(len(ws) // w)
+        ]
+    from collections import defaultdict
+
+    owners = defaultdict(set)
+    for did, hs in segs.items():
+        for hh in hs:
+            owners[hh].add(did)
+    out = {}
+    for did, hs in segs.items():
+        if not hs:
+            continue
+        dup = [hh for hh in hs if len(owners[hh]) >= dup_docs]
+        kept = [str(hh) for hh in hs if len(owners[hh]) < dup_docs]
+        sig = hashlib.md5(" ".join(kept).encode()).hexdigest()[:12]
+        out[did] = (len(hs), len(dup), sig)
+    return out
+
+
+def test_corpus_lines_random_batch_vs_python(spark, tmp_path):
+    import random
+
+    rng = random.Random(99)
+    vocab = [f"w{k}" for k in range(6)]
+    shared_line = " ".join(rng.choice(vocab) for _ in range(8))
+    docs = []
+    for i in range(60):
+        n = rng.randint(0, 30)
+        words = [rng.choice(vocab) for _ in range(n)]
+        text = " ".join(words)
+        if i % 4 == 0:  # plant the shared boilerplate line at a window start
+            text = shared_line + (" " + text if text else "")
+        docs.append((i, text))
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "sflines")
+    df.coalesce(2).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_dup_lines"], r["kept_sig"])
+        for r in REGISTRY["dedup_corpus_lines"].fn(spark, sf).collect()
+    }
+    want = _py_corpus_lines(docs)
+    assert got == want
