@@ -2756,8 +2756,14 @@ def ann_batch_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # literal refs inside codegen, sorts the tiny array, and picks the k-th —
 # zero shuffle, zero join, no N x sample row blowup.
 
+# Like the batch-retrieval cap: the reference sample is a MODEL, not a
+# corpus property — the hash preselection thins the scan, and the ordered
+# LIMIT bounds both the driver collect and the per-row fold count at any
+# corpus size (the uncapped version's sample grew as N/OOD_MOD: 8.9 s at
+# sf0.1 from a 125-fold codegen expression).
 OOD_MOD = 16
 OOD_K = 3
+OOD_REF_MAX = 48
 
 
 @register(
@@ -2768,6 +2774,7 @@ WITH refs AS (
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rvec
     FROM embeddings
     WHERE {sql_salted_hash("vec_id", ":ood")} % {OOD_MOD} = 0
+    ORDER BY vec_id LIMIT {OOD_REF_MAX}
 ),
 dists AS (
     SELECT e.vec_id, {_sql_l2("e.embedding", "r.rvec")} AS d
@@ -2788,32 +2795,44 @@ def embedding_knn_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     ref_rows = (
         e.filter(spark_salted_hash("vec_id", ":ood") % OOD_MOD == 0)
+        .orderBy("vec_id")
+        .limit(OOD_REF_MAX)
         .collect()
     )
     refs = sorted(
         (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in ref_rows
     )
-    dist_structs = F.array(
+    # ONE literal array-of-structs + nested lambdas, not |sample| unrolled
+    # fold expressions: the unrolled form compiled ~|sample| x DIM
+    # subexpressions and its codegen time dominated the query (7.9 s at
+    # sf0.1 for 2k rows); the folded form is a constant-size expression
+    # whose work is the same arithmetic in the same order.
+    refs_lit = F.array(
         *[
             F.struct(
                 F.lit(rid).alias("rid"),
-                _spark_l2_lit(F.col("embedding"), rvec).alias("d"),
+                F.array(*[F.lit(float(v)) for v in rvec]).alias("rvec"),
             )
             for rid, rvec in refs
         ]
     )
-    # materialize the struct array as a real column before filtering/sorting
+    emb = F.col("embedding")
+    others = F.filter(refs_lit, lambda s: s["rid"] != F.col("vec_id"))
+    dists = F.transform(
+        others,
+        lambda s: F.aggregate(
+            F.zip_with(
+                emb, s["rvec"], lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    # materialize the distance array as a real column before sorting/indexing
     # references it (unmaterialized-expression trap, CLAUDE.md)
-    scored = e.select("vec_id", dist_structs.alias("ds"))
-    ds = F.col("ds")
-    others = F.filter(ds, lambda s: s["rid"] != F.col("vec_id"))
+    scored = e.select("vec_id", F.size(others).cast("long").alias("n_ref"), dists.alias("dd"))
     return scored.select(
         "vec_id",
-        F.size(others).cast("long").alias("n_ref"),
-        F.round(
-            F.element_at(
-                F.array_sort(F.transform(others, lambda s: s["d"])), OOD_K
-            ),
-            9,
-        ).alias("knn_d"),
+        "n_ref",
+        F.round(F.element_at(F.array_sort(F.col("dd")), OOD_K), 9).alias("knn_d"),
     )
