@@ -1,0 +1,121 @@
+"""The copilot's real HTTP hop, exercised against a loopback stub server.
+
+Real sockets, real HTTP framing, real timeout/retry behavior — only the
+model behind the Ollama-shaped endpoint is fake (the sandbox has no
+external network). End-to-end: OllamaTranslator → guardrails.ask →
+spark.sql over a temp view.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from f1_lakehouse_spark.copilot.guardrails import GuardrailError, ask
+from f1_lakehouse_spark.copilot.llm_client import LlmHttpError, OllamaTranslator
+
+
+class _StubOllama(BaseHTTPRequestHandler):
+    """Scriptable /api/generate: behavior keyed off the question text."""
+
+    requests_seen: list[dict] = []
+    fail_next: int = 0  # serve this many 500s before succeeding
+
+    def do_POST(self):  # noqa: N802
+        n = int(self.headers["Content-Length"])
+        body = json.loads(self.rfile.read(n))
+        type(self).requests_seen.append(body)
+        if type(self).fail_next > 0:
+            type(self).fail_next -= 1
+            self.send_response(500)
+            self.end_headers()
+            return
+        prompt = body["prompt"]
+        if "nonjson" in prompt:
+            out = b"this is not json"
+        elif "missingfield" in prompt:
+            out = json.dumps({"oops": 1}).encode()
+        elif "mutate" in prompt:
+            out = json.dumps(
+                {"response": "```sql\nDROP TABLE laps\n```"}
+            ).encode()
+        else:
+            out = json.dumps(
+                {
+                    "response": "Here you go:\n```sql\n"
+                    "SELECT flag, COUNT(*) AS n FROM demo GROUP BY flag\n```"
+                }
+            ).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(out)
+
+    def log_message(self, *a):  # silence
+        pass
+
+
+@pytest.fixture(scope="module")
+def stub_url():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _StubOllama)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _translator(stub_url, **kw):
+    kw.setdefault("backoff_s", 0.01)
+    return OllamaTranslator(base_url=stub_url, timeout_s=5.0, **kw)
+
+
+def test_http_translate_and_execute_end_to_end(spark, stub_url):
+    spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 3)], "flag string, v int"
+    ).createOrReplaceTempView("demo")
+    df = ask(spark, "count rows per flag", _translator(stub_url))
+    got = {r["flag"]: r["n"] for r in df.collect()}
+    assert got == {"A": 2, "B": 1}
+    # the request that went over the wire carried the reference's shape
+    body = _StubOllama.requests_seen[-1]
+    assert body["stream"] is False
+    assert "count rows per flag" in body["prompt"]
+
+
+def test_http_model_output_still_hits_the_guard(spark, stub_url):
+    with pytest.raises(GuardrailError):
+        ask(spark, "please mutate things", _translator(stub_url))
+
+
+def test_http_retries_5xx_then_succeeds(spark, stub_url):
+    _StubOllama.fail_next = 2
+    spark.createDataFrame([("A", 1)], "flag string, v int").createOrReplaceTempView(
+        "demo"
+    )
+    df = ask(spark, "count rows per flag again", _translator(stub_url, max_retries=2))
+    assert df.count() == 1
+
+
+def test_http_exhausted_retries_raise_clean(stub_url):
+    _StubOllama.fail_next = 5
+    with pytest.raises(LlmHttpError, match="unreachable after 2 attempts"):
+        _translator(stub_url, max_retries=1)("q", "s")
+    _StubOllama.fail_next = 0
+
+
+def test_http_bad_bodies_raise_clean(stub_url):
+    with pytest.raises(LlmHttpError, match="non-JSON"):
+        _translator(stub_url)("nonjson please", "s")
+    with pytest.raises(LlmHttpError, match="missing the 'response'"):
+        _translator(stub_url)("missingfield please", "s")
+
+
+def test_http_connection_refused_raises_clean():
+    t = OllamaTranslator(
+        base_url="http://127.0.0.1:9", timeout_s=0.5, max_retries=0
+    )
+    with pytest.raises(LlmHttpError, match="unreachable"):
+        t("q", "s")
