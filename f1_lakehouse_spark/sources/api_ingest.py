@@ -100,3 +100,54 @@ def ingest_tasks(
     # spread tasks across the cluster; one partition per task keeps retry
     # granularity at the task level like the reference's per-session loop
     return tdf.repartition(len(tasks)).mapInPandas(run, schema=result_schema)
+
+
+@dataclass
+class HttpJsonFetcher:
+    """A REAL network FetchFn: GET ``{base_url}{path}?<task params>`` and
+    parse a JSON array of records into the pandas frame ``ingest_tasks``
+    distributes (the reference's FastF1 HTTP pull,
+    ``ingestion/src/ingestion/fastf1_ingest.py:56,80``, re-shaped to the
+    executor-side task model). Stdlib-only (urllib) and picklable — plain
+    fields, imports inside the call — so it ships to executors; each task
+    fetch carries its own bounded timeout and capped linear-backoff retry
+    on 5xx/connection errors (4xx raises immediately: the task is wrong,
+    and ``ingest_tasks``'s fault isolation records it as a failed task).
+
+    Compose with :class:`CachedFetcher` for the reference's on-disk
+    response cache (S2): ``CachedFetcher(HttpJsonFetcher(...), dir)``.
+    """
+
+    base_url: str
+    path: str = "/"
+    timeout_s: float = 30.0
+    max_retries: int = 2
+    backoff_s: float = 0.5
+
+    def __call__(self, task: dict) -> pd.DataFrame:
+        import time
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        qs = urllib.parse.urlencode({k: str(v) for k, v in sorted(task.items())})
+        url = f"{self.base_url.rstrip('/')}{self.path}?{qs}"
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            try:
+                with urllib.request.urlopen(url, timeout=self.timeout_s) as resp:
+                    payload = resp.read()
+                return pd.DataFrame(json.loads(payload.decode("utf-8")))
+            except urllib.error.HTTPError as err:
+                if 400 <= err.code < 500:
+                    raise RuntimeError(
+                        f"task rejected by API: HTTP {err.code} for {url}"
+                    ) from err
+                last_err = err
+            except (urllib.error.URLError, TimeoutError, OSError, ValueError) as err:
+                last_err = err
+            if attempt < self.max_retries:
+                time.sleep(self.backoff_s * (attempt + 1))
+        raise RuntimeError(
+            f"API unreachable after {self.max_retries + 1} attempts: {last_err}"
+        ) from last_err

@@ -119,3 +119,77 @@ def test_http_connection_refused_raises_clean():
     )
     with pytest.raises(LlmHttpError, match="unreachable"):
         t("q", "s")
+
+
+# --- the API-source real network hop (S1/S2) over the same loopback trick ------------
+
+
+class _StubApi(BaseHTTPRequestHandler):
+    hits: list[str] = []
+
+    def do_GET(self):  # noqa: N802
+        type(self).hits.append(self.path)
+        if "round=13" in self.path:  # the cursed round: not found
+            self.send_response(404)
+            self.end_headers()
+            return
+        if "round=5" in self.path and type(self).hits.count(self.path) == 1:
+            self.send_response(503)  # first attempt flakes; retry succeeds
+            self.end_headers()
+            return
+        import urllib.parse
+
+        q = dict(urllib.parse.parse_qsl(self.path.split("?", 1)[1]))
+        rows = [
+            {"season": int(q["season"]), "round": int(q["round"]),
+             "driver": d, "laps": i + 1}
+            for i, d in enumerate(["VER", "HAM"])
+        ]
+        out = json.dumps(rows).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(out)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture(scope="module")
+def api_url():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _StubApi)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_http_fetcher_distributed_ingest_with_fault_isolation(spark, api_url):
+    from f1_lakehouse_spark.sources.api_ingest import HttpJsonFetcher, ingest_tasks
+
+    fetch = HttpJsonFetcher(base_url=api_url, path="/laps",
+                            timeout_s=5.0, backoff_s=0.01)
+    tasks = [{"season": 2024, "round": r} for r in (1, 5, 13)]
+    df = ingest_tasks(
+        spark, tasks, fetch,
+        result_schema="season int, round int, driver string, laps int",
+    )
+    rows = df.collect()
+    # rounds 1 and 5 (after a 503 retry) fetched; round 13 (404) isolated
+    got = {(r["round"], r["driver"]) for r in rows}
+    assert got == {(1, "VER"), (1, "HAM"), (5, "VER"), (5, "HAM")}
+
+
+def test_http_fetcher_composes_with_response_cache(spark, api_url, tmp_path):
+    from f1_lakehouse_spark.sources.api_ingest import CachedFetcher, HttpJsonFetcher
+
+    fetch = CachedFetcher(
+        HttpJsonFetcher(base_url=api_url, path="/laps", timeout_s=5.0),
+        cache_dir=str(tmp_path / "rcache"),
+    )
+    task = {"season": 2023, "round": 2}
+    before = len(_StubApi.hits)
+    a = fetch(task)
+    b = fetch(task)  # served from the on-disk cache, no second request
+    assert a.to_dict(orient="records") == b.to_dict(orient="records")
+    assert len([h for h in _StubApi.hits[before:] if "season=2023" in h]) == 1
