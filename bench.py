@@ -53,6 +53,10 @@ HEADLINE = [
 # Round-2 additions, timed separately so "value" (headline total) stays
 # comparable across rounds; reported under "extended" in the same JSON line.
 EXTENDED = [
+    "hll_register_sketch_exact",
+    "orders_kaplan_meier_fulfillment",
+    "stats_bootstrap_ci_poisson",
+    "ann_matryoshka_prefix_recall",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "ann_lsh_materialized",

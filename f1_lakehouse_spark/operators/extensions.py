@@ -2186,3 +2186,506 @@ def supplier_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("wilson_low").desc(), F.col("l_suppkey").asc())
         .limit(WILSON_TOP)
     )
+
+
+# --- deterministic HLL: from-scratch register sketch with an EXACT oracle -----------
+# The datasketches ops above (`approx_sketches`, `hll_mergeable_distinct`)
+# are rows-only checked by construction: their estimator internals are
+# engine-native. This op closes that gap — a from-scratch HyperLogLog whose
+# whole computation is cross-engine EXACT: md5-derived 48-bit hashes, integer
+# register indexes/ranks (via the unpadded `bin()` both engines share), the
+# harmonic denominator kept as a scaled BIGINT (every 2^-M term is dyadic,
+# so the scaled sum is exact integer arithmetic), and an estimate built from
+# IEEE-only ops (one divide, two multiplies — no transcendentals), which is
+# therefore bit-identical in Spark and DuckDB.
+#
+# 100 TB shape: one shuffle to (group, register) with map-side partial MAX;
+# the register table is <= groups x 1024 rows regardless of input size, and
+# every rollup after that is over register tables, never raw rows. The
+# `__merged__` row is computed by max-merging the per-group register tables
+# and provably equals the `__direct__` row computed from raw rows — the
+# mergeability contract, checked by the oracle as data.
+
+_HLL_P = 10           # 2^10 = 1024 registers
+_HLL_M = 1 << _HLL_P
+_HLL_RHO_MAX = 39     # 48-bit hash - 10 index bits = 38 value bits, rho in [1, 39]
+_HLL_SCALE = 1 << _HLL_RHO_MAX  # 549755813888: harmonic sum scaled to integers
+
+_HLL_EST = (
+    "(0.7213 / (1.0 + 1.079 / 1024.0)) * 1048576.0 * 549755813888.0"
+    " / CAST({h} AS DOUBLE)"
+)
+# Small-range (linear counting) correction. `ln` is NOT bit-stable across
+# engines (JVM Math.log vs libm differ in the last ulp on 82 of the 1023
+# possible inputs), so the corrected estimate is rounded to an integer:
+# the closest any of the 1023 possible ln inputs comes to a .5 rounding
+# boundary is 6.7e-6 (exhaustively checked in tests/test_round4.py), six
+# orders of magnitude above the 1-ulp drift — rounding is provably stable.
+_HLL_CORRECTED = (
+    "CASE WHEN " + _HLL_EST + " <= 2560.0 AND {u} < 1024"
+    " THEN round(1024.0 * ln(1024.0 / CAST(1024 - {u} AS DOUBLE)), 0)"
+    " ELSE " + _HLL_EST + " END"
+)
+
+
+def _hll_sql_est(present: str, used: str) -> str:
+    h = f"({present} + (1024 - {used}) * CAST({_HLL_SCALE} AS BIGINT))"
+    return _HLL_CORRECTED.format(h=h, u=used)
+
+
+_HLL_ORACLE = f"""
+WITH base AS (
+  SELECT event_type,
+         {sql_md5_hash48("CAST(user_id AS VARCHAR)")} AS h
+  FROM events WHERE user_id IS NOT NULL
+), bits AS (
+  SELECT event_type, h & {_HLL_M - 1} AS idx, h >> {_HLL_P} AS rest FROM base
+), rhos AS (
+  SELECT event_type, idx,
+         CASE WHEN rest = 0 THEN {_HLL_RHO_MAX}
+              ELSE {_HLL_RHO_MAX} - length(bin(rest)) END AS rho
+  FROM bits
+), regs AS (
+  SELECT event_type, idx, MAX(rho) AS m FROM rhos GROUP BY event_type, idx
+), stats AS (
+  SELECT event_type AS scope,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - m)) AS BIGINT) AS present_scaled,
+         COUNT(*) AS used_registers
+  FROM regs GROUP BY event_type
+  UNION ALL
+  SELECT '__merged__' AS scope,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - m)) AS BIGINT) AS present_scaled,
+         COUNT(*) AS used_registers
+  FROM (SELECT idx, MAX(m) AS m FROM regs GROUP BY idx)
+  UNION ALL
+  SELECT '__direct__' AS scope,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - m)) AS BIGINT) AS present_scaled,
+         COUNT(*) AS used_registers
+  FROM (SELECT idx, MAX(rho) AS m FROM rhos GROUP BY idx)
+), exacts AS (
+  SELECT event_type AS scope, COUNT(DISTINCT user_id) AS exact_users
+  FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+  UNION ALL
+  SELECT s AS scope, (SELECT COUNT(DISTINCT user_id) FROM events WHERE user_id IS NOT NULL) AS exact_users
+  FROM (VALUES ('__merged__'), ('__direct__')) t(s)
+)
+SELECT s.scope,
+       {_hll_sql_est("s.present_scaled", "s.used_registers")} AS approx_users,
+       e.exact_users,
+       s.used_registers,
+       CAST(s.present_scaled + ({_HLL_M} - s.used_registers) * CAST({_HLL_SCALE} AS BIGINT) AS BIGINT)
+         AS harmonic_scaled
+FROM stats s JOIN exacts e ON s.scope = e.scope
+"""
+
+
+@register(
+    "hll_register_sketch_exact",
+    oracle=_HLL_ORACLE,
+    doc="from-scratch HyperLogLog (p=10) whose estimate is cross-engine "
+    "EXACT: md5 48-bit hash, integer register ranks, scaled-BIGINT harmonic "
+    "sum, IEEE-only estimator. Emits per-group sketches plus __merged__ "
+    "(max-merge of per-group registers) and __direct__ (raw-row) rollups, "
+    "which are equal — the mergeability contract as checkable data.",
+    tags=("approx", "sketch", "hll", "extension"),
+)
+def hll_register_sketch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL register sketch; see _HLL_ORACLE for the exact twin.
+
+    Reference parity: the reference answers distinct-user questions with
+    plain COUNT(DISTINCT) (dbt gold models); this provides the 100 TB
+    mergeable-sketch path with an exactness guarantee the native
+    datasketches ops cannot offer.
+    """
+    e = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+    )
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    base = e.select(
+        "event_type",
+        h.bitwiseAND(F.lit(_HLL_M - 1)).alias("idx"),
+        F.shiftright(h, _HLL_P).alias("rest"),
+    )
+    rhos = base.select(
+        "event_type",
+        "idx",
+        F.when(F.col("rest") == 0, F.lit(_HLL_RHO_MAX))
+        .otherwise(F.lit(_HLL_RHO_MAX) - F.length(F.bin(F.col("rest"))))
+        .cast("int")
+        .alias("rho"),
+    )
+    regs = rhos.groupBy("event_type", "idx").agg(F.max("rho").alias("m"))
+
+    scale = F.lit(_HLL_SCALE).cast("long")
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - m)")
+
+    def _stats(frame: DataFrame, keys: list[str]) -> DataFrame:
+        g = frame.groupBy(*keys) if keys else frame.groupBy()
+        agg = g.agg(
+            F.sum(term).alias("present_scaled"),
+            F.count("*").alias("used_registers"),
+        )
+        harmonic = (
+            F.col("present_scaled")
+            + (F.lit(_HLL_M) - F.col("used_registers")) * scale
+        ).cast("long")
+        alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(1024.0))
+        raw = (
+            alpha
+            * F.lit(float(_HLL_M * _HLL_M))
+            * F.lit(float(_HLL_SCALE))
+            / harmonic.cast("double")
+        )
+        # small-range (linear counting) correction, rounded to an integer —
+        # see _HLL_CORRECTED: ln drifts a final ulp between engines, but no
+        # possible input lands within 6.7e-6 of a rounding boundary
+        # (exhaustively pinned in tests/test_round4.py).
+        zeros = F.lit(_HLL_M) - F.col("used_registers")
+        est = F.when(
+            (raw <= F.lit(2560.0)) & (zeros > 0),
+            F.round(
+                F.lit(1024.0) * F.log(F.lit(1024.0) / zeros.cast("double")), 0
+            ),
+        ).otherwise(raw)
+        return agg.select(
+            *keys,
+            est.alias("approx_users"),
+            F.col("used_registers").cast("long").alias("used_registers"),
+            harmonic.alias("harmonic_scaled"),
+        )
+
+    exact_g = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    per_group = (
+        _stats(regs, ["event_type"])
+        .join(exact_g, "event_type")
+        .select(
+            F.col("event_type").alias("scope"),
+            "approx_users",
+            "exact_users",
+            "used_registers",
+            "harmonic_scaled",
+        )
+    )
+
+    merged_regs = regs.groupBy("idx").agg(F.max("m").alias("m"))
+    direct_regs = rhos.groupBy("idx").agg(F.max("rho").alias("m"))
+    exact_all = e.agg(F.countDistinct("user_id").alias("exact_users"))
+    rolls = (
+        _stats(merged_regs, [])
+        .select(F.lit("__merged__").alias("scope"), "*")
+        .unionByName(
+            _stats(direct_regs, []).select(F.lit("__direct__").alias("scope"), "*")
+        )
+        .crossJoin(F.broadcast(exact_all))
+        .select(
+            "scope", "approx_users", "exact_users", "used_registers", "harmonic_scaled"
+        )
+    )
+    return per_group.unionByName(rolls)
+
+
+# --- Kaplan-Meier survival over order fulfillment latency ---------------------------
+# Survival analysis as a first-class distributed op. Duration = weeks from
+# o_orderdate to the order's FIRST shipped line; orders not yet fully
+# filled (o_orderstatus <> 'F') are right-censored at their duration. The
+# KM product-limit estimator is computed window-free: the per-duration
+# (d_i, c_i) table is bounded by the *date span* (~700 week buckets at any
+# SF, never row count), so risk sets and the survival product are exact
+# left-folds over one bounded array — the same materialize-then-fold
+# discipline as the other bounded-cardinality ops (no single-partition
+# window, no O(n^2) re-evaluation: every array is a column before any
+# element_at touches it).
+#
+# Determinism: d_i, n_i are integers; each factor 1 - d/n and the running
+# product use only IEEE ops in the identical fold order both engines —
+# bit-identical without any rounding step.
+
+_KM_ORACLE = """
+WITH fs AS (
+  SELECT o.o_orderkey,
+         CAST(floor(CAST(date_diff('day', o.o_orderdate, MIN(l.l_shipdate)) AS DOUBLE) / 7.0) AS BIGINT) AS t_weeks,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_event
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderstatus
+), counts AS (
+  SELECT t_weeks,
+         CAST(SUM(is_event) AS BIGINT) AS d_events,
+         CAST(SUM(1 - is_event) AS BIGINT) AS c_censored
+  FROM fs GROUP BY t_weeks
+), packed AS (
+  SELECT list(struct_pack(t := t_weeks, d := d_events, c := c_censored) ORDER BY t_weeks) AS arr
+  FROM counts
+), step1 AS (
+  SELECT arr, list_transform(arr, s -> s.d + s.c) AS td FROM packed
+), step2 AS (
+  SELECT arr, td,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), td), (a, b) -> a + b) AS total,
+         list_transform(range(1, len(arr) + 1),
+            i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(td, 1, i - 1)), (a, b) -> a + b)) AS pfx
+  FROM step1
+), step3 AS (
+  SELECT arr, total, pfx,
+         list_transform(range(1, len(arr) + 1),
+            i -> CAST(1.0 AS DOUBLE) - CAST(arr[i].d AS DOUBLE) / CAST(total - pfx[i] AS DOUBLE)) AS fct
+  FROM step2
+), rows_out AS (
+  SELECT unnest(range(1, len(arr) + 1)) AS i, arr, fct, total, pfx FROM step3
+)
+SELECT arr[i].t AS t_weeks,
+       CAST(total - pfx[i] AS BIGINT) AS n_at_risk,
+       arr[i].d AS d_events,
+       arr[i].c AS c_censored,
+       list_reduce(list_prepend(CAST(1.0 AS DOUBLE), list_slice(fct, 1, i)), (a, b) -> a * b) AS survival
+FROM rows_out
+"""
+
+
+@register(
+    "orders_kaplan_meier_fulfillment",
+    oracle=_KM_ORACLE,
+    doc="Kaplan-Meier product-limit survival of order fulfillment latency "
+    "(weeks to first ship; non-'F' orders right-censored). Window-free: "
+    "risk sets and the survival product are exact left-folds over one "
+    "date-span-bounded array — deterministic IEEE fold, no rounding.",
+    tags=("stats", "survival", "extension"),
+)
+def orders_kaplan_meier_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival curve S(t) = prod_{j<=i} (1 - d_j/n_j) over fulfillment
+    weeks. The heavy work is two partial-aggregated shuffles (first-ship
+    per order — co-keyed with the join — then the per-week (d, c) table);
+    everything after operates on ONE array bounded by the date span."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    fs = l.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    base = o.join(fs, o["o_orderkey"] == fs["l_orderkey"]).select(
+        F.floor(
+            F.datediff(F.col("first_ship"), F.col("o_orderdate")).cast("double")
+            / F.lit(7.0)
+        )
+        .cast("long")
+        .alias("t_weeks"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_event"),
+    )
+    counts = base.groupBy("t_weeks").agg(
+        F.sum("is_event").cast("long").alias("d_events"),
+        F.sum(F.lit(1) - F.col("is_event")).cast("long").alias("c_censored"),
+    )
+    zero = F.lit(0).cast("long")
+    packed = counts.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("t_weeks").alias("t"),
+                                    F.col("d_events").alias("d"),
+                                    F.col("c_censored").alias("c")))
+        ).alias("arr")
+    )
+    step1 = packed.select(
+        "arr", F.transform("arr", lambda s: s["d"] + s["c"]).alias("td")
+    )
+    step2 = step1.select(
+        "arr",
+        "td",
+        F.aggregate("td", zero, lambda a, b: a + b).alias("total"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("arr")),
+            lambda i: F.aggregate(
+                F.slice("td", F.lit(1), i - F.lit(1)), zero, lambda a, b: a + b
+            ),
+        ).alias("pfx"),
+    )
+    step3 = step2.select(
+        "arr",
+        "total",
+        "pfx",
+        F.transform(
+            F.sequence(F.lit(1), F.size("arr")),
+            lambda i: F.lit(1.0)
+            - F.element_at("arr", i)["d"].cast("double")
+            / (F.col("total") - F.element_at("pfx", i)).cast("double"),
+        ).alias("fct"),
+    )
+    rows_out = step3.select(
+        F.explode(F.sequence(F.lit(1), F.size("arr"))).alias("i"),
+        "arr",
+        "fct",
+        "total",
+        "pfx",
+    )
+    return rows_out.select(
+        F.element_at("arr", F.col("i"))["t"].alias("t_weeks"),
+        (F.col("total") - F.element_at("pfx", F.col("i")))
+        .cast("long")
+        .alias("n_at_risk"),
+        F.element_at("arr", F.col("i"))["d"].alias("d_events"),
+        F.element_at("arr", F.col("i"))["c"].alias("c_censored"),
+        F.aggregate(
+            F.slice("fct", F.lit(1), F.col("i")),
+            F.lit(1.0),
+            lambda a, b: a * b,
+        ).alias("survival"),
+    )
+
+
+# --- deterministic Poisson bootstrap: confidence intervals at corpus scale ----------
+# The classic bootstrap (sample N rows WITH replacement, B times) does not
+# distribute — it needs a global row index. The *Poisson bootstrap* does:
+# each row independently receives a Poisson(1) weight per resample, so the
+# whole procedure is a map-side fan-out (row, b) with partial aggregation —
+# shuffle rows = B x groups x partitions, never raw data. Weights come from
+# the md5-salted hash (deterministic, engine-identical); the Poisson draw
+# is an inverse-CDF walk over literal thresholds (truncated at k=4,
+# P(k>4) ~ 0.37%, documented); resample means use the decimal-accumulation
+# discipline so they are order-independent; the CI bounds are nearest-rank
+# picks from the sorted 64-vector of means (unique b tiebreaker), so the
+# entire output is exact cross-engine — no rounding step.
+
+_BOOT_B = 64
+# Poisson(1) inverse-CDF thresholds: P(X<=k) for k=0..3 (k=4 is the tail)
+_BOOT_T = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+)
+_BOOT_MODF = "1000000007.0"  # affine-rehash modulus as a double literal
+
+_BOOT_ORACLE = f"""
+WITH keyed AS (
+  SELECT l_returnflag, l_extendedprice,
+         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+              CAST(l_linenumber AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000007 AS x
+  FROM lineitem
+), fanout AS (
+  SELECT k.l_returnflag, k.l_extendedprice, b.b,
+         ((2 * b.b + 3) * k.x + 7919 * (b.b + 1)) % 1000000007 AS h
+  FROM keyed k CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+), weighted AS (
+  SELECT l_returnflag, l_extendedprice, b,
+         CASE WHEN CAST(h AS DOUBLE) / {_BOOT_MODF} < {_BOOT_T[0]} THEN 0
+              WHEN CAST(h AS DOUBLE) / {_BOOT_MODF} < {_BOOT_T[1]} THEN 1
+              WHEN CAST(h AS DOUBLE) / {_BOOT_MODF} < {_BOOT_T[2]} THEN 2
+              WHEN CAST(h AS DOUBLE) / {_BOOT_MODF} < {_BOOT_T[3]} THEN 3
+              ELSE 4 END AS w
+  FROM fanout
+), resample_means AS (
+  SELECT l_returnflag, b,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6)) * w) AS DOUBLE)
+           / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS mean_b
+  FROM weighted GROUP BY l_returnflag, b
+), packed AS (
+  SELECT l_returnflag,
+         list(struct_pack(m := mean_b, b := b) ORDER BY mean_b, b) AS arr
+  FROM resample_means GROUP BY l_returnflag
+), point AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS point_mean,
+         COUNT(*) AS n_lines
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT p.l_returnflag, p.point_mean,
+       k.arr[2].m AS ci_lo,
+       k.arr[{_BOOT_B - 1}].m AS ci_hi,
+       p.n_lines,
+       CAST({_BOOT_B} AS BIGINT) AS n_resamples
+FROM point p JOIN packed k ON p.l_returnflag = k.l_returnflag
+"""
+
+
+@register(
+    "stats_bootstrap_ci_poisson",
+    oracle=_BOOT_ORACLE,
+    doc="Poisson-bootstrap 95% CI for mean extended price per return flag: "
+    "B=64 Poisson(1) weights per row from ONE md5 + affine re-hash, map-side "
+    "fan-out + partial aggregation (shuffle carries B x groups rows), "
+    "nearest-rank CI picks from the sorted resample means — exact "
+    "cross-engine, no rounding.",
+    tags=("stats", "bootstrap", "extension"),
+)
+def stats_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _BOOT_ORACLE. At 100 TB: the fan-out is map-only (B copies per
+    row die into partial sums inside the task); no global resample index
+    ever exists — the reason Poisson bootstrap is THE distributed
+    bootstrap. Truncating Poisson(1) at k=4 drops 0.37% tail mass,
+    identically on both engines (it's a fixed threshold walk)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    x = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(1_000_000_007)
+    )
+    keyed = li.withColumn("x", x)
+    # the B-fold fan-out is pure map work: make sure it runs wide even when
+    # the input is one small file (at 100 TB the scan is already parallel
+    # and this branch is a no-op)
+    par = spark.sparkContext.defaultParallelism
+    if keyed.rdd.getNumPartitions() < par:
+        keyed = keyed.repartition(par)
+    fan = keyed.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
+    )
+    h = (
+        (F.lit(2) * F.col("b") + F.lit(3)) * F.col("x")
+        + F.lit(7919) * (F.col("b") + F.lit(1))
+    ) % F.lit(1_000_000_007)
+    u = h.cast("double") / F.lit(1000000007.0)
+    w = (
+        F.when(u < float(_BOOT_T[0]), 0)
+        .when(u < float(_BOOT_T[1]), 1)
+        .when(u < float(_BOOT_T[2]), 2)
+        .when(u < float(_BOOT_T[3]), 3)
+        .otherwise(4)
+    )
+    weighted = fan.select("l_returnflag", "l_extendedprice", "b", w.alias("w"))
+    means = weighted.groupBy("l_returnflag", "b").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(27,6)") * F.col("w")).cast(
+                "double"
+            )
+            / F.sum("w").cast("long").cast("double")
+        ).alias("mean_b")
+    )
+    packed = means.groupBy("l_returnflag").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("mean_b").alias("m"), F.col("b").alias("b")))
+        ).alias("arr")
+    )
+    point = li.groupBy("l_returnflag").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("point_mean"),
+        F.count("*").alias("n_lines"),
+    )
+    return point.join(packed, "l_returnflag").select(
+        "l_returnflag",
+        "point_mean",
+        F.element_at("arr", 2)["m"].alias("ci_lo"),
+        F.element_at("arr", _BOOT_B - 1)["m"].alias("ci_hi"),
+        "n_lines",
+        F.lit(_BOOT_B).cast("long").alias("n_resamples"),
+    )

@@ -2836,3 +2836,145 @@ def embedding_knn_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ref",
         F.round(F.element_at(F.array_sort(F.col("dd")), OOD_K), 9).alias("knn_d"),
     )
+
+
+# --- Matryoshka prefix-dimension recall ---------------------------------------------
+# MRL-style embeddings are trained so that a PREFIX of the vector is itself
+# a usable embedding; retrieval then scores with (say) the first 8 of 64
+# dims at 1/8 the FLOPs and memory, and recall@k vs the full-dim exact
+# ranking is THE metric that decides which prefix ships. This measures it
+# on-corpus: one scan computes every prefix cosine (independent left-folds
+# per prefix so each arm is bit-identical to the oracle's fold), one
+# explode fans (vec_id, prefix_dim, cosine), and per-prefix top-k goes
+# through a rank window that compiles to WindowGroupLimit — partitions
+# emit at most |prefixes| x k rows, never the corpus. The tiny top-k frame
+# is persisted before its truth-vs-arm self-join (house rule).
+
+MATRYOSHKA_DIMS = (8, 16, 32)
+_MAT_FULL = 64
+
+
+def _sql_prefix_cos(d: int) -> str:
+    def dot(u, v):
+        return (
+            f"list_reduce(list_transform(generate_series(1, {d}), "
+            f"i -> CAST({u}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE)), (x,y) -> x+y)"
+        )
+
+    return (
+        f"{dot('a.embedding', 'q.embedding')} / "
+        f"(sqrt({dot('a.embedding', 'a.embedding')}) * "
+        f"sqrt({dot('q.embedding', 'q.embedding')}))"
+    )
+
+
+def _spark_prefix_cos(a: Column, b: Column, d: int) -> Column:
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(u, 1, d),
+                F.slice(v, 1, d),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v_: acc + v_,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+_MAT_ARMS_SQL = ",\n".join(
+    f"""arm{d} AS (
+  SELECT a.vec_id FROM embeddings a,
+       (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q
+  WHERE a.vec_id <> {QUERY_VEC_ID}
+  ORDER BY {_sql_prefix_cos(d)} DESC, a.vec_id
+  LIMIT {TOP_K}
+)"""
+    for d in (*MATRYOSHKA_DIMS, _MAT_FULL)
+)
+
+_MAT_ORACLE = f"""
+WITH {_MAT_ARMS_SQL}
+SELECT * FROM (
+  {" UNION ALL ".join(
+      f'''SELECT CAST({d} AS BIGINT) AS prefix_dim,
+           CAST((SELECT COUNT(*) FROM arm{d} JOIN arm{_MAT_FULL} USING (vec_id)) AS BIGINT) AS n_hits,
+           CAST({TOP_K} AS BIGINT) AS k,
+           CAST((SELECT COUNT(*) FROM arm{d} JOIN arm{_MAT_FULL} USING (vec_id)) AS DOUBLE) / {TOP_K} AS recall_at_k'''
+      for d in MATRYOSHKA_DIMS
+  )}
+)
+"""
+
+
+@register(
+    "ann_matryoshka_prefix_recall",
+    oracle=_MAT_ORACLE,
+    doc=f"recall@{TOP_K} of Matryoshka prefix-dim retrieval (dims "
+    f"{MATRYOSHKA_DIMS}) vs the full-{_MAT_FULL}-dim exact ranking — one "
+    "corpus scan for every prefix, per-prefix top-k via WindowGroupLimit, "
+    "both arms deterministic (unique vec_id tiebreak)",
+    tags=("pipeline", "similarity", "eval", "matryoshka"),
+)
+def ann_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    dims = (*MATRYOSHKA_DIMS, _MAT_FULL)
+    scored = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).cast("long").alias("prefix_dim"),
+                            _spark_prefix_cos(
+                                F.col("embedding"), F.col("q_embedding"), d
+                            ).alias("cosine"),
+                        )
+                        for d in dims
+                    ]
+                )
+            ).alias("arm"),
+        )
+        .select("vec_id", "arm.prefix_dim", "arm.cosine")
+    )
+    w = Window.partitionBy("prefix_dim").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= TOP_K
+    )
+    topk = topk.select("prefix_dim", "vec_id")
+    # truth side is exactly TOP_K ids — a bounded collect (the K-seed-rows
+    # budget), which avoids a self-join on unpersisted lineage entirely
+    truth_ids = [
+        int(r["vec_id"])
+        for r in topk.filter(F.col("prefix_dim") == _MAT_FULL).collect()
+    ]
+    hits = (
+        topk.filter(F.col("prefix_dim") != _MAT_FULL)
+        .filter(F.col("vec_id").isin(truth_ids))
+        .groupBy("prefix_dim")
+        .agg(F.count("*").alias("n"))
+    )
+    # a prefix arm could in principle share zero ids with truth — keep the
+    # row via a left join from the literal dim list
+    dims_df = spark.createDataFrame(
+        [(int(d),) for d in MATRYOSHKA_DIMS], "prefix_dim long"
+    )
+    return dims_df.join(hits, "prefix_dim", "left").select(
+        "prefix_dim",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+        F.lit(TOP_K).cast("long").alias("k"),
+        (F.coalesce(F.col("n"), F.lit(0)).cast("double") / TOP_K).alias(
+            "recall_at_k"
+        ),
+    )

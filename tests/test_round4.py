@@ -8,6 +8,8 @@ semantic invariants on crafted inputs.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from f1_lakehouse_spark.registry import REGISTRY, _ensure_loaded
 from tests.conftest import SF_DIR
 
@@ -333,3 +335,159 @@ def test_corpus_lines_random_batch_vs_python(spark, tmp_path):
     }
     want = _py_corpus_lines(docs)
     assert got == want
+
+
+# --- hll_register_sketch_exact -------------------------------------------------------
+
+
+def test_hll_register_sketch_merge_equals_direct_and_is_accurate(spark):
+    """Mergeability contract: max-merging per-group register tables must
+    give the SAME registers (hence identical estimate/harmonic state) as
+    sketching the raw rows directly. And the p=10 estimator should land
+    within ~2x the theoretical error (1.04/sqrt(1024) ~ 3.25%) of exact."""
+    rows = {
+        r["scope"]: r
+        for r in REGISTRY["hll_register_sketch_exact"].fn(spark, SF_DIR).collect()
+    }
+    merged, direct = rows["__merged__"], rows["__direct__"]
+    assert merged["harmonic_scaled"] == direct["harmonic_scaled"]
+    assert merged["approx_users"] == direct["approx_users"]
+    assert merged["used_registers"] == direct["used_registers"]
+    for scope, r in rows.items():
+        exact = r["exact_users"]
+        assert abs(r["approx_users"] - exact) <= max(0.07 * exact, 8.0), (
+            scope,
+            r["approx_users"],
+            exact,
+        )
+
+
+def test_hll_register_partial_max_before_exchange(spark):
+    """The register build must partial-aggregate (map-side MAX) before its
+    exchange — at 100 TB the shuffle carries at most groups x 1024 rows'
+    worth of partial registers per task, never raw events."""
+    plan = _plan(spark, "hll_register_sketch_exact")
+    assert "partial_max" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_linear_counting_round_is_cross_engine_stable(spark):
+    """Exhaustive guard for the documented ln-rounding argument: the
+    small-range correction round(1024*ln(1024/V)) has exactly 1023 possible
+    inputs; assert Spark and DuckDB produce the IDENTICAL rounded value for
+    every one, and that no input sits near a .5 rounding boundary (margin
+    must dwarf the ~1-ulp cross-engine ln drift)."""
+    import math
+
+    import duckdb
+
+    s_rows = dict(
+        spark.range(1, 1024)
+        .selectExpr(
+            "id AS v",
+            "round(1024.0D * ln(1024.0D / CAST(id AS DOUBLE)), 0) AS e",
+        )
+        .collect()
+    )
+    d_rows = dict(
+        duckdb.sql(
+            "SELECT v, round(1024.0 * ln(1024.0 / CAST(v AS DOUBLE)), 0) AS e "
+            "FROM (SELECT unnest(range(1, 1024)) AS v)"
+        ).fetchall()
+    )
+    assert s_rows == d_rows
+    margin = min(
+        abs((1024.0 * math.log(1024.0 / float(v)) % 1.0) - 0.5)
+        for v in range(1, 1024)
+    )
+    assert margin > 1e-7, margin
+
+
+# --- orders_kaplan_meier_fulfillment -------------------------------------------------
+
+
+def test_kaplan_meier_invariants(spark):
+    """S(t) must start <= 1, be non-increasing, stay in [0,1]; the risk set
+    must strictly shrink; and sum(d + c) must equal the order count."""
+    rows = sorted(
+        REGISTRY["orders_kaplan_meier_fulfillment"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["t_weeks"],
+    )
+    assert rows[0]["n_at_risk"] == max(r["n_at_risk"] for r in rows)
+    prev_s, prev_n = 1.0 + 1e-12, rows[0]["n_at_risk"] + 1
+    for r in rows:
+        assert 0.0 <= r["survival"] <= prev_s + 1e-12
+        assert r["n_at_risk"] < prev_n
+        prev_s, prev_n = r["survival"], r["n_at_risk"]
+    from f1_lakehouse_spark.tables import load_table
+
+    # cohort = orders with >= 1 line (an order that never shipped anything
+    # has no duration to censor at); the curve must account for every one
+    n_cohort = (
+        load_table(spark, SF_DIR, "orders")
+        .join(
+            load_table(spark, SF_DIR, "lineitem").select("l_orderkey").distinct(),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "semi",
+        )
+        .count()
+    )
+    assert sum(r["d_events"] + r["c_censored"] for r in rows) == n_cohort
+
+
+def test_kaplan_meier_fold_stage_is_bounded_single_row(spark):
+    """Everything after the two partial-aggregated shuffles operates on ONE
+    packed array row — the plan must show partial aggregation and no
+    cartesian/python stages."""
+    plan = _plan(spark, "orders_kaplan_meier_fulfillment")
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+# --- stats_bootstrap_ci_poisson ------------------------------------------------------
+
+
+def test_bootstrap_ci_brackets_the_point_estimate(spark):
+    """Each flag's 95% CI must bracket its point mean, be properly ordered,
+    and be tight relative to the mean (n is large; CI half-width should be
+    well under 5% of the mean for the sf0.001 lineitem)."""
+    rows = REGISTRY["stats_bootstrap_ci_poisson"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["ci_lo"] < r["point_mean"] < r["ci_hi"], r
+        assert (r["ci_hi"] - r["ci_lo"]) < 0.10 * r["point_mean"], r
+        assert r["n_resamples"] == 64
+
+
+def test_bootstrap_fanout_partial_aggregates_before_exchange(spark):
+    """The B=64 fan-out must die into map-side partial sums — the exchange
+    after the explode carries (group, b) partials, never the fanned rows."""
+    plan = _plan(spark, "stats_bootstrap_ci_poisson")
+    assert "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# --- ann_matryoshka_prefix_recall ----------------------------------------------------
+
+
+def test_matryoshka_recall_bounded_and_consistent(spark):
+    """Every arm's hits are bounded by k and recall = n_hits/k exactly.
+    (No monotonicity assertion: the synthetic embeddings are not
+    MRL-trained, so a short prefix can beat a longer one by luck —
+    observed 0.2 @ dim8 vs 0.1 @ dim16 at sf0.001.)"""
+    rows = sorted(
+        REGISTRY["ann_matryoshka_prefix_recall"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["prefix_dim"],
+    )
+    assert [r["prefix_dim"] for r in rows] == [8, 16, 32]
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["k"]
+        assert abs(r["recall_at_k"] - r["n_hits"] / r["k"]) < 1e-15
+
+
+def test_matryoshka_topk_uses_window_group_limit(spark):
+    """Per-prefix top-k must prune partitions to |prefixes| x k rows
+    before the shuffle — the corpus never sorts globally."""
+    plan = _plan(spark, "ann_matryoshka_prefix_recall")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
