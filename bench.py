@@ -57,6 +57,8 @@ EXTENDED = [
     "orders_kaplan_meier_fulfillment",
     "stats_bootstrap_ci_poisson",
     "ann_matryoshka_prefix_recall",
+    "events_ewma_anomaly",
+    "lineitem_benford_audit",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "ann_lsh_materialized",

@@ -1039,3 +1039,109 @@ def events_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mean_y_b - mean_y_a).alias("lift_raw"),
         (adj_b - adj_a).alias("lift_cuped"),
     )
+
+
+# --- per-user EWMA anomaly score ----------------------------------------------------
+# Exponentially weighted moving average over each user's ordered value
+# stream — the classic online smoother / anomaly baseline. Distributed
+# shape: ONE shuffle on user_id where a rank window caps each user to the
+# last EWMA_CAP events (compiles to WindowGroupLimit, so a whale user
+# contributes EWMA_CAP rows to the shuffle, not their history); the fold
+# itself runs on a per-user array bounded by the cap. alpha = 1/4 is
+# dyadic, and the fold is the identical left-fold in both engines
+# (DuckDB's no-init list_reduce == Spark aggregate seeded with x1), so
+# every output double is bit-exact — no rounding step.
+
+EWMA_CAP = 64
+_EWMA_ALPHA = "0.25"  # dyadic: 1/4
+
+_EWMA_ORACLE = f"""
+WITH capped AS (
+  SELECT user_id, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE value IS NOT NULL
+), packed AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id) AS vals
+  FROM capped WHERE rn <= {EWMA_CAP}
+  GROUP BY user_id
+), folded AS (
+  SELECT user_id, vals,
+         list_transform(range(1, len(vals) + 1),
+            i -> list_reduce(list_slice(vals, 1, i),
+                             (acc, v) -> acc + {_EWMA_ALPHA} * (v - acc))) AS ew
+  FROM packed
+)
+SELECT user_id,
+       CAST(len(vals) AS BIGINT) AS n_events,
+       ew[len(vals)] AS last_ewma,
+       CASE WHEN len(vals) < 2 THEN 0.0
+            ELSE list_aggregate(
+                   list_transform(range(2, len(vals) + 1),
+                      i -> abs(vals[i] - ew[i - 1])), 'max')
+       END AS max_abs_dev
+FROM folded
+"""
+
+
+@register(
+    "events_ewma_anomaly",
+    oracle=_EWMA_ORACLE,
+    doc=f"per-user EWMA (alpha=1/4, last {EWMA_CAP} events) + max absolute "
+    "one-step deviation — the online-smoothing anomaly baseline as one "
+    "WindowGroupLimit-capped shuffle plus bounded per-user folds, "
+    "bit-exact cross-engine",
+    tags=("events", "timeseries", "extension"),
+)
+def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _EWMA_ORACLE. At 100 TB the cap is the whale guard: the rank
+    window prunes each user to EWMA_CAP rows BEFORE rows move (group-limit
+    pushdown), and every post-shuffle array is cap-bounded."""
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    capped = (
+        e.select("user_id", "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= EWMA_CAP)
+    )
+    packed = capped.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", F.col("value").alias("v")))
+            ),
+            lambda s: s["v"],
+        ).alias("vals")
+    )
+    alpha = F.lit(0.25)
+    folded = packed.select(
+        "user_id",
+        "vals",
+        F.transform(
+            F.sequence(F.lit(1), F.size("vals")),
+            lambda i: F.aggregate(
+                F.slice("vals", F.lit(2), i - F.lit(1)),
+                F.element_at(F.col("vals"), 1),
+                lambda acc, v: acc + alpha * (v - acc),
+            ),
+        ).alias("ew"),
+    )
+    return folded.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.element_at(F.col("ew"), F.size("vals")).alias("last_ewma"),
+        F.when(F.size("vals") < 2, F.lit(0.0))
+        .otherwise(
+            F.array_max(
+                F.transform(
+                    F.sequence(F.lit(2), F.size("vals")),
+                    lambda i: F.abs(
+                        F.element_at(F.col("vals"), i)
+                        - F.element_at(F.col("ew"), i - F.lit(1))
+                    ),
+                )
+            )
+        )
+        .alias("max_abs_dev"),
+    )

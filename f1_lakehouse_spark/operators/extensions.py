@@ -2689,3 +2689,83 @@ def stats_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lines",
         F.lit(_BOOT_B).cast("long").alias("n_resamples"),
     )
+
+
+# --- Benford first-digit audit ------------------------------------------------------
+# The forensic-accounting screen: first significant digits of naturally
+# occurring amounts follow log10(1 + 1/d); a per-digit chi-square term
+# localizes which digit band deviates (fabricated or clamped data shows
+# up immediately). Digit extraction is integer/string only (floor ->
+# BIGINT -> first char — float formatting never touches the value, which
+# keeps both engines identical); expected masses are literal doubles, so
+# every output is exact cross-engine. One partial-aggregated shuffle of
+# at most 9 digit groups; the total joins back as a broadcast 1-row frame.
+
+_BENFORD_P = (
+    "0.3010299956639812",
+    "0.17609125905568124",
+    "0.12493873660829992",
+    "0.09691001300805642",
+    "0.07918124604762482",
+    "0.06694678963061322",
+    "0.05799194697768673",
+    "0.05115252244738129",
+    "0.04575749056067514",
+)
+
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in enumerate(_BENFORD_P, start=1))
+    + " END"
+)
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM lineitem WHERE l_extendedprice > 0
+), counts AS (
+  SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit
+), total AS (
+  SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM counts
+)
+SELECT c.digit,
+       c.n_obs,
+       CAST(t.n AS DOUBLE) * {_BENFORD_CASE} AS expected,
+       (CAST(c.n_obs AS DOUBLE) - CAST(t.n AS DOUBLE) * {_BENFORD_CASE})
+         * (CAST(c.n_obs AS DOUBLE) - CAST(t.n AS DOUBLE) * {_BENFORD_CASE})
+         / (CAST(t.n AS DOUBLE) * {_BENFORD_CASE}) AS chi2_term
+FROM counts c CROSS JOIN total t
+"""
+
+
+@register(
+    "lineitem_benford_audit",
+    oracle=_BENFORD_ORACLE,
+    doc="Benford first-digit audit of extended price: per-digit observed "
+    "vs log10(1+1/d) expected mass with a chi-square term per digit — "
+    "integer/string digit extraction, literal expected masses, exact "
+    "cross-engine; one 9-group shuffle.",
+    tags=("stats", "audit", "extension"),
+)
+def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_extendedprice") > 0)
+    digit = F.substring(
+        F.floor(F.col("l_extendedprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    counts = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n_obs")
+    )
+    total = counts.agg(F.sum("n_obs").cast("long").alias("n"))
+    p = F.col("digit")
+    expected_mass = F.when(p == 1, float(_BENFORD_P[0]))
+    for d in range(2, 10):
+        expected_mass = expected_mass.when(p == d, float(_BENFORD_P[d - 1]))
+    joined = counts.crossJoin(F.broadcast(total))
+    e = F.col("n").cast("double") * expected_mass
+    o = F.col("n_obs").cast("double")
+    return joined.select(
+        "digit",
+        "n_obs",
+        e.alias("expected"),
+        ((o - e) * (o - e) / e).alias("chi2_term"),
+    )

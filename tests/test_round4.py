@@ -491,3 +491,56 @@ def test_matryoshka_topk_uses_window_group_limit(spark):
     plan = _plan(spark, "ann_matryoshka_prefix_recall")
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+# --- events_ewma_anomaly -------------------------------------------------------------
+
+
+def test_ewma_stays_inside_value_hull_and_caps(spark):
+    """Each user's EWMA is a convex combination of their values, so
+    last_ewma must lie inside [min(value), max(value)]; n_events must
+    respect the cap; deviations are non-negative."""
+    from f1_lakehouse_spark.operators.events_analytics import EWMA_CAP
+    from f1_lakehouse_spark.tables import load_table
+
+    rows = {r["user_id"]: r for r in REGISTRY["events_ewma_anomaly"].fn(spark, SF_DIR).collect()}
+    hull = {
+        r["user_id"]: (r["lo"], r["hi"])
+        for r in load_table(spark, SF_DIR, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    assert rows
+    for uid, r in rows.items():
+        assert 1 <= r["n_events"] <= EWMA_CAP
+        lo, hi = hull[uid]
+        assert lo - 1e-9 <= r["last_ewma"] <= hi + 1e-9, (uid, r)
+        assert r["max_abs_dev"] >= 0.0
+
+
+def test_ewma_cap_prunes_before_shuffle(spark):
+    """The rank-window cap must compile to WindowGroupLimit so whale users
+    are pruned to EWMA_CAP rows partition-side."""
+    plan = _plan(spark, "events_ewma_anomaly")
+    assert "WindowGroupLimit" in plan
+
+
+# --- lineitem_benford_audit ----------------------------------------------------------
+
+
+def test_benford_masses_and_terms_consistent(spark):
+    """Digits are 1..9, observed counts sum to the total the expectations
+    were built from, expected masses sum to ~1, and each chi2 term
+    recomputes from (o, e) exactly."""
+    rows = sorted(
+        REGISTRY["lineitem_benford_audit"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["digit"],
+    )
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    n = sum(r["n_obs"] for r in rows)
+    assert abs(sum(r["expected"] for r in rows) - n) < 1e-6 * n
+    for r in rows:
+        o, e = float(r["n_obs"]), r["expected"]
+        assert abs(r["chi2_term"] - (o - e) ** 2 / e) < 1e-9
