@@ -59,6 +59,8 @@ EXTENDED = [
     "ann_matryoshka_prefix_recall",
     "events_ewma_anomaly",
     "lineitem_benford_audit",
+    "orders_cohort_ltv",
+    "orders_seasonal_decompose",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "ann_lsh_materialized",

@@ -1145,3 +1145,89 @@ def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("max_abs_dev"),
     )
+
+
+# --- cohort LTV triangle ------------------------------------------------------------
+# The subscription-analytics workhorse: customers cohorted by first-order
+# month, revenue accumulated along cohort age — the "LTV triangle" whose
+# diagonal is the calendar. Heavy work is two partial-aggregated shuffles
+# (first order per customer — co-keyed with the join back — then the
+# (cohort, age) cell aggregate); the cumulative runs in a window
+# PARTITIONED BY cohort whose frames are calendar-bounded (<= ~85 ages),
+# never a global window. Money stays DECIMAL(18,2) end-to-end (rounded
+# once at the source, where both engines agree on positive HALF-UP), so
+# the windowed cumsum is exact integer arithmetic and the final
+# decimal->double cast is exact (unscaled cents < 2^53).
+
+_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey, MIN(o_orderdate) AS first_dt
+  FROM orders GROUP BY o_custkey
+), tagged AS (
+  SELECT strftime(date_trunc('month', f.first_dt), '%Y-%m') AS cohort_month,
+         (CAST(year(o.o_orderdate) AS BIGINT) * 12 + CAST(month(o.o_orderdate) AS BIGINT))
+           - (CAST(year(f.first_dt) AS BIGINT) * 12 + CAST(month(f.first_dt) AS BIGINT)) AS age_months,
+         CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2)) AS rev,
+         o.o_custkey
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+), cells AS (
+  SELECT cohort_month, age_months,
+         COUNT(*) AS n_orders,
+         COUNT(DISTINCT o_custkey) AS n_active_customers,
+         SUM(rev) AS rev_d
+  FROM tagged GROUP BY cohort_month, age_months
+)
+SELECT cohort_month, age_months, n_orders, n_active_customers,
+       CAST(rev_d AS DOUBLE) AS revenue,
+       CAST(SUM(rev_d) OVER (PARTITION BY cohort_month ORDER BY age_months
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS cum_revenue
+FROM cells
+"""
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle=_LTV_ORACLE,
+    doc="cohort LTV triangle: first-order-month cohorts x age-in-months "
+    "with per-cell orders/actives/revenue and the cumulative LTV curve — "
+    "decimal-exact money end-to-end, cohort-partitioned (calendar-bounded) "
+    "cumulative window",
+    tags=("events", "cohort", "extension"),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _LTV_ORACLE. At 100 TB: both shuffles key on o_custkey /
+    (cohort, age); the window's partitions are cohorts (bounded by the
+    calendar, so frames never exceed ~85 rows) — parallelism comes from
+    cohort count x upstream cells, with no global ordering anywhere."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    mo = lambda c: F.year(c).cast("long") * 12 + F.month(c).cast("long")  # noqa: E731
+    tagged = o.join(firsts, "o_custkey").select(
+        F.date_format(F.date_trunc("month", F.col("first_dt")), "yyyy-MM").alias(
+            "cohort_month"
+        ),
+        (mo(F.col("o_orderdate")) - mo(F.col("first_dt"))).alias("age_months"),
+        F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)").alias("rev"),
+        "o_custkey",
+    )
+    cells = tagged.groupBy("cohort_month", "age_months").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_active_customers"),
+        F.sum("rev").alias("rev_d"),
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "cohort_month",
+        "age_months",
+        "n_orders",
+        "n_active_customers",
+        F.col("rev_d").cast("double").alias("revenue"),
+        F.sum("rev_d").over(w).cast("double").alias("cum_revenue"),
+    )

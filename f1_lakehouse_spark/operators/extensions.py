@@ -2769,3 +2769,137 @@ def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.alias("expected"),
         ((o - e) * (o - e) / e).alias("chi2_term"),
     )
+
+
+# --- classical seasonal decomposition of the monthly revenue series -----------------
+# Trend = centered 13-month moving sum / 13 (defined only where the full
+# window exists); seasonal index = per-month-of-year mean of the detrended
+# residual; residual = series - trend - seasonal. The monthly series is
+# calendar-bounded (~84 cells at any SF), so the sliding windows are
+# slice-folds over ONE packed array (the Kaplan-Meier discipline) — no
+# global window. Money is integer CENTS end-to-end (decimal-rounded once
+# at the source, then BIGINT): every sum is exact integer arithmetic and
+# the three final divisions are single IEEE ops — exact cross-engine.
+
+_SEAS_ORACLE = """
+WITH monthly AS (
+  SELECT (CAST(year(o_orderdate) AS BIGINT) * 12 + CAST(month(o_orderdate) AS BIGINT)) AS ym,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month_str,
+         CAST(month(o_orderdate) AS BIGINT) AS moy,
+         CAST(SUM(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2, 3
+), packed AS (
+  SELECT list(struct_pack(ym := ym, month_str := month_str, moy := moy, cents := cents)
+              ORDER BY ym) AS arr
+  FROM monthly
+), step1 AS (
+  SELECT arr, list_transform(arr, s -> s.cents) AS ca, len(arr) AS n FROM packed
+), step2 AS (
+  SELECT arr, ca, n,
+         list_transform(range(1, n + 1),
+            i -> CASE WHEN i >= 7 AND i <= n - 6
+                 THEN list_reduce(list_slice(ca, i - 6, i + 6), (a, b) -> a + b)
+                 ELSE NULL END) AS ts
+  FROM step1
+), rows_out AS (
+  SELECT unnest(range(1, n + 1)) AS i, arr, ca, ts FROM step2
+), months AS (
+  SELECT arr[i].month_str AS month_str, arr[i].moy AS moy,
+         ca[i] AS cents, ts[i] AS trend_cents13
+  FROM rows_out
+), seasonal AS (
+  SELECT moy,
+         CAST(SUM(13 * cents - trend_cents13) AS BIGINT) AS sr,
+         COUNT(trend_cents13) AS cnt
+  FROM months WHERE trend_cents13 IS NOT NULL GROUP BY moy
+)
+SELECT m.month_str,
+       CAST(m.cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(m.trend_cents13 AS DOUBLE) / 1300.0 AS trend,
+       CAST(s.sr AS DOUBLE) / (1300.0 * CAST(s.cnt AS DOUBLE)) AS seasonal,
+       CAST(m.cents AS DOUBLE) / 100.0
+         - CAST(m.trend_cents13 AS DOUBLE) / 1300.0
+         - CAST(s.sr AS DOUBLE) / (1300.0 * CAST(s.cnt AS DOUBLE)) AS residual
+FROM months m LEFT JOIN seasonal s ON m.moy = s.moy
+"""
+
+
+@register(
+    "orders_seasonal_decompose",
+    oracle=_SEAS_ORACLE,
+    doc="classical seasonal decomposition of monthly revenue: centered "
+    "13-month trend, month-of-year seasonal index, residual — integer-"
+    "cents arithmetic over one calendar-bounded packed array, exact "
+    "cross-engine",
+    tags=("stats", "timeseries", "extension"),
+)
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _SEAS_ORACLE. The raw-row work is ONE partial-aggregated
+    shuffle to ~84 month cells; every sliding computation after that is a
+    bounded slice-fold; the seasonal join is a broadcast of <= 12 rows."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    cents = (
+        F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)") * 100
+    ).cast("long")
+    monthly = o.select(
+        (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate").cast("long")).alias("ym"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias(
+            "month_str"
+        ),
+        F.month("o_orderdate").cast("long").alias("moy"),
+        cents.alias("c"),
+    ).groupBy("ym", "month_str", "moy").agg(F.sum("c").alias("cents"))
+    packed = monthly.agg(
+        F.sort_array(
+            F.collect_list(F.struct("ym", "month_str", "moy", "cents"))
+        ).alias("arr")
+    )
+    step1 = packed.select(
+        "arr",
+        F.transform("arr", lambda s: s["cents"]).alias("ca"),
+        F.size("arr").alias("n"),
+    )
+    zero = F.lit(0).cast("long")
+    step2 = step1.select(
+        "arr",
+        "ca",
+        "n",
+        F.transform(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda i: F.when(
+                (i >= 7) & (i <= F.col("n") - 6),
+                F.aggregate(
+                    F.slice("ca", i - F.lit(6), F.lit(13)), zero, lambda a, b: a + b
+                ),
+            ).otherwise(F.lit(None).cast("long")),
+        ).alias("ts"),
+    )
+    rows_out = step2.select(
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"), "arr", "ca", "ts"
+    )
+    months = rows_out.select(
+        F.element_at("arr", F.col("i"))["month_str"].alias("month_str"),
+        F.element_at("arr", F.col("i"))["moy"].alias("moy"),
+        F.element_at("ca", F.col("i")).alias("cents"),
+        F.try_element_at("ts", F.col("i")).alias("trend_cents13"),
+    )
+    seasonal = (
+        months.where(F.col("trend_cents13").isNotNull())
+        .groupBy("moy")
+        .agg(
+            F.sum(F.lit(13) * F.col("cents") - F.col("trend_cents13"))
+            .cast("long")
+            .alias("sr"),
+            F.count("trend_cents13").alias("cnt"),
+        )
+    )
+    rev = F.col("cents").cast("double") / F.lit(100.0)
+    trend = F.col("trend_cents13").cast("double") / F.lit(1300.0)
+    seas = F.col("sr").cast("double") / (F.lit(1300.0) * F.col("cnt").cast("double"))
+    return months.join(F.broadcast(seasonal), "moy", "left").select(
+        "month_str",
+        rev.alias("revenue"),
+        trend.alias("trend"),
+        seas.alias("seasonal"),
+        (rev - trend - seas).alias("residual"),
+    )

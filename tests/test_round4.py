@@ -544,3 +544,63 @@ def test_benford_masses_and_terms_consistent(spark):
     for r in rows:
         o, e = float(r["n_obs"]), r["expected"]
         assert abs(r["chi2_term"] - (o - e) ** 2 / e) < 1e-9
+
+
+# --- orders_cohort_ltv ---------------------------------------------------------------
+
+
+def test_cohort_ltv_monotone_and_complete(spark):
+    """Within each cohort the LTV curve is non-decreasing (revenue >= 0
+    per cell), every cohort has an age-0 cell, and total revenue across
+    the triangle equals the rounded order total."""
+    from collections import defaultdict
+
+    from f1_lakehouse_spark.tables import load_table
+
+    rows = REGISTRY["orders_cohort_ltv"].fn(spark, SF_DIR).collect()
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort_month"]].append(r)
+    for c, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["age_months"])
+        assert rs[0]["age_months"] == 0, c
+        prev = 0.0
+        for r in rs:
+            assert r["cum_revenue"] >= prev - 1e-6
+            prev = r["cum_revenue"]
+    total = sum(r["revenue"] for r in rows)
+    expect = (
+        load_table(spark, SF_DIR, "orders")
+        .agg(F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).cast("double"))
+        .collect()[0][0]
+    )
+    assert abs(total - expect) < 1e-4
+
+
+# --- orders_seasonal_decompose -------------------------------------------------------
+
+
+def test_seasonal_decompose_edges_and_zero_mean_residuals(spark):
+    """Trend exists exactly where the full 13-month window fits; the
+    seasonal index makes residuals sum to ~0 within each month-of-year;
+    revenue always reconstructs as trend + seasonal + residual."""
+    from collections import defaultdict
+
+    rows = sorted(
+        REGISTRY["orders_seasonal_decompose"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["month_str"],
+    )
+    n = len(rows)
+    assert n >= 13
+    for i, r in enumerate(rows, start=1):
+        if 7 <= i <= n - 6:
+            assert r["trend"] is not None
+            assert abs(r["revenue"] - (r["trend"] + r["seasonal"] + r["residual"])) < 1e-6
+        else:
+            assert r["trend"] is None and r["residual"] is None
+    by_moy = defaultdict(list)
+    for r in rows:
+        if r["residual"] is not None:
+            by_moy[r["month_str"][-2:]].append(r["residual"])
+    for moy, res in by_moy.items():
+        assert abs(sum(res)) < 1e-4 * max(1.0, max(abs(x) for x in res)), moy
