@@ -61,6 +61,7 @@ EXTENDED = [
     "lineitem_benford_audit",
     "orders_cohort_ltv",
     "orders_seasonal_decompose",
+    "orders_holt_forecast",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "ann_lsh_materialized",

@@ -2903,3 +2903,181 @@ def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         seas.alias("seasonal"),
         (rev - trend - seas).alias("residual"),
     )
+
+
+# --- Holt linear-trend forecast of monthly revenue ----------------------------------
+# Double exponential smoothing (level + trend), the standard short-horizon
+# business forecast. Same calendar-bounded packed-array discipline as the
+# seasonal decomposition: one partial-aggregated shuffle to ~84 month
+# cells, per-index prefix folds for the fitted one-step-ahead values, and
+# 6 forecast rows extrapolated from the final state. The fold state is a
+# 2-element DOUBLE list [level, trend] — NOT a struct: DuckDB 1.0's
+# list_reduce computes struct-typed accumulators incorrectly (verified:
+# identical lambda gives b=0.141 vs the true 0.170 at step 2), while
+# list-typed accumulators fold exactly; both engines run the literally
+# isomorphic lambda (elements wrapped as [v, 0.0] so the fold list is
+# homogeneous), making every output bit-identical.
+
+_HOLT_ALPHA = "0.25"   # dyadic
+_HOLT_BETA = "0.125"   # dyadic
+_HOLT_H = 6
+
+_HOLT_STEP_SQL = (
+    "(acc, x) -> ["
+    f"CAST({_HOLT_ALPHA} AS DOUBLE) * x[1] + (CAST(1.0 AS DOUBLE) - CAST({_HOLT_ALPHA} AS DOUBLE)) * (acc[1] + acc[2]), "
+    f"CAST({_HOLT_BETA} AS DOUBLE) * (CAST({_HOLT_ALPHA} AS DOUBLE) * x[1] + (CAST(1.0 AS DOUBLE) - CAST({_HOLT_ALPHA} AS DOUBLE)) * (acc[1] + acc[2]) - acc[1]) "
+    f"+ (CAST(1.0 AS DOUBLE) - CAST({_HOLT_BETA} AS DOUBLE)) * acc[2]"
+    "]"
+)
+
+_HOLT_ORACLE = f"""
+WITH monthly AS (
+  SELECT (CAST(year(o_orderdate) AS BIGINT) * 12 + CAST(month(o_orderdate) AS BIGINT) - 1) AS ym0,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month_str,
+         CAST(SUM(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+), packed AS (
+  SELECT list(struct_pack(ym0 := ym0, month_str := month_str,
+                          v := CAST(cents AS DOUBLE) / 100.0) ORDER BY ym0) AS arr
+  FROM monthly
+), step1 AS (
+  SELECT arr, list_transform(arr, s -> [s.v, CAST(0.0 AS DOUBLE)]) AS va,
+         len(arr) AS n
+  FROM packed
+), step2 AS (
+  SELECT arr, va, n,
+         list_transform(range(1, n + 1),
+            i -> list_reduce(
+                   list_prepend([arr[1].v, arr[2].v - arr[1].v],
+                                list_slice(va, 2, i)),
+                   {_HOLT_STEP_SQL})) AS st
+  FROM step1
+), obs AS (
+  SELECT arr[i].month_str AS month_str,
+         'obs' AS kind,
+         arr[i].v AS actual,
+         CASE WHEN i >= 2 THEN st[i - 1][1] + st[i - 1][2] ELSE NULL END AS fitted
+  FROM (SELECT unnest(range(1, n + 1)) AS i, arr, st FROM step2)
+), fc AS (
+  SELECT printf('%04d-%02d', (arr[n].ym0 + h) // 12, (arr[n].ym0 + h) % 12 + 1) AS month_str,
+         'forecast' AS kind,
+         CAST(NULL AS DOUBLE) AS actual,
+         st[n][1] + CAST(h AS DOUBLE) * st[n][2] AS fitted
+  FROM step2, (SELECT unnest(range(1, {_HOLT_H} + 1)) AS h)
+)
+SELECT * FROM obs UNION ALL SELECT * FROM fc
+"""
+
+
+@register(
+    "orders_holt_forecast",
+    oracle=_HOLT_ORACLE,
+    doc=f"Holt linear-trend smoothing of monthly revenue (alpha={_HOLT_ALPHA}, "
+    f"beta={_HOLT_BETA}) with one-step-ahead fitted values and a "
+    f"{_HOLT_H}-month forecast — list-state prefix folds over one "
+    "calendar-bounded packed array, bit-exact cross-engine",
+    tags=("stats", "timeseries", "forecast", "extension"),
+)
+def orders_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _HOLT_ORACLE and the struct-accumulator warning above — the
+    fold state is a DOUBLE list in BOTH engines, lambdas isomorphic."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    cents = (
+        F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)") * 100
+    ).cast("long")
+    monthly = (
+        o.select(
+            (
+                F.year("o_orderdate").cast("long") * 12
+                + F.month("o_orderdate").cast("long")
+                - 1
+            ).alias("ym0"),
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias(
+                "month_str"
+            ),
+            cents.alias("c"),
+        )
+        .groupBy("ym0", "month_str")
+        .agg(F.sum("c").alias("cents"))
+    )
+    packed = monthly.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "ym0",
+                    "month_str",
+                    (F.col("cents").cast("double") / F.lit(100.0)).alias("v"),
+                )
+            )
+        ).alias("arr")
+    )
+    step1 = packed.select(
+        "arr",
+        F.transform("arr", lambda s: F.array(s["v"], F.lit(0.0))).alias("va"),
+        F.size("arr").alias("n"),
+    )
+    alpha, beta = F.lit(0.25), F.lit(0.125)
+
+    def holt_step(acc, x):
+        lvl = alpha * F.element_at(x, 1) + (F.lit(1.0) - alpha) * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+        tr = beta * (
+            alpha * F.element_at(x, 1)
+            + (F.lit(1.0) - alpha)
+            * (F.element_at(acc, 1) + F.element_at(acc, 2))
+            - F.element_at(acc, 1)
+        ) + (F.lit(1.0) - beta) * F.element_at(acc, 2)
+        return F.array(lvl, tr)
+
+    init = F.array(
+        F.element_at(F.col("arr"), 1)["v"],
+        F.element_at(F.col("arr"), 2)["v"] - F.element_at(F.col("arr"), 1)["v"],
+    )
+    step2 = step1.select(
+        "arr",
+        "n",
+        F.transform(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda i: F.aggregate(
+                F.slice("va", F.lit(2), i - F.lit(1)), init, holt_step
+            ),
+        ).alias("st"),
+    )
+    rows_out = step2.select(
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"), "arr", "st", "n"
+    )
+    obs = rows_out.select(
+        F.element_at("arr", F.col("i"))["month_str"].alias("month_str"),
+        F.lit("obs").alias("kind"),
+        F.element_at("arr", F.col("i"))["v"].alias("actual"),
+        F.when(
+            F.col("i") >= 2,
+            F.element_at(F.try_element_at("st", F.col("i") - 1), 1)
+            + F.element_at(F.try_element_at("st", F.col("i") - 1), 2),
+        ).alias("fitted"),
+    )
+    fc = (
+        step2.select(
+            F.explode(F.sequence(F.lit(1), F.lit(_HOLT_H))).alias("h"), "arr", "st", "n"
+        )
+        .select(
+            F.format_string(
+                "%04d-%02d",
+                ((F.element_at("arr", F.col("n"))["ym0"] + F.col("h")) / 12).cast(
+                    "long"
+                ),
+                (
+                    (F.element_at("arr", F.col("n"))["ym0"] + F.col("h")) % 12 + 1
+                ).cast("long"),
+            ).alias("month_str"),
+            F.lit("forecast").alias("kind"),
+            F.lit(None).cast("double").alias("actual"),
+            (
+                F.element_at(F.element_at("st", F.col("n")), 1)
+                + F.col("h").cast("double")
+                * F.element_at(F.element_at("st", F.col("n")), 2)
+            ).alias("fitted"),
+        )
+    )
+    return obs.unionByName(fc)

@@ -604,3 +604,28 @@ def test_seasonal_decompose_edges_and_zero_mean_residuals(spark):
             by_moy[r["month_str"][-2:]].append(r["residual"])
     for moy, res in by_moy.items():
         assert abs(sum(res)) < 1e-4 * max(1.0, max(abs(x) for x in res)), moy
+
+
+# --- orders_holt_forecast ------------------------------------------------------------
+
+
+def test_holt_forecast_shape_and_linearity(spark):
+    """One fitted value per observed month from t=2; exactly 6 forecast
+    rows whose values are collinear (constant step = final trend); the
+    first forecast month follows the last observed month."""
+    rows = REGISTRY["orders_holt_forecast"].fn(spark, SF_DIR).collect()
+    obs = sorted(
+        (r for r in rows if r["kind"] == "obs"), key=lambda r: r["month_str"]
+    )
+    fc = sorted(
+        (r for r in rows if r["kind"] == "forecast"), key=lambda r: r["month_str"]
+    )
+    assert len(fc) == 6
+    assert obs[0]["fitted"] is None
+    assert all(r["fitted"] is not None for r in obs[1:])
+    assert all(r["actual"] is None for r in fc)
+    steps = [b["fitted"] - a["fitted"] for a, b in zip(fc, fc[1:])]
+    assert max(steps) - min(steps) < 1e-6 * max(1.0, abs(steps[0]))
+    y, m = map(int, obs[-1]["month_str"].split("-"))
+    nxt = f"{y + (m == 12):04d}-{(m % 12) + 1:02d}"
+    assert fc[0]["month_str"] == nxt
