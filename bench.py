@@ -62,6 +62,7 @@ EXTENDED = [
     "orders_cohort_ltv",
     "orders_seasonal_decompose",
     "orders_holt_forecast",
+    "events_viterbi_journeys",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "ann_lsh_materialized",

@@ -1231,3 +1231,253 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_d").cast("double").alias("revenue"),
         F.sum("rev_d").over(w).cast("double").alias("cum_revenue"),
     )
+
+
+# --- Viterbi HMM decode of user journeys --------------------------------------------
+# Max-product dynamic programming as a distributed fold: each user's
+# event-type sequence is decoded into hidden journey states
+# (B)rowse / bu(Y) / (T)rouble under a literal integer-scored HMM.
+# Everything is int64 arithmetic — scores are integer "millibit" log
+# probabilities and the per-state best PATH is carried as a base-3
+# integer (cap 39 events: 3^39 < 2^63), so the whole decode is exact in
+# both engines. Fold state is a 6-long BIGINT LIST [v0,v1,v2,p0,p1,p2]
+# per the documented DuckDB struct-accumulator trap; argmax ties break
+# to the lowest state via the identical fixed comparison order. Shape:
+# one WindowGroupLimit-capped shuffle on user_id, then cap-bounded folds.
+
+VITERBI_CAP = 39  # 3^39 = 4.05e18 < 2^63-1: the path integer never overflows
+_VIT_STATES = "BYT"
+# event codes: 0=view 1=click 2=signup 3=purchase 4=error
+_VIT_EMIT = (
+    (30, 30, 10, 0, 0),   # Browse
+    (10, 15, 5, 40, 0),   # buY
+    (5, 5, 0, 0, 40),     # Trouble
+)
+_VIT_TRANS = (
+    (20, 10, 5),
+    (5, 20, 5),
+    (5, 5, 20),
+)
+_VIT_INIT = (10, 0, 0)
+
+_VIT_CODE_SQL = (
+    "CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 "
+    "WHEN 'signup' THEN 2 WHEN 'purchase' THEN 3 ELSE 4 END"
+)
+
+
+def _vit_emit_sql(s: int, code: str) -> str:
+    e = _VIT_EMIT[s]
+    return (
+        f"(CASE {code} WHEN 0 THEN {e[0]} WHEN 1 THEN {e[1]} WHEN 2 THEN {e[2]} "
+        f"WHEN 3 THEN {e[3]} ELSE {e[4]} END)"
+    )
+
+
+def _vit_step_sql() -> str:
+    """The (acc, x) lambda: acc = [v0,v1,v2,p0,p1,p2], x = [code,0,...]."""
+    outs = []
+    for sp in range(3):
+        c = [f"(acc[{s + 1}] + {_VIT_TRANS[s][sp]})" for s in range(3)]
+        outs.append(
+            f"greatest({c[0]}, {c[1]}, {c[2]}) + {_vit_emit_sql(sp, 'x[1]')}"
+        )
+    for sp in range(3):
+        c = [f"(acc[{s + 1}] + {_VIT_TRANS[s][sp]})" for s in range(3)]
+        pick = (
+            f"(CASE WHEN {c[0]} >= {c[1]} AND {c[0]} >= {c[2]} THEN acc[4] "
+            f"WHEN {c[1]} >= {c[2]} THEN acc[5] ELSE acc[6] END)"
+        )
+        outs.append(f"{pick} * 3 + {sp}")
+    return "(acc, x) -> [" + ", ".join(outs) + "]"
+
+
+_VIT_INIT_SQL = (
+    "["
+    + ", ".join(
+        f"CAST({_VIT_INIT[s]} + {_vit_emit_sql(s, 'ca[1]')} AS BIGINT)"
+        for s in range(3)
+    )
+    + ", CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)]"
+)
+
+_VIT_ORACLE = f"""
+WITH capped AS (
+  SELECT user_id, ts, event_id, {_VIT_CODE_SQL} AS code,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), packed AS (
+  SELECT user_id, list(CAST(code AS BIGINT) ORDER BY ts, event_id) AS ca
+  FROM capped WHERE rn <= {VITERBI_CAP}
+  GROUP BY user_id
+), folded AS (
+  SELECT user_id, ca, len(ca) AS n,
+         list_reduce(
+           list_prepend({_VIT_INIT_SQL},
+                        list_transform(list_slice(ca, 2, len(ca)),
+                                       v -> [v, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                                             CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)])),
+           {_vit_step_sql()}) AS st
+  FROM packed
+), picked AS (
+  SELECT user_id, n,
+         greatest(st[1], st[2], st[3]) AS best_score,
+         (CASE WHEN st[1] >= st[2] AND st[1] >= st[3] THEN st[4]
+               WHEN st[2] >= st[3] THEN st[5] ELSE st[6] END) AS p,
+         list_reduce(list_prepend(CAST(1 AS BIGINT), list_transform(range(1, n), i -> CAST(3 AS BIGINT))),
+                     (a, b) -> a * b) AS ignore_full_pow,
+         list_transform(range(1, n + 1),
+            i -> list_reduce(list_prepend(CAST(1 AS BIGINT),
+                                          list_transform(range(1, i), j -> CAST(3 AS BIGINT))),
+                             (a, b) -> a * b)) AS pow3
+  FROM folded
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_events,
+       best_score,
+       list_reduce(
+         list_transform(range(1, n + 1),
+            i -> substr('{_VIT_STATES}', CAST((p // pow3[n - i + 1]) % 3 AS INTEGER) + 1, 1)),
+         (a, b) -> a || b) AS path
+FROM picked
+"""
+
+
+@register(
+    "events_viterbi_journeys",
+    oracle=_VIT_ORACLE,
+    doc="Viterbi decode of each user's event sequence under a literal "
+    "integer-scored 3-state HMM (Browse/buY/Trouble) — max-product DP as "
+    f"a cap-bounded list-state fold (first {VITERBI_CAP} events; base-3 "
+    "path integers), exact int64 arithmetic cross-engine",
+    tags=("events", "hmm", "dp", "extension"),
+)
+def events_viterbi_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _VIT_ORACLE; matrices are the shared module constants. At
+    100 TB: the rank window caps each user partition-side (group-limit
+    pushdown), the fold carries six int64s of state per user, and path
+    decode is an O(cap^2) integer transform over a bounded array."""
+    e = load_table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "view", 0)
+        .when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "signup", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .otherwise(4)
+        .cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        e.select("user_id", "ts", "event_id", code.alias("code"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= VITERBI_CAP)
+    )
+    packed = capped.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "code"))),
+            lambda s: s["code"],
+        ).alias("ca")
+    )
+
+    zero = F.lit(0).cast("long")
+
+    def emit(sp, c):
+        e_ = _VIT_EMIT[sp]
+        return (
+            F.when(c == 0, e_[0])
+            .when(c == 1, e_[1])
+            .when(c == 2, e_[2])
+            .when(c == 3, e_[3])
+            .otherwise(e_[4])
+            .cast("long")
+        )
+
+    def vit_step(acc, x):
+        c = F.element_at(x, 1)
+        vs, ps = [], []
+        for sp in range(3):
+            cand = [
+                F.element_at(acc, s + 1) + F.lit(_VIT_TRANS[s][sp]).cast("long")
+                for s in range(3)
+            ]
+            vs.append(F.greatest(*cand) + emit(sp, c))
+            ps.append(
+                F.when(
+                    (cand[0] >= cand[1]) & (cand[0] >= cand[2]),
+                    F.element_at(acc, 4),
+                )
+                .when(cand[1] >= cand[2], F.element_at(acc, 5))
+                .otherwise(F.element_at(acc, 6))
+                * 3
+                + F.lit(sp).cast("long")
+            )
+        return F.array(*vs, *ps)
+
+    first = F.element_at(F.col("ca"), 1)
+    init = F.array(
+        *[
+            (F.lit(_VIT_INIT[s]).cast("long") + emit(s, first))
+            for s in range(3)
+        ],
+        zero,
+        F.lit(1).cast("long"),
+        F.lit(2).cast("long"),
+    )
+    folded = packed.select(
+        "user_id",
+        "ca",
+        F.size("ca").alias("n"),
+        F.aggregate(
+            F.transform(
+                F.slice("ca", F.lit(2), F.size("ca") - 1),
+                lambda v: F.array(v, zero, zero, zero, zero, zero),
+            ),
+            init,
+            vit_step,
+        ).alias("st"),
+    )
+    st = F.col("st")
+    best = F.greatest(
+        F.element_at(st, 1), F.element_at(st, 2), F.element_at(st, 3)
+    )
+    p = (
+        F.when(
+            (F.element_at(st, 1) >= F.element_at(st, 2))
+            & (F.element_at(st, 1) >= F.element_at(st, 3)),
+            F.element_at(st, 4),
+        )
+        .when(F.element_at(st, 2) >= F.element_at(st, 3), F.element_at(st, 5))
+        .otherwise(F.element_at(st, 6))
+    )
+    picked = folded.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        best.alias("best_score"),
+        p.alias("p"),
+        # NOTE: F.sequence(1, 0) yields a DESCENDING [1, 0] in Spark (it
+        # auto-steps -1), not an empty list — powers must come from slices
+        # of a materialized constant array, where slice(_, 1, 0) is empty
+        F.transform(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda i: F.aggregate(
+                F.slice(
+                    F.array_repeat(F.lit(3).cast("long"), F.col("n")),
+                    F.lit(1),
+                    i - F.lit(1),
+                ),
+                F.lit(1).cast("long"),
+                lambda a, b: a * b,
+            ),
+        ).alias("pow3"),
+    )
+    # the path integer reaches 3^39 > 2^53, so digit extraction MUST use
+    # integer `div` (a double divide would round); Spark's Column API has
+    # no floor-div, so the decode is one SQL expression — the same shape
+    # as the oracle's
+    path = F.expr(
+        f"aggregate(transform(sequence(1, cast(n_events AS INT)), "
+        f"i -> substr('{_VIT_STATES}', "
+        f"cast((p div element_at(pow3, cast(n_events - i + 1 AS INT))) % 3 AS INT) + 1, 1)), "
+        f"'', (a, b) -> concat(a, b))"
+    )
+    return picked.select("user_id", "n_events", "best_score", path.alias("path"))

@@ -629,3 +629,60 @@ def test_holt_forecast_shape_and_linearity(spark):
     y, m = map(int, obs[-1]["month_str"].split("-"))
     nxt = f"{y + (m == 12):04d}-{(m % 12) + 1:02d}"
     assert fc[0]["month_str"] == nxt
+
+
+# --- events_viterbi_journeys ---------------------------------------------------------
+
+
+def _py_viterbi(codes):
+    """Independent reference decode (same literal model)."""
+    from f1_lakehouse_spark.operators.events_analytics import (
+        _VIT_EMIT,
+        _VIT_INIT,
+        _VIT_TRANS,
+    )
+
+    v = [_VIT_INIT[s] + _VIT_EMIT[s][codes[0]] for s in range(3)]
+    p = [0, 1, 2]
+    for x in codes[1:]:
+        nv, np_ = [], []
+        for sp in range(3):
+            c = [v[s] + _VIT_TRANS[s][sp] for s in range(3)]
+            arg = 0 if (c[0] >= c[1] and c[0] >= c[2]) else (1 if c[1] >= c[2] else 2)
+            nv.append(max(c) + _VIT_EMIT[sp][x])
+            np_.append(p[arg] * 3 + sp)
+        v, p = nv, np_
+    bi = 0 if (v[0] >= v[1] and v[0] >= v[2]) else (1 if v[1] >= v[2] else 2)
+    n = len(codes)
+    path = "".join("BYT"[(p[bi] // 3 ** (n - 1 - i)) % 3] for i in range(n))
+    return v[bi], path
+
+
+def test_viterbi_agrees_with_python_reference_for_every_user(spark):
+    """Full differential vs an independently-written Python Viterbi over
+    every sf0.001 user — catches any divergence in fold order, tie-breaks,
+    or path decoding (this is what caught Spark's descending sequence(1,0)
+    corrupting the last digit)."""
+    from f1_lakehouse_spark.operators.events_analytics import VITERBI_CAP
+    from f1_lakehouse_spark.tables import load_table
+
+    got = {
+        r["user_id"]: (r["best_score"], r["path"], r["n_events"])
+        for r in REGISTRY["events_viterbi_journeys"].fn(spark, SF_DIR).collect()
+    }
+    code_map = {"view": 0, "click": 1, "signup": 2, "purchase": 3, "error": 4}
+    seqs = {}
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    ):
+        seqs.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], code_map.get(r["event_type"], 4))
+        )
+    assert set(got) == set(seqs)
+    for uid, evs in seqs.items():
+        evs.sort()
+        codes = [c for _, _, c in evs][:VITERBI_CAP]
+        score, path = _py_viterbi(codes)
+        assert got[uid] == (score, path, len(codes)), uid
