@@ -63,6 +63,7 @@ EXTENDED = [
     "orders_seasonal_decompose",
     "orders_holt_forecast",
     "events_viterbi_journeys",
+    "events_shapley_attribution",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "ann_lsh_materialized",

@@ -1481,3 +1481,154 @@ def events_viterbi_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"'', (a, b) -> concat(a, b))"
     )
     return picked.select("user_id", "n_events", "best_score", path.alias("path"))
+
+
+# --- Shapley-value marketing attribution --------------------------------------------
+# Game-theoretic credit assignment for conversions: each converting
+# user's pre-purchase touch SET (subset of view/click/signup/error) is a
+# coalition; each channel is credited its exact Shapley value under a
+# literal independent-probability worth function v(S) = 1 - prod(1-p_c).
+# With 4 channels there are only 15 coalitions, so the entire Shapley
+# computation happens ONCE at import time in exact rational arithmetic
+# (fractions), scaled to integer PPM — the engines only ever do bitmask
+# set-building (BIT_OR aggregate) and integer lookups/sums, so the result
+# is exact cross-engine with no float in sight. Shape: one groupBy(user)
+# shuffle with map-side partial BIT_OR; credits explode 4-way from the
+# per-user frame and die into a 4-group aggregate.
+
+_SHAP_CHANNELS = ("view", "click", "signup", "error")
+_SHAP_P = {"view": (1, 5), "click": (2, 5), "signup": (1, 4), "error": (1, 20)}
+
+
+def _shapley_table() -> dict[tuple[int, str], int]:
+    """Exact Shapley PPM credit for every (coalition mask, channel)."""
+    from fractions import Fraction as Fr
+    from itertools import combinations
+    from math import factorial
+
+    p = {c: Fr(*_SHAP_P[c]) for c in _SHAP_CHANNELS}
+
+    def v(s: frozenset) -> "Fr":
+        out = Fr(1)
+        for c in s:
+            out *= 1 - p[c]
+        return 1 - out
+
+    table: dict[tuple[int, str], int] = {}
+    for mask in range(1, 16):
+        s = [c for i, c in enumerate(_SHAP_CHANNELS) if mask >> i & 1]
+        k = len(s)
+        for c in s:
+            rest = [x for x in s if x != c]
+            phi = Fr(0)
+            for t in range(len(rest) + 1):
+                for sub in combinations(rest, t):
+                    w = Fr(factorial(t) * factorial(k - t - 1), factorial(k))
+                    phi += w * (v(frozenset(sub) | {c}) - v(frozenset(sub)))
+            table[(mask, c)] = int(round(phi * 1_000_000))
+    return table
+
+
+SHAPLEY_PPM = _shapley_table()
+
+
+def _shap_case_sql(channel: str) -> str:
+    whens = " ".join(
+        f"WHEN {mask} THEN {ppm}"
+        for (mask, c), ppm in sorted(SHAPLEY_PPM.items())
+        if c == channel
+    )
+    return f"(CASE mask {whens} ELSE 0 END)"
+
+
+_SHAP_BIT_SQL = (
+    "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 "
+    "WHEN 'signup' THEN 4 WHEN 'error' THEN 8 ELSE 0 END"
+)
+
+_SHAP_ORACLE = f"""
+WITH fp AS (
+  SELECT user_id, MIN(ts) AS first_purchase
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), masks AS (
+  SELECT e.user_id, CAST(bit_or({_SHAP_BIT_SQL}) AS BIGINT) AS mask
+  FROM events e JOIN fp ON e.user_id = fp.user_id
+  WHERE e.ts < fp.first_purchase AND e.event_type <> 'purchase'
+  GROUP BY e.user_id
+)
+{" UNION ALL ".join(
+    f'''SELECT '{c}' AS channel,
+           COUNT(*) AS n_touched_users,
+           CAST(SUM({_shap_case_sql(c)}) AS BIGINT) AS total_credit_ppm,
+           CAST(CAST(SUM({_shap_case_sql(c)}) AS BIGINT) AS DOUBLE) / 1000000.0 AS conversions_attributed
+    FROM masks WHERE (mask & {1 << i}) > 0'''
+    for i, c in enumerate(_SHAP_CHANNELS)
+)}
+"""
+
+
+@register(
+    "events_shapley_attribution",
+    oracle=_SHAP_ORACLE,
+    doc="Shapley-value conversion attribution over pre-purchase touch "
+    "sets: coalition worths and exact Shapley credits precomputed once in "
+    "rational arithmetic (integer PPM), engines do only BIT_OR set "
+    "building and integer sums — exact cross-engine",
+    tags=("events", "attribution", "extension"),
+)
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _SHAP_ORACLE. At 100 TB: one partial-aggregated BIT_OR shuffle
+    on user_id (the join with first-purchase times is co-keyed), a 4-way
+    explode of the per-user masks, and a 4-group final aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    bit = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "error", 8)
+        .otherwise(0)
+    )
+    masks = (
+        e.join(fp, "user_id")
+        .filter(
+            (F.col("ts") < F.col("first_purchase"))
+            & (F.col("event_type") != "purchase")
+        )
+        .groupBy("user_id")
+        .agg(F.bit_or(bit).cast("long").alias("mask"))
+    )
+
+    def credit(c: str):
+        expr = F.when(F.lit(False), 0)
+        for (mask, ch), ppm in sorted(SHAPLEY_PPM.items()):
+            if ch == c:
+                expr = expr.when(F.col("mask") == mask, ppm)
+        return expr.otherwise(0).cast("long")
+
+    fan = masks.select(
+        "mask",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("channel"),
+                        F.lit(1 << i).alias("bit"),
+                        credit(c).alias("ppm"),
+                    )
+                    for i, c in enumerate(_SHAP_CHANNELS)
+                ]
+            )
+        ).alias("t"),
+    ).filter(F.col("mask").bitwiseAND(F.col("t.bit")) > 0)
+    return fan.groupBy(F.col("t.channel").alias("channel")).agg(
+        F.count("*").alias("n_touched_users"),
+        F.sum("t.ppm").cast("long").alias("total_credit_ppm"),
+        (
+            F.sum("t.ppm").cast("long").cast("double") / F.lit(1000000.0)
+        ).alias("conversions_attributed"),
+    )

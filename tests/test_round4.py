@@ -686,3 +686,41 @@ def test_viterbi_agrees_with_python_reference_for_every_user(spark):
         codes = [c for _, _, c in evs][:VITERBI_CAP]
         score, path = _py_viterbi(codes)
         assert got[uid] == (score, path, len(codes)), uid
+
+
+# --- events_shapley_attribution ------------------------------------------------------
+
+
+def test_shapley_table_efficiency_and_output_consistency(spark):
+    """Shapley efficiency: per coalition, channel credits must sum to the
+    coalition worth (within integer-PPM rounding); and the query's total
+    attributed conversions must equal the sum over users of their
+    coalition worth."""
+    from fractions import Fraction as Fr
+
+    from f1_lakehouse_spark.operators.events_analytics import (
+        SHAPLEY_PPM,
+        _SHAP_CHANNELS,
+        _SHAP_P,
+    )
+
+    p = {c: Fr(*_SHAP_P[c]) for c in _SHAP_CHANNELS}
+
+    def worth(mask):
+        out = Fr(1)
+        for i, c in enumerate(_SHAP_CHANNELS):
+            if mask >> i & 1:
+                out *= 1 - p[c]
+        return 1 - out
+
+    for mask in range(1, 16):
+        total = sum(
+            ppm for (m, _), ppm in SHAPLEY_PPM.items() if m == mask
+        )
+        assert abs(total - worth(mask) * 1_000_000) <= 4, mask
+
+    rows = REGISTRY["events_shapley_attribution"].fn(spark, SF_DIR).collect()
+    assert {r["channel"] for r in rows} <= set(_SHAP_CHANNELS)
+    for r in rows:
+        assert r["n_touched_users"] > 0
+        assert 0 < r["total_credit_ppm"] <= r["n_touched_users"] * 1_000_000
