@@ -64,6 +64,8 @@ EXTENDED = [
     "orders_holt_forecast",
     "events_viterbi_journeys",
     "events_shapley_attribution",
+    "ann_reciprocal_rank_fusion",
+    "part_abc_xyz_matrix",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "ann_lsh_materialized",

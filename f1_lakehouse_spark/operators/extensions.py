@@ -3081,3 +3081,139 @@ def orders_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return obs.unionByName(fc)
+
+
+# --- ABC x XYZ inventory segmentation matrix ----------------------------------------
+# The planner's 3x3: ABC = revenue concentration (exact distributed
+# prefix sum, as in pareto_abc_parts), XYZ = demand variability — the
+# coefficient of variation of monthly demand, with silent months counted
+# as zero demand. CV classes are decided by INTEGER cross-multiplication
+# (cv^2 < 1/4 <=> 4*(n*S2 - S1^2) < S1^2, quantities in exact
+# thousandths), so no float ever touches a class boundary. ONE lineitem
+# scan feeds both sides: the (part, month) cells aggregate to per-part
+# decimal revenue + integer moment sums. Int64 headroom: per-part demand
+# is scale-factor-independent in TPC-H-style scaling (part count grows
+# with data), so S1^2 and n*S2 stay far below 2^63 at any corpus size.
+
+# cv^2 class thresholds as integers (X: cv^2 < 3, Y: cv^2 < 4): textbook
+# retail cuts (0.5/1.0) assume steady movers; this corpus's sparse demand
+# (mostly-zero months) centers cv ~1.9, so the cuts sit at the observed
+# terciles — the classification machinery is the point, the cuts are data
+_XYZ_X2, _XYZ_Y2 = "3", "4"
+
+_ABC_XYZ_ORACLE = f"""
+WITH pm AS (
+  SELECT l_partkey,
+         (CAST(year(l_shipdate) AS BIGINT) * 12 + CAST(month(l_shipdate) AS BIGINT)) AS ym,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,3)) * 1000 AS BIGINT)) AS BIGINT) AS qmil,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS rev
+  FROM lineitem GROUP BY 1, 2
+), nm AS (
+  SELECT COUNT(DISTINCT ym) AS n_months FROM pm
+), per_part AS (
+  SELECT l_partkey,
+         SUM(rev) AS rev,
+         CAST(SUM(qmil) AS BIGINT) AS s1,
+         CAST(SUM(qmil * qmil) AS BIGINT) AS s2
+  FROM pm GROUP BY l_partkey
+), xyz AS (
+  SELECT p.l_partkey, p.rev,
+         CASE WHEN (n.n_months * p.s2 - p.s1 * p.s1) < {_XYZ_X2} * p.s1 * p.s1 THEN 'X'
+              WHEN (n.n_months * p.s2 - p.s1 * p.s1) < {_XYZ_Y2} * p.s1 * p.s1 THEN 'Y'
+              ELSE 'Z' END AS xyz_class
+  FROM per_part p CROSS JOIN nm n
+), tot AS (SELECT SUM(rev) AS total FROM per_part),
+cum AS (
+  SELECT l_partkey, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey) AS c
+  FROM per_part
+), abc AS (
+  SELECT cum.l_partkey,
+         CASE WHEN CAST(cum.c AS DOUBLE) / CAST(t.total AS DOUBLE) <= {{pa}}
+              THEN 'A'
+              WHEN CAST(cum.c AS DOUBLE) / CAST(t.total AS DOUBLE) <= {{pb}}
+              THEN 'B' ELSE 'C' END AS abc_class
+  FROM cum, tot t
+)
+SELECT a.abc_class, x.xyz_class,
+       COUNT(*) AS n_parts,
+       CAST(SUM(x.rev) AS DOUBLE) AS revenue
+FROM abc a JOIN xyz x ON a.l_partkey = x.l_partkey
+GROUP BY a.abc_class, x.xyz_class
+"""
+
+
+@register(
+    "part_abc_xyz_matrix",
+    oracle=_ABC_XYZ_ORACLE.format(pa=PARETO_A, pb=PARETO_B),
+    doc="ABC (revenue concentration, distributed prefix sum) x XYZ "
+    "(demand-variability CV classes via integer cross-multiplication, "
+    "zero months included) inventory segmentation matrix — one lineitem "
+    "scan feeds both sides, exact cross-engine",
+    tags=("extensions", "pareto", "prefix-sum", "inventory"),
+)
+def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qmil = (F.col("l_quantity").cast("decimal(18,3)") * 1000).cast("long")
+    pm = (
+        li.select(
+            "l_partkey",
+            (
+                F.year("l_shipdate").cast("long") * 12
+                + F.month("l_shipdate").cast("long")
+            ).alias("ym"),
+            qmil.alias("q"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(27,6)")
+            .alias("r"),
+        )
+        .groupBy("l_partkey", "ym")
+        .agg(F.sum("q").cast("long").alias("qmil"), F.sum("r").alias("rev"))
+    )
+    pm = pm.persist()
+    pm.count()  # two consumers below (per-part + month count): materialize once
+    try:
+        nm = pm.agg(F.countDistinct("ym").alias("n_months"))
+        per_part = pm.groupBy("l_partkey").agg(
+            F.sum("rev").alias("rev"),
+            F.sum("qmil").cast("long").alias("s1"),
+            F.sum(F.col("qmil") * F.col("qmil")).cast("long").alias("s2"),
+        )
+        num = F.col("n_months") * F.col("s2") - F.col("s1") * F.col("s1")
+        den = F.col("s1") * F.col("s1")
+        xyz = per_part.crossJoin(F.broadcast(nm)).select(
+            "l_partkey",
+            "rev",
+            F.when(num < F.lit(int(_XYZ_X2)) * den, "X")
+            .when(num < F.lit(int(_XYZ_Y2)) * den, "Y")
+            .otherwise("Z")
+            .alias("xyz_class"),
+        )
+        cum, release, total = global_prefix_sum(
+            spark,
+            per_part.select("l_partkey", "rev"),
+            "rev",
+            [F.col("rev").desc(), F.col("l_partkey").asc()],
+        )
+        share = F.col("cum").cast("double") / F.lit(total).cast("double")
+        abc = cum.select(
+            "l_partkey",
+            F.when(share <= PARETO_A, "A")
+            .when(share <= PARETO_B, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        out = (
+            abc.join(xyz, "l_partkey")
+            .groupBy("abc_class", "xyz_class")
+            .agg(
+                F.count("*").alias("n_parts"),
+                F.sum("rev").cast("double").alias("revenue"),
+            )
+        )
+        out = out.persist()
+        out.count()
+        release()
+    finally:
+        pm.unpersist()
+    return out

@@ -2978,3 +2978,107 @@ def ann_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+# --- reciprocal rank fusion of two retrieval arms -----------------------------------
+# Hybrid retrieval's standard combiner: RRF(d) = sum over arms of
+# 1/(K + rank_arm(d)) — rank-based, so arms with incomparable scores
+# (cosine vs inner product here, lexical vs semantic in the wild) fuse
+# without calibration. Each arm is TakeOrdered top-POOL (never a global
+# sort; ranks are assigned on the POOL-row frame), the fusion is a
+# full-outer join of two POOL-row frames, and the score is two IEEE
+# divisions + one addition in fixed order — exact cross-engine.
+
+RRF_K = 60
+RRF_POOL = 50
+
+_SQL_DOT_AB = (
+    "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (x,y) -> x+y)"
+)
+
+
+def _spark_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v_: acc + v_,
+    )
+
+_RRF_ARMS_SQL = f"""
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+cos_pool AS (
+  SELECT a.vec_id, row_number() OVER (ORDER BY {_SQL_COS_AB} DESC, a.vec_id) AS r
+  FROM embeddings a, q WHERE a.vec_id <> {QUERY_VEC_ID}
+  ORDER BY {_SQL_COS_AB} DESC, a.vec_id LIMIT {RRF_POOL}
+),
+dot_pool AS (
+  SELECT a.vec_id, row_number() OVER (ORDER BY {_SQL_DOT_AB} DESC, a.vec_id) AS r
+  FROM embeddings a, q WHERE a.vec_id <> {QUERY_VEC_ID}
+  ORDER BY {_SQL_DOT_AB} DESC, a.vec_id LIMIT {RRF_POOL}
+)
+"""
+
+_RRF_ORACLE = f"""
+WITH {_RRF_ARMS_SQL}
+SELECT COALESCE(c.vec_id, d.vec_id) AS vec_id,
+       CAST(c.r AS BIGINT) AS cos_rank,
+       CAST(d.r AS BIGINT) AS dot_rank,
+       (CASE WHEN c.r IS NULL THEN 0.0 ELSE 1.0 / CAST({RRF_K} + c.r AS DOUBLE) END)
+       + (CASE WHEN d.r IS NULL THEN 0.0 ELSE 1.0 / CAST({RRF_K} + d.r AS DOUBLE) END)
+         AS rrf_score
+FROM cos_pool c FULL OUTER JOIN dot_pool d ON c.vec_id = d.vec_id
+ORDER BY rrf_score DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
+@register(
+    "ann_reciprocal_rank_fusion",
+    oracle=_RRF_ORACLE,
+    doc=f"hybrid retrieval: RRF (K={RRF_K}) fusion of a cosine arm and an "
+    f"inner-product arm, each a TakeOrdered top-{RRF_POOL} pool — "
+    "rank-based combination, exact cross-engine",
+    tags=("pipeline", "similarity", "fusion"),
+)
+def ann_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _RRF_ORACLE. At 100 TB each arm is the map-only broadcast-probe
+    scan + TakeOrderedAndProject; ranks attach on the POOL-row result, so
+    no global window ever sees corpus rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            _spark_cosine(F.col("embedding"), F.col("q_embedding")).alias("cos"),
+            _spark_dot(F.col("embedding"), F.col("q_embedding")).alias("dot"),
+        )
+    )
+
+    def arm(col: str):
+        pool = scored.orderBy(F.col(col).desc(), F.col("vec_id").asc()).limit(
+            RRF_POOL
+        )
+        w = Window.orderBy(F.col(col).desc(), F.col("vec_id").asc())
+        return pool.withColumn("r", F.row_number().over(w)).select("vec_id", "r")
+
+    c = arm("cos").withColumnRenamed("r", "cr")
+    d = arm("dot").withColumnRenamed("r", "dr")
+    term = lambda r: F.when(  # noqa: E731
+        F.col(r).isNull(), F.lit(0.0)
+    ).otherwise(F.lit(1.0) / (F.lit(RRF_K) + F.col(r)).cast("double"))
+    return (
+        c.join(d, "vec_id", "full_outer")
+        .select(
+            "vec_id",
+            F.col("cr").cast("long").alias("cos_rank"),
+            F.col("dr").cast("long").alias("dot_rank"),
+            (term("cr") + term("dr")).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("vec_id").asc())
+        .limit(TOP_K)
+    )

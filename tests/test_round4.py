@@ -724,3 +724,44 @@ def test_shapley_table_efficiency_and_output_consistency(spark):
     for r in rows:
         assert r["n_touched_users"] > 0
         assert 0 < r["total_credit_ppm"] <= r["n_touched_users"] * 1_000_000
+
+
+# --- ann_reciprocal_rank_fusion ------------------------------------------------------
+
+
+def test_rrf_scores_and_rank_consistency(spark):
+    """RRF scores must recompute exactly from the emitted ranks; a doc in
+    both pools must outrank one with the same single-arm rank only."""
+    rows = REGISTRY["ann_reciprocal_rank_fusion"].fn(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        expect = 0.0
+        if r["cos_rank"] is not None:
+            expect += 1.0 / (60 + r["cos_rank"])
+        if r["dot_rank"] is not None:
+            expect += 1.0 / (60 + r["dot_rank"])
+        assert abs(r["rrf_score"] - expect) < 1e-15, r
+        assert r["cos_rank"] is not None or r["dot_rank"] is not None
+
+
+def test_rrf_arms_use_take_ordered_not_global_sort(spark):
+    plan = _plan(spark, "ann_reciprocal_rank_fusion")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+# --- part_abc_xyz_matrix -------------------------------------------------------------
+
+
+def test_abc_xyz_matrix_partitions_all_parts(spark):
+    """The 3x3 matrix must partition the sold-part universe exactly: cell
+    counts sum to |distinct sold parts| and classes stay in range."""
+    from f1_lakehouse_spark.tables import load_table
+
+    rows = REGISTRY["part_abc_xyz_matrix"].fn(spark, SF_DIR).collect()
+    assert all(r["abc_class"] in "ABC" and r["xyz_class"] in "XYZ" for r in rows)
+    n_parts = (
+        load_table(spark, SF_DIR, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r["n_parts"] for r in rows) == n_parts
+    assert all(r["revenue"] > 0 for r in rows)
