@@ -66,6 +66,7 @@ EXTENDED = [
     "events_shapley_attribution",
     "ann_reciprocal_rank_fusion",
     "part_abc_xyz_matrix",
+    "orders_haar_wavelet",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "ann_lsh_materialized",

@@ -3217,3 +3217,142 @@ def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         pm.unpersist()
     return out
+
+
+# --- Haar wavelet decomposition of monthly revenue ----------------------------------
+# Multiresolution signal analysis: the unnormalized Haar transform
+# (pairwise sums = approximations, pairwise differences = details) over
+# the last 64 months of revenue, 6 levels deep. Every coefficient is
+# integer-cents sums/differences — exact at any scale — and localizes
+# WHEN at WHAT timescale revenue shifted (detail level k spans 2^k
+# months), the transform behind wavelet-based change detection and
+# compressed series storage. Calendar-bounded single packed array; the
+# raw-row work is one partial-aggregated shuffle to month cells.
+
+_HAAR_N = 64  # 2^6 months
+_HAAR_LEVELS = 6
+
+
+def _haar_pairs_sql(src: str, op: str) -> str:
+    return (
+        f"list_transform(range(1, len({src}) // 2 + 1), "
+        f"i -> {src}[2 * i - 1] {op} {src}[2 * i])"
+    )
+
+
+def _haar_oracle() -> str:
+    lvls = []
+    prev = "a0"
+    steps = []
+    for k in range(1, _HAAR_LEVELS + 1):
+        steps.append(
+            f"s{k} AS (SELECT *, {_haar_pairs_sql(prev, '+')} AS a{k}, "
+            f"{_haar_pairs_sql(prev, '-')} AS d{k} FROM s{k - 1 if k > 1 else '0'})"
+        )
+        prev = f"a{k}"
+        lvls.append(
+            f"SELECT {k} AS level, CAST(i AS BIGINT) AS idx, 'detail' AS kind, "
+            f"d{k}[i] AS coeff FROM s{_HAAR_LEVELS}, "
+            f"(SELECT unnest(range(1, {1 << (_HAAR_LEVELS - k)} + 1)) AS i)"
+        )
+    lvls.append(
+        f"SELECT {_HAAR_LEVELS} AS level, CAST(1 AS BIGINT) AS idx, "
+        f"'approx' AS kind, a{_HAAR_LEVELS}[1] AS coeff FROM s{_HAAR_LEVELS}"
+    )
+    return f"""
+WITH monthly AS (
+  SELECT (CAST(year(o_orderdate) AS BIGINT) * 12 + CAST(month(o_orderdate) AS BIGINT)) AS ym,
+         CAST(SUM(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT ym, cents, row_number() OVER (ORDER BY ym DESC) AS rn FROM monthly
+), s0 AS (
+  SELECT list(cents ORDER BY ym) AS a0
+  FROM ranked WHERE rn <= {_HAAR_N}
+), {", ".join(steps)}
+{" UNION ALL ".join(lvls)}
+"""
+
+
+@register(
+    "orders_haar_wavelet",
+    oracle=_haar_oracle(),
+    doc=f"unnormalized Haar wavelet transform of the last {_HAAR_N} months "
+    f"of revenue ({_HAAR_LEVELS} levels): detail coefficients localize "
+    "revenue shifts per timescale — pure integer-cents arithmetic over "
+    "one calendar-bounded array, exact cross-engine",
+    tags=("stats", "timeseries", "wavelet", "extension"),
+)
+def orders_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    cents = (
+        F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)") * 100
+    ).cast("long")
+    monthly = o.select(
+        (
+            F.year("o_orderdate").cast("long") * 12
+            + F.month("o_orderdate").cast("long")
+        ).alias("ym"),
+        cents.alias("c"),
+    ).groupBy("ym").agg(F.sum("c").alias("cents"))
+    w = Window.orderBy(F.col("ym").desc())
+    # the month table is calendar-bounded (~84 rows): the global rank
+    # window here orders an aggregated bounded frame, not raw data
+    last = monthly.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _HAAR_N
+    )
+    cur = last.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ym", "cents"))),
+            lambda s: s["cents"],
+        ).alias("a0")
+    )
+
+    def pairs(src: str, plus: bool):
+        return F.transform(
+            F.sequence(F.lit(1), (F.size(src) / F.lit(2)).cast("int")),
+            lambda i: F.element_at(F.col(src), (2 * i - 1).cast("int"))
+            + (1 if plus else -1) * F.element_at(F.col(src), (2 * i).cast("int")),
+        )
+
+    for k in range(1, _HAAR_LEVELS + 1):
+        prev = f"a{k - 1}"
+        cur = cur.withColumn(f"a{k}", pairs(prev, True)).withColumn(
+            f"d{k}", pairs(prev, False)
+        )
+    arms = []
+    for k in range(1, _HAAR_LEVELS + 1):
+        arms.append(
+            cur.select(
+                F.lit(k).alias("level"),
+                F.explode(
+                    F.sequence(F.lit(1), F.lit(1 << (_HAAR_LEVELS - k)))
+                ).alias("idx0"),
+                F.lit("detail").alias("kind"),
+                F.col(f"d{k}"),
+            ).select(
+                F.col("level"),
+                F.col("idx0").cast("long").alias("idx"),
+                F.col("kind"),
+                F.col(f"d{k}"),
+            ).select(
+                "level",
+                "idx",
+                "kind",
+                F.try_element_at(F.col(f"d{k}"), F.col("idx").cast("int")).alias(
+                    "coeff"
+                ),
+            )
+        )
+    arms.append(
+        cur.select(
+            F.lit(_HAAR_LEVELS).alias("level"),
+            F.lit(1).cast("long").alias("idx"),
+            F.lit("approx").alias("kind"),
+            F.element_at(F.col(f"a{_HAAR_LEVELS}"), 1).alias("coeff"),
+        )
+    )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out

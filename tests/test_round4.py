@@ -765,3 +765,40 @@ def test_abc_xyz_matrix_partitions_all_parts(spark):
     )
     assert sum(r["n_parts"] for r in rows) == n_parts
     assert all(r["revenue"] > 0 for r in rows)
+
+
+# --- orders_haar_wavelet -------------------------------------------------------------
+
+
+def test_haar_counts_and_total_conservation(spark):
+    """Level k must emit 2^(6-k) detail coefficients; the single approx
+    coefficient must equal the exact integer-cents total of the analyzed
+    window (the transform conserves the sum)."""
+    from f1_lakehouse_spark.tables import load_table
+
+    rows = REGISTRY["orders_haar_wavelet"].fn(spark, SF_DIR).collect()
+    by_level = {}
+    approx = None
+    for r in rows:
+        if r["kind"] == "approx":
+            approx = r["coeff"]
+        else:
+            by_level.setdefault(r["level"], []).append(r)
+    for k in range(1, 7):
+        assert len(by_level[k]) == 1 << (6 - k), k
+    monthly = (
+        load_table(spark, SF_DIR, "orders")
+        .select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym"),
+            (F.round("o_totalprice", 2).cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("c"),
+        )
+        .groupBy("ym")
+        .agg(F.sum("c").alias("cents"))
+        .orderBy(F.col("ym").desc())
+        .limit(64)
+        .agg(F.sum("cents"))
+        .collect()[0][0]
+    )
+    assert approx == monthly
