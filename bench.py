@@ -67,6 +67,7 @@ EXTENDED = [
     "ann_reciprocal_rank_fusion",
     "part_abc_xyz_matrix",
     "orders_haar_wavelet",
+    "events_markov_absorption",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "ann_lsh_materialized",

@@ -1632,3 +1632,194 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("t.ppm").cast("long").cast("double") / F.lit(1000000.0)
         ).alias("conversions_attributed"),
     )
+
+
+# --- absorbing-Markov conversion analysis -------------------------------------------
+# The funnel question "starting from state i, what fraction of journeys
+# END in purchase vs error vs silent exit?" answered exactly: B =
+# (I-Q)^{-1} R over the user-journey Markov chain with transient states
+# {view, click, signup} and absorbing {purchase, error, exit}. The
+# inverse is computed by INTEGER adjugate/determinant over ppm-scaled
+# transition counts — no iteration, no float until one final division —
+# so the whole linear solve is exact cross-engine. ppm scaling bounds
+# every intermediate below 2^63 at ANY corpus size (probabilities, not
+# counts, enter the matrix). The det/adjugate/numerator expressions are
+# ONE set of generated strings evaluated by both engines.
+
+_MK_T = ("view", "click", "signup")            # transient
+_MK_A = ("purchase", "error", "exit")          # absorbing
+
+
+def _mk_det3(m) -> str:
+    """det of [[m[0][0..2]],[m[1]],[m[2]]] given entry-name matrix."""
+    return (
+        f"{m[0][0]}*({m[1][1]}*{m[2][2]} - {m[1][2]}*{m[2][1]})"
+        f" - {m[0][1]}*({m[1][0]}*{m[2][2]} - {m[1][2]}*{m[2][0]})"
+        f" + {m[0][2]}*({m[1][0]}*{m[2][1]} - {m[1][1]}*{m[2][0]})"
+    )
+
+
+def _mk_adj3(m, i: int, j: int) -> str:
+    """adj(M)[i][j] = cofactor C[j][i] (2x2 minor det with sign)."""
+    rows = [r for r in range(3) if r != j]
+    cols = [c for c in range(3) if c != i]
+    a, b = rows
+    c, d = cols
+    det2 = f"({m[a][c]}*{m[b][d]} - {m[a][d]}*{m[b][c]})"
+    return det2 if (i + j) % 2 == 0 else f"(-{det2})"
+
+
+_MK_M = [[f"m{i}{j}" for j in range(3)] for i in range(3)]
+_MK_DET_SQL = _mk_det3(_MK_M)
+# numerator of B[i][a]: sum_k adj[i][k] * r_{k a}
+_MK_NUM_SQL = {
+    (i, a): " + ".join(
+        f"{_mk_adj3(_MK_M, i, k)}*r{k}{a}" for k in range(3)
+    )
+    for i in range(3)
+    for a in range(3)
+}
+
+_MK_PREFIX_SQL = f"""
+WITH seq0 AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), seq AS (
+  SELECT *, MIN(CASE WHEN event_type IN ('purchase', 'error') THEN rn END)
+              OVER (PARTITION BY user_id) AS fa
+  FROM seq0
+), kept AS (
+  SELECT user_id, event_type, ts, event_id FROM seq
+  WHERE fa IS NULL OR rn <= fa
+), pairs AS (
+  SELECT event_type AS f,
+         COALESCE(LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  'exit') AS t
+  FROM kept
+), cnt AS (
+  SELECT {", ".join(
+      f"CAST(SUM(CASE WHEN f = '{ft}' AND t = '{tt}' THEN 1 ELSE 0 END) AS BIGINT) AS c{i}{j}"
+      for i, ft in enumerate(_MK_T)
+      for j, tt in enumerate((*_MK_T, *_MK_A))
+  )}
+  FROM pairs WHERE f IN ('view', 'click', 'signup')
+), ppm AS (
+  SELECT {", ".join(
+      f"CASE WHEN ({' + '.join(f'c{i}{j}' for j in range(6))}) = 0 THEN CAST(0 AS BIGINT) "
+      f"ELSE c{i}{j} * 1000000 // ({' + '.join(f'c{i}{j}' for j in range(6))}) END AS p{i}{j}"
+      for i in range(3)
+      for j in range(6)
+  )}
+  FROM cnt
+), mat AS (
+  SELECT {", ".join(
+      f"CAST({'1000000 - ' if i == j else '0 - '}p{i}{j} AS BIGINT) AS m{i}{j}"
+      for i in range(3)
+      for j in range(3)
+  )},
+  {", ".join(f"p{i}{3 + a} AS r{i}{a}" for i in range(3) for a in range(3))}
+  FROM ppm
+)
+"""
+
+_MK_ORACLE = (
+    _MK_PREFIX_SQL
+    + "SELECT * FROM (\n"
+    + " UNION ALL ".join(
+        f"SELECT '{_MK_T[i]}' AS from_state, '{_MK_A[a]}' AS absorbing_state, "
+        f"CAST({_MK_NUM_SQL[(i, a)]} AS BIGINT) AS num, "
+        f"CAST({_MK_DET_SQL} AS BIGINT) AS det, "
+        f"CAST(CAST({_MK_NUM_SQL[(i, a)]} AS BIGINT) AS DOUBLE) / CAST(CAST({_MK_DET_SQL} AS BIGINT) AS DOUBLE) AS absorb_prob "
+        f"FROM mat"
+        for i in range(3)
+        for a in range(3)
+    )
+    + "\n)"
+)
+
+
+@register(
+    "events_markov_absorption",
+    oracle=_MK_ORACLE,
+    doc="absorbing-Markov journey analysis: P(end in purchase/error/exit "
+    "| start state) via B = (I-Q)^{-1} R, solved EXACTLY by integer "
+    "adjugate/determinant over ppm-scaled transition probabilities — one "
+    "generated expression set for both engines, one float division at "
+    "the very end",
+    tags=("events", "markov", "linear-algebra", "extension"),
+)
+def events_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _MK_ORACLE. At 100 TB: two windows sharing one user_id
+    shuffle build the absorbed-prefix pairs; everything after is a
+    single-row 18-column aggregate and literal-generated integer algebra
+    (ppm scaling keeps every product below 2^63 at any corpus size)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wu = Window.partitionBy("user_id")
+    seq = e.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    seq = seq.withColumn(
+        "fa",
+        F.min(
+            F.when(F.col("event_type").isin("purchase", "error"), F.col("rn"))
+        ).over(wu),
+    )
+    kept = seq.filter(F.col("fa").isNull() | (F.col("rn") <= F.col("fa")))
+    pairs = kept.select(
+        F.col("event_type").alias("f"),
+        F.coalesce(F.lead("event_type").over(w), F.lit("exit")).alias("t"),
+    ).filter(F.col("f").isin(*_MK_T))
+    alltos = (*_MK_T, *_MK_A)
+    cnt = pairs.agg(
+        *[
+            F.sum(
+                F.when((F.col("f") == ft) & (F.col("t") == tt), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"c{i}{j}")
+            for i, ft in enumerate(_MK_T)
+            for j, tt in enumerate(alltos)
+        ]
+    )
+    rowtot = lambda i: " + ".join(f"c{i}{j}" for j in range(6))  # noqa: E731
+    ppm = cnt.select(
+        *[
+            F.expr(
+                f"CASE WHEN ({rowtot(i)}) = 0 THEN CAST(0 AS BIGINT) "
+                f"ELSE c{i}{j} * 1000000 div ({rowtot(i)}) END"
+            ).alias(f"p{i}{j}")
+            for i in range(3)
+            for j in range(6)
+        ]
+    )
+    mat = ppm.select(
+        *[
+            F.expr(
+                f"CAST({'1000000 - ' if i == j else '0 - '}p{i}{j} AS BIGINT)"
+            ).alias(f"m{i}{j}")
+            for i in range(3)
+            for j in range(3)
+        ],
+        *[F.col(f"p{i}{3 + a}").alias(f"r{i}{a}") for i in range(3) for a in range(3)],
+    )
+    arms = []
+    for i in range(3):
+        for a in range(3):
+            arms.append(
+                mat.select(
+                    F.lit(_MK_T[i]).alias("from_state"),
+                    F.lit(_MK_A[a]).alias("absorbing_state"),
+                    F.expr(f"CAST({_MK_NUM_SQL[(i, a)]} AS BIGINT)").alias("num"),
+                    F.expr(f"CAST({_MK_DET_SQL} AS BIGINT)").alias("det"),
+                    F.expr(
+                        f"CAST(CAST({_MK_NUM_SQL[(i, a)]} AS BIGINT) AS DOUBLE)"
+                        f" / CAST(CAST({_MK_DET_SQL} AS BIGINT) AS DOUBLE)"
+                    ).alias("absorb_prob"),
+                )
+            )
+    out = arms[0]
+    for fr in arms[1:]:
+        out = out.unionByName(fr)
+    return out
