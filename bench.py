@@ -68,6 +68,7 @@ EXTENDED = [
     "part_abc_xyz_matrix",
     "orders_haar_wavelet",
     "events_markov_absorption",
+    "text_rouge_l_candidates",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "ann_lsh_materialized",

@@ -355,6 +355,10 @@ JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
             AND a.doc_id < b.doc_id
 """
 
+# public alias: the candidate-pair SQL is reused by text_rouge_l_candidates
+MINHASH_PAIRS_SQL = _MINHASH_PAIRS_SQL
+
+
 
 @register(
     "dedup_minhash_lsh",

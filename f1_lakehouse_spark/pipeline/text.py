@@ -10,7 +10,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from f1_lakehouse_spark.pipeline.hashing import spark_poly_hash, sql_poly_hash
+from f1_lakehouse_spark.pipeline.hashing import (
+    spark_poly_hash,
+    sql_md5_hash48,
+    sql_poly_hash,
+)
 from f1_lakehouse_spark.registry import register
 from f1_lakehouse_spark.tables import load_table
 
@@ -1475,3 +1479,159 @@ def text_repetition_loop_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("loop_repeats"),
     )
+
+
+# --- ROUGE-L over near-duplicate candidate pairs ------------------------------------
+# Sequence alignment as a distributed computation: for every MinHash-LSH
+# candidate pair, the token-level Longest Common Subsequence — the
+# statistic behind ROUGE-L (summarization eval) and order-aware near-dup
+# verification (Jaccard is orderless; LCS is not). The full DP table is
+# evaluated inside the row as a NESTED fold: the outer fold carries the
+# previous DP row (a BIGINT list), the inner fold grows the current row
+# (growing-list accumulator; both engines wrap tokens as 1-element lists
+# so the fold lists stay homogeneous, per the DuckDB list_reduce typing
+# rule). Tokens are md5-hashed ints capped at ROUGE_CAP per doc, so each
+# pair costs <= CAP^2 integer lambda steps — candidate-bounded work, no
+# quadratic corpus scan anywhere.
+
+ROUGE_CAP = 40
+
+
+def _rouge_tok_sql(col: str) -> str:
+    return (
+        f"list_transform(list_slice(list_transform("
+        f"list_filter(regexp_split_to_array(lower({col}), '\\s+'), w -> w <> ''), "
+        f"w -> {sql_md5_hash48('w')}), 1, {ROUGE_CAP}), h -> [h])"
+    )
+
+
+_ROUGE_LCS_SQL = """
+list_reduce(
+  list_prepend(pad, ta),
+  (prev, arow) -> list_reduce(
+      list_prepend(CAST([0] AS BIGINT[]), tb),
+      (acc2, brow) -> list_append(acc2,
+          greatest(prev[len(acc2) + 1], acc2[len(acc2)],
+                   prev[len(acc2)] + CASE WHEN arow[1] = brow[1] THEN 1 ELSE 0 END))
+  )
+)[len(tb) + 1]
+"""
+
+
+from f1_lakehouse_spark.pipeline.dedup import MINHASH_PAIRS_SQL as _MH_PAIRS_SQL
+
+_ROUGE_ORACLE = f"""
+WITH cand AS ({_MH_PAIRS_SQL}),
+toks AS (
+  SELECT doc_id, {_rouge_tok_sql('text')} AS tok FROM documents
+),
+padded AS (
+  SELECT c.doc_a, c.doc_b, a.tok AS ta, b.tok AS tb,
+         list_transform(range(0, len(b.tok) + 1), i -> CAST(0 AS BIGINT)) AS pad
+  FROM cand c
+  JOIN toks a ON a.doc_id = c.doc_a
+  JOIN toks b ON b.doc_id = c.doc_b
+), scored AS (
+  SELECT doc_a, doc_b,
+         CAST(len(ta) AS BIGINT) AS n_a,
+         CAST(len(tb) AS BIGINT) AS n_b,
+         {_ROUGE_LCS_SQL} AS lcs_len
+  FROM padded
+)
+SELECT doc_a, doc_b, n_a, n_b, lcs_len,
+       2.0 * CAST(lcs_len AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS rouge_l_f1
+FROM scored
+"""
+
+
+@register(
+    "text_rouge_l_candidates",
+    oracle=_ROUGE_ORACLE,
+    doc=f"ROUGE-L (token LCS, cap {ROUGE_CAP}) for every MinHash-LSH "
+    "candidate pair: the full DP table evaluated in-row by a nested "
+    "growing-list fold — order-aware near-dup verification, exact "
+    "integer DP cross-engine",
+    tags=("pipeline", "text", "rouge", "dp"),
+)
+def text_rouge_l_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LCS DP as a nested fold; see _ROUGE_LCS_SQL for the shared shape.
+    At 100 TB: candidates come from the sub-quadratic LSH pass; per-pair
+    cost is a fixed <= CAP^2 integer fold; texts join to the bounded pair
+    list (never pair-exploded corpus-wide)."""
+    from f1_lakehouse_spark.pipeline.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(d)
+    toks = d.select(
+        "doc_id",
+        F.slice(
+            F.transform(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
+                ),
+                lambda w: F.conv(F.substring(F.md5(w), 1, 12), 16, 10).cast(
+                    "long"
+                ),
+            ),
+            1,
+            ROUGE_CAP,
+        ).alias("hs"),
+    )
+    pairs = (
+        cand.join(
+            toks.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha")),
+            "doc_a",
+        )
+        .join(
+            toks.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.transform("ha", lambda h: F.array(h)).alias("ta"),
+            F.transform("hb", lambda h: F.array(h)).alias("tb"),
+        )
+        .withColumn(
+            "pad", F.array_repeat(F.lit(0).cast("long"), F.size("tb") + 1)
+        )
+    )
+    zero1 = F.array(F.lit(0).cast("long"))
+    lcs = F.element_at(
+        F.aggregate(
+            F.col("ta"),
+            F.col("pad"),
+            lambda prev, arow: F.aggregate(
+                F.col("tb"),
+                zero1,
+                lambda acc2, brow: F.concat(
+                    acc2,
+                    F.array(
+                        F.greatest(
+                            F.element_at(prev, F.size(acc2) + 1),
+                            F.element_at(acc2, F.size(acc2)),
+                            F.element_at(prev, F.size(acc2))
+                            + F.when(
+                                F.element_at(arow, 1) == F.element_at(brow, 1), 1
+                            )
+                            .otherwise(0)
+                            .cast("long"),
+                        )
+                    ),
+                ),
+            ),
+        ),
+        F.size("tb") + 1,
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.size("ta").cast("long").alias("n_a"),
+        F.size("tb").cast("long").alias("n_b"),
+        lcs.alias("lcs_len"),
+    ).withColumn(
+        "rouge_l_f1",
+        F.lit(2.0)
+        * F.col("lcs_len").cast("double")
+        / (F.col("n_a") + F.col("n_b")).cast("double"),
+    )  # 2PR/(P+R) with P=L/n_a, R=L/n_b simplifies to 2L/(n_a+n_b)

@@ -826,3 +826,40 @@ def test_markov_absorption_rows_sum_to_one_and_match_float_solve(spark):
     # float division the query performed
     for r in rows:
         assert abs(r["absorb_prob"] - r["num"] / r["det"]) < 1e-15
+
+
+# --- text_rouge_l_candidates ---------------------------------------------------------
+
+
+def test_rouge_l_agrees_with_python_lcs(spark):
+    """Differential vs an independent O(nm) Python LCS over every
+    candidate pair at sf0.001 — catches any divergence in the nested-fold
+    DP or the tokenization cap."""
+    from f1_lakehouse_spark.pipeline.text import ROUGE_CAP
+    from f1_lakehouse_spark.tables import load_table
+
+    rows = REGISTRY["text_rouge_l_candidates"].fn(spark, SF_DIR).collect()
+    assert rows, "expect candidate pairs at sf0.001"
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+
+    def toks(t):
+        return [w for w in t.lower().split() if w][:ROUGE_CAP]
+
+    def lcs(a, b):
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0]
+            for j, y in enumerate(b, start=1):
+                cur.append(max(prev[j], cur[j - 1], prev[j - 1] + (x == y)))
+            prev = cur
+        return prev[-1]
+
+    for r in rows:
+        a, b = toks(texts[r["doc_a"]]), toks(texts[r["doc_b"]])
+        want = lcs(a, b)
+        assert (r["n_a"], r["n_b"], r["lcs_len"]) == (len(a), len(b), want), r
+        assert abs(r["rouge_l_f1"] - 2 * want / (len(a) + len(b))) < 1e-15
+        assert 0 <= r["rouge_l_f1"] <= 1.0
