@@ -69,6 +69,7 @@ EXTENDED = [
     "orders_haar_wavelet",
     "events_markov_absorption",
     "text_rouge_l_candidates",
+    "stats_jackknife_variance",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "ann_lsh_materialized",

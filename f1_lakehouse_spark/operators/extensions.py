@@ -3356,3 +3356,135 @@ def orders_haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out
+
+
+# --- jackknife standard error from one pass -----------------------------------------
+# The bootstrap's frugal sibling: delete-one-BUCKET jackknife over H=32
+# hash buckets. Everything derives from per-bucket (count, decimal sum)
+# partials in ONE scan: each leave-one-out mean is (S - s_h)/(N - n_h)
+# — exact decimal subtraction, one double division — and the jackknife
+# variance folds over the H-vector in bucket order (ordered left-folds,
+# deterministic). Against stats_bootstrap_ci_poisson's B-fold fan-out,
+# this is the O(1)-overhead uncertainty estimate: same scan cost as the
+# plain mean.
+
+_JK_H = 32
+
+_JK_ORACLE = f"""
+WITH b AS (
+  SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+       CAST(l_linenumber AS VARCHAR)), 1, 12)) AS BIGINT) % {_JK_H} AS h,
+         l_extendedprice AS x
+  FROM lineitem
+), per AS (
+  SELECT h, COUNT(*) AS n_h, SUM(CAST(x AS DECIMAL(27,6))) AS s_h
+  FROM b GROUP BY h
+), tot AS (
+  SELECT CAST(SUM(n_h) AS BIGINT) AS n, SUM(s_h) AS s FROM per
+), loo AS (
+  SELECT list(struct_pack(
+           h := h,
+           m := CAST(t.s - p.s_h AS DOUBLE) / CAST(t.n - p.n_h AS DOUBLE)
+         ) ORDER BY h) AS arr,
+         CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) AS mean_all,
+         t.n AS n
+  FROM per p CROSS JOIN tot t
+  GROUP BY t.s, t.n
+), folded AS (
+  SELECT n, mean_all, arr, len(arr) AS hh,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list_transform(arr, s -> s.m)), (a, b) -> a + b)
+           / CAST(len(arr) AS DOUBLE) AS mbar
+  FROM loo
+)
+SELECT n,
+       mean_all AS point_mean,
+       sqrt((CAST(hh - 1 AS DOUBLE) / CAST(hh AS DOUBLE))
+            * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(arr, s -> (s.m - mbar) * (s.m - mbar))), (a, b) -> a + b))
+         AS jackknife_se,
+       CAST(hh AS BIGINT) AS n_buckets
+FROM folded
+"""
+
+
+@register(
+    "stats_jackknife_variance",
+    oracle=_JK_ORACLE,
+    doc=f"delete-one-bucket jackknife standard error of the mean price "
+    f"(H={_JK_H} hash buckets): one scan, per-bucket decimal partials, "
+    "ordered left-folds over the H-vector — exact cross-engine, "
+    "O(1) overhead vs the plain mean",
+    tags=("stats", "jackknife", "extension"),
+)
+def stats_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(_JK_H)
+    )
+    per = (
+        li.select(h.alias("h"), F.col("l_extendedprice").alias("x"))
+        .groupBy("h")
+        .agg(
+            F.count("*").alias("n_h"),
+            F.sum(F.col("x").cast("decimal(27,6)")).alias("s_h"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_h").cast("long").alias("n"), F.sum("s_h").alias("s")
+    )
+    loo = per.crossJoin(F.broadcast(tot)).select(
+        "n",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("mean_all"),
+        F.struct(
+            F.col("h").alias("h"),
+            (
+                (F.col("s") - F.col("s_h")).cast("double")
+                / (F.col("n") - F.col("n_h")).cast("double")
+            ).alias("m"),
+        ).alias("st"),
+    )
+    packed = loo.groupBy("n", "mean_all").agg(
+        F.sort_array(F.collect_list("st")).alias("arr")
+    )
+    zero = F.lit(0.0)
+    ms = F.transform("arr", lambda s: s["m"])
+    folded = packed.select(
+        "n",
+        "mean_all",
+        "arr",
+        F.size("arr").alias("hh"),
+        (
+            F.aggregate(ms, zero, lambda a, b: a + b)
+            / F.size("arr").cast("double")
+        ).alias("mbar"),
+    )
+    sq = F.transform(
+        "arr", lambda s: (s["m"] - F.col("mbar")) * (s["m"] - F.col("mbar"))
+    )
+    return folded.select(
+        "n",
+        F.col("mean_all").alias("point_mean"),
+        F.sqrt(
+            ((F.col("hh") - 1).cast("double") / F.col("hh").cast("double"))
+            * F.aggregate(sq, zero, lambda a, b: a + b)
+        ).alias("jackknife_se"),
+        F.col("hh").cast("long").alias("n_buckets"),
+    )

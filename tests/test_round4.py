@@ -863,3 +863,30 @@ def test_rouge_l_agrees_with_python_lcs(spark):
         assert (r["n_a"], r["n_b"], r["lcs_len"]) == (len(a), len(b), want), r
         assert abs(r["rouge_l_f1"] - 2 * want / (len(a) + len(b))) < 1e-15
         assert 0 <= r["rouge_l_f1"] <= 1.0
+
+
+# --- stats_jackknife_variance --------------------------------------------------------
+
+
+def test_jackknife_se_agrees_with_classical_formula(spark):
+    """The delete-one-bucket jackknife SE should approximate the classical
+    s/sqrt(n) of the same column (within 3x either way on this data), and
+    point_mean must equal the exact decimal mean."""
+    import math
+
+    from f1_lakehouse_spark.tables import load_table
+
+    r = REGISTRY["stats_jackknife_variance"].fn(spark, SF_DIR).collect()[0]
+    li = load_table(spark, SF_DIR, "lineitem")
+    stats = li.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).alias("s"),
+        F.count("*").alias("n"),
+        F.stddev_samp("l_extendedprice").alias("sd"),
+    ).collect()[0]
+    assert r["n"] == stats["n"] and r["n_buckets"] == 32
+    assert abs(r["point_mean"] - float(stats["s"]) / stats["n"]) < 1e-6
+    classical = stats["sd"] / math.sqrt(stats["n"])
+    assert classical / 3 < r["jackknife_se"] < classical * 3, (
+        r["jackknife_se"],
+        classical,
+    )
