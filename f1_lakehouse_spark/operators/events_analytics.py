@@ -1581,11 +1581,6 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     on user_id (the join with first-purchase times is co-keyed), a 4-way
     explode of the per-user masks, and a 4-group final aggregate."""
     e = load_table(spark, sf_dir, "events")
-    fp = (
-        e.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_purchase"))
-    )
     bit = (
         F.when(F.col("event_type") == "view", 1)
         .when(F.col("event_type") == "click", 2)
@@ -1593,14 +1588,24 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "error", 8)
         .otherwise(0)
     )
+    # first-purchase time via an UNORDERED full-partition window min: the
+    # same user_id shuffle the mask aggregate needs anyway — one shuffle
+    # total instead of groupBy + join back
+    wu = Window.partitionBy("user_id")
     masks = (
-        e.join(fp, "user_id")
+        e.select("user_id", "ts", "event_type", bit.alias("b"))
+        .withColumn(
+            "first_purchase",
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).over(wu),
+        )
         .filter(
             (F.col("ts") < F.col("first_purchase"))
             & (F.col("event_type") != "purchase")
         )
         .groupBy("user_id")
-        .agg(F.bit_or(bit).cast("long").alias("mask"))
+        .agg(F.bit_or(F.col("b")).cast("long").alias("mask"))
     )
 
     def credit(c: str):

@@ -890,3 +890,12 @@ def test_jackknife_se_agrees_with_classical_formula(spark):
         r["jackknife_se"],
         classical,
     )
+
+
+def test_shapley_masks_build_in_one_user_shuffle(spark):
+    """First-purchase time comes from an unordered window over the SAME
+    user_id partitioning the mask aggregate needs: exactly two exchanges
+    total (user_id + the 4-group final), no join back."""
+    plan = _plan(spark, "events_shapley_attribution")
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:1500]
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
