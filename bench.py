@@ -70,6 +70,7 @@ EXTENDED = [
     "events_markov_absorption",
     "text_rouge_l_candidates",
     "stats_jackknife_variance",
+    "filtering_bias_audit",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "ann_lsh_materialized",

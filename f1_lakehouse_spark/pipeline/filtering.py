@@ -511,3 +511,77 @@ def decontam_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs.unpersist()
     grams.unpersist()
     return out
+
+
+# --- filter bias audit (four-fifths rule across languages) --------------------------
+# Responsible-data check for the composed quality pipeline: does the
+# filter keep some languages at a disproportionate rate? Per-language
+# keep rates vs the overall rate, with the employment-law "four-fifths"
+# disparity flag (rate outside [0.8, 1.25] x overall). Rates are
+# integer-ratio doubles (deterministic), so the threshold comparisons
+# are engine-identical; the audit is ONE composition over the already-
+# verified survivors query plus a per-language count of the corpus —
+# its scale story is the survivor pipeline's.
+
+
+@register(
+    "filtering_bias_audit",
+    oracle=f"""
+WITH surv AS ({{surv}}),
+per_lang AS (
+  SELECT d.lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM documents d LEFT JOIN surv s ON d.doc_id = s.doc_id
+  GROUP BY d.lang
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS nd, CAST(SUM(n_kept) AS BIGINT) AS nk
+  FROM per_lang
+)
+SELECT p.lang, p.n_docs, p.n_kept,
+       CAST(p.n_kept AS DOUBLE) / CAST(p.n_docs AS DOUBLE) AS keep_rate,
+       (CAST(p.n_kept AS DOUBLE) / CAST(p.n_docs AS DOUBLE))
+         / (CAST(t.nk AS DOUBLE) / CAST(t.nd AS DOUBLE)) AS disparity,
+       CASE WHEN (CAST(p.n_kept AS DOUBLE) / CAST(p.n_docs AS DOUBLE))
+                   / (CAST(t.nk AS DOUBLE) / CAST(t.nd AS DOUBLE)) < 0.8
+              OR (CAST(p.n_kept AS DOUBLE) / CAST(p.n_docs AS DOUBLE))
+                   / (CAST(t.nk AS DOUBLE) / CAST(t.nd AS DOUBLE)) > 1.25
+            THEN 1 ELSE 0 END AS four_fifths_flag
+FROM per_lang p CROSS JOIN tot t
+""".format(surv=_REGISTRY["pipeline_corpus_survivors"].oracle),
+    doc="four-fifths-rule bias audit of the composed quality filter: "
+    "per-language keep rates vs overall with disparity flags — one "
+    "composition over the verified survivor pipeline, deterministic "
+    "integer-ratio rates",
+    tags=("pipeline", "filtering", "audit", "compose"),
+)
+def filtering_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    surv = pipeline_corpus_survivors(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("kept")
+    )
+    per_lang = (
+        d.join(surv, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("kept"), F.lit(0))).cast("long").alias("n_kept"),
+        )
+    )
+    tot = per_lang.agg(
+        F.sum("n_docs").cast("long").alias("nd"),
+        F.sum("n_kept").cast("long").alias("nk"),
+    )
+    rate = F.col("n_kept").cast("double") / F.col("n_docs").cast("double")
+    overall = F.col("nk").cast("double") / F.col("nd").cast("double")
+    disparity = rate / overall
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_kept",
+        rate.alias("keep_rate"),
+        disparity.alias("disparity"),
+        F.when((disparity < 0.8) | (disparity > 1.25), 1)
+        .otherwise(0)
+        .alias("four_fifths_flag"),
+    )

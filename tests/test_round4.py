@@ -899,3 +899,25 @@ def test_shapley_masks_build_in_one_user_shuffle(spark):
     plan = _plan(spark, "events_shapley_attribution")
     assert plan.count("Exchange hashpartitioning") == 2, plan[:1500]
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+# --- filtering_bias_audit ------------------------------------------------------------
+
+
+def test_bias_audit_rates_and_flags_consistent(spark):
+    """Keep rates recompute from counts; flags fire exactly per the
+    four-fifths thresholds; language doc counts partition the corpus."""
+    from f1_lakehouse_spark.tables import load_table
+
+    rows = REGISTRY["filtering_bias_audit"].fn(spark, SF_DIR).collect()
+    assert rows
+    nd = sum(r["n_docs"] for r in rows)
+    nk = sum(r["n_kept"] for r in rows)
+    assert nd == load_table(spark, SF_DIR, "documents").count()
+    overall = nk / nd
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert abs(r["keep_rate"] - r["n_kept"] / r["n_docs"]) < 1e-15
+        disp = (r["n_kept"] / r["n_docs"]) / overall
+        assert abs(r["disparity"] - disp) < 1e-12
+        assert r["four_fifths_flag"] == (1 if (disp < 0.8 or disp > 1.25) else 0)
