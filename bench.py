@@ -71,6 +71,7 @@ EXTENDED = [
     "text_rouge_l_candidates",
     "stats_jackknife_variance",
     "filtering_bias_audit",
+    "scoring_conformal_interval",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "ann_lsh_materialized",

@@ -387,3 +387,184 @@ def scoring_hashed_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(F.lit("drop"))
         .alias("verdict"),
     )
+
+
+# --- split-conformal prediction interval --------------------------------------------
+# Distribution-free uncertainty for ANY predictor: fit on a train split,
+# take the ceil(0.9*(n+1))-th smallest absolute residual on a held-out
+# calibration split as the interval radius, and the marginal coverage
+# guarantee >= 90% holds with no distributional assumption. Machinery:
+# the predictor is an exact-moment OLS (integer x = quantity, decimal y
+# = price, so every moment is exact — no double->decimal cast anywhere);
+# the k-th order statistic is DISTRIBUTED via the two-phase prefix sum
+# (never a global sort); coverage is one broadcast-radius aggregate over
+# the test split. Hash-split 2:1:1 train/calib/test.
+#
+# Decimal->double discipline: y-moments rescale to scale 3 before the
+# double cast (unscaled value stays under 2^53 — the documented DuckDB
+# double-rounding trap), with round() in the oracle to match Spark's
+# HALF_UP rescale.
+
+CONFORMAL_TARGET_PPM = 900_000  # 90% nominal coverage
+
+_CONF_SPLIT = (
+    "CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || "
+    "CAST(l_linenumber AS VARCHAR)), 1, 12)) AS BIGINT) % 4"
+)
+
+_CONF_ORACLE = f"""
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(CAST(l_quantity AS DECIMAL(18,3)) * 1000 AS BIGINT) AS xmil,
+         CAST(l_extendedprice AS DECIMAL(27,6)) AS y,
+         {_CONF_SPLIT} AS split
+  FROM lineitem
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xmil) AS BIGINT) AS sx,
+         CAST(SUM(xmil * xmil) AS BIGINT) AS sxx,
+         CAST(round(SUM(y), 3) AS DOUBLE) AS sy,
+         CAST(round(SUM(y * xmil), 3) AS DOUBLE) AS sxy_mil
+  FROM base WHERE split <= 1
+), fit AS (
+  SELECT (CAST(n AS DOUBLE) * sxy_mil - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           AS b_mil,
+         n, sx, sy
+  FROM m
+), fit2 AS (
+  SELECT b_mil,
+         (sy - b_mil * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+  FROM fit
+), calib AS (
+  SELECT abs(CAST(b.y AS DOUBLE) - (f.a + f.b_mil * CAST(b.xmil AS DOUBLE))) AS r,
+         b.l_orderkey, b.l_linenumber
+  FROM base b CROSS JOIN fit2 f WHERE b.split = 2
+), nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_calib FROM calib),
+ranked AS (
+  SELECT r, row_number() OVER (ORDER BY r, l_orderkey, l_linenumber) AS rn
+  FROM calib
+), radius AS (
+  SELECT r.r AS radius
+  FROM ranked r CROSS JOIN nc
+  WHERE r.rn = (9 * (nc.n_calib + 1) + 9) // 10
+), test AS (
+  SELECT abs(CAST(b.y AS DOUBLE) - (f.a + f.b_mil * CAST(b.xmil AS DOUBLE))) AS r
+  FROM base b CROSS JOIN fit2 f WHERE b.split = 3
+)
+SELECT f.b_mil * 1000.0 AS slope,
+       f.a AS intercept,
+       rad.radius,
+       nc.n_calib,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN t.r <= rad.radius THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       CAST(CAST(SUM(CASE WHEN t.r <= rad.radius THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS coverage
+FROM test t CROSS JOIN radius rad CROSS JOIN fit2 f CROSS JOIN nc
+GROUP BY f.b_mil, f.a, rad.radius, nc.n_calib
+"""
+
+
+@register(
+    "scoring_conformal_interval",
+    oracle=_CONF_ORACLE,
+    doc="split-conformal 90% prediction interval for price~quantity OLS: "
+    "exact-moment fit on the train split, DISTRIBUTED k-th-order-statistic "
+    "radius on calibration (two-phase prefix sum, no global sort), "
+    "measured coverage on test — the distribution-free uncertainty "
+    "guarantee, exact cross-engine",
+    tags=("pipeline", "scoring", "conformal", "prefix-sum"),
+)
+def scoring_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.operators.extensions import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity").cast("decimal(18,3)") * 1000)
+        .cast("long")
+        .alias("xmil"),
+        F.col("l_extendedprice").cast("decimal(27,6)").alias("y"),
+        (h % 4).alias("split"),
+    )
+    base = base.persist()
+    base.count()  # three split consumers read it
+    try:
+        m = base.where(F.col("split") <= 1).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("xmil").cast("long").alias("sx"),
+            F.sum(F.col("xmil") * F.col("xmil")).cast("long").alias("sxx"),
+            F.round(F.sum("y"), 3).cast("double").alias("sy"),
+            F.round(F.sum(F.col("y") * F.col("xmil")), 3)
+            .cast("double")
+            .alias("sxy_mil"),
+        )
+        mrow = m.collect()[0]  # 5 scalars: the trained model (model-sized)
+        n, sx, sxx = mrow["n"], mrow["sx"], mrow["sxx"]
+        sy, sxy = mrow["sy"], mrow["sxy_mil"]
+        b_mil = (float(n) * sxy - float(sx) * sy) / (
+            float(n) * float(sxx) - float(sx) * float(sx)
+        )
+        a = (sy - b_mil * float(sx)) / float(n)
+        resid = F.abs(
+            F.col("y").cast("double")
+            - (F.lit(a) + F.lit(b_mil) * F.col("xmil").cast("double"))
+        )
+        calib = base.where(F.col("split") == 2).select(
+            resid.alias("r"),
+            "l_orderkey",
+            "l_linenumber",
+            F.lit(1).cast("decimal(27,6)").alias("one"),
+        )
+        cum, release, total = global_prefix_sum(
+            spark,
+            calib,
+            "one",
+            [F.col("r").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        )
+        n_calib = int(total)
+        k = (9 * (n_calib + 1) + 9) // 10
+        radius_row = (
+            cum.where(F.col("cum") == F.lit(k).cast("decimal(27,6)"))
+            .select("r")
+            .collect()
+        )
+        release()
+        radius = radius_row[0]["r"]
+        test = base.where(F.col("split") == 3).select(resid.alias("r"))
+        out = test.agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(F.when(F.col("r") <= radius, 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        ).select(
+            F.lit(b_mil * 1000.0).alias("slope"),
+            F.lit(a).alias("intercept"),
+            F.lit(radius).alias("radius"),
+            F.lit(n_calib).cast("long").alias("n_calib"),
+            "n_test",
+            "n_covered",
+            (
+                F.col("n_covered").cast("double") / F.col("n_test").cast("double")
+            ).alias("coverage"),
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        base.unpersist()
+    return out

@@ -921,3 +921,18 @@ def test_bias_audit_rates_and_flags_consistent(spark):
         disp = (r["n_kept"] / r["n_docs"]) / overall
         assert abs(r["disparity"] - disp) < 1e-12
         assert r["four_fifths_flag"] == (1 if (disp < 0.8 or disp > 1.25) else 0)
+
+
+# --- scoring_conformal_interval ------------------------------------------------------
+
+
+def test_conformal_coverage_meets_the_guarantee(spark):
+    """Split-conformal marginal coverage must be >= ~90% (the theorem
+    guarantees >= target on average; allow finite-sample slack down to
+    85% at sf0.001), with a positive radius and consistent counts."""
+    r = REGISTRY["scoring_conformal_interval"].fn(spark, SF_DIR).collect()[0]
+    assert r["radius"] > 0
+    assert r["n_calib"] > 50 and r["n_test"] > 50
+    assert 0 <= r["n_covered"] <= r["n_test"]
+    assert r["coverage"] >= 0.85, r["coverage"]
+    assert abs(r["coverage"] - r["n_covered"] / r["n_test"]) < 1e-15
