@@ -90,6 +90,21 @@ SHOWCASE: dict[str, str] = {
     "ann_batch_query_topk": "Q queries in ONE corpus pass: query batch "
     "broadcast (BroadcastNestedLoopJoin), per-query top-k through "
     "WindowGroupLimit — partitions emit Q*k rows, not Q*N.",
+    "hll_register_sketch_exact": "From-scratch HLL: register build "
+    "partial-MAXes map-side before its exchange; rollups read register "
+    "tables (groups x 1024 rows), never raw events.",
+    "events_viterbi_journeys": "Viterbi DP as a fold: WindowGroupLimit "
+    "caps users partition-side; state is six int64s per user; no "
+    "exchange after the single user_id shuffle.",
+    "stats_bootstrap_ci_poisson": "Poisson bootstrap: B=64 fan-out dies "
+    "into map-side partial sums — the exchange carries (group, b) "
+    "partials, never fanned rows.",
+    "events_markov_absorption": "Integer adjugate linear solve: two "
+    "windows share one user_id shuffle; the algebra runs on a "
+    "single-row 18-column aggregate.",
+    "scoring_conformal_interval": "Conformal radius via the two-phase "
+    "prefix sum: range repartition + pid offsets — the k-th order "
+    "statistic without a global sort.",
     "f1_driver_session_summary": "The reference gold model over the mapped "
     "driver tables: window + aggregates share one 7-key shuffle, "
     "personal-best side broadcast back (flagship shape).",
