@@ -85,6 +85,17 @@ QUERIES = [
     "text_repetition_loop_detect",
     "ann_batch_query_topk",
     "curation_doremi_reweight",
+    # round 4, continuation session (measured ratios 0.16-2.17 at 10x)
+    "hll_register_sketch_exact",
+    "orders_kaplan_meier_fulfillment",
+    "stats_bootstrap_ci_poisson",
+    "ann_matryoshka_prefix_recall",
+    "events_ewma_anomaly",
+    "lineitem_benford_audit",
+    "orders_cohort_ltv",
+    "orders_seasonal_decompose",
+    "orders_holt_forecast",
+    "events_viterbi_journeys",
 ]
 
 
