@@ -72,6 +72,7 @@ EXTENDED = [
     "stats_jackknife_variance",
     "filtering_bias_audit",
     "scoring_conformal_interval",
+    "scoring_auc_mann_whitney",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "ann_lsh_materialized",

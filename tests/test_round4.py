@@ -936,3 +936,29 @@ def test_conformal_coverage_meets_the_guarantee(spark):
     assert 0 <= r["n_covered"] <= r["n_test"]
     assert r["coverage"] >= 0.85, r["coverage"]
     assert abs(r["coverage"] - r["n_covered"] / r["n_test"]) < 1e-15
+
+
+# --- scoring_auc_mann_whitney --------------------------------------------------------
+
+
+def test_auc_matches_python_rank_computation(spark):
+    """Exact AUC must equal an independent pairwise/rank computation over
+    the same (score, label) pairs at sf0.001."""
+    r = REGISTRY["scoring_auc_mann_whitney"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["auc"] <= 1.0
+    scores = {
+        row["doc_id"]: row["score_sum"]
+        for row in REGISTRY["scoring_hashed_linear_quality"].fn(spark, SF_DIR).collect()
+    }
+    labels = {
+        row["doc_id"]: row["passes_repetition"]
+        for row in REGISTRY["quality_gopher_repetition"].fn(spark, SF_DIR).collect()
+    }
+    pos = [scores[d] for d in scores if d in labels and labels[d] == 1]
+    neg = [scores[d] for d in scores if d in labels and labels[d] == 0]
+    assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+    u2 = 0
+    for p in pos:
+        for q in neg:
+            u2 += 2 if p > q else (1 if p == q else 0)
+    assert abs(r["auc"] - u2 / (2 * len(pos) * len(neg))) < 1e-12
