@@ -1872,6 +1872,12 @@ def dedup_minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _best_rep_oracle() -> str:
+    # the quality sub-oracle lives in text.py: import it HERE so dedup
+    # registers under any module import order (the text<->dedup cycle is
+    # safe: each side's needed attributes are defined before its
+    # cross-import line)
+    import f1_lakehouse_spark.pipeline.text  # noqa: F401,PLC0415
+
     from f1_lakehouse_spark.registry import REGISTRY as _R
 
     quality = _R["text_quality_score"].oracle

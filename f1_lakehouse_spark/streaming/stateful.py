@@ -145,3 +145,73 @@ try:  # Spark >= 4.0
     TWS_AVAILABLE = True
 except ImportError:  # pragma: no cover - older Spark
     TWS_AVAILABLE = False
+
+
+# --- streaming EWMA twin (events_ewma_anomaly's stateful counterpart) ---------------
+
+_EWMA_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_ewma", DoubleType()),
+        StructField("max_abs_dev", DoubleType()),
+    ]
+)
+_EWMA_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("ewma", DoubleType()),
+        StructField("maxdev", DoubleType()),
+    ]
+)
+_EWMA_ALPHA = 0.25  # dyadic; MUST match operators.events_analytics
+
+
+def _update_ewma(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch (sorted by ts, event_id) into EWMA state —
+    the identical left-fold the batch operator runs, so an availableNow
+    pass over the same files reproduces the batch numbers exactly
+    (Python float ops are the same IEEE doubles)."""
+    n, ewma, maxdev = state.get if state.exists else (0, None, 0.0)
+    for pdf in pdfs:
+        pdf = pdf.dropna(subset=["value"]).sort_values(["ts", "event_id"])
+        for v in pdf["value"].astype(float):
+            if ewma is None:
+                ewma, n = v, 1
+            else:
+                dev = abs(v - ewma)
+                if dev > maxdev:
+                    maxdev = dev
+                ewma = ewma + _EWMA_ALPHA * (v - ewma)
+                n += 1
+    state.update((n, ewma if ewma is not None else 0.0, maxdev))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "last_ewma": [ewma],
+            "max_abs_dev": [maxdev],
+        }
+    )
+
+
+def streaming_ewma(events: DataFrame) -> DataFrame:
+    """Per-user streaming EWMA + max one-step deviation: the stateful twin
+    of the batch `events_ewma_anomaly` (state = 3 scalars per user; same
+    NoTimeout all-history semantics and bounded-state caveats as
+    streaming_user_totals)."""
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_ewma,
+            outputStructType=_EWMA_OUT,
+            stateStructType=_EWMA_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -526,3 +526,59 @@ def test_gold_merge_replay_after_publish_is_noop(spark):
         _gold_merge(nxt, 8, gold)
         got = {r["event_type"]: r["n_events"] for r in read_gold(spark, gold).collect()}
         assert got == {"click": 3, "view": 5}
+
+
+def test_stateful_streaming_ewma_equals_batch(spark):
+    """The streaming EWMA twin must reproduce an independent full-history
+    Python fold exactly for EVERY user (same IEEE left-fold), and match
+    the batch operator for users under its 64-event cap."""
+    from f1_lakehouse_spark.registry import REGISTRY, _ensure_loaded
+    from f1_lakehouse_spark.streaming.stateful import streaming_ewma
+
+    _ensure_loaded()
+
+    out = streaming_ewma(stream_events(spark, SF_DIR))
+    run_available_now_to_memory(out, "ewma_out", output_mode="update")
+    streamed = {
+        r["user_id"]: (r["n_events"], r["last_ewma"], r["max_abs_dev"])
+        for r in spark.sql(
+            "SELECT user_id, n_events, last_ewma, max_abs_dev FROM ewma_out"
+        ).collect()
+    }
+
+    seqs = {}
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    ):
+        seqs.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["value"]))
+    assert set(streamed) == set(seqs)
+    expected = {}
+    for uid, evs in seqs.items():
+        evs.sort()
+        ewma, n, maxdev = None, 0, 0.0
+        for _, _, v in evs:
+            if ewma is None:
+                ewma, n = float(v), 1
+            else:
+                dev = abs(v - ewma)
+                if dev > maxdev:
+                    maxdev = dev
+                ewma = ewma + 0.25 * (v - ewma)
+                n += 1
+        expected[uid] = (n, ewma, maxdev)
+    assert streamed == expected
+
+    # and where the batch cap doesn't bind, the batch operator agrees too
+    batch = {
+        r["user_id"]: (r["n_events"], r["last_ewma"], r["max_abs_dev"])
+        for r in REGISTRY["events_ewma_anomaly"].fn(spark, SF_DIR).collect()
+    }
+    checked = 0
+    for uid, (n, e, m) in batch.items():
+        if expected[uid][0] <= 64:
+            assert (n, e, m) == expected[uid], uid
+            checked += 1
+    assert checked >= 1
