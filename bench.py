@@ -73,6 +73,7 @@ EXTENDED = [
     "filtering_bias_audit",
     "scoring_conformal_interval",
     "scoring_auc_mann_whitney",
+    "orders_holt_backtest",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "ann_lsh_materialized",

@@ -3488,3 +3488,147 @@ def stats_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jackknife_se"),
         F.col("hh").cast("long").alias("n_buckets"),
     )
+
+
+# --- rolling-origin backtest of the Holt forecast -----------------------------------
+# Forecast evaluation done honestly: every month's one-step-ahead Holt
+# fit (the prefix states ARE the rolling origins) is scored against the
+# actual, and the model only earns a positive skill score if it beats
+# the seasonal-naive baseline (v_{t-12}) on the SAME months. Error sums
+# fold over the packed array in index order (deterministic doubles);
+# baseline errors are exact integer cents. Same calendar-bounded
+# machinery as orders_holt_forecast.
+
+_HBT_ORACLE = f"""
+WITH monthly AS (
+  SELECT (CAST(year(o_orderdate) AS BIGINT) * 12 + CAST(month(o_orderdate) AS BIGINT) - 1) AS ym0,
+         CAST(SUM(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), packed AS (
+  SELECT list(CAST(cents AS DOUBLE) / 100.0 ORDER BY ym0) AS v FROM monthly
+), step1 AS (
+  SELECT v, list_transform(v, x -> [x, CAST(0.0 AS DOUBLE)]) AS va, len(v) AS n
+  FROM packed
+), step2 AS (
+  SELECT v, n,
+         list_transform(range(1, n + 1),
+            i -> list_reduce(
+                   list_prepend([v[1], v[2] - v[1]], list_slice(va, 2, i)),
+                   {_HOLT_STEP_SQL})) AS st
+  FROM step1
+), errs AS (
+  SELECT n,
+         list_transform(range(14, n + 1), i -> abs(v[i] - (st[i - 1][1] + st[i - 1][2]))) AS em,
+         list_transform(range(14, n + 1), i -> abs(v[i] - v[i - 12])) AS es
+  FROM step2
+)
+SELECT CAST(n AS BIGINT) AS n_months,
+       CAST(len(em) AS BIGINT) AS n_eval,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), em), (a, b) -> a + b)
+         / CAST(len(em) AS DOUBLE) AS mae_model,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), es), (a, b) -> a + b)
+         / CAST(len(es) AS DOUBLE) AS mae_snaive,
+       1.0 - (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), em), (a, b) -> a + b)
+              / CAST(len(em) AS DOUBLE))
+           / (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), es), (a, b) -> a + b)
+              / CAST(len(es) AS DOUBLE)) AS skill_vs_snaive
+FROM errs
+"""
+
+
+@register(
+    "orders_holt_backtest",
+    oracle=_HBT_ORACLE,
+    doc="rolling-origin backtest of the Holt forecast: one-step-ahead "
+    "errors from the prefix states vs the seasonal-naive baseline on the "
+    "same months (t >= 14), MAE + skill score — deterministic index-order "
+    "folds, exact cross-engine",
+    tags=("stats", "timeseries", "forecast", "eval", "extension"),
+)
+def orders_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    cents = (
+        F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)") * 100
+    ).cast("long")
+    monthly = (
+        o.select(
+            (
+                F.year("o_orderdate").cast("long") * 12
+                + F.month("o_orderdate").cast("long")
+                - 1
+            ).alias("ym0"),
+            cents.alias("c"),
+        )
+        .groupBy("ym0")
+        .agg(F.sum("c").alias("cents"))
+    )
+    packed = monthly.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ym0", "cents"))),
+            lambda s: s["cents"].cast("double") / F.lit(100.0),
+        ).alias("v")
+    )
+    step1 = packed.select(
+        "v",
+        F.transform("v", lambda x: F.array(x, F.lit(0.0))).alias("va"),
+        F.size("v").alias("n"),
+    )
+    alpha, beta = F.lit(0.25), F.lit(0.125)
+
+    def holt_step(acc, x):
+        lvl = alpha * F.element_at(x, 1) + (F.lit(1.0) - alpha) * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+        tr = beta * (
+            alpha * F.element_at(x, 1)
+            + (F.lit(1.0) - alpha)
+            * (F.element_at(acc, 1) + F.element_at(acc, 2))
+            - F.element_at(acc, 1)
+        ) + (F.lit(1.0) - beta) * F.element_at(acc, 2)
+        return F.array(lvl, tr)
+
+    init = F.array(
+        F.element_at(F.col("v"), 1),
+        F.element_at(F.col("v"), 2) - F.element_at(F.col("v"), 1),
+    )
+    step2 = step1.select(
+        "v",
+        "n",
+        F.transform(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda i: F.aggregate(
+                F.slice("va", F.lit(2), i - F.lit(1)), init, holt_step
+            ),
+        ).alias("st"),
+    )
+    em = F.transform(
+        F.sequence(F.lit(14), F.col("n")),
+        lambda i: F.abs(
+            F.element_at(F.col("v"), i)
+            - (
+                F.element_at(F.try_element_at("st", i - F.lit(1)), 1)
+                + F.element_at(F.try_element_at("st", i - F.lit(1)), 2)
+            )
+        ),
+    )
+    es = F.transform(
+        F.sequence(F.lit(14), F.col("n")),
+        lambda i: F.abs(
+            F.element_at(F.col("v"), i) - F.element_at(F.col("v"), i - F.lit(12))
+        ),
+    )
+    errs = step2.select("n", em.alias("em"), es.alias("es"))
+    zero = F.lit(0.0)
+    mae_m = F.aggregate("em", zero, lambda a, b: a + b) / F.size("em").cast(
+        "double"
+    )
+    mae_s = F.aggregate("es", zero, lambda a, b: a + b) / F.size("es").cast(
+        "double"
+    )
+    return errs.select(
+        F.col("n").cast("long").alias("n_months"),
+        F.size("em").cast("long").alias("n_eval"),
+        mae_m.alias("mae_model"),
+        mae_s.alias("mae_snaive"),
+        (F.lit(1.0) - mae_m / mae_s).alias("skill_vs_snaive"),
+    )

@@ -962,3 +962,13 @@ def test_auc_matches_python_rank_computation(spark):
         for q in neg:
             u2 += 2 if p > q else (1 if p == q else 0)
     assert abs(r["auc"] - u2 / (2 * len(pos) * len(neg))) < 1e-12
+
+
+# --- orders_holt_backtest ------------------------------------------------------------
+
+
+def test_holt_backtest_counts_and_skill_recompute(spark):
+    r = REGISTRY["orders_holt_backtest"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_eval"] == r["n_months"] - 13
+    assert r["mae_model"] > 0 and r["mae_snaive"] > 0
+    assert abs(r["skill_vs_snaive"] - (1.0 - r["mae_model"] / r["mae_snaive"])) < 1e-12
