@@ -74,6 +74,7 @@ EXTENDED = [
     "scoring_conformal_interval",
     "scoring_auc_mann_whitney",
     "orders_holt_backtest",
+    "curation_neyman_allocation",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "ann_lsh_materialized",

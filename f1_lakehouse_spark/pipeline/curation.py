@@ -969,3 +969,177 @@ def curation_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     res.count()
     base.unpersist()
     return res
+
+
+# --- Neyman allocation of a labeling budget -----------------------------------------
+# Survey-sampling's optimal allocation, aimed at the training-data
+# question "which sources get the human-labeling budget?": n_h ~ N_h *
+# sigma_h minimizes the variance of the stratified estimate. The
+# arithmetic is engineered exact: N_h*sigma_h = sqrt(n_h*S2_h - S1_h^2)
+# — an integer under the sqrt, so the weight is one correctly-rounded
+# IEEE op; integer seats assign by floor + LARGEST-REMAINDER
+# apportionment (remainder sort with a unique source tiebreak), so the
+# allocations are integers that sum to the budget EXACTLY. One keyed
+# aggregate; everything after runs on a <= |sources| packed array.
+
+NEYMAN_BUDGET = 10_000
+
+_NEYMAN_ORACLE = f"""
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS s1,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+  FROM documents GROUP BY source
+), packed AS (
+  SELECT list(struct_pack(source := source, n := n, s1 := s1, s2 := s2)
+              ORDER BY source) AS arr
+  FROM per
+), wts AS (
+  SELECT arr,
+         list_transform(arr, s -> sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE))) AS w,
+         len(arr) AS k
+  FROM packed
+), tot AS (
+  SELECT arr, w, k,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), w), (a, b) -> a + b) AS wsum
+  FROM wts
+), seats AS (
+  SELECT arr, w, k, wsum,
+         list_transform(range(1, k + 1),
+            i -> CAST(floor({NEYMAN_BUDGET}.0 * w[i] / wsum) AS BIGINT)) AS base,
+         list_transform(range(1, k + 1),
+            i -> {NEYMAN_BUDGET}.0 * w[i] / wsum
+                 - floor({NEYMAN_BUDGET}.0 * w[i] / wsum)) AS rem
+  FROM tot
+), leftover AS (
+  SELECT arr, w, k, base, rem,
+         {NEYMAN_BUDGET} - list_reduce(list_prepend(CAST(0 AS BIGINT), base), (a, b) -> a + b) AS l
+  FROM seats
+), winners AS (
+  SELECT arr, w, k, base, l,
+         list_transform(
+           list_slice(list_sort(list_transform(range(1, k + 1),
+             i -> struct_pack(negrem := 0.0 - rem[i], src := arr[i].source, i := i))), 1, l),
+           s -> s.i) AS win
+  FROM leftover
+)
+SELECT arr[i].source AS source,
+       arr[i].n AS n_docs,
+       w[i] AS neyman_weight,
+       CAST(base[i] + CASE WHEN list_contains(win, i) THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM (SELECT unnest(range(1, k + 1)) AS i, arr, w, base, win FROM winners)
+"""
+
+
+@register(
+    "curation_neyman_allocation",
+    oracle=_NEYMAN_ORACLE,
+    doc=f"Neyman-optimal allocation of a {NEYMAN_BUDGET}-unit labeling "
+    "budget across sources (n_h ~ N_h*sigma_h with the weight exact as "
+    "sqrt of an integer), integer seats via largest-remainder "
+    "apportionment — allocations sum to the budget exactly",
+    tags=("pipeline", "curation", "sampling", "extension"),
+)
+def curation_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    per = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("s2"),
+    )
+    packed = per.agg(
+        F.sort_array(F.collect_list(F.struct("source", "n", "s1", "s2"))).alias(
+            "arr"
+        )
+    )
+    wts = packed.select(
+        "arr",
+        F.transform(
+            "arr",
+            lambda s: F.sqrt(
+                (s["n"] * s["s2"] - s["s1"] * s["s1"]).cast("double")
+            ),
+        ).alias("w"),
+        F.size("arr").alias("k"),
+    )
+    zero_d, zero_l = F.lit(0.0), F.lit(0).cast("long")
+    B = F.lit(float(NEYMAN_BUDGET))
+    tot = wts.select(
+        "arr", "w", "k", F.aggregate("w", zero_d, lambda a, b: a + b).alias("wsum")
+    )
+    seats = tot.select(
+        "arr",
+        "w",
+        "k",
+        "wsum",
+        F.transform(
+            F.sequence(F.lit(1), F.col("k")),
+            lambda i: F.floor(B * F.element_at(F.col("w"), i) / F.col("wsum")).cast(
+                "long"
+            ),
+        ).alias("base"),
+        F.transform(
+            F.sequence(F.lit(1), F.col("k")),
+            lambda i: B * F.element_at(F.col("w"), i) / F.col("wsum")
+            - F.floor(B * F.element_at(F.col("w"), i) / F.col("wsum")),
+        ).alias("rem"),
+    )
+    leftover = seats.select(
+        "arr",
+        "w",
+        "k",
+        "base",
+        "rem",
+        (
+            F.lit(NEYMAN_BUDGET).cast("long")
+            - F.aggregate("base", zero_l, lambda a, b: a + b)
+        ).alias("l"),
+    )
+    winners = leftover.select(
+        "arr",
+        "w",
+        "k",
+        "base",
+        "l",
+        F.transform(
+            F.slice(
+                F.sort_array(
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("k")),
+                        lambda i: F.struct(
+                            (F.lit(0.0) - F.element_at(F.col("rem"), i)).alias(
+                                "negrem"
+                            ),
+                            F.element_at(F.col("arr"), i)["source"].alias("src"),
+                            i.alias("i"),
+                        ),
+                    )
+                ),
+                F.lit(1),
+                F.col("l").cast("int"),
+            ),
+            lambda s: s["i"],
+        ).alias("win"),
+    )
+    rows = winners.select(
+        F.explode(F.sequence(F.lit(1), F.col("k"))).alias("i"),
+        "arr",
+        "w",
+        "base",
+        "win",
+    )
+    return rows.select(
+        F.element_at("arr", F.col("i"))["source"].alias("source"),
+        F.element_at("arr", F.col("i"))["n"].alias("n_docs"),
+        F.element_at("w", F.col("i")).alias("neyman_weight"),
+        (
+            F.try_element_at("base", F.col("i"))
+            + F.when(F.array_contains("win", F.col("i")), 1)
+            .otherwise(0)
+            .cast("long")
+        )
+        .cast("long")
+        .alias("alloc"),
+    )

@@ -972,3 +972,36 @@ def test_holt_backtest_counts_and_skill_recompute(spark):
     assert r["n_eval"] == r["n_months"] - 13
     assert r["mae_model"] > 0 and r["mae_snaive"] > 0
     assert abs(r["skill_vs_snaive"] - (1.0 - r["mae_model"] / r["mae_snaive"])) < 1e-12
+
+
+# --- curation_neyman_allocation ------------------------------------------------------
+
+
+def test_neyman_allocation_sums_to_budget_and_orders_by_weight(spark):
+    """Largest-remainder apportionment must hand out EXACTLY the budget;
+    weights recompute from exact moments; allocation is monotone in
+    weight up to the +/-1 remainder seat."""
+    import math
+
+    from f1_lakehouse_spark.pipeline.curation import NEYMAN_BUDGET
+    from f1_lakehouse_spark.tables import load_table
+
+    rows = REGISTRY["curation_neyman_allocation"].fn(spark, SF_DIR).collect()
+    assert sum(r["alloc"] for r in rows) == NEYMAN_BUDGET
+    moments = {
+        r["source"]: (r["n"], r["s1"], r["s2"])
+        for r in load_table(spark, SF_DIR, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("s1"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+        )
+        .collect()
+    }
+    for r in rows:
+        n, s1, s2 = moments[r["source"]]
+        assert abs(r["neyman_weight"] - math.sqrt(n * s2 - s1 * s1)) < 1e-9
+    by_w = sorted(rows, key=lambda r: -r["neyman_weight"])
+    for a, b in zip(by_w, by_w[1:]):
+        assert a["alloc"] >= b["alloc"] - 1, (a, b)
