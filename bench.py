@@ -75,6 +75,7 @@ EXTENDED = [
     "scoring_auc_mann_whitney",
     "orders_holt_backtest",
     "curation_neyman_allocation",
+    "events_binary_segmentation",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "ann_lsh_materialized",

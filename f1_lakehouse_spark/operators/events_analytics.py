@@ -1828,3 +1828,177 @@ def events_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in arms[1:]:
         out = out.unionByName(fr)
     return out
+
+
+# --- multi-changepoint detection: binary segmentation --------------------------------
+# events_cusum_changepoint finds ONE shift; real series have several.
+# Binary segmentation (fixed depth 2 -> up to 3 changepoints) recursively
+# re-runs the integer CUSUM argmax inside each split segment. Everything
+# is exact int64 on a calendar-bounded packed array: the argmax is a
+# [best_stat, best_k] BIGINT-list fold with strict-> comparison (smallest
+# k wins ties), segment statistics derive from one prefix array, and
+# depth is a fixed unroll — no data-dependent iteration. stat magnitudes:
+# len * count-sums <= days^2 * total_events, far under 2^63 at any SF
+# because the day count is calendar-bounded.
+
+_BSEG_MIN_LEN = 4  # segments shorter than this produce no changepoint
+
+
+def _bseg_sql_argmax(lo: str, hi: str) -> str:
+    """DuckDB [best_stat, best_k] fold over k in [lo, hi-1]."""
+    # pfx is 1-based with a prepended 0: pfx[i+1] = sum of first i
+    stat = (
+        f"abs(({hi} - {lo} + 1) * (pfx[k[1] + 1] - pfx[{lo}]) "
+        f"- (k[1] - {lo} + 1) * (pfx[{hi} + 1] - pfx[{lo}]))"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST([-1, -1] AS BIGINT[]), "
+        f"list_transform(range({lo}, {hi}), kk -> CAST([kk, 0] AS BIGINT[]))), "
+        f"(acc, k) -> CASE WHEN {stat} > acc[1] THEN [{stat}, k[1]] ELSE acc END)"
+    )
+
+
+_BSEG_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), packed AS (
+  SELECT list(struct_pack(d := d, c := c) ORDER BY d) AS arr FROM daily
+), pre AS (
+  SELECT arr, len(arr) AS n,
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, len(arr) + 1),
+             i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(list_slice(arr, 1, i), s -> s.c)), (a, b) -> a + b)))
+           AS pfx
+  FROM packed
+), l1 AS (
+  SELECT arr, n, pfx, {_bseg_sql_argmax('1', 'n')} AS a1 FROM pre
+), l2 AS (
+  SELECT arr, n, pfx, a1,
+         CASE WHEN a1[2] - 1 + 1 >= {_BSEG_MIN_LEN}
+              THEN {_bseg_sql_argmax('1', 'a1[2]')} ELSE CAST([-1, -1] AS BIGINT[]) END AS a2a,
+         CASE WHEN n - a1[2] >= {_BSEG_MIN_LEN}
+              THEN {_bseg_sql_argmax('(a1[2] + 1)', 'n')} ELSE CAST([-1, -1] AS BIGINT[]) END AS a2b
+  FROM l1
+)
+SELECT * FROM (
+  SELECT 1 AS level, CAST(1 AS BIGINT) AS seg_lo, n AS seg_hi,
+         a1[2] AS change_idx, arr[a1[2]].d AS change_day, a1[1] AS cusum_stat
+  FROM l2
+  UNION ALL
+  SELECT 2, CAST(1 AS BIGINT), a1[2], a2a[2], arr[a2a[2]].d, a2a[1]
+  FROM l2 WHERE a2a[2] > 0
+  UNION ALL
+  SELECT 2, a1[2] + 1, n, a2b[2], arr[a2b[2]].d, a2b[1]
+  FROM l2 WHERE a2b[2] > 0
+)
+"""
+
+
+@register(
+    "events_binary_segmentation",
+    oracle=_BSEG_ORACLE,
+    doc="multi-changepoint detection by depth-2 binary segmentation of "
+    "the daily event series: the integer CUSUM argmax re-run inside each "
+    "split segment via [stat, k] BIGINT-list folds — exact int64 on a "
+    "calendar-bounded array, up to 3 changepoints",
+    tags=("events", "stats", "changepoint", "extension"),
+)
+def events_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    packed = daily.agg(
+        F.sort_array(F.collect_list(F.struct("d", "c"))).alias("arr")
+    )
+    zero = F.lit(0).cast("long")
+    pre = packed.select(
+        "arr",
+        F.size("arr").alias("n"),
+        F.concat(
+            F.array(zero),
+            F.transform(
+                F.sequence(F.lit(1), F.size("arr")),
+                lambda i: F.aggregate(
+                    F.transform(
+                        F.slice("arr", F.lit(1), i), lambda s: s["c"]
+                    ),
+                    zero,
+                    lambda a, b: a + b,
+                ),
+            ),
+        ).alias("pfx"),
+    )
+
+    def argmax(lo, hi):
+        def stat(k):
+            return F.abs(
+                (hi - lo + 1)
+                * (
+                    F.try_element_at(F.col("pfx"), (k + 1).cast("int"))
+                    - F.try_element_at(F.col("pfx"), lo.cast("int"))
+                )
+                - (k - lo + 1)
+                * (
+                    F.try_element_at(F.col("pfx"), (hi + 1).cast("int"))
+                    - F.try_element_at(F.col("pfx"), lo.cast("int"))
+                )
+            )
+
+        return F.aggregate(
+            F.transform(
+                F.sequence(lo.cast("int"), (hi - 1).cast("int")),
+                lambda kk: F.array(kk.cast("long"), zero),
+            ),
+            F.array(F.lit(-1).cast("long"), F.lit(-1).cast("long")),
+            lambda acc, k: F.when(
+                stat(F.element_at(k, 1)) > F.element_at(acc, 1),
+                F.array(stat(F.element_at(k, 1)), F.element_at(k, 1)),
+            ).otherwise(acc),
+        )
+
+    one = F.lit(1).cast("long")
+    l1 = pre.select("arr", "n", "pfx", argmax(one, F.col("n").cast("long")).alias("a1"))
+    k1 = F.element_at(F.col("a1"), 2)
+    neg = F.array(F.lit(-1).cast("long"), F.lit(-1).cast("long"))
+    l2 = l1.select(
+        "arr",
+        "n",
+        "pfx",
+        "a1",
+        F.when(k1 >= _BSEG_MIN_LEN, argmax(one, k1)).otherwise(neg).alias("a2a"),
+        F.when(
+            F.col("n").cast("long") - k1 >= _BSEG_MIN_LEN,
+            argmax(k1 + 1, F.col("n").cast("long")),
+        )
+        .otherwise(neg)
+        .alias("a2b"),
+    )
+    l2 = l2.persist()
+    l2.count()  # one-row frame, three arms below
+    try:
+
+        def arm(level, lo, hi, a):
+            kk = F.element_at(F.col(a), 2)
+            return l2.select(
+                F.lit(level).alias("level"),
+                lo.alias("seg_lo"),
+                hi.alias("seg_hi"),
+                kk.alias("change_idx"),
+                F.try_element_at(F.col("arr"), kk.cast("int"))["d"].alias(
+                    "change_day"
+                ),
+                F.element_at(F.col(a), 1).alias("cusum_stat"),
+            ).where(kk > 0)
+
+        out = (
+            arm(1, one, F.col("n").cast("long"), "a1")
+            .unionByName(arm(2, one, k1, "a2a"))
+            .unionByName(arm(2, k1 + 1, F.col("n").cast("long"), "a2b"))
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        l2.unpersist()
+    return out

@@ -1005,3 +1005,22 @@ def test_neyman_allocation_sums_to_budget_and_orders_by_weight(spark):
     by_w = sorted(rows, key=lambda r: -r["neyman_weight"])
     for a, b in zip(by_w, by_w[1:]):
         assert a["alloc"] >= b["alloc"] - 1, (a, b)
+
+
+# --- events_binary_segmentation ------------------------------------------------------
+
+
+def test_binary_segmentation_nests_and_dominates(spark):
+    """Level-2 changepoints must lie strictly inside their parent
+    segments (left child ends at k1, right child starts at k1+1), with
+    nonnegative integer CUSUM stats."""
+    rows = REGISTRY["events_binary_segmentation"].fn(spark, SF_DIR).collect()
+    top = [r for r in rows if r["level"] == 1]
+    assert len(top) == 1
+    k1, s1 = top[0]["change_idx"], top[0]["cusum_stat"]
+    assert top[0]["seg_lo"] <= k1 < top[0]["seg_hi"]
+    for r in rows:
+        if r["level"] == 2:
+            assert r["seg_lo"] <= r["change_idx"] < r["seg_hi"]
+            assert (r["seg_hi"] <= k1) or (r["seg_lo"] == k1 + 1)
+            assert r["cusum_stat"] >= 0
