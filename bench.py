@@ -76,6 +76,7 @@ EXTENDED = [
     "orders_holt_backtest",
     "curation_neyman_allocation",
     "events_binary_segmentation",
+    "events_ab_srm_guard",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "ann_lsh_materialized",

@@ -2002,3 +2002,82 @@ def events_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         l2.unpersist()
     return out
+
+
+# --- sample-ratio-mismatch guard for the A/B assignment -----------------------------
+# The first thing a trustworthy experimentation platform checks: do the
+# observed variant counts match the intended 50/50 split? A significant
+# chi-square here means the assignment or logging is broken and the lift
+# readout is untrustworthy. Exact arithmetic: counts are integers, the
+# expected cell is n/2.0 (exact halving in doubles), the chi-square is
+# two IEEE terms, and the flag compares against the literal df=1
+# critical value — engine-identical. Same one-aggregate shape as the
+# lift query it guards.
+
+_SRM_CRIT_95 = "3.841458820694124"  # chi2(df=1) 95% critical value
+
+_SRM_ORACLE = f"""
+WITH users AS (
+    SELECT user_id, {sql_salted_hash("user_id", ":ab")} % 2 AS variant
+    FROM events GROUP BY user_id, 2
+), counts AS (
+    SELECT
+      CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+    FROM users
+)
+SELECT n_a, n_b,
+       (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+         * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+         / (CAST(n_a + n_b AS DOUBLE) / 2.0)
+       + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+         * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+         / (CAST(n_a + n_b AS DOUBLE) / 2.0) AS chi2,
+       CASE WHEN
+         (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+           * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+           / (CAST(n_a + n_b AS DOUBLE) / 2.0)
+         + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+           * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+           / (CAST(n_a + n_b AS DOUBLE) / 2.0) > {_SRM_CRIT_95}
+       THEN 1 ELSE 0 END AS srm_flag
+FROM counts
+"""
+
+
+@register(
+    "events_ab_srm_guard",
+    oracle=_SRM_ORACLE,
+    doc="sample-ratio-mismatch guard for the hash A/B assignment: exact "
+    "variant counts, chi-square vs the intended 50/50 with the literal "
+    "df=1 critical value — the trust gate in front of events_ab_test_lift",
+    tags=("events", "experiment", "ab", "guard"),
+)
+def events_ab_srm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.pipeline.hashing import spark_salted_hash
+
+    e = load_table(spark, sf_dir, "events")
+    users = (
+        e.select(
+            "user_id", (spark_salted_hash("user_id", ":ab") % 2).alias("variant")
+        )
+        .groupBy("user_id", "variant")
+        .agg(F.lit(1).alias("_one"))
+    )
+    counts = users.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    exp = (na + nb) / F.lit(2.0)
+    chi2 = (na - exp) * (na - exp) / exp + (nb - exp) * (nb - exp) / exp
+    return counts.select(
+        "n_a",
+        "n_b",
+        chi2.alias("chi2"),
+        F.when(chi2 > float(_SRM_CRIT_95), 1).otherwise(0).alias("srm_flag"),
+    )

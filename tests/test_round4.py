@@ -1024,3 +1024,19 @@ def test_binary_segmentation_nests_and_dominates(spark):
             assert r["seg_lo"] <= r["change_idx"] < r["seg_hi"]
             assert (r["seg_hi"] <= k1) or (r["seg_lo"] == k1 + 1)
             assert r["cusum_stat"] >= 0
+
+
+# --- events_ab_srm_guard -------------------------------------------------------------
+
+
+def test_srm_guard_chi2_recomputes_and_hash_split_is_clean(spark):
+    """chi2 must recompute from the counts; the md5-salted 50/50 split
+    should NOT trigger SRM on honest data (that's the point of the
+    guard — it fires on broken assignment, not on hash noise)."""
+    r = REGISTRY["events_ab_srm_guard"].fn(spark, SF_DIR).collect()[0]
+    na, nb = r["n_a"], r["n_b"]
+    exp = (na + nb) / 2.0
+    want = (na - exp) ** 2 / exp + (nb - exp) ** 2 / exp
+    assert abs(r["chi2"] - want) < 1e-12
+    assert r["srm_flag"] == (1 if want > 3.841458820694124 else 0)
+    assert r["srm_flag"] == 0, (na, nb)
