@@ -77,6 +77,7 @@ EXTENDED = [
     "curation_neyman_allocation",
     "events_binary_segmentation",
     "events_ab_srm_guard",
+    "supplier_revenue_gini",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "ann_lsh_materialized",

@@ -3632,3 +3632,75 @@ def orders_holt_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         mae_s.alias("mae_snaive"),
         (F.lit(1.0) - mae_m / mae_s).alias("skill_vs_snaive"),
     )
+
+
+# --- supplier revenue Gini coefficient ----------------------------------------------
+# The inequality complement to nation_revenue_hhi: Gini over supplier
+# revenue, computed exactly at scale with the distributed prefix-sum
+# rank — G = 2*sum(rank_i * x_i) / (n * sum(x)) - (n + 1)/n with ranks
+# ascending by (revenue, suppkey). rank*revenue products stay DECIMAL
+# (exact); the two final casts round to scale 0 first so the
+# decimal->double hop is exact below 2^53 of units (documented boundary:
+# beyond ~10^15 revenue-rank units, compute per-stratum Ginis).
+
+_GINI_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS r
+  FROM lineitem GROUP BY l_suppkey
+), ranked AS (
+  SELECT l_suppkey, r,
+         CAST(ROW_NUMBER() OVER (ORDER BY r, l_suppkey) AS BIGINT) AS rk
+  FROM rev
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(round(SUM(r), 0) AS DOUBLE) AS t,
+         CAST(round(SUM(rk * r), 0) AS DOUBLE) AS s1
+  FROM ranked
+)
+SELECT n AS n_suppliers,
+       t AS total_revenue,
+       2.0 * s1 / (CAST(n AS DOUBLE) * t) - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)
+         AS gini
+FROM agg
+"""
+
+
+@register(
+    "supplier_revenue_gini",
+    oracle=_GINI_ORACLE,
+    doc="Gini coefficient of supplier revenue: ranks via the distributed "
+    "prefix sum (never a single-partition window), rank*revenue kept "
+    "DECIMAL-exact, scale-0 rounding before the only double casts",
+    tags=("stats", "inequality", "prefix-sum", "extension"),
+)
+def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(27,6)"
+            )
+        ).alias("r")
+    )
+    rev = rev.withColumn("one", F.lit(1).cast("decimal(27,6)"))
+    cum, release, total_n = global_prefix_sum(
+        spark, rev, "one", [F.col("r").asc(), F.col("l_suppkey").asc()]
+    )
+    ranked = cum.withColumn("rk", F.col("cum").cast("long"))
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("r"), 0).cast("double").alias("t"),
+        F.round(F.sum(F.col("rk") * F.col("r")), 0).cast("double").alias("s1"),
+    )
+    out = agg.select(
+        F.col("n").alias("n_suppliers"),
+        F.col("t").alias("total_revenue"),
+        (
+            F.lit(2.0) * F.col("s1") / (F.col("n").cast("double") * F.col("t"))
+            - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
+        ).alias("gini"),
+    )
+    out = spark.createDataFrame(out.collect(), out.schema)
+    release()
+    return out

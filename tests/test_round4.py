@@ -1040,3 +1040,34 @@ def test_srm_guard_chi2_recomputes_and_hash_split_is_clean(spark):
     assert abs(r["chi2"] - want) < 1e-12
     assert r["srm_flag"] == (1 if want > 3.841458820694124 else 0)
     assert r["srm_flag"] == 0, (na, nb)
+
+
+# --- supplier_revenue_gini -----------------------------------------------------------
+
+
+def test_gini_matches_python_and_is_in_range(spark):
+    """Gini must lie in [0, 1) and equal an independent sorted-rank
+    Python computation on the same revenues."""
+    from f1_lakehouse_spark.tables import load_table
+
+    r = REGISTRY["supplier_revenue_gini"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["gini"] < 1.0
+    revs = sorted(
+        (float(row["r"]), row["l_suppkey"])
+        for row in load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(27,6)"
+                )
+            ).alias("r")
+        )
+        .collect()
+    )
+    n = len(revs)
+    t = sum(x for x, _ in revs)
+    s1 = sum((i + 1) * x for i, (x, _) in enumerate(revs))
+    want = 2.0 * s1 / (n * t) - (n + 1) / n
+    assert abs(r["gini"] - want) < 1e-9
+    assert r["n_suppliers"] == n
