@@ -78,6 +78,7 @@ EXTENDED = [
     "events_binary_segmentation",
     "events_ab_srm_guard",
     "supplier_revenue_gini",
+    "text_rake_keyphrases",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "ann_lsh_materialized",

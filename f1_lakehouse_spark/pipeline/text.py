@@ -1635,3 +1635,161 @@ def text_rouge_l_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("lcs_len").cast("double")
         / (F.col("n_a") + F.col("n_b")).cast("double"),
     )  # 2PR/(P+R) with P=L/n_a, R=L/n_b simplifies to 2L/(n_a+n_b)
+
+
+# --- RAKE keyphrase extraction -------------------------------------------------------
+# Rapid Automatic Keyword Extraction over the corpus: candidate phrases
+# are maximal stopword-free word runs (segmented by an isomorphic
+# growing-list fold in both engines — no regex dialect in the hot path),
+# word scores are degree/frequency over all phrases, and a phrase scores
+# the sum of its word scores folded IN PHRASE ORDER (deterministic
+# double addition). Shapes: one scan -> per-doc array fold (map-only),
+# one word-stat shuffle (vocabulary-sized), one phrase-word join, and a
+# TakeOrdered top list. Phrases capped at RAKE_MAX_WORDS.
+
+RAKE_MAX_WORDS = 4
+RAKE_TOP = 15
+
+_RAKE_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+_RAKE_SEG_SQL = f"""
+list_filter(
+  list_reduce(
+    list_prepend([''], list_transform(
+      list_filter(regexp_split_to_array(lower(text), ' '), w -> w <> ''),
+      w -> [w])),
+    (acc, x) -> CASE
+      WHEN list_contains({_RAKE_STOPS_SQL}, x[1]) THEN list_append(acc, '')
+      ELSE list_append(list_slice(acc, 1, len(acc) - 1),
+             CASE WHEN acc[len(acc)] = '' THEN x[1]
+                  ELSE acc[len(acc)] || ' ' || x[1] END)
+    END),
+  p -> p <> '' AND len(string_split(p, ' ')) <= {RAKE_MAX_WORDS})
+"""
+
+_RAKE_ORACLE = f"""
+WITH phrases AS (
+  SELECT unnest({_RAKE_SEG_SQL}) AS phrase FROM documents
+), wstats AS (
+  SELECT w AS word,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS deg
+  FROM (
+    SELECT unnest(string_split(phrase, ' ')) AS w,
+           len(string_split(phrase, ' ')) AS plen
+    FROM phrases
+  ) GROUP BY w
+), dphrase AS (
+  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ FROM phrases GROUP BY phrase
+), pw AS (
+  SELECT d.phrase, d.n_occ, t.i AS pos, t.w AS word
+  FROM dphrase d,
+       LATERAL (SELECT unnest(list_transform(
+                  range(1, len(string_split(d.phrase, ' ')) + 1),
+                  i -> struct_pack(i := i, w := string_split(d.phrase, ' ')[i]))) AS t)
+), scored AS (
+  SELECT p.phrase, p.n_occ,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(s.deg AS DOUBLE) / CAST(s.freq AS DOUBLE) ORDER BY p.pos)),
+           (a, b) -> a + b) AS rake_score
+  FROM pw p JOIN wstats s ON p.word = s.word
+  GROUP BY p.phrase, p.n_occ
+)
+SELECT phrase, n_occ, rake_score
+FROM scored
+ORDER BY rake_score DESC, phrase
+LIMIT {RAKE_TOP}
+"""
+
+
+@register(
+    "text_rake_keyphrases",
+    oracle=_RAKE_ORACLE,
+    doc=f"RAKE keyphrase extraction: stopword-delimited phrase runs via "
+    f"isomorphic list folds, degree/frequency word scores, phrase scores "
+    f"folded in phrase order — top {RAKE_TOP}, exact cross-engine",
+    tags=("pipeline", "text", "keyphrase"),
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    stops = F.array(*[F.lit(w) for w in _STOPWORDS])
+    words = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    seg = F.filter(
+        F.aggregate(
+            F.transform(words, lambda w: F.array(w)),
+            F.array(F.lit("")),
+            lambda acc, x: F.when(
+                F.array_contains(stops, F.element_at(x, 1)),
+                F.concat(acc, F.array(F.lit(""))),
+            ).otherwise(
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(
+                        F.when(
+                            F.element_at(acc, F.size(acc)) == "",
+                            F.element_at(x, 1),
+                        ).otherwise(
+                            F.concat(
+                                F.element_at(acc, F.size(acc)),
+                                F.lit(" "),
+                                F.element_at(x, 1),
+                            )
+                        )
+                    ),
+                )
+            ),
+        ),
+        lambda p: (p != "") & (F.size(F.split(p, " ")) <= RAKE_MAX_WORDS),
+    )
+    phrases = d.select(F.explode(seg).alias("phrase"))
+    phrases = phrases.persist()
+    phrases.count()  # two consumers: word stats + distinct phrases
+    try:
+        pw_all = phrases.select(
+            F.explode(F.split("phrase", " ")).alias("w"),
+            F.size(F.split("phrase", " ")).alias("plen"),
+        )
+        wstats = pw_all.groupBy("w").agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        dphrase = phrases.groupBy("phrase").agg(
+            F.count("*").cast("long").alias("n_occ")
+        )
+        pw = dphrase.select(
+            "phrase",
+            "n_occ",
+            F.posexplode(F.split("phrase", " ")).alias("pos0", "word"),
+        )
+        scored = (
+            pw.join(wstats, pw["word"] == wstats["w"])
+            .groupBy("phrase", "n_occ")
+            .agg(
+                F.aggregate(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("pos0").alias("p"),
+                                    (
+                                        F.col("deg").cast("double")
+                                        / F.col("freq").cast("double")
+                                    ).alias("s"),
+                                )
+                            )
+                        ),
+                        lambda st: st["s"],
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                ).alias("rake_score")
+            )
+        )
+        out = scored.orderBy(
+            F.col("rake_score").desc(), F.col("phrase").asc()
+        ).limit(RAKE_TOP)
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        phrases.unpersist()
+    return out

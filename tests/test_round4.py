@@ -1071,3 +1071,53 @@ def test_gini_matches_python_and_is_in_range(spark):
     want = 2.0 * s1 / (n * t) - (n + 1) / n
     assert abs(r["gini"] - want) < 1e-9
     assert r["n_suppliers"] == n
+
+
+# --- text_rake_keyphrases ------------------------------------------------------------
+
+
+def test_rake_matches_python_reference(spark):
+    """Differential vs an independent Python RAKE over sf0.001: same
+    segmentation, same degree/frequency scores, same top list."""
+    from collections import defaultdict
+
+    from f1_lakehouse_spark.pipeline.text import (
+        RAKE_MAX_WORDS,
+        RAKE_TOP,
+        _STOPWORDS,
+    )
+    from f1_lakehouse_spark.tables import load_table
+
+    rows = REGISTRY["text_rake_keyphrases"].fn(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= RAKE_TOP
+
+    phrases = []
+    for r in load_table(spark, SF_DIR, "documents").collect():
+        if r["text"] is None:
+            continue
+        cur = []
+        for w in [w for w in r["text"].lower().split(" ") if w]:
+            if w in _STOPWORDS:
+                if cur:
+                    phrases.append(cur)
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(cur)
+    phrases = [p for p in phrases if len(p) <= RAKE_MAX_WORDS]
+    freq, deg = defaultdict(int), defaultdict(int)
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    n_occ = defaultdict(int)
+    for p in phrases:
+        n_occ[" ".join(p)] += 1
+    scored = {
+        ph: sum(deg[w] / freq[w] for w in ph.split(" ")) for ph in n_occ
+    }
+    top = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:RAKE_TOP]
+    got = [(r["phrase"], r["n_occ"], round(r["rake_score"], 9)) for r in rows]
+    want = [(ph, n_occ[ph], round(s, 9)) for ph, s in top]
+    assert got == want
