@@ -79,6 +79,7 @@ EXTENDED = [
     "events_ab_srm_guard",
     "supplier_revenue_gini",
     "text_rake_keyphrases",
+    "scoring_decile_lift",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "ann_lsh_materialized",

@@ -688,3 +688,136 @@ _REG["scoring_auc_mann_whitney"].oracle = _AUC_ORACLE.format(
     score_q=_REG["scoring_hashed_linear_quality"].oracle,
     label_q=_REG["quality_gopher_repetition"].oracle,
 )
+
+
+# --- decile lift & gains table -------------------------------------------------------
+# The model-evaluation table every targeting decision reads: rank docs
+# by the hashed-linear quality score, cut into exact deciles (distributed
+# prefix-sum ranks — the exact-NTILE discipline, never a single-partition
+# window), and report per-decile positive rate (vs the gopher gate),
+# lift over the base rate, and cumulative gains from the top decile
+# down. Everything integer until the final ratios; the cumulative gains
+# fold over the 10-row decile table in descending-decile order.
+
+_LIFT_ORACLE = """
+WITH scores AS ({score_q}),
+labels AS ({label_q}),
+joined AS (
+  SELECT s.doc_id, s.score_sum AS sc, l.passes_repetition AS y
+  FROM scores s JOIN labels l ON s.doc_id = l.doc_id
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(y) AS BIGINT) AS npos FROM joined),
+ranked AS (
+  SELECT y,
+         CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS BIGINT) AS rk
+  FROM joined
+),
+dec AS (
+  SELECT ((r.rk - 1) * 10) // nn.n + 1 AS decile, r.y
+  FROM ranked r CROSS JOIN nn
+),
+per AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM dec GROUP BY decile
+),
+packed AS (
+  SELECT list(struct_pack(d := decile, nd := n_docs, np := n_pos) ORDER BY decile) AS arr,
+         (SELECT npos FROM nn) AS npos_all,
+         (SELECT n FROM nn) AS n_all
+  FROM per
+)
+SELECT arr[i].d AS decile,
+       arr[i].nd AS n_docs,
+       arr[i].np AS n_pos,
+       CAST(arr[i].np AS DOUBLE) / CAST(arr[i].nd AS DOUBLE) AS pos_rate,
+       (CAST(arr[i].np AS DOUBLE) / CAST(arr[i].nd AS DOUBLE))
+         / (CAST(npos_all AS DOUBLE) / CAST(n_all AS DOUBLE)) AS lift,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(list_slice(arr, 1, i), s -> s.np)), (a, b) -> a + b) AS DOUBLE)
+         / CAST(npos_all AS DOUBLE) AS cum_gain
+FROM (SELECT unnest(range(1, len(arr) + 1)) AS i, arr, npos_all, n_all FROM packed)
+"""
+
+
+@register(
+    "scoring_decile_lift",
+    oracle=None,  # composed below
+    doc="decile lift & cumulative-gains table for the hashed-linear "
+    "quality score vs the gopher gate: exact deciles via distributed "
+    "prefix-sum ranks, integer counts, in-order folds for cumulative "
+    "gains — the targeting readout, exact cross-engine",
+    tags=("pipeline", "scoring", "eval", "prefix-sum"),
+)
+def scoring_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.operators.extensions import global_prefix_sum
+    from f1_lakehouse_spark.pipeline.filtering import quality_gopher_repetition
+
+    s = scoring_hashed_linear_quality(spark, sf_dir).select("doc_id", "score_sum")
+    lab = quality_gopher_repetition(spark, sf_dir).select(
+        "doc_id", "passes_repetition"
+    )
+    joined = s.join(lab, "doc_id").select(
+        "doc_id",
+        F.col("score_sum").alias("sc"),
+        F.col("passes_repetition").cast("long").alias("y"),
+        F.lit(1).cast("decimal(27,6)").alias("one"),
+    )
+    cum, release, total = global_prefix_sum(
+        spark, joined, "one", [F.col("sc").desc(), F.col("doc_id").asc()]
+    )
+    n_all = int(total)
+    dec = cum.select(
+        "y",
+        (
+            ((F.col("cum").cast("long") - 1) * 10)
+            / F.lit(n_all)
+        )
+        .cast("long")
+        .alias("d0"),
+    ).select((F.col("d0") + 1).alias("decile"), "y")
+    per = dec.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    packed = per.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("decile").alias("d"), F.col("n_docs").alias("nd"), F.col("n_pos").alias("np")))
+        ).alias("arr")
+    )
+    npos_all = dec.agg(F.sum("y").cast("long")).collect()[0][0]
+    rows = packed.select(
+        F.explode(F.sequence(F.lit(1), F.size("arr"))).alias("i"), "arr"
+    )
+    el = lambda f: F.element_at("arr", F.col("i"))[f]  # noqa: E731
+    pos_rate = el("np").cast("double") / el("nd").cast("double")
+    base = F.lit(float(npos_all)) / F.lit(float(n_all))
+    cum_gain = (
+        F.aggregate(
+            F.transform(
+                F.slice("arr", F.lit(1), F.col("i")), lambda st: st["np"]
+            ),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).cast("double")
+        / F.lit(float(npos_all))
+    )
+    out = rows.select(
+        el("d").alias("decile"),
+        el("nd").alias("n_docs"),
+        el("np").alias("n_pos"),
+        pos_rate.alias("pos_rate"),
+        (pos_rate / base).alias("lift"),
+        cum_gain.alias("cum_gain"),
+    )
+    out = spark.createDataFrame(out.collect(), out.schema)
+    release()
+    return out
+
+
+_REG["scoring_decile_lift"].oracle = _LIFT_ORACLE.format(
+    score_q=_REG["scoring_hashed_linear_quality"].oracle,
+    label_q=_REG["quality_gopher_repetition"].oracle,
+)

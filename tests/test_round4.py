@@ -1121,3 +1121,28 @@ def test_rake_matches_python_reference(spark):
     got = [(r["phrase"], r["n_occ"], round(r["rake_score"], 9)) for r in rows]
     want = [(ph, n_occ[ph], round(s, 9)) for ph, s in top]
     assert got == want
+
+
+# --- scoring_decile_lift -------------------------------------------------------------
+
+
+def test_decile_lift_partitions_and_gains_monotone(spark):
+    """Ten deciles of near-equal size partitioning all docs; cumulative
+    gains strictly increase to 1.0; lift recomputes from rates."""
+    rows = sorted(
+        REGISTRY["scoring_decile_lift"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    n = sum(sizes)
+    npos = sum(r["n_pos"] for r in rows)
+    base = npos / n
+    prev = 0.0
+    for r in rows:
+        assert abs(r["pos_rate"] - r["n_pos"] / r["n_docs"]) < 1e-15
+        assert abs(r["lift"] - r["pos_rate"] / base) < 1e-12
+        assert r["cum_gain"] >= prev
+        prev = r["cum_gain"]
+    assert abs(rows[-1]["cum_gain"] - 1.0) < 1e-12
