@@ -80,6 +80,7 @@ EXTENDED = [
     "supplier_revenue_gini",
     "text_rake_keyphrases",
     "scoring_decile_lift",
+    "lineitem_unit_value_index",
     "dedup_embedding_cosine",
     "dedup_edit_distance",
     "ann_lsh_materialized",

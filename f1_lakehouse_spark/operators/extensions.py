@@ -3704,3 +3704,123 @@ def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(out.collect(), out.schema)
     release()
     return out
+
+
+# --- chained unit-value price index --------------------------------------------------
+# The Drobisch unit-value index: monthly price level = total revenue /
+# total quantity, month-over-month link ratios, chained to a base-100
+# series — the inflation readout procurement teams actually track. Both
+# numerator (cents) and denominator (quantity thousandths) are exact
+# integers per month; each link is two exact casts + one division; the
+# chain is a prefix product folded in month order (the Kaplan-Meier
+# discipline). Calendar-bounded array; one partial-aggregated shuffle.
+
+_UVI_ORACLE = """
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS month_str,
+         (CAST(year(l_shipdate) AS BIGINT) * 12 + CAST(month(l_shipdate) AS BIGINT)) AS ym,
+         CAST(SUM(CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,3)) * 1000 AS BIGINT)) AS BIGINT) AS qmil
+  FROM lineitem GROUP BY 1, 2
+), packed AS (
+  SELECT list(struct_pack(m := month_str, c := cents, q := qmil) ORDER BY ym) AS arr
+  FROM monthly
+), uv AS (
+  SELECT arr,
+         list_transform(arr, s -> CAST(s.c AS DOUBLE) / CAST(s.q AS DOUBLE)) AS p,
+         len(arr) AS n
+  FROM packed
+), links AS (
+  SELECT arr, p, n,
+         list_transform(range(1, n + 1),
+            i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE) ELSE p[i] / p[i - 1] END) AS lk
+  FROM uv
+)
+SELECT arr[i].m AS month_str,
+       p[i] AS unit_value,
+       lk[i] AS link_ratio,
+       100.0 * list_reduce(list_prepend(CAST(1.0 AS DOUBLE), list_slice(lk, 1, i)),
+                           (a, b) -> a * b) AS chained_index
+FROM (SELECT unnest(range(1, n + 1)) AS i, arr, p, lk FROM links)
+"""
+
+
+@register(
+    "lineitem_unit_value_index",
+    oracle=_UVI_ORACLE,
+    doc="chained unit-value (Drobisch) price index of shipped lines: "
+    "exact integer monthly revenue/quantity, IEEE link ratios, base-100 "
+    "chain folded in month order — calendar-bounded, exact cross-engine",
+    tags=("stats", "timeseries", "index", "extension"),
+)
+def lineitem_unit_value_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (
+        F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)") * 100
+    ).cast("long")
+    qmil = (F.col("l_quantity").cast("decimal(18,3)") * 1000).cast("long")
+    monthly = (
+        li.select(
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
+                "month_str"
+            ),
+            (
+                F.year("l_shipdate").cast("long") * 12
+                + F.month("l_shipdate").cast("long")
+            ).alias("ym"),
+            cents.alias("c0"),
+            qmil.alias("q0"),
+        )
+        .groupBy("month_str", "ym")
+        .agg(
+            F.sum("c0").cast("long").alias("cents"),
+            F.sum("q0").cast("long").alias("qmil"),
+        )
+    )
+    packed = monthly.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("ym").alias("ym"),
+                    F.col("month_str").alias("m"),
+                    F.col("cents").alias("c"),
+                    F.col("qmil").alias("q"),
+                )
+            )
+        ).alias("arr")
+    )
+    uv = packed.select(
+        "arr",
+        F.transform(
+            "arr", lambda s: s["c"].cast("double") / s["q"].cast("double")
+        ).alias("p"),
+        F.size("arr").alias("n"),
+    )
+    links = uv.select(
+        "arr",
+        "p",
+        "n",
+        F.transform(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda i: F.when(i == 1, F.lit(1.0)).otherwise(
+                F.element_at(F.col("p"), i)
+                / F.try_element_at(F.col("p"), (i - F.lit(1)).cast("int"))
+            ),
+        ).alias("lk"),
+    )
+    rows = links.select(
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"), "arr", "p", "lk"
+    )
+    return rows.select(
+        F.element_at("arr", F.col("i"))["m"].alias("month_str"),
+        F.element_at("p", F.col("i")).alias("unit_value"),
+        F.element_at("lk", F.col("i")).alias("link_ratio"),
+        (
+            F.lit(100.0)
+            * F.aggregate(
+                F.slice("lk", F.lit(1), F.col("i")),
+                F.lit(1.0),
+                lambda a, b: a * b,
+            )
+        ).alias("chained_index"),
+    )

@@ -1146,3 +1146,24 @@ def test_decile_lift_partitions_and_gains_monotone(spark):
         assert r["cum_gain"] >= prev
         prev = r["cum_gain"]
     assert abs(rows[-1]["cum_gain"] - 1.0) < 1e-12
+
+
+# --- lineitem_unit_value_index -------------------------------------------------------
+
+
+def test_unit_value_index_chains_and_telescopes(spark):
+    """Base month indexes at exactly 100; the chained product telescopes
+    to 100 * p_i / p_1 within float tolerance; links recompute."""
+    rows = sorted(
+        REGISTRY["lineitem_unit_value_index"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["month_str"],
+    )
+    assert rows[0]["chained_index"] == 100.0
+    p1 = rows[0]["unit_value"]
+    prev_p = None
+    for r in rows:
+        if prev_p is not None:
+            assert abs(r["link_ratio"] - r["unit_value"] / prev_p) < 1e-12
+        tele = 100.0 * r["unit_value"] / p1
+        assert abs(r["chained_index"] - tele) < 1e-6 * tele
+        prev_p = r["unit_value"]
