@@ -278,13 +278,6 @@ def f1_session_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.session_kpis(silver_laps_analog(spark, sf_dir), SEASON, SESSION)
 
 
-# k covers the whole (season, session) slice — dss keys are bounded by
-# 12 rounds x 2 grand-prix values x n_suppliers, far under this even at
-# sf10 — so the reference's non-total presentation ORDER BY cannot make
-# the LIMIT cut (and thus the selected SET) nondeterministic.
-FASTEST_K = 2_000_000
-
-
 @register(
     "f1_fastest_laps",
     oracle=f"""WITH {DSS_SQL}
@@ -297,12 +290,15 @@ SELECT driver, team, best_lap_time,
 FROM dss WHERE season = {SEASON} AND session_code = '{SESSION}'""",
     doc="the ACTUAL f1.analytics.fastest_laps (dashboard/app.py:169-189: "
     "best-lap leaderboard with engine-side ns→s and mm:ss.mmm pretty "
-    "print) over the mapped dss; k covers the slice so the non-total "
-    "presentation order cannot cut nondeterministically",
+    "print) over the mapped dss. Registered with k=None (whole slice, "
+    "presentation sort only) so determinism is scale-free — no LIMIT cut "
+    "exists to go nondeterministic and no CollectLimit single-partitions "
+    "the slice; the dashboard's top-k path keeps its total-order multiset "
+    "guarantee via the ORDER BY covering all output columns.",
     tags=("f1", "dashboard", "F8", "F9", "O3"),
 )
 def f1_fastest_laps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return analytics.fastest_laps(_dss(spark, sf_dir), SEASON, SESSION, k=FASTEST_K)
+    return analytics.fastest_laps(_dss(spark, sf_dir), SEASON, SESSION, k=None)
 
 
 @register(

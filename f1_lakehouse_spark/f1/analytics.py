@@ -33,10 +33,20 @@ def session_kpis(silver_laps: DataFrame, season: int, session_code: str) -> Data
     )
 
 
-def fastest_laps(dss: DataFrame, season: int, session_code: str, k: int = 50) -> DataFrame:
+def fastest_laps(
+    dss: DataFrame, season: int, session_code: str, k: int | None = 50
+) -> DataFrame:
     """dashboard/app.py:169-189: top-k by best lap, pretty-printed engine-side
-    (the reference formats client-side with pandas — F8/F9 as Column exprs)."""
-    return (
+    (the reference formats client-side with pandas — F8/F9 as Column exprs).
+
+    The ORDER BY covers every non-derived output column (best_lap_time,
+    driver, team — best_lap_s/pretty are functions of best_lap_time), so any
+    remaining ties are between fully-identical rows and the top-k result is
+    a deterministic MULTISET at every scale, not just while k covers the
+    slice. ``k=None`` skips the limit and returns the whole slice with a
+    presentation sort (range-partitioned; no single-partition CollectLimit),
+    which is the scale-free shape the registered query uses."""
+    out = (
         dss.filter(
             (F.col("season") == season) & (F.col("session_code") == session_code)
         )
@@ -47,9 +57,9 @@ def fastest_laps(dss: DataFrame, season: int, session_code: str, k: int = 50) ->
             ns_to_seconds("best_lap_time").alias("best_lap_s"),
             ns_to_mmss("best_lap_time").alias("best_lap_pretty"),
         )
-        .orderBy("best_lap_time", "driver")
-        .limit(k)
+        .orderBy("best_lap_time", "driver", "team")
     )
+    return out if k is None else out.limit(k)
 
 
 def pace_curve(silver_laps: DataFrame, season: int, session_code: str) -> DataFrame:

@@ -2738,9 +2738,20 @@ def stats_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = li.withColumn("x", x)
     # the B-fold fan-out is pure map work: make sure it runs wide even when
     # the input is one small file (at 100 TB the scan is already parallel
-    # and this branch is a no-op)
+    # and this branch is a no-op). Width is derived from input size vs the
+    # scan-split config — no .rdd touch, which would force plan analysis on
+    # the driver just to read a partition count.
+    from f1_lakehouse_spark.session import input_bytes
+    from f1_lakehouse_spark.tables import table_path
+
     par = spark.sparkContext.defaultParallelism
-    if keyed.rdd.getNumPartitions() < par:
+    max_split = int(
+        str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        .lower()
+        .removesuffix("b")
+    )
+    scan_tasks = -(-input_bytes(spark, [table_path(sf_dir, "lineitem")]) // max_split)
+    if scan_tasks < par:
         keyed = keyed.repartition(par)
     fan = keyed.withColumn(
         "b", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))

@@ -787,13 +787,21 @@ def scoring_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct(F.col("decile").alias("d"), F.col("n_docs").alias("nd"), F.col("n_pos").alias("np")))
         ).alias("arr")
     )
-    npos_all = dec.agg(F.sum("y").cast("long")).collect()[0][0]
+    # total positives folds out of the packed decile array itself — one
+    # fewer job than a separate SUM(y) action over the ranked frame
+    npos_all = F.aggregate(
+        F.transform("arr", lambda st: st["np"]),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    ).cast("double")
     rows = packed.select(
-        F.explode(F.sequence(F.lit(1), F.size("arr"))).alias("i"), "arr"
+        F.explode(F.sequence(F.lit(1), F.size("arr"))).alias("i"),
+        "arr",
+        npos_all.alias("npos_all"),
     )
     el = lambda f: F.element_at("arr", F.col("i"))[f]  # noqa: E731
     pos_rate = el("np").cast("double") / el("nd").cast("double")
-    base = F.lit(float(npos_all)) / F.lit(float(n_all))
+    base = F.col("npos_all") / F.lit(float(n_all))
     cum_gain = (
         F.aggregate(
             F.transform(
@@ -802,7 +810,7 @@ def scoring_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda a, b: a + b,
         ).cast("double")
-        / F.lit(float(npos_all))
+        / F.col("npos_all")
     )
     out = rows.select(
         el("d").alias("decile"),

@@ -133,21 +133,32 @@ class HttpJsonFetcher:
         qs = urllib.parse.urlencode({k: str(v) for k, v in sorted(task.items())})
         url = f"{self.base_url.rstrip('/')}{self.path}?{qs}"
         last_err: Exception | None = None
+        payload: bytes | None = None
         for attempt in range(self.max_retries + 1):
             try:
                 with urllib.request.urlopen(url, timeout=self.timeout_s) as resp:
                     payload = resp.read()
-                return pd.DataFrame(json.loads(payload.decode("utf-8")))
+                break
             except urllib.error.HTTPError as err:
                 if 400 <= err.code < 500:
                     raise RuntimeError(
                         f"task rejected by API: HTTP {err.code} for {url}"
                     ) from err
                 last_err = err
-            except (urllib.error.URLError, TimeoutError, OSError, ValueError) as err:
+            except (urllib.error.URLError, TimeoutError, OSError) as err:
                 last_err = err
             if attempt < self.max_retries:
                 time.sleep(self.backoff_s * (attempt + 1))
-        raise RuntimeError(
-            f"API unreachable after {self.max_retries + 1} attempts: {last_err}"
-        ) from last_err
+        if payload is None:
+            raise RuntimeError(
+                f"API unreachable after {self.max_retries + 1} attempts: {last_err}"
+            ) from last_err
+        # Parse OUTSIDE the retry loop: a 200 with a malformed or non-array
+        # body is a permanent server-contract error — retrying it only burns
+        # backoff time. Fast-fail distinctly, mirroring the 4xx path.
+        try:
+            return pd.DataFrame(json.loads(payload.decode("utf-8")))
+        except (ValueError, TypeError) as err:
+            raise RuntimeError(
+                f"bad response body (not a JSON record array) for {url}: {err}"
+            ) from err

@@ -175,20 +175,32 @@ def _update_ewma(
     """Fold each micro-batch (sorted by ts, event_id) into EWMA state —
     the identical left-fold the batch operator runs, so an availableNow
     pass over the same files reproduces the batch numbers exactly
-    (Python float ops are the same IEEE doubles)."""
-    n, ewma, maxdev = state.get if state.exists else (0, None, 0.0)
-    for pdf in pdfs:
-        pdf = pdf.dropna(subset=["value"]).sort_values(["ts", "event_id"])
-        for v in pdf["value"].astype(float):
-            if ewma is None:
-                ewma, n = v, 1
-            else:
-                dev = abs(v - ewma)
-                if dev > maxdev:
-                    maxdev = dev
-                ewma = ewma + _EWMA_ALPHA * (v - ewma)
-                n += 1
-    state.update((n, ewma if ewma is not None else 0.0, maxdev))
+    (Python float ops are the same IEEE doubles).
+
+    The iterator yields one Arrow chunk per ~arrow.maxRecordsPerBatch rows,
+    and chunk boundaries are NOT (ts, event_id) boundaries — so all chunks
+    are concatenated and sorted ONCE before folding (sorting each chunk
+    independently would fold across-chunk rows out of order). The state
+    schema can't store NULL-able "never seen a value" directly, so the
+    (n, ewma) pair encodes it: n == 0 means the stored ewma is the unused
+    0.0 placeholder and the next real value must SEED the EWMA, not fold
+    against the placeholder."""
+    n, ewma, maxdev = state.get if state.exists else (0, 0.0, 0.0)
+    seeded = n > 0
+    chunks = [pdf.dropna(subset=["value"]) for pdf in pdfs]
+    pdf = pd.concat(chunks) if chunks else pd.DataFrame(columns=["ts", "event_id", "value"])
+    pdf = pdf.sort_values(["ts", "event_id"])
+    for v in pdf["value"].astype(float):
+        if not seeded:
+            ewma, n, seeded = v, 1, True
+        else:
+            dev = abs(v - ewma)
+            if dev > maxdev:
+                maxdev = dev
+            ewma = ewma + _EWMA_ALPHA * (v - ewma)
+            n += 1
+    state.update((n, ewma if seeded else 0.0, maxdev))
+    ewma = ewma if seeded else None
     yield pd.DataFrame(
         {
             "user_id": [key[0]],

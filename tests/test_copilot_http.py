@@ -133,6 +133,13 @@ class _StubApi(BaseHTTPRequestHandler):
             self.send_response(404)
             self.end_headers()
             return
+        if "round=66" in self.path:  # 200 but garbage body (contract break)
+            out = b"<html>definitely not json</html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(out)
+            return
         if "round=5" in self.path and type(self).hits.count(self.path) == 1:
             self.send_response(503)  # first attempt flakes; retry succeeds
             self.end_headers()
@@ -193,3 +200,17 @@ def test_http_fetcher_composes_with_response_cache(spark, api_url, tmp_path):
     b = fetch(task)  # served from the on-disk cache, no second request
     assert a.to_dict(orient="records") == b.to_dict(orient="records")
     assert len([h for h in _StubApi.hits[before:] if "season=2023" in h]) == 1
+
+
+def test_http_fetcher_bad_body_fast_fails_without_retry(api_url):
+    """A 200 response with a non-JSON body is a permanent server-contract
+    error: it must raise a distinct 'bad response body' error after ONE
+    request (no retry/backoff burn), mirroring the 4xx fast-fail path."""
+    from f1_lakehouse_spark.sources.api_ingest import HttpJsonFetcher
+
+    fetch = HttpJsonFetcher(base_url=api_url, path="/laps",
+                            timeout_s=5.0, max_retries=3, backoff_s=0.01)
+    before = len(_StubApi.hits)
+    with pytest.raises(RuntimeError, match="bad response body"):
+        fetch({"season": 2024, "round": 66})
+    assert len([h for h in _StubApi.hits[before:] if "round=66" in h]) == 1

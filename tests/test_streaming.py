@@ -582,3 +582,51 @@ def test_stateful_streaming_ewma_equals_batch(spark):
             assert (n, e, m) == expected[uid], uid
             checked += 1
     assert checked >= 1
+
+def test_stateful_ewma_chunk_and_seed_semantics():
+    """Two failure modes the full-pipeline test can't reach (its batches fit
+    one Arrow chunk): (1) a micro-batch arriving as MULTIPLE chunks whose
+    (ts, event_id) ranges interleave must fold in global order, not
+    per-chunk order; (2) an all-null first batch must leave the state
+    UNSEEDED so the next real value seeds the EWMA instead of folding
+    against a 0.0 placeholder."""
+    import pandas as pd
+
+    from f1_lakehouse_spark.streaming.stateful import _update_ewma
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+    def run(state, chunks):
+        return list(_update_ewma((1,), iter(chunks), state))[0].iloc[0]
+
+    # (1) interleaved chunks: global order is ts 1,2,3,4 with values 10,2,6,4
+    c1 = pd.DataFrame({"ts": [1, 3], "event_id": [1, 3], "value": [10.0, 6.0]})
+    c2 = pd.DataFrame({"ts": [2, 4], "event_id": [2, 4], "value": [2.0, 4.0]})
+    st = FakeState()
+    row = run(st, [c1, c2])
+    ewma, maxdev = 10.0, 0.0
+    for v in (2.0, 6.0, 4.0):
+        maxdev = max(maxdev, abs(v - ewma))
+        ewma += 0.25 * (v - ewma)
+    assert row["n_events"] == 4
+    assert row["last_ewma"] == ewma
+    assert row["max_abs_dev"] == maxdev
+
+    # (2) all-null first batch, then one real value: must SEED (n=1, dev=0)
+    st2 = FakeState()
+    nulls = pd.DataFrame({"ts": [1], "event_id": [1], "value": [None]})
+    row0 = run(st2, [nulls])
+    assert row0["n_events"] == 0 and pd.isna(row0["last_ewma"])
+    real = pd.DataFrame({"ts": [2], "event_id": [2], "value": [7.0]})
+    row1 = run(st2, [real])
+    assert (row1["n_events"], row1["last_ewma"], row1["max_abs_dev"]) == (1, 7.0, 0.0)
