@@ -11,6 +11,7 @@ from f1_lakehouse_spark.operators import (  # noqa: F401
     joins,
     pandas_variants,
     projection,
+    round5_stats,
     scalars,
     setops,
     skew,

@@ -1,0 +1,1279 @@
+"""Round-5 statistical operators: robust trend tests, bilateral price
+indexes, and cumulative-hazard survival — all exact cross-engine.
+
+Shared discipline (established by orders_holt_forecast /
+orders_kaplan_meier_fulfillment, extensions.py): the distributed work is
+one partial-aggregated shuffle to a CALENDAR-BOUNDED cell table (~84
+months / ~700 week buckets at any SF); everything after is exact integer
+arithmetic or IEEE-only left folds over one packed array that both engines
+execute isomorphically. No transcendentals except sqrt (correctly rounded
+by IEEE-754, hence bit-identical).
+
+Reference parity: the reference ships no statistics beyond AVG/MIN/MAX
+(dbt gold models); these provide the trend/inflation/survival readouts a
+lakehouse team computes downstream, as first-class distributed operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_lakehouse_spark.registry import register
+from f1_lakehouse_spark.tables import load_table
+
+# --- shared monthly revenue cells (cents-exact, calendar-bounded) -------------------
+
+_MONTHLY_SQL = """
+  SELECT (CAST(year(o_orderdate) AS BIGINT) * 12 + CAST(month(o_orderdate) AS BIGINT) - 1) AS ym0,
+         CAST(SUM(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+"""
+
+
+def _monthly_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    cents = (F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)") * 100).cast("long")
+    return (
+        o.select(
+            (
+                F.year("o_orderdate").cast("long") * 12
+                + F.month("o_orderdate").cast("long")
+                - 1
+            ).alias("ym0"),
+            cents.alias("c"),
+        )
+        .groupBy("ym0")
+        .agg(F.sum("c").alias("cents"))
+    )
+
+
+# --- Theil-Sen robust trend ----------------------------------------------------------
+# Median-of-pairwise-slopes over monthly revenue: robust to outlier months
+# where OLS (regression_nation_trend) is not. Pair enumeration is over the
+# ~84-month packed array — CALENDAR-bounded (3.5k pairs), independent of
+# row count, so the op costs one shuffle at any SF. Slopes divide exact
+# cent-integers by exact month gaps; the median picks/averages sorted
+# doubles — identical in both engines.
+
+_SEN_MED = (
+    "CASE WHEN len({a}) % 2 = 1 THEN {a}[(len({a}) + 1) // 2] "
+    "ELSE ({a}[len({a}) // 2] + {a}[len({a}) // 2 + 1]) / CAST(2.0 AS DOUBLE) END"
+)
+
+_THEIL_SEN_ORACLE = f"""
+WITH monthly AS ({_MONTHLY_SQL}),
+packed AS (
+  SELECT list(struct_pack(t := ym0, v := CAST(cents AS DOUBLE) / 100.0) ORDER BY ym0) AS arr
+  FROM monthly
+), slopes AS (
+  SELECT arr, len(arr) AS n,
+         list_sort(flatten(list_transform(range(1, len(arr) + 1),
+            i -> list_transform(range(i + 1, len(arr) + 1),
+                   j -> (arr[j].v - arr[i].v) / CAST(arr[j].t - arr[i].t AS DOUBLE))))) AS sl
+  FROM packed
+), fit AS (
+  SELECT arr, n, sl, {_SEN_MED.format(a="sl")} AS slope FROM slopes
+), resid AS (
+  SELECT n, sl, slope,
+         list_sort(list_transform(arr, s -> s.v - slope * CAST(s.t AS DOUBLE))) AS rs
+  FROM fit
+)
+SELECT CAST(n AS BIGINT) AS n_months,
+       CAST(len(sl) AS BIGINT) AS n_pairs,
+       slope AS sen_slope,
+       {_SEN_MED.format(a="rs")} AS sen_intercept,
+       slope * 12.0 AS trend_per_year
+FROM resid
+"""
+
+
+def _spark_med(a):
+    n = F.size(a)
+    odd = F.try_element_at(a, ((n + 1) / 2).cast("int"))
+    ev = (
+        F.try_element_at(a, (n / 2).cast("int"))
+        + F.try_element_at(a, (n / 2 + 1).cast("int"))
+    ) / F.lit(2.0)
+    return F.when(n % 2 == 1, odd).otherwise(ev)
+
+
+@register(
+    "orders_theil_sen_trend",
+    oracle=_THEIL_SEN_ORACLE,
+    doc="Theil-Sen robust trend of monthly revenue: median of all pairwise "
+    "slopes + median-residual intercept. Pairs are calendar-bounded "
+    "(~3.5k at any SF); slopes divide exact cent-integers; the median "
+    "picks from one sorted array — bit-identical cross-engine.",
+    tags=("stats", "trend", "robust", "extension"),
+)
+def orders_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-slopes estimator; see _THEIL_SEN_ORACLE for the twin.
+    100 TB: one partial-aggregated shuffle to ~84 month cells; the O(n²)
+    pair set is over months, never rows."""
+    monthly = _monthly_cents(spark, sf_dir)
+    packed = monthly.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("ym0").alias("t"),
+                    (F.col("cents").cast("double") / F.lit(100.0)).alias("v"),
+                )
+            )
+        ).alias("arr")
+    )
+    arr = F.col("arr")
+    slopes = packed.select(
+        "arr",
+        F.size("arr").alias("n"),
+        F.array_sort(
+            F.flatten(
+                F.transform(
+                    # outer i stops at n-1: sequence(n+1, n) is DESCENDING in
+                    # Spark, not empty (CLAUDE.md trap), so i=n must not occur
+                    F.sequence(F.lit(1), F.size("arr") - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size(arr)),
+                        lambda j: (
+                            F.element_at(arr, j)["v"] - F.element_at(arr, i)["v"]
+                        )
+                        / (
+                            F.element_at(arr, j)["t"] - F.element_at(arr, i)["t"]
+                        ).cast("double"),
+                    ),
+                )
+            )
+        ).alias("sl"),
+    )
+    fit = slopes.select("arr", "n", "sl", _spark_med(F.col("sl")).alias("slope"))
+    resid = fit.select(
+        "n",
+        "sl",
+        "slope",
+        F.array_sort(
+            F.transform(
+                "arr", lambda s: s["v"] - F.col("slope") * s["t"].cast("double")
+            )
+        ).alias("rs"),
+    )
+    return resid.select(
+        F.col("n").cast("long").alias("n_months"),
+        F.size("sl").cast("long").alias("n_pairs"),
+        F.col("slope").alias("sen_slope"),
+        _spark_med(F.col("rs")).alias("sen_intercept"),
+        (F.col("slope") * F.lit(12.0)).alias("trend_per_year"),
+    )
+
+
+# --- Mann-Kendall trend test (all-integer S and variance) ----------------------------
+# S = sum of sign(v_j - v_i) over i<j computed on exact CENT integers, the
+# tie correction from a relational tie-group aggregate (also integers), so
+# S, the x18-scaled variance, and the continuity-corrected z are
+# deterministic at any parallelism. Only tau and z are doubles (one
+# division / one IEEE sqrt each).
+
+_MK_ORACLE = f"""
+WITH monthly AS ({_MONTHLY_SQL}),
+packed AS (
+  SELECT list(cents ORDER BY ym0) AS v, COUNT(*) AS n FROM monthly
+), s_stat AS (
+  SELECT n, v,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           flatten(list_transform(range(1, len(v) + 1),
+             i -> list_transform(range(i + 1, len(v) + 1),
+                    j -> CAST(CASE WHEN v[j] > v[i] THEN 1
+                                   WHEN v[j] < v[i] THEN -1 ELSE 0 END AS BIGINT))))),
+           (a, b) -> a + b) AS s
+  FROM packed
+), ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+  FROM (SELECT COUNT(*) AS t FROM monthly GROUP BY cents) g
+  WHERE t > 1
+)
+SELECT CAST(n AS BIGINT) AS n_months,
+       s AS s_stat,
+       CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var_s_x18,
+       CAST(2.0 AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS kendall_tau,
+       CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)
+            WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)
+            ELSE CAST(0.0 AS DOUBLE) END AS z_stat
+FROM s_stat, ties
+"""
+
+
+@register(
+    "orders_mann_kendall_trend",
+    oracle=_MK_ORACLE,
+    doc="Mann-Kendall monotone-trend test on monthly revenue: S from "
+    "pairwise signs over exact cent-integers, tie-corrected variance "
+    "emitted x18-scaled (pure BIGINT), Kendall tau and the "
+    "continuity-corrected z as the only doubles (IEEE divide + sqrt).",
+    tags=("stats", "trend", "extension"),
+)
+def orders_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric companion to orders_theil_sen_trend (same month
+    cells); the pair scan is calendar-bounded, the tie table relational."""
+    monthly = _monthly_cents(spark, sf_dir)
+    packed = monthly.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ym0"), F.col("cents")))
+        ).alias("tv"),
+        F.count("*").alias("n"),
+    ).select(F.transform("tv", lambda s: s["cents"]).alias("v"), "n")
+    v = F.col("v")
+    zero = F.lit(0).cast("long")
+    s_stat = packed.select(
+        "n",
+        F.aggregate(
+            F.flatten(
+                F.transform(
+                    # i stops at n-1 — see the descending-sequence note above
+                    F.sequence(F.lit(1), F.size("v") - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, F.size(v)),
+                        lambda j: F.when(
+                            F.element_at(v, j) > F.element_at(v, i), F.lit(1)
+                        )
+                        .when(F.element_at(v, j) < F.element_at(v, i), F.lit(-1))
+                        .otherwise(F.lit(0))
+                        .cast("long"),
+                    ),
+                )
+            ),
+            zero,
+            lambda a, b: a + b,
+        ).alias("s"),
+    )
+    ties = (
+        monthly.groupBy("cents")
+        .agg(F.count("*").alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (F.lit(2) * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    n, s, tie = F.col("n"), F.col("s"), F.col("tie_term")
+    var18 = (n * (n - 1) * (F.lit(2) * n + 5) - tie).cast("long")
+    sd = F.sqrt(var18.cast("double") / F.lit(18.0))
+    return s_stat.crossJoin(F.broadcast(ties)).select(
+        n.cast("long").alias("n_months"),
+        s.alias("s_stat"),
+        var18.alias("var_s_x18"),
+        (F.lit(2.0) * s.cast("double") / (n * (n - 1)).cast("double")).alias(
+            "kendall_tau"
+        ),
+        F.when(s > 0, (s - 1).cast("double") / sd)
+        .when(s < 0, (s + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+        .alias("z_stat"),
+    )
+
+
+# --- Fisher chained price index over a fixed basket ----------------------------------
+# Bilateral Laspeyres / Paasche links between consecutive months over a
+# FIXED top-K revenue basket (the CPI design: the basket bounds the fold,
+# not the part count — at 100 TB the basket is still 100 parts). The
+# part×month cell build is one partial-aggregated shuffle; the month-pair
+# terms come from a RELATIONAL self-join of the tiny cell table on
+# (partkey, consecutive month) — no per-row lookups, no maps; each month's
+# four sums are exact left-folds over its partkey-sorted term array, and
+# the chain is a second fold over months. Unit values divide exact
+# cent/milli-quantity integers; sqrt is IEEE-exact — every output
+# bit-identical. Complements lineitem_unit_value_index (Drobisch on the
+# all-parts unit value) with the basket-weighted bilateral form.
+
+_BASKET_K = 100
+
+_FISHER_ORACLE = f"""
+WITH cells AS (
+  SELECT l_partkey AS pk,
+         (CAST(year(l_shipdate) AS BIGINT) * 12 + CAST(month(l_shipdate) AS BIGINT) - 1) AS ym0,
+         CAST(SUM(CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,3)) * 1000 AS BIGINT)) AS BIGINT) AS qmil
+  FROM lineitem GROUP BY 1, 2
+), basket AS (
+  SELECT pk FROM (
+    SELECT pk, SUM(cents) AS tot FROM cells GROUP BY pk
+    ORDER BY tot DESC, pk ASC LIMIT {_BASKET_K}
+  )
+), pairs AS (
+  SELECT c.ym0 AS ym0, c.pk AS pk,
+         CAST(c.cents AS DOUBLE) / CAST(c.qmil AS DOUBLE) AS u_cur,
+         CAST(p.cents AS DOUBLE) / CAST(p.qmil AS DOUBLE) AS u_prev,
+         CAST(c.qmil AS DOUBLE) AS q_cur,
+         CAST(p.qmil AS DOUBLE) AS q_prev
+  FROM cells c
+  JOIN cells p ON c.pk = p.pk AND c.ym0 = p.ym0 + 1
+  JOIN basket b ON c.pk = b.pk
+), month_terms AS (
+  SELECT ym0,
+         list(struct_pack(ln := u_cur * q_prev, ld := u_prev * q_prev,
+                          pn := u_cur * q_cur,  pd := u_prev * q_cur) ORDER BY pk) AS tm,
+         COUNT(*) AS n_parts
+  FROM pairs GROUP BY ym0
+), links AS (
+  SELECT ym0, n_parts,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(tm, s -> s.ln)), (a, b) -> a + b)
+           / list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(tm, s -> s.ld)), (a, b) -> a + b) AS laspeyres,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(tm, s -> s.pn)), (a, b) -> a + b)
+           / list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(tm, s -> s.pd)), (a, b) -> a + b) AS paasche
+  FROM month_terms
+), packed AS (
+  SELECT list(struct_pack(ym0 := ym0, n_parts := n_parts, l := laspeyres,
+                          p := paasche, f := sqrt(laspeyres * paasche)) ORDER BY ym0) AS arr
+  FROM links
+)
+SELECT printf('%04d-%02d', arr[i].ym0 // 12, arr[i].ym0 % 12 + 1) AS month_str,
+       CAST(arr[i].n_parts AS BIGINT) AS n_basket_parts,
+       arr[i].l AS laspeyres_link,
+       arr[i].p AS paasche_link,
+       arr[i].f AS fisher_link,
+       100.0 * list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                 list_transform(list_slice(arr, 1, i), s -> s.f)), (a, b) -> a * b) AS fisher_chained
+FROM (SELECT unnest(range(1, len(arr) + 1)) AS i, arr FROM packed)
+"""
+
+
+@register(
+    "lineitem_fisher_price_index",
+    oracle=_FISHER_ORACLE,
+    doc=f"chained Fisher price index (geometric mean of Laspeyres and "
+    f"Paasche links) between consecutive ship months over the fixed "
+    f"top-{_BASKET_K} revenue basket — relational month-pair join on the "
+    "part×month cell table, per-month sums as partkey-ordered folds, "
+    "sqrt IEEE-exact; bit-identical cross-engine.",
+    tags=("stats", "index", "economics", "extension"),
+)
+def lineitem_fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral index links L_t, P_t, F_t=sqrt(L_t·P_t) and the chained
+    Fisher index. 100 TB: the only row-scale work is the part×month
+    aggregate; the basket join broadcasts {_BASKET_K} keys; everything
+    after is over <=basket×months rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"
+    )
+    cents = (F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    qmil = (F.col("l_quantity").cast("decimal(18,3)") * 1000).cast("long")
+    cells = (
+        li.select(
+            F.col("l_partkey").alias("pk"),
+            (
+                F.year("l_shipdate").cast("long") * 12
+                + F.month("l_shipdate").cast("long")
+                - 1
+            ).alias("ym0"),
+            cents.alias("c"),
+            qmil.alias("q"),
+        )
+        .groupBy("pk", "ym0")
+        .agg(F.sum("c").alias("cents"), F.sum("q").alias("qmil"))
+    )
+    cells = cells.persist()
+    cells.count()  # self-join on a derived frame: materialize the barrier
+    basket = (
+        cells.groupBy("pk")
+        .agg(F.sum("cents").alias("tot"))
+        .orderBy(F.col("tot").desc(), F.col("pk").asc())
+        .limit(_BASKET_K)
+        .select(F.col("pk").alias("bpk"))
+    )
+    cur, prev = cells.alias("c"), cells.alias("p")
+    pairs = (
+        cur.join(
+            prev,
+            (F.col("c.pk") == F.col("p.pk"))
+            & (F.col("c.ym0") == F.col("p.ym0") + 1),
+        )
+        .join(F.broadcast(basket), F.col("c.pk") == F.col("bpk"))
+        .select(
+            F.col("c.ym0").alias("ym0"),
+            F.col("c.pk").alias("part_key"),
+            (F.col("c.cents").cast("double") / F.col("c.qmil").cast("double")).alias(
+                "u_cur"
+            ),
+            (F.col("p.cents").cast("double") / F.col("p.qmil").cast("double")).alias(
+                "u_prev"
+            ),
+            F.col("c.qmil").cast("double").alias("q_cur"),
+            F.col("p.qmil").cast("double").alias("q_prev"),
+        )
+    )
+    month_terms = pairs.groupBy("ym0").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("part_key").alias("pk"),
+                    (F.col("u_cur") * F.col("q_prev")).alias("ln"),
+                    (F.col("u_prev") * F.col("q_prev")).alias("ld"),
+                    (F.col("u_cur") * F.col("q_cur")).alias("pn"),
+                    (F.col("u_prev") * F.col("q_cur")).alias("pd"),
+                )
+            )
+        ).alias("tm"),
+        F.count("*").alias("n_parts"),
+    )
+    dzero = F.lit(0.0)
+
+    def fsum(field):
+        return F.aggregate(
+            F.transform("tm", lambda s: s[field]), dzero, lambda a, b: a + b
+        )
+
+    links = month_terms.select(
+        "ym0",
+        "n_parts",
+        (fsum("ln") / fsum("ld")).alias("laspeyres"),
+        (fsum("pn") / fsum("pd")).alias("paasche"),
+    )
+    packed = links.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "ym0",
+                    "n_parts",
+                    F.col("laspeyres").alias("l"),
+                    F.col("paasche").alias("p"),
+                    F.sqrt(F.col("laspeyres") * F.col("paasche")).alias("f"),
+                )
+            )
+        ).alias("arr")
+    )
+    rows = packed.select(
+        F.explode(F.sequence(F.lit(1), F.size("arr"))).alias("i"), "arr"
+    )
+    el = F.element_at("arr", F.col("i"))
+    out = rows.select(
+        F.format_string(
+            "%04d-%02d", (el["ym0"] / 12).cast("long"), el["ym0"] % 12 + 1
+        ).alias("month_str"),
+        el["n_parts"].cast("long").alias("n_basket_parts"),
+        el["l"].alias("laspeyres_link"),
+        el["p"].alias("paasche_link"),
+        el["f"].alias("fisher_link"),
+        (
+            F.lit(100.0)
+            * F.aggregate(
+                F.transform(
+                    F.slice("arr", F.lit(1), F.col("i")), lambda s: s["f"]
+                ),
+                F.lit(1.0),
+                lambda a, b: a * b,
+            )
+        ).alias("fisher_chained"),
+    )
+    out = spark.createDataFrame(out.collect(), out.schema)
+    cells.unpersist()
+    return out
+
+
+# --- Nelson-Aalen cumulative hazard ---------------------------------------------------
+# The estimator companion to orders_kaplan_meier_fulfillment (same
+# (d, c)-per-week cell table, extensions.py:2506): cumulative hazard
+# H(t) = sum_{j<=t} d_j/n_j with variance sum d_j/n_j^2 — additive where
+# KM is multiplicative, hence the natural base for hazard-ratio readouts.
+# Exact: integer risk sets, IEEE-only division/addition folds in index
+# order.
+
+_NA_ORACLE = """
+WITH fs AS (
+  SELECT o.o_orderkey,
+         CAST(floor(CAST(date_diff('day', o.o_orderdate, MIN(l.l_shipdate)) AS DOUBLE) / 7.0) AS BIGINT) AS t_weeks,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_event
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderstatus
+), counts AS (
+  SELECT t_weeks,
+         CAST(SUM(is_event) AS BIGINT) AS d_events,
+         CAST(SUM(1 - is_event) AS BIGINT) AS c_censored
+  FROM fs GROUP BY t_weeks
+), packed AS (
+  SELECT list(struct_pack(t := t_weeks, d := d_events, c := c_censored) ORDER BY t_weeks) AS arr
+  FROM counts
+), step1 AS (
+  SELECT arr, list_transform(arr, s -> s.d + s.c) AS td FROM packed
+), step2 AS (
+  SELECT arr, td,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), td), (a, b) -> a + b) AS total,
+         list_transform(range(1, len(arr) + 1),
+            i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(td, 1, i - 1)), (a, b) -> a + b)) AS pfx
+  FROM step1
+), step3 AS (
+  SELECT arr, total, pfx,
+         list_transform(range(1, len(arr) + 1),
+            i -> CAST(arr[i].d AS DOUBLE) / CAST(total - pfx[i] AS DOUBLE)) AS hz,
+         list_transform(range(1, len(arr) + 1),
+            i -> CAST(arr[i].d AS DOUBLE) / (CAST(total - pfx[i] AS DOUBLE) * CAST(total - pfx[i] AS DOUBLE))) AS hv
+  FROM step2
+)
+SELECT arr[i].t AS t_weeks,
+       CAST(total - pfx[i] AS BIGINT) AS n_at_risk,
+       arr[i].d AS d_events,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_slice(hz, 1, i)), (a, b) -> a + b) AS cum_hazard,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_slice(hv, 1, i)), (a, b) -> a + b) AS cum_hazard_var
+FROM (SELECT unnest(range(1, len(arr) + 1)) AS i, arr, total, pfx, hz, hv FROM step3)
+"""
+
+
+@register(
+    "orders_nelson_aalen_hazard",
+    oracle=_NA_ORACLE,
+    doc="Nelson-Aalen cumulative hazard of order fulfillment latency "
+    "(additive companion to the Kaplan-Meier curve over the same "
+    "date-span-bounded (d, c) week cells): H(t) = sum d_j/n_j with "
+    "variance sum d_j/n_j^2 — exact integer risk sets, IEEE index-order "
+    "folds.",
+    tags=("stats", "survival", "extension"),
+)
+def orders_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same two partial-aggregated shuffles as orders_kaplan_meier_
+    fulfillment (extensions.py:2555); the estimator swap is fold-level."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    fs = l.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    base = o.join(fs, o["o_orderkey"] == fs["l_orderkey"]).select(
+        F.floor(
+            F.datediff(F.col("first_ship"), F.col("o_orderdate")).cast("double")
+            / F.lit(7.0)
+        )
+        .cast("long")
+        .alias("t_weeks"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_event"
+        ),
+    )
+    counts = base.groupBy("t_weeks").agg(
+        F.sum("is_event").cast("long").alias("d_events"),
+        F.sum(F.lit(1) - F.col("is_event")).cast("long").alias("c_censored"),
+    )
+    zero, dzero = F.lit(0).cast("long"), F.lit(0.0)
+    packed = counts.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("t_weeks").alias("t"),
+                    F.col("d_events").alias("d"),
+                    F.col("c_censored").alias("c"),
+                )
+            )
+        ).alias("arr")
+    )
+    step1 = packed.select("arr", F.transform("arr", lambda s: s["d"] + s["c"]).alias("td"))
+    step2 = step1.select(
+        "arr",
+        "td",
+        F.aggregate("td", zero, lambda a, b: a + b).alias("total"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("arr")),
+            lambda i: F.aggregate(
+                F.slice("td", F.lit(1), i - F.lit(1)), zero, lambda a, b: a + b
+            ),
+        ).alias("pfx"),
+    )
+    nrisk = lambda i: (F.col("total") - F.element_at("pfx", i)).cast("double")  # noqa: E731
+    step3 = step2.select(
+        "arr",
+        "total",
+        "pfx",
+        F.transform(
+            F.sequence(F.lit(1), F.size("arr")),
+            lambda i: F.element_at("arr", i)["d"].cast("double") / nrisk(i),
+        ).alias("hz"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("arr")),
+            lambda i: F.element_at("arr", i)["d"].cast("double")
+            / (nrisk(i) * nrisk(i)),
+        ).alias("hv"),
+    )
+    rows = step3.select(
+        F.explode(F.sequence(F.lit(1), F.size("arr"))).alias("i"),
+        "arr",
+        "total",
+        "pfx",
+        "hz",
+        "hv",
+    )
+    fold = lambda col: F.aggregate(  # noqa: E731
+        F.slice(col, F.lit(1), F.col("i")), dzero, lambda a, b: a + b
+    )
+    return rows.select(
+        F.element_at("arr", F.col("i"))["t"].alias("t_weeks"),
+        (F.col("total") - F.element_at("pfx", F.col("i"))).cast("long").alias(
+            "n_at_risk"
+        ),
+        F.element_at("arr", F.col("i"))["d"].alias("d_events"),
+        fold("hz").alias("cum_hazard"),
+        fold("hv").alias("cum_hazard_var"),
+    )
+
+
+# --- Lorenz curve deciles over supplier revenue ---------------------------------------
+# The tabular readout behind supplier_revenue_gini (extensions.py:3785):
+# exact revenue deciles via the distributed prefix-sum rank (never a
+# single-partition window), per-decile decimal revenue rounded to scale 0
+# BEFORE the only double casts (exact integers < 2^53), cumulative shares
+# folded over the 10-row packed array in decile order.
+
+_LORENZ_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS r
+  FROM lineitem GROUP BY l_suppkey
+), ranked AS (
+  SELECT l_suppkey, r,
+         CAST(ROW_NUMBER() OVER (ORDER BY r, l_suppkey) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM rev
+), per AS (
+  SELECT CAST((rk - 1) * 10 // n + 1 AS BIGINT) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(round(SUM(r), 0) AS DOUBLE) AS revenue
+  FROM ranked GROUP BY 1
+), packed AS (
+  SELECT list(struct_pack(d := decile, ns := n_suppliers, rv := revenue) ORDER BY decile) AS arr,
+         CAST(SUM(n_suppliers) AS BIGINT) AS n_tot,
+         SUM(revenue) AS r_tot
+  FROM per
+)
+SELECT arr[i].d AS decile,
+       arr[i].ns AS n_suppliers,
+       arr[i].rv AS revenue,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(arr, 1, i), s -> s.ns)), (a, b) -> a + b)
+         / CAST(n_tot AS DOUBLE) AS cum_supplier_share,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(list_slice(arr, 1, i), s -> s.rv)), (a, b) -> a + b)
+         / r_tot AS cum_revenue_share
+FROM (SELECT unnest(range(1, len(arr) + 1)) AS i, arr, n_tot, r_tot FROM packed)
+"""
+
+
+@register(
+    "supplier_lorenz_curve",
+    oracle=_LORENZ_ORACLE,
+    doc="Lorenz-curve decile table for supplier revenue (the tabular "
+    "companion to supplier_revenue_gini): exact deciles via the "
+    "distributed prefix-sum rank, scale-0-rounded decimal revenue, "
+    "cumulative shares folded over the 10-row packed array.",
+    tags=("stats", "inequality", "prefix-sum", "extension"),
+)
+def supplier_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one supplier aggregate shuffle + the range-repartitioned
+    prefix rank; the Lorenz table itself is 10 rows."""
+    from f1_lakehouse_spark.operators.extensions import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(27,6)"
+            )
+        ).alias("r")
+    )
+    rev = rev.withColumn("one", F.lit(1).cast("decimal(27,6)"))
+    cum, release, total_n = global_prefix_sum(
+        spark, rev, "one", [F.col("r").asc(), F.col("l_suppkey").asc()]
+    )
+    n_tot = int(total_n)
+    per = (
+        cum.select(
+            (((F.col("cum").cast("long") - 1) * 10 / F.lit(n_tot)).cast("long") + 1).alias(
+                "decile"
+            ),
+            "r",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.round(F.sum("r"), 0).cast("double").alias("revenue"),
+        )
+    )
+    packed = per.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("decile").alias("d"),
+                    F.col("n_suppliers").alias("ns"),
+                    F.col("revenue").alias("rv"),
+                )
+            )
+        ).alias("arr"),
+        F.sum("n_suppliers").cast("long").alias("n_tot2"),
+        F.sum("revenue").alias("r_tot"),
+    )
+    rows = packed.select(
+        F.explode(F.sequence(F.lit(1), F.size("arr"))).alias("i"),
+        "arr",
+        "n_tot2",
+        "r_tot",
+    )
+    el = F.element_at("arr", F.col("i"))
+    zero_l, zero_d = F.lit(0).cast("long"), F.lit(0.0)
+    cum_ns = F.aggregate(
+        F.transform(F.slice("arr", F.lit(1), F.col("i")), lambda s: s["ns"]),
+        zero_l,
+        lambda a, b: a + b,
+    )
+    cum_rv = F.aggregate(
+        F.transform(F.slice("arr", F.lit(1), F.col("i")), lambda s: s["rv"]),
+        zero_d,
+        lambda a, b: a + b,
+    )
+    out = rows.select(
+        el["d"].alias("decile"),
+        el["ns"].alias("n_suppliers"),
+        el["rv"].alias("revenue"),
+        (cum_ns / F.col("n_tot2").cast("double")).alias("cum_supplier_share"),
+        (cum_rv / F.col("r_tot")).alias("cum_revenue_share"),
+    )
+    out = spark.createDataFrame(out.collect(), out.schema)
+    release()
+    return out
+
+
+# --- winsorized robust A/B lift -------------------------------------------------------
+# Heavy-tailed revenue metrics make the plain difference-in-means lift
+# (events_ab_test_lift) whale-sensitive; the standard fix is winsorizing
+# each arm at its own [p05, p95] before comparing means. Clip bounds are
+# exact DISTRIBUTED order statistics: one global prefix-sum rank over
+# (variant, revenue, user) — within-variant rank = global rank minus the
+# variant offset (a 2-row collect) — then a 4-row collect of the bound
+# values. Per-user revenue stays DECIMAL end-to-end; the winsorized sums
+# round to scale 3 before their only double cast (CLAUDE.md decimal->
+# double discipline).
+
+_WINSOR_LO_NUM, _WINSOR_HI_NUM = 1, 19  # p05 / p95 in twentieths
+
+
+def _winsor_ks(n: int) -> tuple[int, int]:
+    return (_WINSOR_LO_NUM * n + 19) // 20, (_WINSOR_HI_NUM * n + 19) // 20
+
+
+_WINSOR_ORACLE = f"""
+WITH users AS (
+  SELECT user_id,
+         {{vh}} % 2 AS variant,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(value AS DECIMAL(28,9)) END),
+                  CAST(0 AS DECIMAL(28,9))) AS urev
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT variant, urev,
+         CAST(ROW_NUMBER() OVER (PARTITION BY variant ORDER BY urev, user_id) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY variant) AS BIGINT) AS nv
+  FROM users
+), bounds AS (
+  SELECT variant,
+         MIN(CASE WHEN rk = ({_WINSOR_LO_NUM} * nv + 19) // 20 THEN urev END) AS lo,
+         MIN(CASE WHEN rk = ({_WINSOR_HI_NUM} * nv + 19) // 20 THEN urev END) AS hi,
+         CAST(MAX(nv) AS BIGINT) AS nv
+  FROM ranked GROUP BY variant
+), clipped AS (
+  SELECT r.variant, b.nv, b.lo, b.hi,
+         CASE WHEN r.urev < b.lo THEN b.lo
+              WHEN r.urev > b.hi THEN b.hi
+              ELSE r.urev END AS w
+  FROM ranked r JOIN bounds b ON r.variant = b.variant
+), arms AS (
+  SELECT variant, CAST(MAX(nv) AS BIGINT) AS nv,
+         CAST(round(MAX(lo), 3) AS DOUBLE) AS lo,
+         CAST(round(MAX(hi), 3) AS DOUBLE) AS hi,
+         CAST(round(SUM(w), 3) AS DOUBLE) AS ws
+  FROM clipped GROUP BY variant
+)
+SELECT a.nv AS n_a, b.nv AS n_b,
+       a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b,
+       a.ws / CAST(a.nv AS DOUBLE) AS win_mean_a,
+       b.ws / CAST(b.nv AS DOUBLE) AS win_mean_b,
+       b.ws / CAST(b.nv AS DOUBLE) - a.ws / CAST(a.nv AS DOUBLE) AS win_lift
+FROM (SELECT * FROM arms WHERE variant = 0) a,
+     (SELECT * FROM arms WHERE variant = 1) b
+"""
+
+
+@register(
+    "events_winsorized_lift",
+    oracle=None,  # composed at module end (needs the salted-hash SQL twin)
+    doc="winsorized A/B lift of per-user purchase revenue: each arm "
+    "clipped at its own exact distributed [p05, p95] order statistics "
+    "(one global prefix-sum rank + 2-row/4-row collects), per-user "
+    "revenue DECIMAL end-to-end, scale-3 rounding before the only "
+    "double casts — the whale-robust experiment readout.",
+    tags=("events", "experiment", "robust", "prefix-sum", "extension"),
+)
+def events_winsorized_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one user aggregate + the range-repartitioned prefix rank;
+    every collect is O(1) rows (variant counts, clip bounds)."""
+    from f1_lakehouse_spark.operators.extensions import global_prefix_sum
+    from f1_lakehouse_spark.pipeline.hashing import spark_salted_hash
+
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(28,9)"),
+                )
+            ),
+            F.lit(0).cast("decimal(28,9)"),
+        ).alias("urev")
+    ).select(
+        "user_id",
+        (spark_salted_hash("user_id", ":ab") % 2).alias("variant"),
+        "urev",
+        F.lit(1).cast("decimal(27,6)").alias("one"),
+    )
+    cum, release, _total = global_prefix_sum(
+        spark,
+        users,
+        "one",
+        [F.col("variant").asc(), F.col("urev").asc(), F.col("user_id").asc()],
+    )
+    cum = cum.withColumn("grk", F.col("cum").cast("long"))
+    counts = {
+        r["variant"]: r["n"]
+        for r in cum.groupBy("variant").agg(F.count("*").alias("n")).collect()
+    }
+    n_a, n_b = int(counts.get(0, 0)), int(counts.get(1, 0))
+    ka_lo, ka_hi = _winsor_ks(n_a)
+    kb_lo, kb_hi = _winsor_ks(n_b)
+    rk = F.when(F.col("variant") == 0, F.col("grk")).otherwise(
+        F.col("grk") - F.lit(n_a)
+    )
+    ranked = cum.withColumn("rk", rk)
+    brows = ranked.where(
+        ((F.col("variant") == 0) & F.col("rk").isin(ka_lo, ka_hi))
+        | ((F.col("variant") == 1) & F.col("rk").isin(kb_lo, kb_hi))
+    ).select("variant", "rk", "urev").collect()
+    bv = {(r["variant"], r["rk"]): r["urev"] for r in brows}
+    lo_a, hi_a = bv[(0, ka_lo)], bv[(0, ka_hi)]
+    lo_b, hi_b = bv[(1, kb_lo)], bv[(1, kb_hi)]
+    lo = F.when(F.col("variant") == 0, F.lit(lo_a)).otherwise(F.lit(lo_b)).cast(
+        "decimal(28,9)"
+    )
+    hi = F.when(F.col("variant") == 0, F.lit(hi_a)).otherwise(F.lit(hi_b)).cast(
+        "decimal(28,9)"
+    )
+    w = F.when(F.col("urev") < lo, lo).when(F.col("urev") > hi, hi).otherwise(
+        F.col("urev")
+    )
+    arms = {
+        r["variant"]: r["ws"]
+        for r in ranked.groupBy("variant")
+        .agg(F.round(F.sum(w), 3).cast("double").alias("ws"))
+        .collect()
+    }
+    release()
+    d = lambda x: F.lit(float(x))  # noqa: E731
+    wm_a = float(arms[0]) / n_a
+    wm_b = float(arms[1]) / n_b
+    out = spark.createDataFrame(
+        [
+            (
+                n_a,
+                n_b,
+                float(round(lo_a, 3)),
+                float(round(hi_a, 3)),
+                float(round(lo_b, 3)),
+                float(round(hi_b, 3)),
+                wm_a,
+                wm_b,
+                wm_b - wm_a,
+            )
+        ],
+        "n_a long, n_b long, lo_a double, hi_a double, lo_b double, hi_b double, "
+        "win_mean_a double, win_mean_b double, win_lift double",
+    )
+    return out
+
+
+_WINSOR_FINAL_ORACLE = None  # composed below once hashing is importable
+
+
+def _compose_winsor_oracle() -> str:
+    from f1_lakehouse_spark.pipeline.hashing import sql_salted_hash
+
+    return _WINSOR_ORACLE.format(vh=sql_salted_hash("user_id", ":ab"))
+
+
+from f1_lakehouse_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["events_winsorized_lift"].oracle = _compose_winsor_oracle()
+
+
+# --- Benjamini-Hochberg FDR over segment experiments ----------------------------------
+# The multiple-testing layer over the A/B machinery: one experiment read
+# out across (event_type x user-hash-bucket) segments needs a false-
+# discovery-rate guard before anyone ships a "segment X reacted!" claim.
+# P-values that are exact cross-engine: the Chebyshev bound
+# p = min(1, 1/z^2) (documented conservative — no normal CDF, hence no
+# transcendentals), from decimal-exact moments. The BH step-up runs as a
+# left fold over the m-segment packed array (m is analyst-bounded, never
+# row-scale): k* = max{k : p_(k) <= k*alpha/m}, reject p <= p_(k*).
+
+_BH_ALPHA = 0.25  # dyadic: k*alpha/m stays an exact IEEE product/quotient
+_BH_BUCKETS = 4
+
+
+def _bh_oracle() -> str:
+    from f1_lakehouse_spark.pipeline.hashing import sql_salted_hash
+
+    vh = sql_salted_hash("user_id", ":ab")
+    bh = sql_salted_hash("user_id", ":seg")
+    return f"""
+WITH base AS (
+  SELECT event_type,
+         {bh} % {_BH_BUCKETS} AS bucket,
+         {vh} % 2 AS variant,
+         CAST(value AS DECIMAL(28,9)) AS v
+  FROM events WHERE value IS NOT NULL
+), m AS (
+  SELECT event_type, bucket, variant,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(round(SUM(v), 3) AS DOUBLE) AS s1,
+         CAST(round(SUM(v * v), 3) AS DOUBLE) AS s2
+  FROM base GROUP BY 1, 2, 3
+), arms AS (
+  SELECT event_type, bucket,
+         MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+         MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+         MAX(CASE WHEN variant = 0 THEN s1 END) AS s1_a,
+         MAX(CASE WHEN variant = 1 THEN s1 END) AS s1_b,
+         MAX(CASE WHEN variant = 0 THEN s2 END) AS s2_a,
+         MAX(CASE WHEN variant = 1 THEN s2 END) AS s2_b
+  FROM m GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, bucket, n_a, n_b,
+         s1_b / CAST(n_b AS DOUBLE) - s1_a / CAST(n_a AS DOUBLE) AS diff,
+         ((s2_a - s1_a * s1_a / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE)) / CAST(n_a AS DOUBLE)
+         + ((s2_b - s1_b * s1_b / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE)) / CAST(n_b AS DOUBLE) AS var_diff
+  FROM arms
+), pvals AS (
+  SELECT event_type, bucket, n_a, n_b, diff,
+         diff * diff / var_diff AS z2,
+         CASE WHEN diff * diff / var_diff <= 1.0 THEN CAST(1.0 AS DOUBLE)
+              ELSE var_diff / (diff * diff) END AS p_cheb
+  FROM stats
+), packed AS (
+  SELECT list(struct_pack(et := event_type, b := bucket, na := n_a, nb := n_b,
+                          diff := diff, z2 := z2, p := p_cheb)
+              ORDER BY p_cheb, event_type, bucket) AS arr
+  FROM pvals
+), cut AS (
+  SELECT arr, len(arr) AS mm,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), range(1, len(arr) + 1)),
+           (acc, k) -> CASE WHEN arr[k].p <= CAST(k AS DOUBLE) * {_BH_ALPHA} / CAST(len(arr) AS DOUBLE)
+                            THEN k ELSE acc END) AS k_max
+  FROM packed
+)
+SELECT arr[i].et AS event_type,
+       arr[i].b AS bucket,
+       arr[i].na AS n_a, arr[i].nb AS n_b,
+       arr[i].diff AS mean_diff,
+       arr[i].z2 AS z2,
+       arr[i].p AS p_chebyshev,
+       CAST(i AS BIGINT) AS bh_rank,
+       CAST(k_max AS BIGINT) AS bh_k_max,
+       i <= k_max AS rejected
+FROM (SELECT unnest(range(1, len(arr) + 1)) AS i, arr, k_max FROM cut)
+"""
+
+
+@register(
+    "events_bh_fdr_segments",
+    oracle=None,  # composed below (salted-hash SQL twin)
+    doc=f"Benjamini-Hochberg FDR over {_BH_BUCKETS * 5}-ish segment A/B "
+    "readouts (event_type x user-hash bucket): Chebyshev-bound p-values "
+    "(1/z^2 — conservative, transcendental-free, exact) from "
+    "decimal-exact moments, BH step-up as a left fold over the packed "
+    "segment array, rejected flags as data.",
+    tags=("events", "experiment", "fdr", "extension"),
+)
+def events_bh_fdr_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one (segment, variant) aggregate with map-side combine;
+    the BH fold runs over the analyst-bounded segment array."""
+    from f1_lakehouse_spark.pipeline.hashing import spark_salted_hash
+
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    base = e.select(
+        "event_type",
+        (spark_salted_hash("user_id", ":seg") % _BH_BUCKETS).alias("bucket"),
+        (spark_salted_hash("user_id", ":ab") % 2).alias("variant"),
+        F.col("value").cast("decimal(28,9)").alias("v"),
+    )
+    m = base.groupBy("event_type", "bucket", "variant").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("v"), 3).cast("double").alias("s1"),
+        F.round(F.sum(F.col("v") * F.col("v")), 3).cast("double").alias("s2"),
+    )
+    pick = lambda var, col: F.max(F.when(F.col("variant") == var, F.col(col)))  # noqa: E731
+    arms = m.groupBy("event_type", "bucket").agg(
+        pick(0, "n").alias("n_a"),
+        pick(1, "n").alias("n_b"),
+        pick(0, "s1").alias("s1_a"),
+        pick(1, "s1").alias("s1_b"),
+        pick(0, "s2").alias("s2_a"),
+        pick(1, "s2").alias("s2_b"),
+    )
+    nd = lambda c: F.col(c).cast("double")  # noqa: E731
+    diff = F.col("s1_b") / nd("n_b") - F.col("s1_a") / nd("n_a")
+    var_diff = (
+        (F.col("s2_a") - F.col("s1_a") * F.col("s1_a") / nd("n_a"))
+        / (F.col("n_a") - 1).cast("double")
+        / nd("n_a")
+    ) + (
+        (F.col("s2_b") - F.col("s1_b") * F.col("s1_b") / nd("n_b"))
+        / (F.col("n_b") - 1).cast("double")
+        / nd("n_b")
+    )
+    stats = arms.select(
+        "event_type", "bucket", "n_a", "n_b", diff.alias("diff"),
+        var_diff.alias("var_diff"),
+    )
+    z2 = F.col("diff") * F.col("diff") / F.col("var_diff")
+    pvals = stats.select(
+        "event_type",
+        "bucket",
+        "n_a",
+        "n_b",
+        "diff",
+        z2.alias("z2"),
+        F.when(z2 <= 1.0, F.lit(1.0))
+        .otherwise(F.col("var_diff") / (F.col("diff") * F.col("diff")))
+        .alias("p_cheb"),
+    )
+    packed = pvals.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("p_cheb").alias("p"),
+                    F.col("event_type").alias("et"),
+                    F.col("bucket").alias("b"),
+                    F.col("n_a").alias("na"),
+                    F.col("n_b").alias("nb"),
+                    F.col("diff").alias("diff"),
+                    F.col("z2").alias("z2"),
+                )
+            )
+        ).alias("arr")
+    )
+    cut = packed.select(
+        "arr",
+        F.aggregate(
+            F.sequence(F.lit(1), F.size("arr")),
+            F.lit(0).cast("long"),
+            lambda acc, k: F.when(
+                F.element_at("arr", k.cast("int"))["p"]
+                <= k.cast("double") * F.lit(_BH_ALPHA) / F.size("arr").cast("double"),
+                k.cast("long"),
+            ).otherwise(acc),
+        ).alias("k_max"),
+    )
+    rows = cut.select(
+        F.explode(F.sequence(F.lit(1), F.size("arr"))).alias("i"), "arr", "k_max"
+    )
+    el = F.element_at("arr", F.col("i"))
+    return rows.select(
+        el["et"].alias("event_type"),
+        el["b"].alias("bucket"),
+        el["na"].alias("n_a"),
+        el["nb"].alias("n_b"),
+        el["diff"].alias("mean_diff"),
+        el["z2"].alias("z2"),
+        el["p"].alias("p_chebyshev"),
+        F.col("i").cast("long").alias("bh_rank"),
+        F.col("k_max").cast("long").alias("bh_k_max"),
+        (F.col("i") <= F.col("k_max")).alias("rejected"),
+    )
+
+
+_REG["events_bh_fdr_segments"].oracle = _bh_oracle()
+
+
+# --- Croston intermittent-demand forecast ---------------------------------------------
+# Sparse SKUs (most months have zero demand) break plain exponential
+# smoothing; Croston's method smooths demand SIZE and inter-demand
+# INTERVAL separately and forecasts their ratio, with the Syntetos-Boylan
+# (1 - alpha/2) bias correction. Cohort: the 8 parts with the smallest
+# md5 hash (deterministic at any SF — a fixed-size analyst sample, like
+# the Fisher basket). Per part the fold runs over its DEMAND months only
+# (gaps carry the interval), state is a homogeneous DOUBLE list [z, p]
+# (the orders_holt_forecast list-accumulator discipline); alpha dyadic.
+
+_CROSTON_ALPHA = "0.25"
+_CROSTON_PARTS = 8
+
+_CROSTON_STEP = (
+    "(acc, x) -> ["
+    f"CASE WHEN x[2] > CAST(0.0 AS DOUBLE) THEN CAST({_CROSTON_ALPHA} AS DOUBLE) * x[2]"
+    f" + (CAST(1.0 AS DOUBLE) - CAST({_CROSTON_ALPHA} AS DOUBLE)) * acc[1] ELSE acc[1] END, "
+    f"CASE WHEN x[2] > CAST(0.0 AS DOUBLE) THEN CAST({_CROSTON_ALPHA} AS DOUBLE) * x[1]"
+    f" + (CAST(1.0 AS DOUBLE) - CAST({_CROSTON_ALPHA} AS DOUBLE)) * acc[2] ELSE acc[2] END"
+    "]"
+)
+
+
+def _croston_oracle() -> str:
+    from f1_lakehouse_spark.pipeline.hashing import sql_md5_hash48
+
+    return f"""
+WITH cells AS (
+  SELECT l_partkey AS pk,
+         (CAST(year(l_shipdate) AS BIGINT) * 12 + CAST(month(l_shipdate) AS BIGINT) - 1) AS ym0,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,3)) * 1000 AS BIGINT)) AS BIGINT) AS qmil
+  FROM lineitem GROUP BY 1, 2
+), cohort AS (
+  SELECT pk FROM (
+    SELECT DISTINCT pk, {sql_md5_hash48("CAST(pk AS VARCHAR)")} AS h FROM cells
+  ) ORDER BY h, pk LIMIT {_CROSTON_PARTS}
+), series AS (
+  SELECT c.pk, list(struct_pack(ym := c.ym0, q := c.qmil) ORDER BY c.ym0) AS arr
+  FROM cells c JOIN cohort t ON c.pk = t.pk
+  GROUP BY c.pk
+), obs AS (
+  SELECT pk, arr, len(arr) AS nd,
+         list_transform(range(2, len(arr) + 1),
+            i -> [CAST(arr[i].ym - arr[i - 1].ym AS DOUBLE),
+                  CAST(arr[i].q AS DOUBLE) / 1000.0]) AS steps
+  FROM series WHERE len(arr) >= 2
+), folded AS (
+  SELECT pk, nd, arr,
+         list_reduce(
+           list_prepend([CAST(arr[1].q AS DOUBLE) / 1000.0,
+                         CAST(arr[2].ym - arr[1].ym AS DOUBLE)], steps),
+           {_CROSTON_STEP}) AS st
+  FROM obs
+)
+SELECT pk AS part_key,
+       CAST(nd AS BIGINT) AS n_demand_months,
+       CAST(arr[nd].ym - arr[1].ym + 1 AS BIGINT) AS span_months,
+       st[1] AS z_size,
+       st[2] AS p_interval,
+       st[1] / st[2] AS croston_rate,
+       (CAST(1.0 AS DOUBLE) - CAST({_CROSTON_ALPHA} AS DOUBLE) / CAST(2.0 AS DOUBLE))
+         * (st[1] / st[2]) AS sbc_rate
+FROM folded
+"""
+
+
+@register(
+    "orders_croston_intermittent",
+    oracle=None,  # composed below (md5-hash SQL twin)
+    doc=f"Croston intermittent-demand forecast (alpha={_CROSTON_ALPHA}, "
+    "Syntetos-Boylan corrected) for a deterministic md5-sampled "
+    f"{_CROSTON_PARTS}-part cohort: demand size and inter-demand interval "
+    "smoothed separately by one [z, p] DOUBLE-list fold per part over its "
+    "demand months only — bit-exact cross-engine.",
+    tags=("stats", "timeseries", "forecast", "extension"),
+)
+def orders_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one (part, month) partial-aggregated shuffle; the cohort
+    pick is a TakeOrdered over distinct parts; folds are per-part arrays
+    bounded by the calendar."""
+    from f1_lakehouse_spark.pipeline.hashing import spark_md5_hash48
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_quantity"
+    )
+    cells = (
+        li.select(
+            F.col("l_partkey").alias("pk"),
+            (
+                F.year("l_shipdate").cast("long") * 12
+                + F.month("l_shipdate").cast("long")
+                - 1
+            ).alias("ym0"),
+            (F.col("l_quantity").cast("decimal(18,3)") * 1000).cast("long").alias("q"),
+        )
+        .groupBy("pk", "ym0")
+        .agg(F.sum("q").alias("qmil"))
+    )
+    cells = cells.persist()
+    cells.count()  # two consumers (cohort pick + series build)
+    cohort = (
+        cells.select("pk")
+        .distinct()
+        .select("pk", spark_md5_hash48(F.col("pk").cast("string")).alias("h"))
+        .orderBy("h", "pk")
+        .limit(_CROSTON_PARTS)
+        .select(F.col("pk").alias("cpk"))
+    )
+    series = (
+        cells.join(F.broadcast(cohort), F.col("pk") == F.col("cpk"))
+        .groupBy("pk")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("ym0").alias("ym"), F.col("qmil").alias("q")))
+            ).alias("arr")
+        )
+    )
+    obs = series.where(F.size("arr") >= 2).select(
+        "pk",
+        "arr",
+        F.size("arr").alias("nd"),
+        F.transform(
+            F.sequence(F.lit(2), F.size("arr")),
+            lambda i: F.array(
+                (
+                    F.element_at("arr", i)["ym"]
+                    - F.element_at("arr", i - F.lit(1))["ym"]
+                ).cast("double"),
+                F.element_at("arr", i)["q"].cast("double") / F.lit(1000.0),
+            ),
+        ).alias("steps"),
+    )
+    alpha = F.lit(0.25)
+
+    def croston_step(acc, x):
+        nz = F.element_at(x, 2) > F.lit(0.0)
+        z = F.when(
+            nz,
+            alpha * F.element_at(x, 2) + (F.lit(1.0) - alpha) * F.element_at(acc, 1),
+        ).otherwise(F.element_at(acc, 1))
+        p = F.when(
+            nz,
+            alpha * F.element_at(x, 1) + (F.lit(1.0) - alpha) * F.element_at(acc, 2),
+        ).otherwise(F.element_at(acc, 2))
+        return F.array(z, p)
+
+    init = F.array(
+        F.element_at("arr", 1)["q"].cast("double") / F.lit(1000.0),
+        (F.element_at("arr", 2)["ym"] - F.element_at("arr", 1)["ym"]).cast("double"),
+    )
+    folded = obs.select(
+        "pk",
+        "nd",
+        "arr",
+        F.aggregate("steps", init, croston_step).alias("st"),
+    )
+    rate = F.element_at("st", 1) / F.element_at("st", 2)
+    out = folded.select(
+        F.col("pk").alias("part_key"),
+        F.col("nd").cast("long").alias("n_demand_months"),
+        (
+            F.element_at("arr", F.col("nd").cast("int"))["ym"]
+            - F.element_at("arr", 1)["ym"]
+            + 1
+        )
+        .cast("long")
+        .alias("span_months"),
+        F.element_at("st", 1).alias("z_size"),
+        F.element_at("st", 2).alias("p_interval"),
+        rate.alias("croston_rate"),
+        ((F.lit(1.0) - F.lit(0.25) / F.lit(2.0)) * rate).alias("sbc_rate"),
+    )
+    out = spark.createDataFrame(out.collect(), out.schema)
+    cells.unpersist()
+    return out
+
+
+_REG["orders_croston_intermittent"].oracle = _croston_oracle()

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""One-time full-suite timing sweep (r4 verdict item 2): time EVERY
+registered query at $SPARK_GRAFT_SF_DIR (default sf0.1) and write
+BENCH_FULL.json with per-query seconds, the machine-speed calibration
+block, and a `flagged` list of anything slower than FLAG_SEC — so no query
+can hide a pathological constant by never appearing in a bench snapshot.
+
+The 25-query headline in bench.py is untouched (round-over-round
+comparability); this artifact is breadth, not trend.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from f1_lakehouse_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
+from f1_lakehouse_spark.session import get_spark  # noqa: E402
+from f1_lakehouse_spark.tables import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+FLAG_SEC = 5.0
+
+
+def main() -> None:
+    _ensure_loaded()
+    spark = get_spark(app_name="f1_lakehouse_spark_bench_full")
+    warm = load_table(spark, SF_DIR, "lineitem")
+    warm.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    t0 = time.perf_counter()
+    spark.range(100_000_000).selectExpr("sum(id)").collect()
+    jvm_sum = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    load_table(spark, SF_DIR, "lineitem").count()
+    scan_count = time.perf_counter() - t0
+
+    times: dict[str, float] = {}
+    for i, name in enumerate(sorted(REGISTRY)):
+        fn = REGISTRY[name].fn
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
+        print(f"[{i + 1}/{len(REGISTRY)}] {name}: {times[name]}s", flush=True)
+
+    payload = {
+        "metric": "full_suite_total_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "n_queries": len(times),
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "runs_best_of": RUNS,
+        "calib": {
+            "jvm_sum_100m_sec": round(jvm_sum, 3),
+            "lineitem_count_sec": round(scan_count, 3),
+        },
+        "flag_threshold_sec": FLAG_SEC,
+        "flagged": {n: t for n, t in sorted(times.items(), key=lambda kv: -kv[1]) if t > FLAG_SEC},
+        "queries": times,
+    }
+    spark.stop()
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps({k: payload[k] for k in ("metric", "value", "n_queries", "flagged")}))
+
+
+if __name__ == "__main__":
+    main()
