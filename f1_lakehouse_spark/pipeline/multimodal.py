@@ -422,3 +422,180 @@ def mm_payload_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("distinct_bytes"),
     )
+
+
+# --- Walsh-Hadamard perceptual-hash near-dup -------------------------------------------
+# A pHash-style perceptual fingerprint WITHOUT the DCT (cosines are not
+# bit-stable cross-engine; the Walsh-Hadamard transform is pure integer
+# adds/subtracts, so it is): the payload's first 64 character codes (the
+# opaque-payload stand-in for decoded pixels; cycled when shorter) form an
+# 8x8 grid, the 2D WHT coefficient F[u][v] = sum_{r,c}
+# (-1)^(popcount(u&r) + popcount(v&c)) * g[r][c] is exact integer
+# arithmetic, and the 63 AC-coefficient signs pack into one BIGINT
+# fingerprint. Near-dups = 21-bit band LSH candidates (3 bands) verified
+# by Hamming distance <= threshold — the classic sketch-band-verify shape:
+# the fingerprint build is map-only, candidates shuffle ONLY on band
+# buckets, and the verify is one integer XOR popcount per candidate.
+
+_PHASH_HAMMING_MAX = 6
+_PHASH_BANDS = 3
+_PHASH_BAND_BITS = 21
+
+
+def _phash_oracle() -> str:
+    grid = (
+        "list_transform(range(0, 64), "
+        "k -> ascii(substr(text, CAST(k % length(text) AS INTEGER) + 1, 1)))"
+    )
+    coeff = (
+        "list_transform(range(0, 64), t -> "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 64), "
+        "s -> CAST((1 - 2 * ((bit_count(CAST(t // 8 AS BIGINT) & CAST(s // 8 AS BIGINT))"
+        " + bit_count(CAST(t % 8 AS BIGINT) & CAST(s % 8 AS BIGINT))) % 2)) AS BIGINT)"
+        " * g[CAST(s AS INTEGER) + 1])), (a, b) -> a + b))"
+    )
+    pack = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 63), "
+        "j -> CASE WHEN f[64 - CAST(j AS INTEGER)] > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), "
+        "(acc, b) -> acc * 2 + b)"
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id, {grid} AS g FROM documents WHERE length(text) > 0
+), f AS (
+  SELECT doc_id, {coeff} AS f FROM g
+), ph AS (
+  SELECT doc_id, {pack} AS phash FROM f
+), bands AS (
+  SELECT doc_id, phash, b,
+         (phash >> (b * {_PHASH_BAND_BITS})) & {(1 << _PHASH_BAND_BITS) - 1} AS bv
+  FROM ph, (SELECT unnest(range(0, {_PHASH_BANDS})) AS b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.phash AS ph_a,
+                  c.doc_id AS doc_b, c.phash AS ph_b
+  FROM bands a JOIN bands c
+    ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming,
+       ph_a = ph_b AS same_fingerprint
+FROM cand
+WHERE bit_count(xor(ph_a, ph_b)) <= {_PHASH_HAMMING_MAX}
+"""
+
+
+@register(
+    "mm_phash_hadamard_neardup",
+    oracle=None,  # composed below
+    doc="perceptual-hash near-dup over opaque payloads: 8x8 Walsh-Hadamard "
+    "transform of the first 64 payload character codes (integer-exact — "
+    "the transcendental-free pHash), 63 sign bits packed into one BIGINT, "
+    "21-bit-band LSH candidates verified by Hamming <= "
+    f"{_PHASH_HAMMING_MAX}.",
+    tags=("pipeline", "multimodal", "dedup", "sketch"),
+)
+def mm_phash_hadamard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: fingerprint build is map-only (4096 integer ops/doc inside
+    the scan stage); the only shuffles are the 3 band-bucket joins plus a
+    DISTINCT over candidates; verify is one XOR popcount per candidate."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    g = d.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda k: F.ascii(
+                F.substring(
+                    F.col("text"), (k % F.length("text")).cast("int") + F.lit(1), 1
+                )
+            ),
+        ).alias("g"),
+    )
+    # Fast WHT butterfly: 6 stages of 64 adds/subs (one per index bit)
+    # instead of the 64x64 naive sum — same exact integers (the transform
+    # is integer arithmetic, so the DuckDB oracle can stay in the naive
+    # O(n^2) form; only evaluation strategy differs), but a ~10x smaller
+    # Catalyst expression tree. Each stage is its own projection so the
+    # previous array is a MATERIALIZED column before element_at touches it.
+    zero = F.lit(0).cast("long")
+
+    def _butterfly(b: int):
+        # factory, NOT a default-arg lambda: a two-arg lambda is silently
+        # the (value, index) form and b would receive the element index
+        # (CLAUDE.md HOF-arity trap)
+        def step(i):
+            return F.when(
+                i.bitwiseAND(F.lit(b)) == 0,
+                F.element_at("f", (i + 1).cast("int"))
+                + F.element_at("f", (i + F.lit(b) + 1).cast("int")),
+            ).otherwise(
+                F.element_at("f", (i - F.lit(b) + 1).cast("int"))
+                - F.element_at("f", (i + 1).cast("int"))
+            )
+
+        return step
+
+    f = g.select("doc_id", F.transform("g", lambda x: x.cast("long")).alias("f"))
+    for b in (1, 2, 4, 8, 16, 32):
+        f = f.select(
+            "doc_id",
+            F.transform(F.sequence(F.lit(0), F.lit(63)), _butterfly(b)).alias("f"),
+        )
+    ph = f.select(
+        "doc_id",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(62)),
+            zero,
+            lambda acc, j: acc * 2
+            + F.when(
+                F.element_at("f", (F.lit(64) - j).cast("int")) > 0, F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        ).alias("phash"),
+    )
+    ph = ph.persist()
+    ph.count()  # self-join on a derived frame: materialize the barrier
+    mask = F.lit((1 << _PHASH_BAND_BITS) - 1).cast("long")
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(_PHASH_BANDS - 1))).alias("b"),
+    ).select(
+        "doc_id",
+        "phash",
+        "b",
+        (
+            F.expr(f"shiftright(phash, b * {_PHASH_BAND_BITS})").bitwiseAND(mask)
+        ).alias("bv"),
+    )
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.bv") == F.col("c.bv"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            F.col("c.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long")
+    out = cand.select(
+        "doc_a",
+        "doc_b",
+        ham.alias("hamming"),
+        (F.col("ph_a") == F.col("ph_b")).alias("same_fingerprint"),
+    ).where(F.col("hamming") <= _PHASH_HAMMING_MAX)
+    out = spark.createDataFrame(out.collect(), out.schema)
+    ph.unpersist()
+    return out
+
+
+from f1_lakehouse_spark.registry import REGISTRY as _REG5  # noqa: E402
+
+_REG5["mm_phash_hadamard_neardup"].oracle = _phash_oracle()

@@ -829,3 +829,310 @@ _REG["scoring_decile_lift"].oracle = _LIFT_ORACLE.format(
     score_q=_REG["scoring_hashed_linear_quality"].oracle,
     label_q=_REG["quality_gopher_repetition"].oracle,
 )
+
+
+# --- isotonic (PAVA) calibration of the quality score ---------------------------------
+# "Does a higher score really mean a higher pass rate, and what IS the
+# calibrated rate?" — answered with the isotonic regression of the gopher
+# gate on the hashed-linear score, via the minimax identity
+# iso_i = max_{j<=i} min_{k>=i} mean(y_j..y_k), which is pure expressions
+# (no sequential pool-adjacent-violators loop): prefix counts are integer
+# folds, block means integer-ratio doubles, min/max order-free. Bins are
+# integer-exact: (sc - mn) * NB // (mx - mn + 1) needs no clamp and no
+# float rounding. The bin table is design-bounded (NB bins), so the
+# O(NB^3) minimax is constant work at any SF.
+
+_ISO_BINS = 20
+
+_ISO_ORACLE = """
+WITH scores AS ({score_q}),
+labels AS ({label_q}),
+joined AS (
+  SELECT s.score_sum AS sc, CAST(l.passes_repetition AS BIGINT) AS y
+  FROM scores s JOIN labels l ON s.doc_id = l.doc_id
+), rng AS (
+  SELECT MIN(sc) AS mn, MAX(sc) AS mx FROM joined
+), binned AS (
+  SELECT CAST((j.sc - r.mn) * {nb} // (r.mx - r.mn + 1) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(j.y) AS BIGINT) AS pos
+  FROM joined j CROSS JOIN rng r
+  GROUP BY 1
+), packed AS (
+  SELECT list(struct_pack(b := bin, n := n, p := pos) ORDER BY bin) AS arr FROM binned
+), pfx AS (
+  SELECT arr, len(arr) AS m,
+         list_transform(range(0, len(arr) + 1),
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(list_slice(arr, 1, i), s -> s.n)), (a, b) -> a + b)) AS cn,
+         list_transform(range(0, len(arr) + 1),
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(list_slice(arr, 1, i), s -> s.p)), (a, b) -> a + b)) AS cp
+  FROM packed
+), iso AS (
+  SELECT arr, m, cn, cp,
+         list_transform(range(1, m + 1),
+           i -> list_reduce(list_transform(range(1, i + 1),
+                  j -> list_reduce(list_transform(range(i, m + 1),
+                         k -> CAST(cp[k + 1] - cp[j] AS DOUBLE) / CAST(cn[k + 1] - cn[j] AS DOUBLE)),
+                         (a, b) -> CASE WHEN b < a THEN b ELSE a END)),
+                  (a, b) -> CASE WHEN b > a THEN b ELSE a END)) AS f
+  FROM pfx
+)
+SELECT arr[i].b AS bin,
+       arr[i].n AS n_docs,
+       arr[i].p AS n_pos,
+       CAST(arr[i].p AS DOUBLE) / CAST(arr[i].n AS DOUBLE) AS raw_rate,
+       f[i] AS iso_rate
+FROM (SELECT unnest(range(1, m + 1)) AS i, arr, f FROM iso)
+"""
+
+
+@register(
+    "scoring_isotonic_calibration",
+    oracle=None,  # composed below from the score/label oracles
+    doc=f"isotonic (PAVA) calibration of the hashed-linear quality score "
+    f"against the gopher gate over {_ISO_BINS} integer-exact score bins, "
+    "via the minimax identity max-min of block means — loop-free, "
+    "design-bounded O(bins^3), bit-exact cross-engine.",
+    tags=("pipeline", "scoring", "calibration"),
+)
+def scoring_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one score scan + one label scan join, one bin aggregate
+    with map-side combine; the minimax runs over the NB-bin packed array."""
+    from f1_lakehouse_spark.pipeline.filtering import quality_gopher_repetition
+
+    s = scoring_hashed_linear_quality(spark, sf_dir).select("doc_id", "score_sum")
+    lab = quality_gopher_repetition(spark, sf_dir).select("doc_id", "passes_repetition")
+    joined = s.join(lab, "doc_id").select(
+        F.col("score_sum").alias("sc"),
+        F.col("passes_repetition").cast("long").alias("y"),
+    )
+    rng = joined.agg(F.min("sc").alias("mn"), F.max("sc").alias("mx"))
+    binned = (
+        joined.crossJoin(F.broadcast(rng))
+        .select(
+            (
+                (F.col("sc") - F.col("mn"))
+                * _ISO_BINS
+                / (F.col("mx") - F.col("mn") + 1)
+            )
+            .cast("long")
+            .alias("bin"),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("pos"))
+    )
+    packed = binned.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("bin").alias("b"), F.col("n"), F.col("pos").alias("p"))
+            )
+        ).alias("arr")
+    )
+    zero = F.lit(0).cast("long")
+    pfx = packed.select(
+        "arr",
+        F.size("arr").alias("m"),
+        F.transform(
+            F.sequence(F.lit(0), F.size("arr")),
+            lambda i: F.aggregate(
+                F.transform(F.slice("arr", F.lit(1), i), lambda s2: s2["n"]),
+                zero,
+                lambda a, b: a + b,
+            ),
+        ).alias("cn"),
+        F.transform(
+            F.sequence(F.lit(0), F.size("arr")),
+            lambda i: F.aggregate(
+                F.transform(F.slice("arr", F.lit(1), i), lambda s2: s2["p"]),
+                zero,
+                lambda a, b: a + b,
+            ),
+        ).alias("cp"),
+    )
+
+    def block_mean(j, k):
+        return (
+            F.element_at("cp", (k + F.lit(1)).cast("int"))
+            - F.element_at("cp", j.cast("int"))
+        ).cast("double") / (
+            F.element_at("cn", (k + F.lit(1)).cast("int"))
+            - F.element_at("cn", j.cast("int"))
+        ).cast("double")
+
+    iso = pfx.select(
+        "arr",
+        "m",
+        F.transform(
+            F.sequence(F.lit(1), F.col("m")),
+            lambda i: F.array_max(
+                F.transform(
+                    F.sequence(F.lit(1), i),
+                    lambda j: F.array_min(
+                        F.transform(
+                            F.sequence(i, F.col("m")), lambda k: block_mean(j, k)
+                        )
+                    ),
+                )
+            ),
+        ).alias("f"),
+    )
+    rows = iso.select(
+        F.explode(F.sequence(F.lit(1), F.col("m"))).alias("i"), "arr", "f"
+    )
+    el = F.element_at("arr", F.col("i"))
+    return rows.select(
+        el["b"].alias("bin"),
+        el["n"].alias("n_docs"),
+        el["p"].alias("n_pos"),
+        (el["p"].cast("double") / el["n"].cast("double")).alias("raw_rate"),
+        F.element_at("f", F.col("i")).alias("iso_rate"),
+    )
+
+
+_REG["scoring_isotonic_calibration"].oracle = _ISO_ORACLE.format(
+    score_q=_REG["scoring_hashed_linear_quality"].oracle,
+    label_q=_REG["quality_gopher_repetition"].oracle,
+    nb=_ISO_BINS,
+)
+
+
+# --- confident-learning label-noise prune ----------------------------------------------
+# Cleanlab-style label-error detection, binary form: per-class score
+# thresholds are the mean INTEGER score within each observed label (exact
+# BIGINT sums, one double division), the confident joint counts documents
+# whose score crosses the OTHER class's threshold, and the prune list is
+# the top-10 most-confident suspects per direction (margin-ordered with
+# unique doc tiebreaks — deterministic TakeOrdered, never a global sort).
+
+_CL_TOPK = 10
+
+_CL_ORACLE = """
+WITH scores AS ({score_q}),
+labels AS ({label_q}),
+joined AS (
+  SELECT s.doc_id, s.score_sum AS sc, CAST(l.passes_repetition AS BIGINT) AS y
+  FROM scores s JOIN labels l ON s.doc_id = l.doc_id
+), th AS (
+  SELECT CAST(SUM(CASE WHEN y = 1 THEN sc END) AS DOUBLE)
+           / CAST(SUM(CASE WHEN y = 1 THEN 1 END) AS DOUBLE) AS t1,
+         CAST(SUM(CASE WHEN y = 0 THEN sc END) AS DOUBLE)
+           / CAST(SUM(CASE WHEN y = 0 THEN 1 END) AS DOUBLE) AS t0
+  FROM joined
+), flags AS (
+  SELECT j.doc_id, j.sc, j.y,
+         CASE WHEN j.y = 0 AND CAST(j.sc AS DOUBLE) >= t.t1 THEN 1 ELSE 0 END AS f01,
+         CASE WHEN j.y = 1 AND CAST(j.sc AS DOUBLE) <= t.t0 THEN 1 ELSE 0 END AS f10,
+         CAST(j.sc AS DOUBLE) - t.t1 AS m01,
+         t.t0 - CAST(j.sc AS DOUBLE) AS m10
+  FROM joined j CROSS JOIN th t
+), joint AS (
+  SELECT CAST(SUM(f01) AS BIGINT) AS n_y0_hat1,
+         CAST(SUM(f10) AS BIGINT) AS n_y1_hat0,
+         CAST(SUM(CASE WHEN y = 0 AND f01 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_y0_hat0,
+         CAST(SUM(CASE WHEN y = 1 AND f10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_y1_hat1
+  FROM flags
+), sus AS (
+  SELECT 'flip_to_1' AS kind, doc_id, sc AS score_sum, m01 AS margin
+  FROM flags WHERE f01 = 1 ORDER BY m01 DESC, doc_id ASC LIMIT {topk}
+), sus0 AS (
+  SELECT 'flip_to_0' AS kind, doc_id, sc AS score_sum, m10 AS margin
+  FROM flags WHERE f10 = 1 ORDER BY m10 DESC, doc_id ASC LIMIT {topk}
+)
+SELECT u.kind, u.doc_id, u.score_sum, u.margin,
+       j.n_y0_hat1, j.n_y1_hat0, j.n_y0_hat0, j.n_y1_hat1
+FROM (SELECT * FROM sus UNION ALL SELECT * FROM sus0) u CROSS JOIN joint j
+"""
+
+
+@register(
+    "docs_confident_learning_prune",
+    oracle=None,  # composed below
+    doc=f"confident-learning label-noise prune (binary cleanlab): exact "
+    "integer per-class score thresholds, confident-joint counts, and the "
+    f"top-{_CL_TOPK} most-confident suspects per flip direction with "
+    "unique tiebreaks — the 'which labels should a human re-check' table.",
+    tags=("pipeline", "scoring", "curation"),
+)
+def docs_confident_learning_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one score+label join, one moment aggregate (thresholds are
+    2 scalars), one flag scan; prune lists are TakeOrdered top-k."""
+    from f1_lakehouse_spark.pipeline.filtering import quality_gopher_repetition
+
+    s = scoring_hashed_linear_quality(spark, sf_dir).select("doc_id", "score_sum")
+    lab = quality_gopher_repetition(spark, sf_dir).select("doc_id", "passes_repetition")
+    joined = s.join(lab, "doc_id").select(
+        "doc_id",
+        F.col("score_sum").alias("sc"),
+        F.col("passes_repetition").cast("long").alias("y"),
+    )
+    th = joined.agg(
+        (
+            F.sum(F.when(F.col("y") == 1, F.col("sc"))).cast("double")
+            / F.sum(F.when(F.col("y") == 1, 1)).cast("double")
+        ).alias("t1"),
+        (
+            F.sum(F.when(F.col("y") == 0, F.col("sc"))).cast("double")
+            / F.sum(F.when(F.col("y") == 0, 1)).cast("double")
+        ).alias("t0"),
+    )
+    flags = joined.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "sc",
+        "y",
+        F.when((F.col("y") == 0) & (F.col("sc").cast("double") >= F.col("t1")), 1)
+        .otherwise(0)
+        .alias("f01"),
+        F.when((F.col("y") == 1) & (F.col("sc").cast("double") <= F.col("t0")), 1)
+        .otherwise(0)
+        .alias("f10"),
+        (F.col("sc").cast("double") - F.col("t1")).alias("m01"),
+        (F.col("t0") - F.col("sc").cast("double")).alias("m10"),
+    )
+    flags = flags.persist()
+    flags.count()
+    joint = flags.agg(
+        F.sum("f01").cast("long").alias("n_y0_hat1"),
+        F.sum("f10").cast("long").alias("n_y1_hat0"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("f01") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_y0_hat0"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("f10") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_y1_hat1"),
+    )
+    sus1 = (
+        flags.where(F.col("f01") == 1)
+        .orderBy(F.col("m01").desc(), F.col("doc_id").asc())
+        .limit(_CL_TOPK)
+        .select(
+            F.lit("flip_to_1").alias("kind"),
+            "doc_id",
+            F.col("sc").alias("score_sum"),
+            F.col("m01").alias("margin"),
+        )
+    )
+    sus0 = (
+        flags.where(F.col("f10") == 1)
+        .orderBy(F.col("m10").desc(), F.col("doc_id").asc())
+        .limit(_CL_TOPK)
+        .select(
+            F.lit("flip_to_0").alias("kind"),
+            "doc_id",
+            F.col("sc").alias("score_sum"),
+            F.col("m10").alias("margin"),
+        )
+    )
+    out = sus1.unionByName(sus0).crossJoin(F.broadcast(joint))
+    out = spark.createDataFrame(out.collect(), out.schema)
+    flags.unpersist()
+    return out
+
+
+_REG["docs_confident_learning_prune"].oracle = _CL_ORACLE.format(
+    score_q=_REG["scoring_hashed_linear_quality"].oracle,
+    label_q=_REG["quality_gopher_repetition"].oracle,
+    topk=_CL_TOPK,
+)

@@ -3082,3 +3082,198 @@ def ann_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), F.col("vec_id").asc())
         .limit(TOP_K)
     )
+
+
+# --- exact KNN-Shapley data valuation --------------------------------------------------
+# Which training vectors actually help a KNN classifier on a held-out
+# probe set? Jia et al. (2019)'s closed-form KNN-Shapley gives every
+# training point its EXACT Shapley value in one sorted pass per probe:
+#   s_(N) = 1[y_(N)=y_q]/N
+#   s_(i) = s_(i+1) + (1[y_(i)=y_q] - 1[y_(i+1)=y_q]) * min(K,i) / (K*i)
+# (points ranked by descending cosine to the probe). Valuation runs on a
+# deterministic md5-ranked sample — 8 probes + 256 training vectors — the
+# fixed-size-design discipline (Fisher basket / Croston cohort): the
+# sample pick is a distributed TakeOrdered at any corpus size, scoring is
+# a broadcast join, and the O(N^2) suffix sums run inside 8 bounded
+# arrays. Every term is an integer ratio evaluated in IEEE doubles in the
+# same order both engines — bit-identical.
+
+_SHAP_PROBES = 8
+_SHAP_TRAIN = 256
+_SHAP_K = 5
+
+
+def _shapley_oracle() -> str:
+    from f1_lakehouse_spark.pipeline.hashing import sql_md5_hash48
+
+    h = sql_md5_hash48("CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH ranked AS (
+  SELECT vec_id, label, embedding,
+         ROW_NUMBER() OVER (ORDER BY {h}, vec_id) AS rn
+  FROM embeddings
+), probes AS (
+  SELECT * FROM ranked WHERE rn <= {_SHAP_PROBES}
+), train AS (
+  SELECT * FROM ranked WHERE rn > {_SHAP_PROBES} AND rn <= {_SHAP_PROBES} + {_SHAP_TRAIN}
+), pairs AS (
+  SELECT q.vec_id AS q_id, q.label AS q_label,
+         a.vec_id AS t_id, a.label AS t_label,
+         -(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (x,y) -> x+y)
+           / (sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x,y) -> x+y))
+              * sqrt(list_reduce(list_transform(generate_series(1, len(q.embedding)),
+                  i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (x,y) -> x+y)))) AS negcos
+  FROM train a CROSS JOIN probes q
+), per_probe AS (
+  SELECT q_id, q_label,
+         list(struct_pack(nc := negcos, tid := t_id,
+                          m := CASE WHEN t_label = q_label THEN 1 ELSE 0 END)
+              ORDER BY negcos, t_id) AS arr
+  FROM pairs GROUP BY q_id, q_label
+), shap AS (
+  SELECT q_id, arr, len(arr) AS n,
+         list_transform(range(1, len(arr) + 1),
+           i -> CAST(arr[len(arr)].m AS DOUBLE) / CAST(len(arr) AS DOUBLE)
+              + list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(i, len(arr)),
+                    j -> CAST((arr[j].m - arr[j + 1].m)
+                              * CASE WHEN j < {_SHAP_K} THEN j ELSE {_SHAP_K} END AS DOUBLE)
+                         / CAST({_SHAP_K} * j AS DOUBLE))),
+                  (a, b) -> a + b)) AS sv
+  FROM per_probe
+), exploded AS (
+  SELECT arr[i].tid AS vec_id, q_id, sv[i] AS s
+  FROM (SELECT unnest(range(1, n + 1)) AS i, arr, sv, q_id FROM shap)
+), folded AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(list(struct_pack(q := q_id, s := s) ORDER BY q_id), x -> x.s)),
+           (a, b) -> a + b) / CAST({_SHAP_PROBES} AS DOUBLE) AS knn_shapley
+  FROM exploded GROUP BY vec_id
+)
+SELECT f.vec_id, t.label, f.knn_shapley
+FROM folded f JOIN train t ON f.vec_id = t.vec_id
+"""
+
+
+@register(
+    "embedding_knn_shapley",
+    oracle=None,  # composed below (md5 SQL twin)
+    doc=f"exact closed-form KNN-Shapley data valuation (K={_SHAP_K}) of a "
+    f"{_SHAP_TRAIN}-vector md5-sampled training set against "
+    f"{_SHAP_PROBES} held-out probes: descending-cosine rank per probe, "
+    "telescoping suffix sums of integer-ratio terms, probe-ordered "
+    "average — bit-exact cross-engine.",
+    tags=("pipeline", "ann", "valuation", "eval"),
+)
+def embedding_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: the sample pick is a distributed TakeOrdered over the md5
+    rank; scoring is a broadcast join (probes are 8 rows); all O(N^2)
+    work is inside 8 fixed-size arrays. Valuing MORE points scales by
+    sharding the train sample, not by growing the array."""
+    from f1_lakehouse_spark.pipeline.hashing import spark_md5_hash48
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", spark_md5_hash48(F.col("vec_id").cast("string")).alias("h")
+    )
+    sample = (
+        e.orderBy("h", "vec_id")
+        .limit(_SHAP_PROBES + _SHAP_TRAIN)
+        .select("vec_id", "label", "embedding", "h")
+    )
+    sample = sample.persist()
+    sample.count()
+    probes = sample.orderBy("h", "vec_id").limit(_SHAP_PROBES)
+    train = sample.join(
+        probes.select(F.col("vec_id").alias("pvid")),
+        sample["vec_id"] == F.col("pvid"),
+        "left_anti",
+    )
+    q, a = probes.alias("q"), train.alias("a")
+    pairs = a.crossJoin(F.broadcast(q)).select(
+        F.col("q.vec_id").alias("q_id"),
+        F.col("q.label").alias("q_label"),
+        F.col("a.vec_id").alias("t_id"),
+        F.col("a.label").alias("t_label"),
+        (-_spark_cosine(F.col("a.embedding"), F.col("q.embedding"))).alias("negcos"),
+    )
+    per_probe = pairs.groupBy("q_id", "q_label").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("negcos").alias("nc"),
+                    F.col("t_id").alias("tid"),
+                    F.when(F.col("t_label") == F.col("q_label"), 1)
+                    .otherwise(0)
+                    .alias("m"),
+                )
+            )
+        ).alias("arr")
+    )
+    n = F.size("arr")
+    k = F.lit(_SHAP_K)
+    dzero = F.lit(0.0)
+    last_term = (
+        F.element_at("arr", n)["m"].cast("double") / n.cast("double")
+    )
+    shap = per_probe.select(
+        "q_id",
+        "arr",
+        n.alias("n"),
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: last_term
+            + F.aggregate(
+                F.transform(
+                    # j in [i, n-1]; slice avoids the descending-sequence trap
+                    F.slice(F.sequence(F.lit(1), n), i, n - i),
+                    lambda j: (
+                        (
+                            F.element_at("arr", j.cast("int"))["m"]
+                            - F.element_at("arr", (j + F.lit(1)).cast("int"))["m"]
+                        )
+                        * F.least(k, j)
+                    ).cast("double")
+                    / (k * j).cast("double"),
+                ),
+                dzero,
+                lambda acc, t: acc + t,
+            ),
+        ).alias("sv"),
+    )
+    exploded = shap.select(
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"), "arr", "sv", "q_id"
+    ).select(
+        F.element_at("arr", F.col("i"))["tid"].alias("vec_id"),
+        "q_id",
+        F.element_at("sv", F.col("i")).alias("s"),
+    )
+    folded = exploded.groupBy("vec_id").agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("q_id").alias("q"), F.col("s")))
+                    ),
+                    lambda x: x["s"],
+                ),
+                dzero,
+                lambda acc, t: acc + t,
+            )
+            / F.lit(float(_SHAP_PROBES))
+        ).alias("knn_shapley")
+    )
+    out = folded.join(
+        train.select(F.col("vec_id").alias("tv"), "label"),
+        folded["vec_id"] == F.col("tv"),
+    ).select("vec_id", "label", "knn_shapley")
+    out = spark.createDataFrame(out.collect(), out.schema)
+    sample.unpersist()
+    return out
+
+
+from f1_lakehouse_spark.registry import REGISTRY as _REG5  # noqa: E402
+
+_REG5["embedding_knn_shapley"].oracle = _shapley_oracle()
