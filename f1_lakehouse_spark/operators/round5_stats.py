@@ -1277,3 +1277,636 @@ def orders_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG["orders_croston_intermittent"].oracle = _croston_oracle()
+
+
+# --- extreme-value mean-excess + GPD moment fit ----------------------------------------
+# Tail-risk diagnostics on line prices without transcendentals: exceedance
+# thresholds are exact DISTRIBUTED order statistics (one global prefix-sum
+# rank serves all four probe quantiles), the mean-excess curve e(u) =
+# E[X-u | X>u] uses DECIMAL excess sums (l_extendedprice is exact
+# DECIMAL(18,2)), and the generalized-Pareto shape/scale come from the
+# method of moments — xi = (1 - m^2/s^2)/2, sigma = m*(1 + m^2/s^2)/2 —
+# pure IEEE ratios of scale-3-rounded decimal moments.
+
+_EVT_PROBES = ((9, 10), (19, 20), (39, 40), (99, 100))  # p90 p95 p975 p99
+
+
+_EVT_ORACLE = """
+WITH px AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS x,
+         l_orderkey, l_linenumber
+  FROM lineitem
+), ranked AS (
+  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, l_orderkey, l_linenumber) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM px
+), thresholds AS (
+  SELECT p_num, p_den,
+         MIN(CASE WHEN rk = (p_num * n + p_den - 1) // p_den THEN x END) AS u
+  FROM ranked
+  CROSS JOIN (VALUES {probes}) pr(p_num, p_den)
+  GROUP BY p_num, p_den
+), stats AS (
+  SELECT t.p_num, t.p_den, t.u,
+         CAST(COUNT(*) AS BIGINT) AS n_exceed,
+         CAST(round(SUM(r.x - t.u), 3) AS DOUBLE) AS s1,
+         CAST(round(SUM(CAST((r.x - t.u) * (r.x - t.u) AS DECIMAL(38,4))), 0) AS DOUBLE) AS s2
+  FROM ranked r JOIN thresholds t ON r.x > t.u
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE) AS quantile,
+       CAST(u AS DOUBLE) AS threshold,
+       n_exceed,
+       s1 / CAST(n_exceed AS DOUBLE) AS mean_excess,
+       (CAST(1.0 AS DOUBLE) - (s1 / CAST(n_exceed AS DOUBLE)) * (s1 / CAST(n_exceed AS DOUBLE))
+          / (s2 / CAST(n_exceed AS DOUBLE) - (s1 / CAST(n_exceed AS DOUBLE)) * (s1 / CAST(n_exceed AS DOUBLE))))
+         / CAST(2.0 AS DOUBLE) AS gpd_xi_mom,
+       ((s1 / CAST(n_exceed AS DOUBLE)) * (CAST(1.0 AS DOUBLE)
+          + (s1 / CAST(n_exceed AS DOUBLE)) * (s1 / CAST(n_exceed AS DOUBLE))
+          / (s2 / CAST(n_exceed AS DOUBLE) - (s1 / CAST(n_exceed AS DOUBLE)) * (s1 / CAST(n_exceed AS DOUBLE)))))
+         / CAST(2.0 AS DOUBLE) AS gpd_sigma_mom
+FROM stats
+""".format(probes=", ".join(f"({a}, {b})" for a, b in _EVT_PROBES))
+
+
+@register(
+    "lineitem_mean_excess_evt",
+    oracle=_EVT_ORACLE,
+    doc="extreme-value tail diagnostics for line prices: exact distributed "
+    "order-statistic thresholds at p90/p95/p97.5/p99 (one prefix-sum rank "
+    "serves all four), DECIMAL-exact mean-excess curve, and "
+    "transcendental-free GPD shape/scale by the method of moments.",
+    tags=("stats", "evt", "prefix-sum", "extension"),
+)
+def lineitem_mean_excess_evt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one prefix-sum rank + a 4-row threshold broadcast into one
+    exceedance aggregate with map-side combine."""
+    from f1_lakehouse_spark.operators.extensions import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("x"),
+        "l_orderkey",
+        "l_linenumber",
+        F.lit(1).cast("decimal(27,6)").alias("one"),
+    )
+    cum, release, total = global_prefix_sum(
+        spark,
+        li,
+        "one",
+        [F.col("x").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+    )
+    n = int(total)
+    cum = cum.withColumn("rk", F.col("cum").cast("long"))
+    ks = {(a, b): (a * n + b - 1) // b for a, b in _EVT_PROBES}
+    th = {
+        r["rk"]: r["x"]
+        for r in cum.where(F.col("rk").isin(*ks.values())).select("rk", "x").collect()
+    }
+    release()
+    probes = spark.createDataFrame(
+        [(a, b, th[k]) for (a, b), k in ks.items()],
+        "p_num long, p_den long, u decimal(18,2)",
+    )
+    base = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("x")
+    )
+    ex = (F.col("x") - F.col("u"))
+    stats = (
+        base.join(F.broadcast(probes), F.col("x") > F.col("u"))
+        .groupBy("p_num", "p_den", "u")
+        .agg(
+            F.count("*").cast("long").alias("n_exceed"),
+            F.round(F.sum(ex), 3).cast("double").alias("s1"),
+            # scale-0 round: a scale-0 decimal→double is one int→double
+            # conversion, exact at any magnitude (see supplier_revenue_anova)
+            F.round(F.sum((ex * ex).cast("decimal(38,4)")), 0)
+            .cast("double")
+            .alias("s2"),
+        )
+    )
+    m = F.col("s1") / F.col("n_exceed").cast("double")
+    v = F.col("s2") / F.col("n_exceed").cast("double") - m * m
+    return stats.select(
+        (F.col("p_num").cast("double") / F.col("p_den").cast("double")).alias(
+            "quantile"
+        ),
+        F.col("u").cast("double").alias("threshold"),
+        "n_exceed",
+        m.alias("mean_excess"),
+        ((F.lit(1.0) - m * m / v) / F.lit(2.0)).alias("gpd_xi_mom"),
+        ((m * (F.lit(1.0) + m * m / v)) / F.lit(2.0)).alias("gpd_sigma_mom"),
+    )
+
+
+# --- Spearman rank correlation (tie-average ranks) -------------------------------------
+# Monotone association between monthly revenue and monthly order volume:
+# tie-average ranks computed positionally inside the ~84-cell packed month
+# array (rank(x) = #less + (#equal + 1)/2 — integer counts, one exact
+# division), then the Pearson formula on rank doubles with month-ordered
+# folds and one IEEE sqrt. Calendar-bounded like the Theil-Sen pair scan.
+
+_SPEAR_RANK = (
+    "list_transform({v}, x -> "
+    "CAST(len(list_filter({v}, e -> e < x)) AS DOUBLE)"
+    " + CAST(len(list_filter({v}, e -> e = x)) + 1 AS DOUBLE) / CAST(2.0 AS DOUBLE))"
+)
+
+_SPEARMAN_ORACLE = f"""
+WITH monthly AS (
+  SELECT (CAST(year(o_orderdate) AS BIGINT) * 12 + CAST(month(o_orderdate) AS BIGINT) - 1) AS ym0,
+         CAST(SUM(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+), packed AS (
+  SELECT list(cents ORDER BY ym0) AS xv, list(n_orders ORDER BY ym0) AS yv,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM monthly
+), ranks AS (
+  SELECT n, {_SPEAR_RANK.format(v="xv")} AS rx, {_SPEAR_RANK.format(v="yv")} AS ry
+  FROM packed
+), sums AS (
+  SELECT n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), rx), (a, b) -> a + b) AS sx,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ry), (a, b) -> a + b) AS sy,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(rx, e -> e * e)), (a, b) -> a + b) AS sxx,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(ry, e -> e * e)), (a, b) -> a + b) AS syy,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, len(rx) + 1), i -> rx[i] * ry[i])), (a, b) -> a + b) AS sxy
+  FROM ranks
+)
+SELECT CAST(n AS BIGINT) AS n_months,
+       (CAST(n AS DOUBLE) * sxy - sx * sy)
+         / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+         AS spearman_rho
+FROM sums
+"""
+
+
+@register(
+    "orders_spearman_price_volume",
+    oracle=_SPEARMAN_ORACLE,
+    doc="Spearman rank correlation between monthly revenue and monthly "
+    "order volume with tie-average ranks — positional rank counts inside "
+    "the calendar-bounded month array, Pearson-on-ranks with ordered "
+    "folds and IEEE sqrt; bit-exact cross-engine.",
+    tags=("stats", "correlation", "extension"),
+)
+def orders_spearman_price_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same one-shuffle month-cell reduction as orders_theil_sen_trend."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    cents = (F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)") * 100).cast("long")
+    monthly = (
+        o.select(
+            (
+                F.year("o_orderdate").cast("long") * 12
+                + F.month("o_orderdate").cast("long")
+                - 1
+            ).alias("ym0"),
+            cents.alias("c"),
+        )
+        .groupBy("ym0")
+        .agg(F.sum("c").alias("cents"), F.count("*").cast("long").alias("n_orders"))
+    )
+    packed = monthly.agg(
+        F.array_sort(
+            F.collect_list(F.struct("ym0", "cents", "n_orders"))
+        ).alias("tv"),
+        F.count("*").cast("long").alias("n"),
+    ).select(
+        F.transform("tv", lambda s: s["cents"]).alias("xv"),
+        F.transform("tv", lambda s: s["n_orders"]).alias("yv"),
+        "n",
+    )
+
+    def rankv(col_name: str):
+        v = F.col(col_name)
+        return F.transform(
+            v,
+            lambda x: F.size(F.filter(v, lambda e: e < x)).cast("double")
+            + (F.size(F.filter(v, lambda e: e == x)) + 1).cast("double")
+            / F.lit(2.0),
+        )
+
+    ranks = packed.select("n", rankv("xv").alias("rx"), rankv("yv").alias("ry"))
+    dz = F.lit(0.0)
+    fsum = lambda arr: F.aggregate(arr, dz, lambda a, b: a + b)  # noqa: E731
+    sums = ranks.select(
+        "n",
+        fsum(F.col("rx")).alias("sx"),
+        fsum(F.col("ry")).alias("sy"),
+        fsum(F.transform("rx", lambda e: e * e)).alias("sxx"),
+        fsum(F.transform("ry", lambda e: e * e)).alias("syy"),
+        fsum(
+            F.transform(
+                F.sequence(F.lit(1), F.size("rx")),
+                lambda i: F.element_at("rx", i.cast("int"))
+                * F.element_at("ry", i.cast("int")),
+            )
+        ).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    return sums.select(
+        F.col("n").alias("n_months"),
+        (
+            (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(nd * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("spearman_rho"),
+    )
+
+
+# --- Qini uplift curve ------------------------------------------------------------------
+# The uplift-model evaluation readout: rank users by a targeting score,
+# then per score decile compare treated-vs-control conversion and
+# accumulate the Qini statistic Q(k) = cumconv_t(k) - cumconv_c(k) *
+# cumn_t(k)/cumn_c(k). The score here is the deterministic engagement
+# proxy (# view events); the treatment split is the salted-hash variant
+# shared with events_ab_test_lift. Deciles are EXACT via the distributed
+# prefix-sum rank; everything after is a 10-cell integer fold.
+
+_QINI_ORACLE_TMPL = """
+WITH users AS (
+  SELECT user_id,
+         {vh} % 2 AS variant,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS score,
+         MAX(CASE WHEN event_type = 'purchase' AND value > {conv} THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT variant, converted,
+         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, user_id ASC) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM users
+), per AS (
+  SELECT CAST((rk - 1) * 10 // n + 1 AS BIGINT) AS decile,
+         CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_t,
+         CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_c
+  FROM ranked GROUP BY 1
+), arr AS (
+  SELECT list(struct_pack(d := decile, nt := n_t, nc := n_c, ct := conv_t, cc := conv_c)
+              ORDER BY decile) AS a
+  FROM per
+), cumulated AS (
+  SELECT a[i].d AS decile, a[i].nt AS n_t, a[i].nc AS n_c,
+         a[i].ct AS conv_t, a[i].cc AS conv_c,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(a, 1, i), s -> s.nt)), (x, y) -> x + y) AS cnt,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(a, 1, i), s -> s.nc)), (x, y) -> x + y) AS cnc,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(a, 1, i), s -> s.ct)), (x, y) -> x + y) AS cct,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(a, 1, i), s -> s.cc)), (x, y) -> x + y) AS ccc
+  FROM (SELECT unnest(range(1, len(a) + 1)) AS i, a FROM arr)
+)
+SELECT decile, n_t, n_c, conv_t, conv_c,
+       CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+         - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS uplift,
+       CAST(cct AS DOUBLE) - CAST(ccc AS DOUBLE) * (CAST(cnt AS DOUBLE) / CAST(cnc AS DOUBLE)) AS qini
+FROM cumulated
+"""
+
+
+@register(
+    "events_qini_uplift_curve",
+    oracle=None,  # composed below
+    doc="Qini uplift curve over exact engagement-score deciles: treated "
+    "vs control conversion per decile plus the cumulative Qini statistic "
+    "— integer counts through a 10-cell fold, prefix-sum deciles, the "
+    "uplift-targeting evaluation exact cross-engine.",
+    tags=("events", "experiment", "uplift", "prefix-sum", "extension"),
+)
+def events_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one user aggregate + the distributed prefix rank; the Qini
+    fold is 10 cells."""
+    from f1_lakehouse_spark.operators.events_analytics import AB_CONV_VALUE
+    from f1_lakehouse_spark.operators.extensions import global_prefix_sum
+    from f1_lakehouse_spark.pipeline.hashing import spark_salted_hash
+
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("score"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > AB_CONV_VALUE),
+                1,
+            ).otherwise(0)
+        ).alias("converted"),
+    ).select(
+        "user_id",
+        (spark_salted_hash("user_id", ":ab") % 2).alias("variant"),
+        "score",
+        "converted",
+        F.lit(1).cast("decimal(27,6)").alias("one"),
+    )
+    cum, release, total = global_prefix_sum(
+        spark, users, "one", [F.col("score").desc(), F.col("user_id").asc()]
+    )
+    n_all = int(total)
+    per = (
+        cum.select(
+            (((F.col("cum").cast("long") - 1) * 10 / F.lit(n_all)).cast("long") + 1).alias(
+                "decile"
+            ),
+            "variant",
+            "converted",
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long").alias("n_t"),
+            F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long").alias("n_c"),
+            F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+            .cast("long")
+            .alias("conv_t"),
+            F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+            .cast("long")
+            .alias("conv_c"),
+        )
+    )
+    packed = per.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("decile").alias("d"),
+                    F.col("n_t").alias("nt"),
+                    F.col("n_c").alias("nc"),
+                    F.col("conv_t").alias("ct"),
+                    F.col("conv_c").alias("cc"),
+                )
+            )
+        ).alias("a")
+    )
+    rows = packed.select(
+        F.explode(F.sequence(F.lit(1), F.size("a"))).alias("i"), "a"
+    )
+    el = F.element_at("a", F.col("i"))
+    zero = F.lit(0).cast("long")
+    cume = lambda fld: F.aggregate(  # noqa: E731
+        F.transform(F.slice("a", F.lit(1), F.col("i")), lambda s: s[fld]),
+        zero,
+        lambda x, y: x + y,
+    )
+    out = rows.select(
+        el["d"].alias("decile"),
+        el["nt"].alias("n_t"),
+        el["nc"].alias("n_c"),
+        el["ct"].alias("conv_t"),
+        el["cc"].alias("conv_c"),
+        (
+            el["ct"].cast("double") / el["nt"].cast("double")
+            - el["cc"].cast("double") / el["nc"].cast("double")
+        ).alias("uplift"),
+        (
+            cume("ct").cast("double")
+            - cume("cc").cast("double")
+            * (cume("nt").cast("double") / cume("nc").cast("double"))
+        ).alias("qini"),
+    )
+    out = spark.createDataFrame(out.collect(), out.schema)
+    release()
+    return out
+
+
+def _compose_qini_oracle() -> str:
+    from f1_lakehouse_spark.operators.events_analytics import AB_CONV_VALUE
+    from f1_lakehouse_spark.pipeline.hashing import sql_salted_hash
+
+    return _QINI_ORACLE_TMPL.format(
+        vh=sql_salted_hash("user_id", ":ab"), conv=AB_CONV_VALUE
+    )
+
+
+_REG["events_qini_uplift_curve"].oracle = _compose_qini_oracle()
+
+
+# --- Wald-Wolfowitz runs test -----------------------------------------------------------
+# Randomness check on monthly revenue: runs of above/below-median months
+# vs the exact null moments. Median from the sorted cent array, the run
+# count a single ordered fold over the +/- sign sequence (equal-to-median
+# months excluded, the standard convention); mean/variance of the run
+# count are rational in (n1, n2); z needs one IEEE sqrt.
+
+_RUNS_ORACLE = f"""
+WITH monthly AS ({_MONTHLY_SQL}),
+packed AS (
+  SELECT list(cents ORDER BY ym0) AS v, list_sort(list(cents)) AS sv,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM monthly
+), med AS (
+  SELECT v, n,
+         CASE WHEN n % 2 = 1 THEN CAST(sv[(n + 1) // 2] AS DOUBLE)
+              ELSE (CAST(sv[n // 2] AS DOUBLE) + CAST(sv[n // 2 + 1] AS DOUBLE)) / CAST(2.0 AS DOUBLE)
+         END AS m
+  FROM packed
+), signs AS (
+  SELECT list_transform(list_filter(v, x -> CAST(x AS DOUBLE) <> m),
+                        x -> CASE WHEN CAST(x AS DOUBLE) > m THEN 1 ELSE 0 END) AS s
+  FROM med
+), counts AS (
+  SELECT s,
+         CAST(len(list_filter(s, x -> x = 1)) AS BIGINT) AS n1,
+         CAST(len(list_filter(s, x -> x = 0)) AS BIGINT) AS n2,
+         CAST(1 + list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(2, len(s) + 1),
+              i -> CASE WHEN s[i] <> s[i - 1] THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+            (a, b) -> a + b) AS BIGINT) AS r
+  FROM signs
+)
+SELECT n1, n2, r AS n_runs,
+       CAST(1.0 AS DOUBLE) + CAST(2 * n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS expected_runs,
+       CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS DOUBLE)
+         / (CAST((n1 + n2) * (n1 + n2) AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)) AS var_runs,
+       (CAST(r AS DOUBLE) - (CAST(1.0 AS DOUBLE) + CAST(2 * n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)))
+         / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS DOUBLE)
+                / (CAST((n1 + n2) * (n1 + n2) AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))) AS z_stat
+FROM counts
+"""
+
+
+@register(
+    "orders_runs_test",
+    oracle=_RUNS_ORACLE,
+    doc="Wald-Wolfowitz runs test on monthly revenue vs its median: run "
+    "count from one ordered fold over the calendar-bounded sign sequence, "
+    "rational null moments in (n1, n2), one IEEE sqrt for z.",
+    tags=("stats", "trend", "extension"),
+)
+def orders_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = _monthly_cents(spark, sf_dir)
+    packed = monthly.agg(
+        F.array_sort(F.collect_list(F.struct("ym0", "cents"))).alias("tv"),
+        F.count("*").cast("long").alias("n"),
+    ).select(
+        F.transform("tv", lambda s: s["cents"]).alias("v"),
+        F.array_sort(F.transform("tv", lambda s: s["cents"])).alias("sv"),
+        "n",
+    )
+    med = packed.select(
+        "v",
+        "n",
+        _spark_med(F.transform("sv", lambda x: x.cast("double"))).alias("m"),
+    )
+    signs = med.select(
+        F.transform(
+            F.filter("v", lambda x: x.cast("double") != F.col("m")),
+            lambda x: F.when(x.cast("double") > F.col("m"), 1).otherwise(0),
+        ).alias("s")
+    )
+    zero = F.lit(0).cast("long")
+    counts = signs.select(
+        F.size(F.filter("s", lambda x: x == 1)).cast("long").alias("n1"),
+        F.size(F.filter("s", lambda x: x == 0)).cast("long").alias("n2"),
+        (
+            F.lit(1).cast("long")
+            + F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(2), F.size("s")),
+                    lambda i: F.when(
+                        F.element_at("s", i.cast("int"))
+                        != F.element_at("s", (i - F.lit(1)).cast("int")),
+                        F.lit(1),
+                    )
+                    .otherwise(F.lit(0))
+                    .cast("long"),
+                ),
+                zero,
+                lambda a, b: a + b,
+            )
+        ).alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    exp_r = F.lit(1.0) + (2 * n1 * n2).cast("double") / (n1 + n2).cast("double")
+    var_r = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)).cast("double") / (
+        ((n1 + n2) * (n1 + n2)).cast("double") * (n1 + n2 - 1).cast("double")
+    )
+    return counts.select(
+        "n1",
+        "n2",
+        r.alias("n_runs"),
+        exp_r.alias("expected_runs"),
+        var_r.alias("var_runs"),
+        ((r.cast("double") - exp_r) / F.sqrt(var_r)).alias("z_stat"),
+    )
+
+
+# --- one-way ANOVA of supplier revenue by nation ------------------------------------------
+# "Does supplier revenue differ BY NATION more than within nations?" —
+# the classic between/within variance decomposition, exact: per-supplier
+# revenue rounds to DECIMAL(18,3) once (so the square fits precision 37 —
+# a (19,3) square needs 39 digits and Spark's 38-cap silently loses
+# exactness; the DuckDB twin widens its operands to (19,3) because its
+# int64 physical type overflows first), squares stay DECIMAL(38,6)
+# (exact), and group moments round to SCALE 0 before their only double
+# casts: a scale-0 decimal→double is ONE int→double conversion —
+# bit-identical in both engines at ANY magnitude, where any scale>0 cast
+# double-rounds in DuckDB past 2^53 (the supplier_revenue_gini
+# discipline). The F statistic and eta-squared are IEEE ratios.
+
+_ANOVA_ORACLE = """
+WITH rev AS (
+  SELECT s.s_nationkey AS nk,
+         CAST(round(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6))), 3) AS DECIMAL(18,3)) AS x
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY l.l_suppkey, s.s_nationkey
+), grp AS (
+  SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(round(SUM(x), 0) AS DOUBLE) AS s1,
+         CAST(round(SUM(CAST(x AS DECIMAL(19,3)) * CAST(x AS DECIMAL(19,3))), 0) AS DOUBLE) AS s2
+  FROM rev GROUP BY nk
+), packed AS (
+  SELECT list(struct_pack(nk := nk, n := n, s1 := s1, s2 := s2) ORDER BY nk) AS a,
+         CAST(SUM(n) AS BIGINT) AS n_tot,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM grp
+), folded AS (
+  SELECT n_tot, k,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(a, g -> g.s1)), (p, q) -> p + q) AS st,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(a, g -> g.s2)), (p, q) -> p + q) AS sqt,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(a, g -> g.s1 * g.s1 / CAST(g.n AS DOUBLE))), (p, q) -> p + q) AS sb
+  FROM packed
+)
+SELECT k AS k_groups, n_tot AS n_suppliers,
+       sb - st * st / CAST(n_tot AS DOUBLE) AS ss_between,
+       sqt - sb AS ss_within,
+       ((sb - st * st / CAST(n_tot AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+         / ((sqt - sb) / CAST(n_tot - k AS DOUBLE)) AS f_stat,
+       (sb - st * st / CAST(n_tot AS DOUBLE))
+         / (sqt - st * st / CAST(n_tot AS DOUBLE)) AS eta_squared
+FROM folded
+"""
+
+
+@register(
+    "supplier_revenue_anova",
+    oracle=_ANOVA_ORACLE,
+    doc="one-way ANOVA of supplier revenue by nation: DECIMAL-exact group "
+    "moments (scale-3 rounding before the only double casts), "
+    "between/within decomposition folded over the 25-nation packed "
+    "array, F statistic and eta-squared as IEEE ratios.",
+    tags=("stats", "anova", "extension"),
+)
+def supplier_revenue_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one (supplier, nation) aggregate + one nation aggregate,
+    both with map-side combine; the decomposition is a 25-cell fold."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .groupBy("l_suppkey", "s_nationkey")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(27,6)"
+                    )
+                ),
+                3,
+            )
+            .cast("decimal(18,3)")
+            .alias("x")
+        )
+        .select(F.col("s_nationkey").alias("nk"), "x")
+    )
+    grp = rev.groupBy("nk").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("x"), 0).cast("double").alias("s1"),
+        F.round(F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)")), 0)
+        .cast("double")
+        .alias("s2"),
+    )
+    packed = grp.agg(
+        F.sort_array(F.collect_list(F.struct("nk", "n", "s1", "s2"))).alias("a"),
+        F.sum("n").cast("long").alias("n_tot"),
+        F.count("*").cast("long").alias("k"),
+    )
+    dz = F.lit(0.0)
+    fsum = lambda arr: F.aggregate(arr, dz, lambda p, q: p + q)  # noqa: E731
+    folded = packed.select(
+        "n_tot",
+        "k",
+        fsum(F.transform("a", lambda g: g["s1"])).alias("st"),
+        fsum(F.transform("a", lambda g: g["s2"])).alias("sqt"),
+        fsum(
+            F.transform("a", lambda g: g["s1"] * g["s1"] / g["n"].cast("double"))
+        ).alias("sb"),
+    )
+    nt = F.col("n_tot").cast("double")
+    ssb = F.col("sb") - F.col("st") * F.col("st") / nt
+    ssw = F.col("sqt") - F.col("sb")
+    sst = F.col("sqt") - F.col("st") * F.col("st") / nt
+    return folded.select(
+        F.col("k").alias("k_groups"),
+        F.col("n_tot").alias("n_suppliers"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        (
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (ssw / (F.col("n_tot") - F.col("k")).cast("double"))
+        ).alias("f_stat"),
+        (ssb / sst).alias("eta_squared"),
+    )

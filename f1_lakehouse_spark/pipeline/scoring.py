@@ -1136,3 +1136,150 @@ _REG["docs_confident_learning_prune"].oracle = _CL_ORACLE.format(
     label_q=_REG["quality_gopher_repetition"].oracle,
     topk=_CL_TOPK,
 )
+
+
+# --- Brier score + Murphy decomposition -------------------------------------------------
+# Probability-forecast quality for the binned quality score: treat each
+# score bin's midpoint fraction (bin + 0.5)/NB as the forecast and the
+# gopher gate as the outcome; Brier = REL - RES + UNC (Murphy). Every
+# term is built from integer bin counts: Brier and the three components
+# are folds of integer-ratio doubles over the NB-cell packed bin array —
+# bit-exact cross-engine, and the decomposition identity is checkable by
+# the reader from the emitted columns.
+
+_BRIER_ORACLE = """
+WITH scores AS ({score_q}),
+labels AS ({label_q}),
+joined AS (
+  SELECT s.score_sum AS sc, CAST(l.passes_repetition AS BIGINT) AS y
+  FROM scores s JOIN labels l ON s.doc_id = l.doc_id
+), rng AS (
+  SELECT MIN(sc) AS mn, MAX(sc) AS mx FROM joined
+), binned AS (
+  SELECT CAST((j.sc - r.mn) * {nb} // (r.mx - r.mn + 1) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(j.y) AS BIGINT) AS pos
+  FROM joined j CROSS JOIN rng r GROUP BY 1
+), packed AS (
+  SELECT list(struct_pack(b := bin, n := n, p := pos) ORDER BY bin) AS a,
+         CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(pos) AS BIGINT) AS pt
+  FROM binned
+), terms AS (
+  SELECT nt, pt,
+         list_transform(a, g -> struct_pack(
+           fc := (CAST(g.b AS DOUBLE) + 0.5) / {nb}.0,
+           n := g.n, p := g.p,
+           ob := CAST(g.p AS DOUBLE) / CAST(g.n AS DOUBLE))) AS t
+  FROM packed
+), sums AS (
+  SELECT nt, pt,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(t, g -> CAST(g.n AS DOUBLE) * g.fc * g.fc
+                                   - 2.0 * g.fc * CAST(g.p AS DOUBLE)
+                                   + CAST(g.p AS DOUBLE))), (x, y) -> x + y) AS br,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(t, g -> CAST(g.n AS DOUBLE) * (g.fc - g.ob) * (g.fc - g.ob))), (x, y) -> x + y) AS rel,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(t, g -> CAST(g.n AS DOUBLE)
+                                   * (g.ob - CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+                                   * (g.ob - CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)))), (x, y) -> x + y) AS res
+  FROM terms
+)
+SELECT nt AS n_docs, pt AS n_pos,
+       br / CAST(nt AS DOUBLE) AS brier,
+       rel / CAST(nt AS DOUBLE) AS reliability,
+       res / CAST(nt AS DOUBLE) AS resolution,
+       (CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+         * (1.0 - CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE)) AS uncertainty
+FROM sums
+"""
+
+
+@register(
+    "scoring_brier_decomposition",
+    oracle=None,  # composed below
+    doc=f"Brier score + Murphy decomposition (reliability / resolution / "
+    f"uncertainty) of the {_ISO_BINS}-bin midpoint forecast vs the gopher "
+    "gate — integer bin counts through ordered folds; the calibration "
+    "readout that complements scoring_isotonic_calibration.",
+    tags=("pipeline", "scoring", "calibration"),
+)
+def scoring_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same one-join one-aggregate shape as scoring_isotonic_calibration."""
+    from f1_lakehouse_spark.pipeline.filtering import quality_gopher_repetition
+
+    s = scoring_hashed_linear_quality(spark, sf_dir).select("doc_id", "score_sum")
+    lab = quality_gopher_repetition(spark, sf_dir).select("doc_id", "passes_repetition")
+    joined = s.join(lab, "doc_id").select(
+        F.col("score_sum").alias("sc"),
+        F.col("passes_repetition").cast("long").alias("y"),
+    )
+    rng = joined.agg(F.min("sc").alias("mn"), F.max("sc").alias("mx"))
+    binned = (
+        joined.crossJoin(F.broadcast(rng))
+        .select(
+            (
+                (F.col("sc") - F.col("mn"))
+                * _ISO_BINS
+                / (F.col("mx") - F.col("mn") + 1)
+            )
+            .cast("long")
+            .alias("bin"),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("p"))
+    )
+    packed = binned.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("bin").alias("b"), "n", "p"))
+        ).alias("a"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("p").cast("long").alias("pt"),
+    )
+    obar = F.col("pt").cast("double") / F.col("nt").cast("double")
+    fc = lambda g: (g["b"].cast("double") + 0.5) / F.lit(float(_ISO_BINS))  # noqa: E731
+    ob = lambda g: g["p"].cast("double") / g["n"].cast("double")  # noqa: E731
+    dz = F.lit(0.0)
+    fsum = lambda arr: F.aggregate(arr, dz, lambda x, y: x + y)  # noqa: E731
+    sums = packed.select(
+        "nt",
+        "pt",
+        fsum(
+            F.transform(
+                "a",
+                lambda g: g["n"].cast("double") * fc(g) * fc(g)
+                - F.lit(2.0) * fc(g) * g["p"].cast("double")
+                + g["p"].cast("double"),
+            )
+        ).alias("br"),
+        fsum(
+            F.transform(
+                "a",
+                lambda g: g["n"].cast("double") * (fc(g) - ob(g)) * (fc(g) - ob(g)),
+            )
+        ).alias("rel"),
+        fsum(
+            F.transform(
+                "a",
+                lambda g: g["n"].cast("double") * (ob(g) - obar) * (ob(g) - obar),
+            )
+        ).alias("res"),
+    )
+    nt = F.col("nt").cast("double")
+    ob_all = F.col("pt").cast("double") / nt
+    return sums.select(
+        F.col("nt").alias("n_docs"),
+        F.col("pt").alias("n_pos"),
+        (F.col("br") / nt).alias("brier"),
+        (F.col("rel") / nt).alias("reliability"),
+        (F.col("res") / nt).alias("resolution"),
+        (ob_all * (F.lit(1.0) - ob_all)).alias("uncertainty"),
+    )
+
+
+_REG["scoring_brier_decomposition"].oracle = _BRIER_ORACLE.format(
+    score_q=_REG["scoring_hashed_linear_quality"].oracle,
+    label_q=_REG["quality_gopher_repetition"].oracle,
+    nb=_ISO_BINS,
+)

@@ -1793,3 +1793,344 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         phrases.unpersist()
     return out
+
+
+# --- vocabulary growth curve (Heaps-law readout, one-shuffle form) ---------------------
+# "How fast does the vocabulary still grow as the corpus grows?" — the
+# curve that says whether more data still buys new tokens. The naive form
+# recounts distinct tokens for every corpus prefix (K scans); this is the
+# one-shuffle form: docs land in K md5 checkpoint buckets, every token
+# keeps only its MINIMUM bucket (first appearance along the growth order),
+# and the curve is a K-cell cumulative fold — new_tokens[k] = #tokens
+# first seen at k, cum_vocab[k] = running sum. All integers.
+
+_VOCAB_GROWTH_K = 8
+
+
+def _vocab_growth_oracle() -> str:
+    from f1_lakehouse_spark.pipeline.hashing import sql_md5_hash48
+
+    h = sql_md5_hash48("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text, {h} % {_VOCAB_GROWTH_K} AS ck FROM documents
+), toks AS (
+  SELECT ck, unnest(string_split(text, ' ')) AS w FROM docs
+), firsts AS (
+  SELECT w, CAST(MIN(ck) AS BIGINT) AS first_ck FROM toks WHERE w <> '' GROUP BY w
+), cells AS (
+  SELECT first_ck, CAST(COUNT(*) AS BIGINT) AS new_tokens FROM firsts GROUP BY 1
+), dcells AS (
+  SELECT ck, CAST(COUNT(*) AS BIGINT) AS n_docs FROM docs GROUP BY 1
+), packed AS (
+  SELECT k,
+         COALESCE((SELECT new_tokens FROM cells WHERE first_ck = k), 0) AS new_tokens,
+         COALESCE((SELECT n_docs FROM dcells WHERE ck = k), 0) AS n_docs
+  FROM (SELECT unnest(range(0, {_VOCAB_GROWTH_K})) AS k)
+), arr AS (
+  SELECT list(struct_pack(k := k, nt := new_tokens, nd := n_docs) ORDER BY k) AS a FROM packed
+)
+SELECT a[i].k AS checkpoint,
+       a[i].nd AS n_docs,
+       a[i].nt AS new_tokens,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(a, 1, i), s -> s.nd)), (x, y) -> x + y) AS cum_docs,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_slice(a, 1, i), s -> s.nt)), (x, y) -> x + y) AS cum_vocab
+FROM (SELECT unnest(range(1, len(a) + 1)) AS i, a FROM arr)
+"""
+
+
+@register(
+    "text_vocab_growth_curve",
+    oracle=None,  # composed below
+    doc=f"vocabulary growth (Heaps-law) curve over {_VOCAB_GROWTH_K} md5 "
+    "checkpoint buckets in ONE token shuffle: each token keeps only its "
+    "minimum bucket (first appearance), the curve is a K-cell cumulative "
+    "fold — never K distinct-count scans.",
+    tags=("pipeline", "text", "analysis"),
+)
+def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one (token -> min bucket) aggregate with map-side combine
+    (postings-shaped shuffle), one K-row fold."""
+    from f1_lakehouse_spark.pipeline.hashing import spark_md5_hash48
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        (spark_md5_hash48(F.col("doc_id").cast("string")) % _VOCAB_GROWTH_K).alias(
+            "ck"
+        ),
+    )
+    d = d.persist()
+    d.count()  # two consumers: token explode + per-bucket doc counts
+    toks = d.select("ck", F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    firsts = toks.groupBy("w").agg(F.min("ck").cast("long").alias("first_ck"))
+    cells = firsts.groupBy("first_ck").agg(F.count("*").cast("long").alias("new_tokens"))
+    dcells = d.groupBy("ck").agg(F.count("*").cast("long").alias("n_docs"))
+    spine = spark.range(_VOCAB_GROWTH_K).select(F.col("id").alias("k"))
+    packed = (
+        spine.join(F.broadcast(cells), spine["k"] == cells["first_ck"], "left")
+        .join(F.broadcast(dcells), spine["k"] == dcells["ck"], "left")
+        .select(
+            "k",
+            F.coalesce("new_tokens", F.lit(0)).cast("long").alias("nt"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("nd"),
+        )
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("k", "nt", "nd"))
+            ).alias("a")
+        )
+    )
+    rows = packed.select(
+        F.explode(F.sequence(F.lit(1), F.size("a"))).alias("i"), "a"
+    )
+    el = F.element_at("a", F.col("i"))
+    zero = F.lit(0).cast("long")
+    cume = lambda fld: F.aggregate(  # noqa: E731
+        F.transform(F.slice("a", F.lit(1), F.col("i")), lambda s: s[fld]),
+        zero,
+        lambda x, y: x + y,
+    )
+    out = rows.select(
+        el["k"].alias("checkpoint"),
+        el["nd"].alias("n_docs"),
+        el["nt"].alias("new_tokens"),
+        cume("nd").alias("cum_docs"),
+        cume("nt").alias("cum_vocab"),
+    )
+    out = spark.createDataFrame(out.collect(), out.schema)
+    d.unpersist()
+    return out
+
+
+from f1_lakehouse_spark.registry import REGISTRY as _REG_R5  # noqa: E402
+
+_REG_R5["text_vocab_growth_curve"].oracle = _vocab_growth_oracle()
+
+
+# --- MATTR lexical diversity -----------------------------------------------------------
+# Type-token ratio is length-biased; the moving-average TTR (MATTR,
+# Covington & McFall) fixes it by averaging distinct/window over sliding
+# windows. Windows stride half a window (design constants), so the
+# per-doc work is O(tokens/stride) bounded array slices — map-only, no
+# shuffle at all; every count is an integer and the two divisions are the
+# only doubles.
+
+_MATTR_W = 50
+_MATTR_STRIDE = 25
+
+_MATTR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ts
+  FROM documents
+), base AS (
+  SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0
+), wins AS (
+  SELECT doc_id, n,
+         CASE WHEN n <= {_MATTR_W} THEN [CAST(len(list_distinct(ts)) AS DOUBLE) / CAST(n AS DOUBLE)]
+              ELSE list_transform(range(0, (n - {_MATTR_W}) // {_MATTR_STRIDE} + 1),
+                     j -> CAST(len(list_distinct(list_slice(ts, CAST(j AS INTEGER) * {_MATTR_STRIDE} + 1,
+                                                            CAST(j AS INTEGER) * {_MATTR_STRIDE} + {_MATTR_W}) )) AS DOUBLE)
+                          / CAST({_MATTR_W} AS DOUBLE))
+         END AS ws
+  FROM base
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(len(ws) AS BIGINT) AS n_windows,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ws), (a, b) -> a + b)
+         / CAST(len(ws) AS DOUBLE) AS mattr
+FROM wins
+"""
+
+
+@register(
+    "text_mattr_lexical_diversity",
+    oracle=_MATTR_ORACLE,
+    doc=f"MATTR lexical diversity (window {_MATTR_W}, stride "
+    f"{_MATTR_STRIDE}): moving-average type-token ratio per document — "
+    "length-unbiased where raw TTR is not; integer distinct counts over "
+    "bounded array slices, map-only.",
+    tags=("pipeline", "text", "quality"),
+)
+def text_mattr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: zero shuffles — scales exactly like the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.filter(F.split("text", " "), lambda w: w != "").alias("ts")
+    )
+    base = toks.where(F.size("ts") > 0).select(
+        "doc_id", "ts", F.size("ts").alias("n")
+    )
+    w, st = _MATTR_W, _MATTR_STRIDE
+
+    def win(j):
+        start = j.cast("int") * st + 1
+        return F.size(
+            F.array_distinct(F.slice("ts", start, F.lit(w)))
+        ).cast("double") / F.lit(float(w))
+
+    wins = base.select(
+        "doc_id",
+        "n",
+        F.when(
+            F.col("n") <= w,
+            F.array(
+                F.size(F.array_distinct("ts")).cast("double")
+                / F.col("n").cast("double")
+            ),
+        )
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(0), ((F.col("n") - w) / st).cast("long")), win
+            )
+        )
+        .alias("ws"),
+    )
+    return wins.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.size("ws").cast("long").alias("n_windows"),
+        (
+            F.aggregate("ws", F.lit(0.0), lambda a, b: a + b)
+            / F.size("ws").cast("double")
+        ).alias("mattr"),
+    )
+
+
+# --- Hellinger distance between source token distributions ------------------------------
+# Distribution drift between corpus sources as a true METRIC (unlike the
+# chi-square in text_source_drift_chi2): pairwise Hellinger distance over
+# the global top-K token distribution. sqrt is correctly rounded by
+# IEEE-754, so — unlike KL/JS, whose ln is engine-divergent — Hellinger is
+# bit-exact cross-engine: BC = sum sqrt(p_i q_i) folds over the K-cell
+# token-aligned arrays, H = sqrt(max(0, 1 - BC)).
+
+_HELL_TOPK = 200
+
+
+def _hellinger_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+), cnt AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM toks WHERE w <> '' GROUP BY 1, 2
+), topk AS (
+  SELECT w FROM (
+    SELECT w, SUM(c) AS tc FROM cnt GROUP BY w ORDER BY tc DESC, w ASC LIMIT {_HELL_TOPK}
+  )
+), spine AS (
+  SELECT s.source, t.w FROM (SELECT DISTINCT source FROM cnt) s CROSS JOIN topk t
+), filled AS (
+  SELECT sp.source, sp.w, COALESCE(c.c, 0) AS c
+  FROM spine sp LEFT JOIN cnt c ON sp.source = c.source AND sp.w = c.w
+), dist AS (
+  SELECT source,
+         list_transform(list(struct_pack(w := w, c := c) ORDER BY w), g -> g.c) AS cv,
+         CAST(SUM(c) AS BIGINT) AS tot
+  FROM filled GROUP BY source
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, len(a.cv) + 1),
+             i -> sqrt((CAST(a.cv[i] AS DOUBLE) / CAST(a.tot AS DOUBLE))
+                       * (CAST(b.cv[i] AS DOUBLE) / CAST(b.tot AS DOUBLE))))),
+           (x, y) -> x + y) AS bc
+  FROM dist a JOIN dist b ON a.source < b.source
+)
+SELECT source_a, source_b, bc AS bhattacharyya,
+       sqrt(CASE WHEN 1.0 - bc < 0.0 THEN 0.0 ELSE 1.0 - bc END) AS hellinger
+FROM pairs
+"""
+
+
+@register(
+    "text_hellinger_source_drift",
+    oracle=None,  # composed below
+    doc=f"pairwise Hellinger distance between source token distributions "
+    f"over the global top-{_HELL_TOPK} tokens — a true drift METRIC that "
+    "is bit-exact cross-engine (sqrt is IEEE-correctly-rounded; KL/JS's "
+    "ln is not), folded over token-aligned K-cell arrays.",
+    tags=("pipeline", "text", "analysis", "drift"),
+)
+def text_hellinger_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one token-count shuffle with map-side combine, a top-K
+    TakeOrdered broadcast, and a |sources|-row self-join of K-cell
+    arrays (persist+materialize barrier)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    cnt = toks.groupBy("source", "w").agg(F.count("*").cast("long").alias("c"))
+    cnt = cnt.persist()
+    cnt.count()  # three consumers: top-k, source list, fill join
+    topk = (
+        cnt.groupBy("w")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), F.col("w").asc())
+        .limit(_HELL_TOPK)
+        .select("w")
+    )
+    sources = cnt.select("source").distinct()
+    spine = sources.crossJoin(F.broadcast(topk))
+    filled = (
+        spine.alias("sp")
+        .join(
+            cnt.alias("c"),
+            (F.col("sp.source") == F.col("c.source")) & (F.col("sp.w") == F.col("c.w")),
+            "left",
+        )
+        .select(
+            F.col("sp.source").alias("source"),
+            F.col("sp.w").alias("w"),
+            F.coalesce(F.col("c.c"), F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    dist = filled.groupBy("source").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("w", "c"))), lambda g: g["c"]
+        ).alias("cv"),
+        F.sum("c").cast("long").alias("tot"),
+    )
+    dist = dist.persist()
+    dist.count()  # self-join on a derived frame
+    a, b = dist.alias("a"), dist.alias("b")
+    bc = F.aggregate(
+        F.zip_with(
+            F.col("a.cv"),
+            F.col("b.cv"),
+            lambda x, y: F.sqrt(
+                (x.cast("double") / F.col("a.tot").cast("double"))
+                * (y.cast("double") / F.col("b.tot").cast("double"))
+            ),
+        ),
+        F.lit(0.0),
+        lambda x, y: x + y,
+    )
+    out = (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            bc.alias("bhattacharyya"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "bhattacharyya",
+            F.sqrt(
+                F.when(F.lit(1.0) - F.col("bhattacharyya") < 0.0, F.lit(0.0)).otherwise(
+                    F.lit(1.0) - F.col("bhattacharyya")
+                )
+            ).alias("hellinger"),
+        )
+    )
+    out = spark.createDataFrame(out.collect(), out.schema)
+    dist.unpersist()
+    cnt.unpersist()
+    return out
+
+
+_REG_R5["text_hellinger_source_drift"].oracle = _hellinger_oracle()
