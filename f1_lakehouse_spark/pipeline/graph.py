@@ -219,23 +219,29 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    # the two-hop join is the dominant stage and member reads it three
-    # times: persist AND materialize before the union (CLAUDE.md convention)
-    tri = e1.join(e2, "b").join(e3, ["a", "c"]).persist()
-    tri.count()
-    member = (
-        tri.select(F.col("a").alias("v"))
-        .unionAll(tri.select(F.col("b").alias("v")))
-        .unionAll(tri.select(F.col("c").alias("v")))
-    )
+    # The dense co-supply graph yields ~C(k,3)-scale triangle rows (124M at
+    # sf0.1) — NEVER materialize them: explode the three member roles
+    # inline so the count partially aggregates map-side within the join
+    # stage; the only triangle-scale data lives inside tasks and the
+    # shuffle carries one row per vertex. (The previous persist + 3-way
+    # unionAll wrote the 124M rows to cache and read them three times:
+    # 18.7s -> the join cost alone.)
+    # Broadcast both probe sides: the edge set is |E| rows of two longs
+    # (~7 MB at sf0.1 — the dense-1000-vertex worst case), so the ~1.7e8
+    # wedge stream never crosses an exchange — wedge build, closing-edge
+    # check, role explode and partial aggregation all pipeline inside ONE
+    # map stage, and the only shuffle carries one row per vertex. At
+    # cluster scale this holds while |E| fits the broadcast budget
+    # (~billions of edges per 8 GB); beyond that, fall back to the
+    # degree-ordered shuffle join (see SCALE.md).
+    tri = e1.join(F.broadcast(e2), "b").join(F.broadcast(e3), ["a", "c"])
+    member = tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
+    counts = member.groupBy("v").agg(F.count("*").alias("n_triangles"))
     s = load_table(spark, sf_dir, "supplier")
-    out = (
-        member.join(s, member["v"] == s["s_suppkey"])
-        .groupBy("s_suppkey", "s_name")
-        .agg(F.count("*").alias("n_triangles"))
+    out = counts.join(F.broadcast(s), counts["v"] == s["s_suppkey"]).select(
+        "s_suppkey", "s_name", "n_triangles"
     )
     out = out.persist()
     out.count()
-    tri.unpersist()
     und.unpersist()
     return out
