@@ -199,6 +199,32 @@ EXTENDED = [
     "curation_doremi_reweight",
     "ann_batch_query_topk",
     "embedding_knn_ood_score",
+    # round-5 additions
+    "orders_theil_sen_trend",
+    "orders_mann_kendall_trend",
+    "lineitem_fisher_price_index",
+    "orders_nelson_aalen_hazard",
+    "supplier_lorenz_curve",
+    "events_winsorized_lift",
+    "events_bh_fdr_segments",
+    "orders_croston_intermittent",
+    "scoring_isotonic_calibration",
+    "docs_confident_learning_prune",
+    "embedding_knn_shapley",
+    "mm_phash_hadamard_neardup",
+    "lineitem_mean_excess_evt",
+    "orders_spearman_price_volume",
+    "text_vocab_growth_curve",
+    "text_mattr_lexical_diversity",
+    "events_qini_uplift_curve",
+    "orders_runs_test",
+    "supplier_revenue_anova",
+    "scoring_brier_decomposition",
+    "text_hellinger_source_drift",
+    "approx_sketches",
+    "hll_mergeable_distinct",
+    "graph_triangle_count",
+    "text_token_burstiness",
 ]
 
 # Bench breadth freeze (r3 verdict item 8): the extended suite passed 100

@@ -2134,3 +2134,79 @@ def text_hellinger_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG_R5["text_hellinger_source_drift"].oracle = _hellinger_oracle()
+
+
+# --- token burstiness (Church-Gale variance-to-mean) ------------------------------------
+# Bursty tokens (doc-clustered, content-bearing) vs uniform tokens
+# (function words): the variance-to-mean ratio of per-document counts over
+# ALL documents (zeros included — handled in closed form, never
+# materialized: with T docs and the token present in n of them, the
+# zero-padded moments are S1 and S2 of the present counts with T in the
+# denominators). Integer moments, two exact divisions, one TakeOrdered.
+
+_BURST_MIN_DOCS = 20
+_BURST_TOPK = 25
+
+_BURSTINESS_ORACLE = f"""
+WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+cnt AS (
+  SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY 1, 2
+), mom AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_present,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM cnt GROUP BY w
+)
+SELECT w AS token, n_present, s1 AS total_count,
+       CAST(s1 AS DOUBLE) / CAST(t.n_docs AS DOUBLE) AS mean_per_doc,
+       (CAST(s2 AS DOUBLE) / CAST(t.n_docs AS DOUBLE)
+         - (CAST(s1 AS DOUBLE) / CAST(t.n_docs AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(t.n_docs AS DOUBLE)))
+         / (CAST(s1 AS DOUBLE) / CAST(t.n_docs AS DOUBLE)) AS burstiness
+FROM mom, t
+WHERE n_present >= {_BURST_MIN_DOCS}
+ORDER BY burstiness DESC, w ASC LIMIT {_BURST_TOPK}
+"""
+
+
+@register(
+    "text_token_burstiness",
+    oracle=_BURSTINESS_ORACLE,
+    doc=f"Church-Gale token burstiness (variance-to-mean of per-doc "
+    f"counts, zero docs in closed form): top-{_BURST_TOPK} bursty tokens "
+    f"with >= {_BURST_MIN_DOCS} doc support — integer moments, exact "
+    "divisions, TakeOrdered.",
+    tags=("pipeline", "text", "analysis"),
+)
+def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one (token, doc) count + one token-moment aggregate, both
+    map-side combined; zeros never materialize (closed form over T)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # 1 scalar; the doc count is the zero-padding term
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w", "doc_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    mom = cnt.groupBy("w").agg(
+        F.count("*").cast("long").alias("n_present"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    td = F.lit(float(n_docs))
+    mean = F.col("s1").cast("double") / td
+    burst = (F.col("s2").cast("double") / td - mean * mean) / mean
+    return (
+        mom.where(F.col("n_present") >= _BURST_MIN_DOCS)
+        .select(
+            F.col("w").alias("token"),
+            "n_present",
+            F.col("s1").alias("total_count"),
+            mean.alias("mean_per_doc"),
+            burst.alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), F.col("token").asc())
+        .limit(_BURST_TOPK)
+    )

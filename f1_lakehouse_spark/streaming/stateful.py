@@ -227,3 +227,87 @@ def streaming_ewma(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming Croston twin (orders_croston_intermittent's stateful counterpart) ----
+
+_CROSTON_OUT = StructType(
+    [
+        StructField("part_key", LongType()),
+        StructField("n_demand_months", LongType()),
+        StructField("z_size", DoubleType()),
+        StructField("p_interval", DoubleType()),
+        StructField("croston_rate", DoubleType()),
+    ]
+)
+_CROSTON_STATE = StructType(
+    [
+        StructField("nd", LongType()),
+        StructField("z", DoubleType()),
+        StructField("p", DoubleType()),
+        StructField("first_ym", LongType()),
+        StructField("last_ym", LongType()),
+    ]
+)
+_CROSTON_ALPHA_F = 0.25  # dyadic; MUST match operators.round5_stats
+
+
+def _update_croston(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold monthly demand CELLS (contract: exactly one row per
+    (part, month), months non-decreasing across batches — the shape an
+    upstream gold month-cell stream emits) into Croston [z, p] state.
+    Chunk discipline per the EWMA twin: concatenate ALL Arrow chunks,
+    sort once, then fold. Seeding matches the batch op: z seeds at the
+    first demand month, p seeds at the SECOND (first observed interval);
+    nd counts demand months."""
+    nd, z, p, first_ym, last_ym = (
+        state.get if state.exists else (0, 0.0, 0.0, -1, -1)
+    )
+    chunks = [pdf.dropna(subset=["qty"]) for pdf in pdfs]
+    pdf = pd.concat(chunks) if chunks else pd.DataFrame(columns=["ym0", "qty"])
+    pdf = pdf.sort_values(["ym0"])
+    for ym, q in zip(pdf["ym0"].astype(int), pdf["qty"].astype(float)):
+        if q <= 0.0:
+            continue
+        if nd == 0:
+            z, first_ym = q, ym
+        elif nd == 1:
+            p = float(ym - last_ym)
+            z = _CROSTON_ALPHA_F * q + (1.0 - _CROSTON_ALPHA_F) * z
+        else:
+            p = _CROSTON_ALPHA_F * float(ym - last_ym) + (1.0 - _CROSTON_ALPHA_F) * p
+            z = _CROSTON_ALPHA_F * q + (1.0 - _CROSTON_ALPHA_F) * z
+        last_ym = ym
+        nd += 1
+    state.update((nd, z, p, first_ym, last_ym))
+    yield pd.DataFrame(
+        {
+            "part_key": [key[0]],
+            "n_demand_months": [nd],
+            "z_size": [z if nd > 0 else None],
+            "p_interval": [p if nd > 1 else None],
+            "croston_rate": [z / p if nd > 1 else None],
+        }
+    )
+
+
+def streaming_croston(cells: DataFrame) -> DataFrame:
+    """Per-part streaming Croston intermittent-demand state over a month-
+    cell stream (columns: part_key, ym0, qty). Same all-history NoTimeout
+    semantics and bounded-state caveats as streaming_user_totals; state is
+    5 scalars per part."""
+    return (
+        cells.select(F.col("part_key"), F.col("ym0"), F.col("qty"))
+        .groupBy("part_key")
+        .applyInPandasWithState(
+            _update_croston,
+            outputStructType=_CROSTON_OUT,
+            stateStructType=_CROSTON_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -630,3 +630,75 @@ def test_stateful_ewma_chunk_and_seed_semantics():
     real = pd.DataFrame({"ts": [2], "event_id": [2], "value": [7.0]})
     row1 = run(st2, [real])
     assert (row1["n_events"], row1["last_ewma"], row1["max_abs_dev"]) == (1, 7.0, 0.0)
+
+def test_stateful_streaming_croston_equals_batch(spark):
+    """The streaming Croston twin over a month-cell stream must reproduce
+    the batch operator exactly for every cohort part, INCLUDING state
+    carried across micro-batch boundaries (the cells arrive as two
+    files split mid-calendar, one file per trigger)."""
+    import os
+    import tempfile
+
+    from f1_lakehouse_spark.registry import REGISTRY, _ensure_loaded
+    from f1_lakehouse_spark.streaming.stateful import streaming_croston
+
+    _ensure_loaded()
+    batch = {
+        r["part_key"]: (r["n_demand_months"], r["z_size"], r["p_interval"], r["croston_rate"])
+        for r in REGISTRY["orders_croston_intermittent"].fn(spark, SF_DIR).collect()
+    }
+    assert batch
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    cells = (
+        li.select(
+            F.col("l_partkey").alias("part_key"),
+            (
+                F.year("l_shipdate").cast("long") * 12
+                + F.month("l_shipdate").cast("long")
+                - 1
+            ).alias("ym0"),
+            (F.col("l_quantity").cast("decimal(18,3)") * 1000).cast("long").alias("q"),
+        )
+        .groupBy("part_key", "ym0")
+        .agg((F.sum("q").cast("double") / F.lit(1000.0)).alias("qty"))
+    )
+    mid = cells.agg(F.expr("percentile_approx(ym0, 0.5)")).collect()[0][0]
+    with tempfile.TemporaryDirectory() as tmp:
+        d = f"{tmp}/cells"
+        os.makedirs(d)
+        cells.where(F.col("ym0") <= mid).coalesce(1).write.parquet(f"{d}/f0")
+        cells.where(F.col("ym0") > mid).coalesce(1).write.parquet(f"{d}/f1")
+        # one parquet file per dir; force arrival order via mtimes
+        paths = []
+        for sub in ("f0", "f1"):
+            p = [f for f in os.listdir(f"{d}/{sub}") if f.endswith(".parquet")][0]
+            paths.append(f"{d}/{sub}/{p}")
+        os.utime(paths[0], (1_000_000_000, 1_000_000_000))
+        os.utime(paths[1], (1_000_000_100, 1_000_000_100))
+        schema = spark.read.parquet(paths[0]).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(d)
+        )
+        out = streaming_croston(stream)
+        run_available_now_to_memory(out, "croston_out", output_mode="update")
+        # the memory sink keeps every batch's emission; the FINAL state per
+        # part is the row with the largest n_demand_months (nd is
+        # monotonically non-decreasing across batches)
+        streamed = {}
+        for r in spark.sql(
+            "SELECT * FROM croston_out ORDER BY part_key, n_demand_months"
+        ).collect():
+            streamed[r["part_key"]] = (
+                r["n_demand_months"],
+                r["z_size"],
+                r["p_interval"],
+                r["croston_rate"],
+            )
+    for pk, expected in batch.items():
+        assert pk in streamed, pk
+        assert streamed[pk] == expected, (pk, streamed[pk], expected)
