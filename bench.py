@@ -225,6 +225,10 @@ EXTENDED = [
     "hll_mergeable_distinct",
     "graph_triangle_count",
     "text_token_burstiness",
+    "part_bom_subtree_rollup",
+    "orders_hier_forecast_reconcile",
+    "events_position_attribution",
+    "events_did_lift",
 ]
 
 # Bench breadth freeze (r3 verdict item 8): the extended suite passed 100

@@ -2081,3 +2081,224 @@ def events_ab_srm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2"),
         F.when(chi2 > float(_SRM_CRIT_95), 1).otherwise(0).alias("srm_flag"),
     )
+
+
+# --- U-shaped (position-based) attribution ----------------------------------------------
+# Completes the attribution family (last-touch: windows.py; Shapley:
+# above): 40/20/40 position-based credit over each converting user's
+# pre-conversion touch sequence. Exact-by-construction: credit is INTEGER
+# ppm with the largest-remainder rule (the curation_neyman_allocation
+# discipline) — first and last touch get 400,000 ppm, the middle 200,000
+# ppm splits evenly with the remainder going to the earliest middles — so
+# every user's credits sum to exactly 1,000,000 and channel totals are
+# BIGINT sums, deterministic at any parallelism.
+
+_POS_ATTR_ORACLE = f"""
+WITH conv AS (
+  SELECT user_id, MIN(ts) AS conv_ts
+  FROM events WHERE event_type = 'purchase' AND value > {AB_CONV_VALUE}
+  GROUP BY user_id
+), touches AS (
+  SELECT e.user_id,
+         list(struct_pack(et := e.event_type, ts := e.ts, eid := e.event_id)
+              ORDER BY e.ts, e.event_id) AS tl
+  FROM events e JOIN conv c ON e.user_id = c.user_id
+  WHERE e.event_type IN ('click', 'view') AND e.ts < c.conv_ts
+  GROUP BY e.user_id
+), credited AS (
+  SELECT user_id, len(tl) AS k,
+         list_transform(range(1, len(tl) + 1),
+           i -> struct_pack(
+             ch := tl[i].et,
+             ppm := CASE
+               WHEN len(tl) = 1 THEN 1000000
+               WHEN len(tl) = 2 THEN 500000
+               WHEN i = 1 OR i = len(tl) THEN 400000
+               ELSE 200000 // (len(tl) - 2)
+                    + CASE WHEN i - 1 <= 200000 % (len(tl) - 2) THEN 1 ELSE 0 END
+             END)) AS cr
+  FROM touches
+), exploded AS (
+  SELECT user_id, u.ch AS channel, u.ppm AS ppm
+  FROM credited, unnest(cr) AS t(u)
+)
+SELECT channel,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_credited,
+       CAST(SUM(ppm) AS BIGINT) AS credit_ppm,
+       CAST(SUM(ppm) AS DOUBLE)
+         / (SELECT CAST(SUM(ppm) AS DOUBLE) FROM exploded) AS credit_share
+FROM exploded GROUP BY channel
+"""
+
+
+@register(
+    "events_position_attribution",
+    oracle=_POS_ATTR_ORACLE,
+    doc="U-shaped (40/20/40) position-based conversion attribution over "
+    "each converting user's pre-conversion touch sequence — INTEGER ppm "
+    "credits with the largest-remainder rule (each user sums to exactly "
+    "1e6 ppm), so channel totals are exact BIGINT sums.",
+    tags=("events", "attribution", "extension"),
+)
+def events_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one conversion aggregate + one touch collect per
+    converting user (arrays bounded by per-user activity), one exploded
+    channel aggregate with map-side combine."""
+    e = load_table(spark, sf_dir, "events")
+    conv = (
+        e.where((F.col("event_type") == "purchase") & (F.col("value") > AB_CONV_VALUE))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    touches = (
+        e.where(F.col("event_type").isin("click", "view"))
+        .join(conv, "user_id")
+        .where(F.col("ts") < F.col("conv_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("ts"), F.col("event_id").alias("eid"), F.col("event_type").alias("et"))
+                )
+            ).alias("tl")
+        )
+    )
+    credited = touches.select(
+        "user_id",
+        F.size("tl").alias("k"),
+        F.transform(
+            F.sequence(F.lit(1), F.size("tl")),
+            lambda i: F.struct(
+                F.element_at("tl", i.cast("int"))["et"].alias("ch"),
+                F.when(F.size("tl") == 1, F.lit(1000000))
+                .when(F.size("tl") == 2, F.lit(500000))
+                .when((i == 1) | (i == F.size("tl")), F.lit(400000))
+                .otherwise(
+                    (F.lit(200000) / (F.size("tl") - 2)).cast("int")
+                    + F.when(
+                        i - 1 <= F.lit(200000) % (F.size("tl") - 2), F.lit(1)
+                    ).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("ppm"),
+            ),
+        ).alias("cr"),
+    )
+    exploded = credited.select(
+        "user_id", F.explode("cr").alias("u")
+    ).select("user_id", F.col("u.ch").alias("channel"), F.col("u.ppm").alias("ppm"))
+    tot = exploded.agg(F.sum("ppm").cast("double").alias("tot_ppm"))
+    return (
+        exploded.groupBy("channel")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users_credited"),
+            F.sum("ppm").cast("long").alias("credit_ppm"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_users_credited",
+            "credit_ppm",
+            (F.col("credit_ppm").cast("double") / F.col("tot_ppm")).alias(
+                "credit_share"
+            ),
+        )
+    )
+
+
+# --- difference-in-differences lift --------------------------------------------------------
+# The pre/post × treated/control 2x2: period split at the exact calendar
+# midpoint (integer MICROsecond midpoint — Spark's events ts is µs-
+# truncated by the loader, so the oracle compares epoch_us), variant from
+# the shared salted hash, cell means from decimal-exact value sums
+# (scale-3 rounded before their only double casts). DiD = (post_t -
+# pre_t) - (post_c - pre_c). One events scan + one 4-cell aggregate.
+
+
+def _did_oracle() -> str:
+    from f1_lakehouse_spark.pipeline.hashing import sql_salted_hash
+
+    vh = sql_salted_hash("user_id", ":ab")
+    return f"""
+WITH rng AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
+), cells AS (
+  SELECT {vh} % 2 AS variant,
+         CASE WHEN epoch_us(e.ts) > r.mid THEN 1 ELSE 0 END AS post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(round(SUM(CAST(e.value AS DECIMAL(28,9))), 3) AS DOUBLE) AS s1
+  FROM events e CROSS JOIN rng r WHERE e.value IS NOT NULL
+  GROUP BY 1, 2
+), wide AS (
+  SELECT
+    MAX(CASE WHEN variant = 1 AND post = 0 THEN s1 / CAST(n AS DOUBLE) END) AS pre_t,
+    MAX(CASE WHEN variant = 1 AND post = 1 THEN s1 / CAST(n AS DOUBLE) END) AS post_t,
+    MAX(CASE WHEN variant = 0 AND post = 0 THEN s1 / CAST(n AS DOUBLE) END) AS pre_c,
+    MAX(CASE WHEN variant = 0 AND post = 1 THEN s1 / CAST(n AS DOUBLE) END) AS post_c,
+    CAST(SUM(n) AS BIGINT) AS n_events
+  FROM cells
+)
+SELECT n_events, pre_t, post_t, pre_c, post_c,
+       (post_t - pre_t) - (post_c - pre_c) AS did_estimate
+FROM wide
+"""
+
+
+@register(
+    "events_did_lift",
+    oracle=None,  # composed below
+    doc="difference-in-differences: pre/post split at the exact integer-"
+    "nanosecond calendar midpoint, treated/control from the shared salted "
+    "hash, 2x2 cell means from decimal-exact sums; the causal-inference "
+    "companion to events_cuped_adjusted_lift.",
+    tags=("events", "experiment", "extension"),
+)
+def events_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One events scan + one 4-cell aggregate (the midpoint is a 1-row
+    broadcast)."""
+    from f1_lakehouse_spark.pipeline.hashing import spark_salted_hash
+
+    e = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    us = F.unix_micros(F.col("ts"))
+    rng = e.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("mid")
+    )
+    cells = (
+        e.crossJoin(F.broadcast(rng))
+        .select(
+            (spark_salted_hash("user_id", ":ab") % 2).alias("variant"),
+            F.when(us > F.col("mid"), 1).otherwise(0).alias("post"),
+            F.col("value").cast("decimal(28,9)").alias("v"),
+        )
+        .groupBy("variant", "post")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("v"), 3).cast("double").alias("s1"),
+        )
+    )
+    mean = F.col("s1") / F.col("n").cast("double")
+    pick = lambda var, po: F.max(  # noqa: E731
+        F.when((F.col("variant") == var) & (F.col("post") == po), mean)
+    )
+    wide = cells.agg(
+        pick(1, 0).alias("pre_t"),
+        pick(1, 1).alias("post_t"),
+        pick(0, 0).alias("pre_c"),
+        pick(0, 1).alias("post_c"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    return wide.select(
+        "n_events",
+        "pre_t",
+        "post_t",
+        "pre_c",
+        "post_c",
+        (
+            (F.col("post_t") - F.col("pre_t")) - (F.col("post_c") - F.col("pre_c"))
+        ).alias("did_estimate"),
+    )
+
+
+from f1_lakehouse_spark.registry import REGISTRY as _REG_DID  # noqa: E402
+
+_REG_DID["events_did_lift"].oracle = _did_oracle()

@@ -1910,3 +1910,318 @@ def supplier_revenue_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_stat"),
         (ssb / sst).alias("eta_squared"),
     )
+
+
+# --- recursive hierarchy (BOM-style) subtree rollup --------------------------------------
+# The classic warehouse recursion Spark famously lacks as syntax (no
+# WITH RECURSIVE): roll a cost up a part hierarchy. Hierarchy is derived
+# deterministically (parent(pk) = pk div 10; depth = digit count, so the
+# recursion depth is log10(|parts|) — 5 levels at a billion parts). The
+# Spark side runs the LEVEL-SYNCHRONOUS bottom-up loop — one
+# child-sum-join per level with a persist barrier (the iterative-lineage
+# rule), shuffle keyed on parent — while the DuckDB oracle is a real
+# WITH RECURSIVE transitive closure, so the recursion SEMANTICS are
+# differentially checked, not just the arithmetic. All integer cents.
+
+_BOM_ORACLE = """
+WITH RECURSIVE parts AS (
+  SELECT p_partkey AS pk,
+         CAST(CAST(round(p_retailprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM part
+), closure(root, node) AS (
+  SELECT pk, pk FROM parts
+  UNION ALL
+  SELECT c.root, p.pk
+  FROM closure c JOIN parts p ON p.pk // 10 = c.node AND p.pk >= 10
+)
+SELECT c.root AS p_partkey,
+       CAST(length(CAST(c.root AS VARCHAR)) AS BIGINT) AS level,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_descendants,
+       CAST(MAX(CASE WHEN c.node = c.root THEN p.cents END) AS BIGINT) AS own_cents,
+       CAST(SUM(p.cents) AS BIGINT) AS subtree_cents
+FROM closure c JOIN parts p ON p.pk = c.node
+GROUP BY c.root
+"""
+
+
+@register(
+    "part_bom_subtree_rollup",
+    oracle=_BOM_ORACLE,
+    doc="recursive BOM-style subtree cost rollup over the derived part "
+    "hierarchy (parent = pk div 10): Spark runs the level-synchronous "
+    "bottom-up loop (one parent-keyed shuffle per digit level, persist "
+    "barrier per round); the oracle is a genuine WITH RECURSIVE closure "
+    "— recursion semantics differentially checked. Integer cents.",
+    tags=("hierarchy", "recursive", "extension"),
+)
+def part_bom_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: depth = log10(|parts|) (5 rounds at 1e9 parts); each round
+    is one groupBy(parent) with map-side combine over the CURRENT level
+    only, never the whole closure — the closure table the oracle builds
+    is exactly what this loop avoids materializing."""
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"),
+        (F.round(F.col("p_retailprice"), 2).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    base = p.select(
+        "pk",
+        F.expr("pk div 10").alias("parent"),
+        F.length(F.col("pk").cast("string")).cast("int").alias("lvl"),
+        "cents",
+    )
+    base = base.persist()
+    max_lvl = base.agg(F.max("lvl")).collect()[0][0]
+    # sub(p) accumulates the subtree sum bottom-up, level-synchronously
+    sub = base.select(
+        "pk",
+        "parent",
+        "lvl",
+        F.col("cents").alias("own_cents"),
+        F.col("cents").alias("subtree_cents"),
+        F.lit(1).cast("long").alias("n_nodes"),
+    )
+    prev = None
+    for lvl in range(int(max_lvl), 1, -1):
+        child = (
+            sub.where((F.col("lvl") == lvl) & (F.col("pk") >= 10))
+            .groupBy("parent")
+            .agg(
+                F.sum("subtree_cents").alias("c_cents"),
+                F.sum("n_nodes").alias("c_nodes"),
+            )
+            .select(
+                F.col("parent").alias("cpk"),  # rename: child derives from sub
+                "c_cents",
+                "c_nodes",
+            )
+        )
+        sub = (
+            sub.join(child, F.col("pk") == F.col("cpk"), "left")
+            .select(
+                "pk",
+                "parent",
+                "lvl",
+                "own_cents",
+                (
+                    F.col("subtree_cents") + F.coalesce(F.col("c_cents"), F.lit(0))
+                ).alias("subtree_cents"),
+                (F.col("n_nodes") + F.coalesce(F.col("c_nodes"), F.lit(0))).alias(
+                    "n_nodes"
+                ),
+            )
+        )
+        sub = sub.persist()
+        sub.count()  # barrier: each round's join must not re-derive lineage
+        if prev is not None:
+            prev.unpersist()
+        prev = sub
+    out = sub.select(
+        F.col("pk").alias("p_partkey"),
+        F.col("lvl").cast("long").alias("level"),
+        (F.col("n_nodes") - 1).cast("long").alias("n_descendants"),
+        "own_cents",
+        "subtree_cents",
+    )
+    out = spark.createDataFrame(out.collect(), out.schema)
+    if prev is not None:
+        prev.unpersist()
+    base.unpersist()
+    return out
+
+
+# --- hierarchical forecast reconciliation -------------------------------------------------
+# Nation-level Holt forecasts disagree with the global one; the two
+# classic reconciliations are BOTTOM-UP (sum the children) and TOP-DOWN
+# (split the global forecast by historical proportions). Emits both per
+# nation plus the __total__ row, so the coherence gap is data. Exact:
+# per-series Holt folds reuse the orders_holt_forecast list-state
+# discipline (cents-exact cells, DOUBLE-list [level, trend] state); the
+# bottom-up sum folds over the nation-sorted 25-cell array; proportions
+# are ratios of exact cent integers.
+
+_HF_ALPHA, _HF_BETA = "0.25", "0.125"  # dyadic, same as orders_holt_forecast
+
+_HF_STEP_SQL = (
+    "(acc, x) -> ["
+    f"CAST({_HF_ALPHA} AS DOUBLE) * x[1] + (CAST(1.0 AS DOUBLE) - CAST({_HF_ALPHA} AS DOUBLE)) * (acc[1] + acc[2]), "
+    f"CAST({_HF_BETA} AS DOUBLE) * (CAST({_HF_ALPHA} AS DOUBLE) * x[1] + (CAST(1.0 AS DOUBLE) - CAST({_HF_ALPHA} AS DOUBLE)) * (acc[1] + acc[2]) - acc[1]) "
+    f"+ (CAST(1.0 AS DOUBLE) - CAST({_HF_BETA} AS DOUBLE)) * acc[2]"
+    "]"
+)
+
+_HF_ORACLE = f"""
+WITH cells AS (
+  SELECT c.c_nationkey AS nk,
+         (CAST(year(o.o_orderdate) AS BIGINT) * 12 + CAST(month(o.o_orderdate) AS BIGINT) - 1) AS ym0,
+         CAST(SUM(CAST(CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), spine AS (
+  SELECT nk, list(struct_pack(ym := ym0, v := CAST(cents AS DOUBLE) / 100.0) ORDER BY ym0) AS arr,
+         CAST(SUM(cents) AS BIGINT) AS hist_cents
+  FROM cells GROUP BY nk
+), fitted AS (
+  SELECT nk, hist_cents, len(arr) AS n,
+         list_reduce(
+           list_prepend([arr[1].v, arr[2].v - arr[1].v],
+                        list_transform(list_slice(arr, 2, len(arr)), s -> [s.v, CAST(0.0 AS DOUBLE)])),
+           {_HF_STEP_SQL}) AS st
+  FROM spine WHERE len(arr) >= 2
+), nation_fc AS (
+  SELECT nk, hist_cents, st[1] + st[2] AS fc FROM fitted
+), tot AS (
+  SELECT ym0, CAST(SUM(cents) AS BIGINT) AS cents FROM cells GROUP BY ym0
+), tot_spine AS (
+  SELECT list(struct_pack(ym := ym0, v := CAST(cents AS DOUBLE) / 100.0) ORDER BY ym0) AS arr,
+         CAST(SUM(cents) AS BIGINT) AS hist_cents
+  FROM tot
+), tot_fc AS (
+  SELECT hist_cents,
+         list_reduce(
+           list_prepend([arr[1].v, arr[2].v - arr[1].v],
+                        list_transform(list_slice(arr, 2, len(arr)), s -> [s.v, CAST(0.0 AS DOUBLE)])),
+           {_HF_STEP_SQL}) AS st
+  FROM tot_spine
+), bu AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(list(struct_pack(nk := nk, fc := fc) ORDER BY nk), s -> s.fc)),
+           (a, b) -> a + b) AS bottom_up
+  FROM nation_fc
+)
+SELECT CAST(n.nk AS BIGINT) AS nationkey,
+       n.fc AS holt_forecast,
+       (CAST(n.hist_cents AS DOUBLE) / CAST(t.hist_cents AS DOUBLE)) * (t.st[1] + t.st[2]) AS top_down_forecast,
+       t.st[1] + t.st[2] AS global_forecast,
+       b.bottom_up AS bottom_up_total
+FROM nation_fc n, tot_fc t, bu b
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS nationkey,
+       b.bottom_up AS holt_forecast,
+       t.st[1] + t.st[2] AS top_down_forecast,
+       t.st[1] + t.st[2] AS global_forecast,
+       b.bottom_up AS bottom_up_total
+FROM tot_fc t, bu b
+"""
+
+
+@register(
+    "orders_hier_forecast_reconcile",
+    oracle=_HF_ORACLE,
+    doc="hierarchical forecast reconciliation: per-nation Holt one-step "
+    "forecasts vs BOTTOM-UP (nation-sorted fold of the 25 children) and "
+    "TOP-DOWN (global Holt split by exact historical cent proportions); "
+    "the __total__(-1) row carries the coherence gap as data. Same "
+    "list-state fold discipline as orders_holt_forecast.",
+    tags=("stats", "timeseries", "forecast", "hierarchy", "extension"),
+)
+def orders_hier_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one (nation, month) partial-aggregated shuffle; 26 Holt
+    folds over calendar-bounded arrays; the reconciliation itself is a
+    25-cell fold."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cents = (F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)") * 100).cast("long")
+    cells = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            (
+                F.year("o_orderdate").cast("long") * 12
+                + F.month("o_orderdate").cast("long")
+                - 1
+            ).alias("ym0"),
+            cents.alias("cval"),
+        )
+        .groupBy("nk", "ym0")
+        .agg(F.sum("cval").alias("cents"))
+    )
+    cells = cells.persist()
+    cells.count()  # two consumers: per-nation spines and the global spine
+
+    alpha, beta = F.lit(0.25), F.lit(0.125)
+
+    def holt_step(acc, x):
+        lvl = alpha * F.element_at(x, 1) + (F.lit(1.0) - alpha) * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+        tr = beta * (
+            alpha * F.element_at(x, 1)
+            + (F.lit(1.0) - alpha) * (F.element_at(acc, 1) + F.element_at(acc, 2))
+            - F.element_at(acc, 1)
+        ) + (F.lit(1.0) - beta) * F.element_at(acc, 2)
+        return F.array(lvl, tr)
+
+    def holt_fc(frame, keys):
+        packed = frame.groupBy(*keys).agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("ym0").alias("ym"),
+                        (F.col("cents").cast("double") / F.lit(100.0)).alias("v"),
+                    )
+                )
+            ).alias("arr"),
+            F.sum("cents").cast("long").alias("hist_cents"),
+        )
+        init = F.array(
+            F.element_at("arr", 1)["v"],
+            F.element_at("arr", 2)["v"] - F.element_at("arr", 1)["v"],
+        )
+        steps = F.transform(
+            F.slice("arr", F.lit(2), F.size("arr") - 1),
+            lambda s: F.array(s["v"], F.lit(0.0)),
+        )
+        st = F.aggregate(steps, init, holt_step)
+        return packed.where(F.size("arr") >= 2).select(
+            *keys,
+            "hist_cents",
+            (F.element_at(st, 1) + F.element_at(st, 2)).alias("fc"),
+        )
+
+    nation_fc = holt_fc(cells, ["nk"])
+    tot_cells = cells.groupBy("ym0").agg(F.sum("cents").alias("cents"))
+    tot_fc = holt_fc(tot_cells.select(F.lit(0).alias("g"), "ym0", "cents"), ["g"]).select(
+        F.col("hist_cents").alias("g_hist"), F.col("fc").alias("g_fc")
+    )
+    bu = nation_fc.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("nk"), F.col("fc")))
+                ),
+                lambda s: s["fc"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("bottom_up")
+    )
+    per_nation = (
+        nation_fc.crossJoin(F.broadcast(tot_fc))
+        .crossJoin(F.broadcast(bu))
+        .select(
+            F.col("nk").cast("long").alias("nationkey"),
+            F.col("fc").alias("holt_forecast"),
+            (
+                (F.col("hist_cents").cast("double") / F.col("g_hist").cast("double"))
+                * F.col("g_fc")
+            ).alias("top_down_forecast"),
+            F.col("g_fc").alias("global_forecast"),
+            F.col("bottom_up").alias("bottom_up_total"),
+        )
+    )
+    total_row = (
+        tot_fc.crossJoin(F.broadcast(bu))
+        .select(
+            F.lit(-1).cast("long").alias("nationkey"),
+            F.col("bottom_up").alias("holt_forecast"),
+            F.col("g_fc").alias("top_down_forecast"),
+            F.col("g_fc").alias("global_forecast"),
+            F.col("bottom_up").alias("bottom_up_total"),
+        )
+    )
+    out = per_nation.unionByName(total_row)
+    out = spark.createDataFrame(out.collect(), out.schema)
+    cells.unpersist()
+    return out

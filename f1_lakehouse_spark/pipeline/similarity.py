@@ -3166,7 +3166,7 @@ FROM folded f JOIN train t ON f.vec_id = t.vec_id
     f"{_SHAP_PROBES} held-out probes: descending-cosine rank per probe, "
     "telescoping suffix sums of integer-ratio terms, probe-ordered "
     "average — bit-exact cross-engine.",
-    tags=("pipeline", "ann", "valuation", "eval"),
+    tags=("pipeline", "similarity", "valuation", "eval"),
 )
 def embedding_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     """100 TB: the sample pick is a distributed TakeOrdered over the md5
