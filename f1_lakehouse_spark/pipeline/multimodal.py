@@ -499,6 +499,22 @@ def mm_phash_hadamard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan stage); the only shuffles are the 3 band-bucket joins plus a
     DISTINCT over candidates; verify is one XOR popcount per candidate."""
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    # the fingerprint build is pure map CPU: make it run wide even when the
+    # input is one small file (input-bytes-derived check, the
+    # stats_bootstrap_ci_poisson idiom — at scale the scan is already
+    # parallel and this is a no-op)
+    from f1_lakehouse_spark.session import input_bytes
+    from f1_lakehouse_spark.tables import table_path
+
+    par = spark.sparkContext.defaultParallelism
+    max_split = int(
+        str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        .lower()
+        .removesuffix("b")
+    )
+    scan_tasks = -(-input_bytes(spark, [table_path(sf_dir, "documents")]) // max_split)
+    if scan_tasks < par:
+        d = d.repartition(par)
     g = d.select(
         "doc_id",
         F.transform(
