@@ -356,6 +356,15 @@ def lineitem_fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fisher index. 100 TB: the only row-scale work is the part×month
     aggregate; the basket join broadcasts {_BASKET_K} keys; everything
     after is over <=basket×months rows."""
+    cells, out = _fisher_lazy(spark, sf_dir)
+    out = spark.createDataFrame(out.collect(), out.schema)
+    cells.unpersist()
+    return out
+
+
+def _fisher_lazy(spark: SparkSession, sf_dir: str):
+    """(persisted cell frame, lazy index frame) — split so tests can
+    assert the basket-broadcast plan behind the collect barrier."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"
     )
@@ -470,9 +479,7 @@ def lineitem_fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fisher_chained"),
     )
-    out = spark.createDataFrame(out.collect(), out.schema)
-    cells.unpersist()
-    return out
+    return cells, out
 
 
 # --- Nelson-Aalen cumulative hazard ---------------------------------------------------

@@ -495,9 +495,20 @@ WHERE bit_count(xor(ph_a, ph_b)) <= {_PHASH_HAMMING_MAX}
     tags=("pipeline", "multimodal", "dedup", "sketch"),
 )
 def mm_phash_hadamard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """100 TB: fingerprint build is map-only (4096 integer ops/doc inside
-    the scan stage); the only shuffles are the 3 band-bucket joins plus a
-    DISTINCT over candidates; verify is one XOR popcount per candidate."""
+    """100 TB: fingerprint build is map-only (384 integer butterfly ops/doc
+    inside the scan stage); the only shuffles are the band-bucket joins
+    plus a DISTINCT over candidates; verify is one XOR popcount per
+    candidate."""
+    ph, out = _phash_candidates_lazy(spark, sf_dir)
+    out = spark.createDataFrame(out.collect(), out.schema)
+    ph.unpersist()
+    return out
+
+
+def _phash_candidates_lazy(spark: SparkSession, sf_dir: str):
+    """Build (persisted fingerprint frame, lazy candidate-pair frame) —
+    separated so tests can assert the candidate plan (the registered fn
+    materializes through collect, which hides it behind an ExistingRDD)."""
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     # the fingerprint build is pure map CPU: make it run wide even when the
     # input is one small file (input-bytes-derived check, the
@@ -607,9 +618,7 @@ def mm_phash_hadamard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ham.alias("hamming"),
         (F.col("ph_a") == F.col("ph_b")).alias("same_fingerprint"),
     ).where(F.col("hamming") <= _PHASH_HAMMING_MAX)
-    out = spark.createDataFrame(out.collect(), out.schema)
-    ph.unpersist()
-    return out
+    return ph, out
 
 
 from f1_lakehouse_spark.registry import REGISTRY as _REG5  # noqa: E402
