@@ -296,14 +296,14 @@ SELECT event_type,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS exact_users,
        TRUE AS approx_within_5pct,
-       TRUE AS union_matches_direct
+       TRUE AS union_within_2pct_of_direct
 FROM events GROUP BY event_type
 UNION ALL
 SELECT '__all__' AS event_type,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS exact_users,
        TRUE AS approx_within_5pct,
-       TRUE AS union_matches_direct
+       TRUE AS union_within_2pct_of_direct
 FROM events
 """
 
@@ -315,8 +315,10 @@ FROM events
     "row re-aggregated by UNIONING the partial sketches (never rescanning "
     "raw rows). Hash-checkable: emits exact counts plus the accuracy "
     "contract as booleans (estimate within 5% of exact ~ 3x rsd at lgK=12, "
-    "measured <=0.4% at sf0.001-0.1; union-of-partials estimate == direct "
-    "whole-table sketch estimate). The oracle computes the exact counts "
+    "measured <=0.8% at sf0.001-0.1; union-of-partials estimate within 2% "
+    "of the direct whole-table sketch — union through a target-lgK union "
+    "object loses a little precision vs direct, measured 0.73% at sf0.1, "
+    "so bit-equality is NOT the contract). The oracle computes exact counts "
     "and pins the contract columns TRUE. Bit-exact register twin: "
     "hll_register_sketch_exact.",
     tags=("approx", "extension", "hll"),
@@ -343,7 +345,7 @@ def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias(
             "approx_within_5pct"
         ),
-        F.lit(True).alias("union_matches_direct"),
+        F.lit(True).alias("union_within_2pct_of_direct"),
     )
     direct = e.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("direct_est")
@@ -362,7 +364,10 @@ def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("long").alias("n_events"),
             "exact_users",
             ok(F.col("union_est"), F.col("exact_users")).alias("approx_within_5pct"),
-            (F.col("union_est") == F.col("direct_est")).alias("union_matches_direct"),
+            (
+                F.abs(F.col("union_est") - F.col("direct_est"))
+                <= F.lit(0.02) * F.col("direct_est")
+            ).alias("union_within_2pct_of_direct"),
         )
     )
     return per_group.unionByName(total)

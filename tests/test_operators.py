@@ -19,8 +19,10 @@ def test_matches_oracle(spark, duck, name):
 
 def test_hll_mergeable_properties(spark):
     """hll_mergeable_distinct carries its approximation contract as data:
-    (1) union-of-partial-sketches estimate equals the direct global sketch
-    estimate (mergeability — the reason to use sketches at all),
+    (1) union-of-partial-sketches estimate within 2% of the direct global
+    sketch estimate (mergeability — the reason to use sketches at all;
+    union via a target-lgK union object is NOT bit-equal, measured 0.73%
+    off at sf0.1),
     (2) estimates land within 5% of exact distinct counts. Both are boolean
     columns the oracle pins TRUE; assert them here too so a contract break
     reads as this test, not a generic hash mismatch."""
@@ -30,7 +32,7 @@ def test_hll_mergeable_properties(spark):
     assert {r["event_type"] for r in rows} >= {"__all__"}
     for r in rows:
         assert r["approx_within_5pct"], r
-        assert r["union_matches_direct"], r
+        assert r["union_within_2pct_of_direct"], r
 
 
 def test_entry_smoke(spark):
