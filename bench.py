@@ -229,6 +229,8 @@ EXTENDED = [
     "orders_hier_forecast_reconcile",
     "events_position_attribution",
     "events_did_lift",
+    "orders_median_ci",
+    "supplier_cr_concentration",
 ]
 
 # Bench breadth freeze (r3 verdict item 8): the extended suite passed 100

@@ -2232,3 +2232,170 @@ def orders_hier_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataFram
     out = spark.createDataFrame(out.collect(), out.schema)
     cells.unpersist()
     return out
+
+
+# --- distribution-free median confidence interval -----------------------------------------
+# The nonparametric 95% CI for the median of fulfillment latency: order
+# statistics at n/2 -+ z*sqrt(n)/2 (z = 1.959964 — a shared literal; sqrt
+# and floor/ceil are IEEE-deterministic, so both engines pick the SAME
+# ranks). One distributed prefix-sum rank serves all three picks — the
+# k-th-order-statistic machinery (scoring_conformal_interval) applied to
+# the estimator people actually report.
+
+_MCI_Z = "1.959964"
+
+_MEDIAN_CI_ORACLE = f"""
+WITH fs AS (
+  SELECT o.o_orderkey,
+         CAST(date_diff('day', o.o_orderdate, MIN(l.l_shipdate)) AS BIGINT) AS t_days
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+), ranked AS (
+  SELECT t_days, o_orderkey,
+         CAST(ROW_NUMBER() OVER (ORDER BY t_days, o_orderkey) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM fs
+), ks AS (
+  SELECT n,
+         CAST(floor((CAST(n AS DOUBLE) - {_MCI_Z} * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT) AS k_lo,
+         (n + 1) // 2 AS k_med,
+         CAST(ceil(1.0 + (CAST(n AS DOUBLE) + {_MCI_Z} * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT) AS k_hi
+  FROM (SELECT MAX(n) AS n FROM ranked)
+)
+SELECT k.n AS n_orders,
+       MIN(CASE WHEN r.rk = k.k_lo THEN r.t_days END) AS ci_lo_days,
+       MIN(CASE WHEN r.rk = k.k_med THEN r.t_days END) AS median_days,
+       MIN(CASE WHEN r.rk = k.k_hi THEN r.t_days END) AS ci_hi_days
+FROM ranked r CROSS JOIN ks k
+GROUP BY k.n
+"""
+
+
+@register(
+    "orders_median_ci",
+    oracle=_MEDIAN_CI_ORACLE,
+    doc="distribution-free 95% CI for median fulfillment latency: order "
+    "statistics at n/2 -+ z*sqrt(n)/2 picked by ONE distributed "
+    "prefix-sum rank (never a global sort to the driver); z, sqrt, "
+    "floor/ceil are IEEE-deterministic so both engines pick identical "
+    "ranks.",
+    tags=("stats", "order-statistics", "prefix-sum", "extension"),
+)
+def orders_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.operators.extensions import global_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    fs = l.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    base = o.join(fs, o["o_orderkey"] == fs["l_orderkey"]).select(
+        "o_orderkey",
+        F.datediff(F.col("first_ship"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("t_days"),
+        F.lit(1).cast("decimal(27,6)").alias("one"),
+    )
+    cum, release, total = global_prefix_sum(
+        spark, base, "one", [F.col("t_days").asc(), F.col("o_orderkey").asc()]
+    )
+    import math
+
+    n = int(total)
+    z = float(_MCI_Z)
+    k_lo = int(math.floor((float(n) - z * math.sqrt(float(n))) / 2.0))
+    k_med = (n + 1) // 2
+    k_hi = int(math.ceil(1.0 + (float(n) + z * math.sqrt(float(n))) / 2.0))
+    cum = cum.withColumn("rk", F.col("cum").cast("long"))
+    picks = {
+        r["rk"]: r["t_days"]
+        for r in cum.where(F.col("rk").isin(k_lo, k_med, k_hi))
+        .select("rk", "t_days")
+        .collect()
+    }
+    release()
+    return spark.createDataFrame(
+        [(n, picks[k_lo], picks[k_med], picks[k_hi])],
+        "n_orders long, ci_lo_days long, median_days long, ci_hi_days long",
+    )
+
+
+# --- CR-k concentration ratios ---------------------------------------------------------------
+# Market-concentration readout to pair with nation_revenue_hhi: the share
+# of total revenue held by the top-4 and top-8 suppliers (CR4/CR8).
+# Decimal-exact revenue, scale-0 rounding before the only double casts,
+# top-k via TakeOrdered with a unique tiebreak; the k-fold sums fold over
+# the tiny sorted top-k array.
+
+_CRK_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))), 0) AS DOUBLE) AS r
+  FROM lineitem GROUP BY l_suppkey
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_suppliers, SUM(r) AS t FROM rev
+), topk AS (
+  SELECT list(struct_pack(r := r, k := l_suppkey)
+              ORDER BY r DESC, l_suppkey ASC)[1:8] AS arr
+  FROM rev
+)
+SELECT tot.n_suppliers,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(list_slice(arr, 1, 4), s -> s.r)), (a, b) -> a + b) / tot.t AS cr4,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(list_slice(arr, 1, 8), s -> s.r)), (a, b) -> a + b) / tot.t AS cr8
+FROM topk, tot
+"""
+
+
+@register(
+    "supplier_cr_concentration",
+    oracle=_CRK_ORACLE,
+    doc="CR4/CR8 supplier revenue concentration ratios (the HHI "
+    "companion): decimal-exact revenue with scale-0 rounding, top-8 via "
+    "TakeOrdered with unique tiebreaks, shares folded over the 8-cell "
+    "array.",
+    tags=("stats", "concentration", "extension"),
+)
+def supplier_cr_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(27,6)"
+                )
+            ),
+            0,
+        )
+        .cast("double")
+        .alias("r")
+    )
+    rev = rev.persist()
+    rev.count()  # two consumers: totals + top-k
+    tot = rev.agg(
+        F.count("*").cast("long").alias("n_suppliers"), F.sum("r").alias("t")
+    )
+    topk = (
+        rev.orderBy(F.col("r").desc(), F.col("l_suppkey").asc())
+        .limit(8)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct((-F.col("r")).alias("nr"), F.col("l_suppkey").alias("k"), F.col("r"))
+                )
+            ).alias("arr")
+        )
+    )
+    dz = F.lit(0.0)
+    crk = lambda k: F.aggregate(  # noqa: E731
+        F.transform(F.slice("arr", F.lit(1), F.lit(k)), lambda s: s["r"]),
+        dz,
+        lambda a, b: a + b,
+    )
+    out = topk.crossJoin(F.broadcast(tot)).select(
+        "n_suppliers",
+        (crk(4) / F.col("t")).alias("cr4"),
+        (crk(8) / F.col("t")).alias("cr8"),
+    )
+    out = spark.createDataFrame(out.collect(), out.schema)
+    rev.unpersist()
+    return out
