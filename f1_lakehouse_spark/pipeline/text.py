@@ -1596,6 +1596,12 @@ def text_rouge_l_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pad", F.array_repeat(F.lit(0).cast("long"), F.size("tb") + 1)
         )
     )
+    # The pair frame is tiny by BYTES (AQE coalesces it to one partition)
+    # but each row costs a CAP^2 DP fold — CPU skew, not data skew: spread
+    # the pairs across cores before the fold. At cluster scale the pair
+    # list is large enough that this is a cheap rebalance, never a
+    # bottleneck (it shuffles candidate ids + capped hash arrays only).
+    pairs = pairs.repartition(spark.sparkContext.defaultParallelism, "doc_a", "doc_b")
     zero1 = F.array(F.lit(0).cast("long"))
     lcs = F.element_at(
         F.aggregate(
