@@ -12,6 +12,7 @@ globally. Week arithmetic stays in exact integer seconds.
 """
 
 from __future__ import annotations
+from f1_lakehouse_spark.pinning import pin_small_result
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1998,7 +1999,7 @@ def events_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(arm(2, one, k1, "a2a"))
             .unionByName(arm(2, k1 + 1, F.col("n").cast("long"), "a2b"))
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_small_result(out, 16)
     finally:
         l2.unpersist()
     return out
@@ -2248,7 +2249,8 @@ FROM wide
     "events_did_lift",
     oracle=None,  # composed below
     doc="difference-in-differences: pre/post split at the exact integer-"
-    "nanosecond calendar midpoint, treated/control from the shared salted "
+    "microsecond calendar midpoint (unix_micros / epoch_us in the oracle), "
+    "treated/control from the shared salted "
     "hash, 2x2 cell means from decimal-exact sums; the causal-inference "
     "companion to events_cuped_adjusted_lift.",
     tags=("events", "experiment", "extension"),

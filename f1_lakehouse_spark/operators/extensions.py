@@ -6,6 +6,7 @@ rows-only checked (no exact oracle exists by construction).
 """
 
 from __future__ import annotations
+from f1_lakehouse_spark.pinning import pin_small_result
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1333,7 +1334,7 @@ def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     rev = (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_nationkey", "l_suppkey")
         .agg(
             (
@@ -1993,7 +1994,7 @@ def w_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     srev = (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_nationkey", "l_suppkey")
         .agg(
             F.sum(
@@ -2746,15 +2747,11 @@ def stats_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and this branch is a no-op). Width is derived from input size vs the
     # scan-split config — no .rdd touch, which would force plan analysis on
     # the driver just to read a partition count.
-    from f1_lakehouse_spark.session import input_bytes
+    from f1_lakehouse_spark.session import input_bytes, maxpartition_bytes
     from f1_lakehouse_spark.tables import table_path
 
     par = spark.sparkContext.defaultParallelism
-    max_split = int(
-        str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-        .lower()
-        .removesuffix("b")
-    )
+    max_split = maxpartition_bytes(spark)
     scan_tasks = -(-input_bytes(spark, [table_path(sf_dir, "lineitem")]) // max_split)
     if scan_tasks < par:
         keyed = keyed.repartition(par)
@@ -3814,7 +3811,7 @@ def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
         ).alias("gini"),
     )
-    out = spark.createDataFrame(out.collect(), out.schema)
+    out = pin_small_result(out, 16)
     release()
     return out
 

@@ -15,6 +15,7 @@ lakehouse team computes downstream, as first-class distributed operators.
 """
 
 from __future__ import annotations
+from f1_lakehouse_spark.pinning import pin_checkpoint, pin_small_result
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -357,7 +358,7 @@ def lineitem_fisher_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the basket join broadcasts {_BASKET_K} keys; everything
     after is over <=basket×months rows."""
     cells, out = _fisher_lazy(spark, sf_dir)
-    out = spark.createDataFrame(out.collect(), out.schema)
+    out = pin_small_result(out, 4096)
     cells.unpersist()
     return out
 
@@ -741,7 +742,7 @@ def supplier_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cum_ns / F.col("n_tot2").cast("double")).alias("cum_supplier_share"),
         (cum_rv / F.col("r_tot")).alias("cum_revenue_share"),
     )
-    out = spark.createDataFrame(out.collect(), out.schema)
+    out = pin_small_result(out, 64)
     release()
     return out
 
@@ -1278,7 +1279,7 @@ def orders_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate.alias("croston_rate"),
         ((F.lit(1.0) - F.lit(0.25) / F.lit(2.0)) * rate).alias("sbc_rate"),
     )
-    out = spark.createDataFrame(out.collect(), out.schema)
+    out = pin_small_result(out, 64)
     cells.unpersist()
     return out
 
@@ -1671,7 +1672,7 @@ def events_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (cume("nt").cast("double") / cume("nc").cast("double"))
         ).alias("qini"),
     )
-    out = spark.createDataFrame(out.collect(), out.schema)
+    out = pin_small_result(out, 64)
     release()
     return out
 
@@ -1863,7 +1864,7 @@ def supplier_revenue_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     rev = (
-        li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        li.join(su, li["l_suppkey"] == su["s_suppkey"])
         .groupBy("l_suppkey", "s_nationkey")
         .agg(
             F.round(
@@ -2031,7 +2032,7 @@ def part_bom_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "own_cents",
         "subtree_cents",
     )
-    out = spark.createDataFrame(out.collect(), out.schema)
+    out = pin_checkpoint(out)
     if prev is not None:
         prev.unpersist()
     base.unpersist()
@@ -2131,7 +2132,7 @@ def orders_hier_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataFram
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     cents = (F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)") * 100).cast("long")
     cells = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .select(
             F.col("c_nationkey").alias("nk"),
             (
@@ -2229,7 +2230,7 @@ def orders_hier_forecast_reconcile(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     out = per_nation.unionByName(total_row)
-    out = spark.createDataFrame(out.collect(), out.schema)
+    out = pin_small_result(out, 64)
     cells.unpersist()
     return out
 
@@ -2396,6 +2397,6 @@ def supplier_cr_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (crk(4) / F.col("t")).alias("cr4"),
         (crk(8) / F.col("t")).alias("cr8"),
     )
-    out = spark.createDataFrame(out.collect(), out.schema)
+    out = pin_small_result(out, 16)
     rev.unpersist()
     return out

@@ -78,8 +78,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("l_suppkey").alias("best_suppkey"))
     )
     return (
-        best.join(F.broadcast(p), best["p_key"] == p["p_partkey"])
-        .join(F.broadcast(s), best["best_suppkey"] == s["s_suppkey"])
+        best.join(p, best["p_key"] == p["p_partkey"])
+        .join(s, best["best_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .select(
             "p_partkey",
@@ -147,12 +147,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     nat_rev = F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg((dsum(nat_rev) / dsum(rev)).alias("mkt_share"))
@@ -192,8 +192,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.8
     ) * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy(
@@ -235,7 +235,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize before the threshold join (CLAUDE.md convention; q15 is
     # the compliant template for this scalar-threshold shape)
     flt = (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .select("l_partkey", "l_extendedprice")
         .persist()
@@ -335,7 +335,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         revenue.crossJoin(F.broadcast(top))
         .filter(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .join(s, F.col("supplier_no") == s["s_suppkey"])
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
         .persist()
@@ -381,8 +381,8 @@ def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ps = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        ps.join(F.broadcast(excl), ps["l_suppkey"] == excl["s_suppkey"], "left_anti")
-        .join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+        ps.join(excl, ps["l_suppkey"] == excl["s_suppkey"], "left_anti")
+        .join(p, ps["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -416,7 +416,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2) * davg("l_quantity")).alias("qty_thr")
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(pa, li["l_partkey"] == F.col("pa_key"))
         .filter(F.col("l_quantity") < F.col("qty_thr"))
         .agg(
@@ -469,7 +469,7 @@ def q20_excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey")
     )
     heavy = (
-        li.join(F.broadcast(target), li["l_partkey"] == target["p_partkey"], "left_semi")
+        li.join(target, li["l_partkey"] == target["p_partkey"], "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("q"))
         .filter(F.col("q") > 50)
@@ -558,7 +558,7 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("f3.l_suppkey") != F.col("f1.l_suppkey")),
             "left_anti",
         )
-        .join(F.broadcast(s), F.col("f1.l_suppkey") == s["s_suppkey"])
+        .join(s, F.col("f1.l_suppkey") == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"], "left_semi")
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))

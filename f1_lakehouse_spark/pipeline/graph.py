@@ -144,7 +144,7 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sup = load_table(spark, sf_dir, "supplier")
     out = (
-        ranks.join(F.broadcast(sup), ranks["v"] == sup["s_suppkey"])
+        ranks.join(sup, ranks["v"] == sup["s_suppkey"])
         .select(
             "s_suppkey",
             "s_name",
@@ -238,7 +238,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     member = tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
     counts = member.groupBy("v").agg(F.count("*").alias("n_triangles"))
     s = load_table(spark, sf_dir, "supplier")
-    out = counts.join(F.broadcast(s), counts["v"] == s["s_suppkey"]).select(
+    out = counts.join(s, counts["v"] == s["s_suppkey"]).select(
         "s_suppkey", "s_name", "n_triangles"
     )
     out = out.persist()

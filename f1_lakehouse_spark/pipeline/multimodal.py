@@ -14,6 +14,7 @@ Metadata-only transforms (octet length, magic sniffing) stay JVM-side.
 """
 
 from __future__ import annotations
+from f1_lakehouse_spark.pinning import pin_checkpoint
 
 from collections.abc import Iterator
 
@@ -500,7 +501,7 @@ def mm_phash_hadamard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a DISTINCT over candidates; verify is one XOR popcount per
     candidate."""
     ph, out = _phash_candidates_lazy(spark, sf_dir)
-    out = spark.createDataFrame(out.collect(), out.schema)
+    out = pin_checkpoint(out)
     ph.unpersist()
     return out
 
@@ -514,15 +515,11 @@ def _phash_candidates_lazy(spark: SparkSession, sf_dir: str):
     # input is one small file (input-bytes-derived check, the
     # stats_bootstrap_ci_poisson idiom — at scale the scan is already
     # parallel and this is a no-op)
-    from f1_lakehouse_spark.session import input_bytes
+    from f1_lakehouse_spark.session import input_bytes, maxpartition_bytes
     from f1_lakehouse_spark.tables import table_path
 
     par = spark.sparkContext.defaultParallelism
-    max_split = int(
-        str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-        .lower()
-        .removesuffix("b")
-    )
+    max_split = maxpartition_bytes(spark)
     scan_tasks = -(-input_bytes(spark, [table_path(sf_dir, "documents")]) // max_split)
     if scan_tasks < par:
         d = d.repartition(par)

@@ -22,6 +22,7 @@ knob — raise it for diverse corpora, the plan shape is unchanged.
 """
 
 from __future__ import annotations
+from f1_lakehouse_spark.pinning import pin_small_result
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -566,7 +567,7 @@ def scoring_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_covered").cast("double") / F.col("n_test").cast("double")
             ).alias("coverage"),
         )
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_small_result(out, 16)
     finally:
         base.unpersist()
     return out
@@ -671,7 +672,7 @@ def scoring_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("auc"),
     )
-    out = spark.createDataFrame(out.collect(), out.schema)
+    out = pin_small_result(out, 16)
     release()
     return out
 
@@ -820,7 +821,7 @@ def scoring_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (pos_rate / base).alias("lift"),
         cum_gain.alias("cum_gain"),
     )
-    out = spark.createDataFrame(out.collect(), out.schema)
+    out = pin_small_result(out, 64)
     release()
     return out
 
@@ -1126,7 +1127,7 @@ def docs_confident_learning_prune(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     out = sus1.unionByName(sus0).crossJoin(F.broadcast(joint))
-    out = spark.createDataFrame(out.collect(), out.schema)
+    out = pin_small_result(out, 2 * _CL_TOPK)
     flags.unpersist()
     return out
 

@@ -12,6 +12,7 @@ compute bit-identical signatures.
 """
 
 from __future__ import annotations
+from f1_lakehouse_spark.pinning import pin_small_result
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -179,7 +180,7 @@ LIMIT {TOP_K}
 )
 def ann_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).limit(1).select(
         F.col("embedding").alias("q_embedding")
     )
     return (
@@ -222,7 +223,7 @@ WHERE a.vec_id <> {QUERY_VEC_ID} AND {_SQL_COS_AB} >= {RANGE_TAU}
 )
 def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).limit(1).select(
         F.col("embedding").alias("q_embedding")
     )
     return (
@@ -263,7 +264,7 @@ def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = e.select(
         "vec_id", "label", "embedding", spark_signature(F.col("embedding")).alias("bucket")
     )
-    q = sigs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    q = sigs.filter(F.col("vec_id") == QUERY_VEC_ID).limit(1).select(
         F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
     )
     return (
@@ -373,7 +374,7 @@ def ann_lsh_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query vector lookup is one partition-pruned row fetch; its bucket
     # becomes a LITERAL in the probe filter (static pruning, no join)
     qrow = (
-        idx.filter(F.col("vec_id") == QUERY_VEC_ID)
+        idx.filter(F.col("vec_id") == QUERY_VEC_ID).limit(1)
         .select("embedding", "bucket")
         .collect()[0]
     )
@@ -523,7 +524,7 @@ LIMIT {TOP_K}
 )
 def ann_ivf_centroid_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).limit(1).select(
         F.col("embedding").alias("q_embedding")
     )
     candidates = e.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(F.broadcast(q))
@@ -1256,7 +1257,7 @@ def ann_lsh_recall_12planes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         spark_signature_planes(F.col("embedding"), PLANES_WIDE).alias("bucket"),
     )
-    q = sigs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    q = sigs.filter(F.col("vec_id") == QUERY_VEC_ID).limit(1).select(
         F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
     )
     lsh = (
@@ -1454,7 +1455,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = e.select(
         "vec_id", "label", "embedding", spark_signature(F.col("embedding")).alias("bucket")
     )
-    q = sigs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    q = sigs.filter(F.col("vec_id") == QUERY_VEC_ID).limit(1).select(
         F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
     )
     return (
@@ -1573,7 +1574,7 @@ LIMIT {TOP_K}
 def ann_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     corpus = e.filter(F.col("vec_id") != QUERY_VEC_ID)
-    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).limit(1).select(
         F.col("embedding").alias("q_embedding")
     )
 
@@ -1624,6 +1625,13 @@ def ann_mips_norm_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HARD_NEG_STRIDE = 100
 HARD_NEG_K = 3
+# The anchor batch is a WORKLOAD, not a corpus property (same rule as
+# BATCH_Q_MAX below): stride-sampling alone gives N/stride anchors, which
+# grows with the corpus and would push the broadcast past Spark's 8 GB
+# hard cap at the 100 TB framing. The absolute cap keeps the batch fixed;
+# 64 anchors needs vec_id < 6400, far above every test SF's max (1999 at
+# sf0.1), so results are unchanged where the driver checks.
+HARD_NEG_MAX_ANCHORS = 64
 
 
 @register(
@@ -1632,6 +1640,7 @@ HARD_NEG_K = 3
 WITH anchors AS (
     SELECT vec_id, label, embedding FROM embeddings
     WHERE vec_id % {HARD_NEG_STRIDE} = 0
+      AND vec_id < {HARD_NEG_STRIDE * HARD_NEG_MAX_ANCHORS}
 ),
 scored AS (
     SELECT q.vec_id AS anchor_id, a.vec_id AS neg_id, a.label AS neg_label,
@@ -1658,10 +1667,20 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window  # noqa: PLC0415
 
     e = load_table(spark, sf_dir, "embeddings")
-    anchors = e.filter(F.col("vec_id") % HARD_NEG_STRIDE == 0).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("anchor_label"),
-        F.col("embedding").alias("q_embedding"),
+    anchors = (
+        e.filter(
+            (F.col("vec_id") % HARD_NEG_STRIDE == 0)
+            & (F.col("vec_id") < HARD_NEG_STRIDE * HARD_NEG_MAX_ANCHORS)
+        )
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        # the predicate already bounds the batch; the limit makes the bound
+        # visible to the plan (GlobalLimit), so the broadcast hint is
+        # provably legal under quality/plan_lint
+        .limit(HARD_NEG_MAX_ANCHORS)
     )
     scored = (
         e.crossJoin(F.broadcast(anchors))
@@ -2002,7 +2021,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
-    q = full.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    q = full.filter(F.col("vec_id") == QUERY_VEC_ID).limit(1).select(
         F.col("embedding").alias("q_embedding")
     )
     candidates = full.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(
@@ -2464,7 +2483,7 @@ FROM ({union})
 )
 def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).limit(1).select(
         F.col("embedding").alias("q_embedding")
     )
     scored = (
@@ -2615,14 +2634,19 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a heavy right tail ⇒ duplicate clusters). All-pairs over the corpus is
 # N² and never runs at scale — the estimator is all-pairs over a
 # HASH-SAMPLED subset: vec_id is kept when its salted 48-bit hash ≡ 0
-# (mod SIMHIST_MOD), giving a deterministic, reproducible ~N/MOD sample
-# whose pair count (N/MOD)²/2 is the sizing knob (at 100 TB, MOD grows
-# as N/target_sample — the same derive-from-input rule as
-# adaptive_nbits; the constant here is the small-SF floor). The sampled
-# frame is persisted + materialized before the self-join per the
-# derived-frame convention, and the small side broadcasts.
+# by salted-hash RANK: the SIMHIST_SAMPLE vectors with the smallest
+# md5-derived hash values (vec_id tiebreak) form the sample — a
+# deterministic, uniform-pseudorandom subset of EXACTLY min(N, SAMPLE)
+# rows at every corpus size. Unlike hash-mod sampling at a fixed rate
+# (the first cut: ``hash % 4 == 0`` — a sample that grows as N/4 and a
+# pair count that grows as N²/32, dead at 100 TB), the rank sample is a
+# workload constant: the selection is one distributed TakeOrdered, the
+# pair count is a fixed SAMPLE²/2, and the GlobalLimit makes the
+# broadcast bound plan-provable (quality/plan_lint). The sampled frame is
+# persisted + materialized before the self-join per the derived-frame
+# convention.
 
-SIMHIST_MOD = 4
+SIMHIST_SAMPLE = 128
 
 
 @register(
@@ -2630,7 +2654,8 @@ SIMHIST_MOD = 4
     oracle=f"""
 WITH s AS (
     SELECT vec_id, embedding FROM embeddings
-    WHERE {sql_salted_hash("vec_id", ":simhist")} % {SIMHIST_MOD} = 0
+    ORDER BY {sql_salted_hash("vec_id", ":simhist")}, vec_id
+    LIMIT {SIMHIST_SAMPLE}
 )
 SELECT CAST(floor(({_SQL_COS_AB.replace("q.embedding", "b.embedding")}) * 10)
             AS BIGINT) AS sim_bin,
@@ -2646,9 +2671,16 @@ GROUP BY 1
 )
 def embedding_pairwise_sim_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    s = e.filter(
-        spark_salted_hash("vec_id", ":simhist") % SIMHIST_MOD == 0
-    ).select("vec_id", "embedding")
+    s = (
+        e.select(
+            "vec_id",
+            "embedding",
+            spark_salted_hash("vec_id", ":simhist").alias("_hk"),
+        )
+        .orderBy("_hk", "vec_id")
+        .limit(SIMHIST_SAMPLE)
+        .drop("_hk")
+    )
     s = s.persist()
     s.count()  # materialize before the self-join (derived-frame convention)
     a = s.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
@@ -2716,12 +2748,16 @@ def ann_batch_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window  # noqa: PLC0415
 
     e = load_table(spark, sf_dir, "embeddings")
-    queries = e.filter(
-        (F.col("vec_id") % BATCH_Q_STRIDE == 0)
-        & (F.col("vec_id") < BATCH_Q_STRIDE * BATCH_Q_MAX)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_embedding"),
+    queries = (
+        e.filter(
+            (F.col("vec_id") % BATCH_Q_STRIDE == 0)
+            & (F.col("vec_id") < BATCH_Q_STRIDE * BATCH_Q_MAX)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        .limit(BATCH_Q_MAX)  # plan-visible bound (see quality/plan_lint)
     )
     scored = (
         e.crossJoin(F.broadcast(queries))
@@ -2921,7 +2957,7 @@ def ann_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).limit(1).select(
         F.col("embedding").alias("q_embedding")
     )
     dims = (*MATRYOSHKA_DIMS, _MAT_FULL)
@@ -3046,7 +3082,7 @@ def ann_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan + TakeOrderedAndProject; ranks attach on the POOL-row result, so
     no global window ever sees corpus rows."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).limit(1).select(
         F.col("embedding").alias("q_embedding")
     )
     scored = (
@@ -3269,7 +3305,7 @@ def embedding_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         train.select(F.col("vec_id").alias("tv"), "label"),
         folded["vec_id"] == F.col("tv"),
     ).select("vec_id", "label", "knn_shapley")
-    out = spark.createDataFrame(out.collect(), out.schema)
+    out = pin_small_result(out, 1024)
     sample.unpersist()
     return out
 

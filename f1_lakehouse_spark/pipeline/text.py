@@ -6,6 +6,7 @@ speed and every operator has an exact DuckDB oracle.
 """
 
 from __future__ import annotations
+from f1_lakehouse_spark.pinning import pin_small_result
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1795,7 +1796,7 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = scored.orderBy(
             F.col("rake_score").desc(), F.col("phrase").asc()
         ).limit(RAKE_TOP)
-        out = spark.createDataFrame(out.collect(), out.schema)
+        out = pin_small_result(out, RAKE_TOP)
     finally:
         phrases.unpersist()
     return out
@@ -1906,7 +1907,7 @@ def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         cume("nd").alias("cum_docs"),
         cume("nt").alias("cum_vocab"),
     )
-    out = spark.createDataFrame(out.collect(), out.schema)
+    out = pin_small_result(out, 1024)
     d.unpersist()
     return out
 
@@ -2133,7 +2134,7 @@ def text_hellinger_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hellinger"),
         )
     )
-    out = spark.createDataFrame(out.collect(), out.schema)
+    out = pin_small_result(out, 1024)
     dist.unpersist()
     cnt.unpersist()
     return out

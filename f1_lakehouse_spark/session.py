@@ -84,6 +84,50 @@ TARGET_SHUFFLE_PARTITION_BYTES = 128 << 20  # post-shuffle ~128 MB per task
 SHUFFLE_PARTITIONS_CAP = 20_000
 
 
+_BYTE_SUFFIXES = {
+    "": 1,
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+    "p": 1 << 50,
+    "pb": 1 << 50,
+}
+
+
+def parse_byte_size(value: object, default: int = 128 << 20) -> int:
+    """Spark byte-size conf value -> bytes, tolerating unit suffixes.
+
+    The vanilla driver session returns a plain number for
+    ``spark.sql.files.maxPartitionBytes``, but a user-tuned session may
+    legally hold '128m' / '100MB' / '1g' — Spark's own ByteUnit grammar.
+    Anything unparseable falls back to ``default`` (the Spark default,
+    128 MB) rather than crashing the query: the value only tunes a
+    repartition heuristic, never correctness.
+    """
+    s = str(value).strip().lower()
+    i = len(s)
+    while i > 0 and not s[: i].replace(".", "", 1).isdigit():
+        i -= 1
+    num, suffix = s[:i], s[i:].strip()
+    try:
+        return int(float(num) * _BYTE_SUFFIXES[suffix])
+    except (ValueError, KeyError):
+        return default
+
+
+def maxpartition_bytes(spark: SparkSession) -> int:
+    """``spark.sql.files.maxPartitionBytes`` as an int, suffix-tolerant."""
+    return parse_byte_size(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+
+
 def input_bytes(spark: SparkSession, paths: list[str]) -> int:
     """Total on-disk bytes of the inputs, via the Hadoop FileSystem API so
     the same call works for local dirs, HDFS, and object stores."""

@@ -1,0 +1,111 @@
+"""Unit tests for the r6 scale-hygiene helpers.
+
+- ``pinning.pin_small_result`` must pass results under its declared bound
+  through value-identically, and must REFUSE a result that exceeds it
+  (that refusal is the guard that keeps the next data-proportional pin
+  from silently adopting the driver-sized idiom).
+- ``pinning.pin_checkpoint`` must survive the upstream frame's
+  unpersist() — the exact failure mode the collect-pin existed to avoid.
+- ``session.parse_byte_size`` must accept Spark's ByteUnit grammar
+  ('128m', '100MB'), plain numbers, and fall back (not raise) on garbage
+  — ADVICE r5: the old int(str(v).removesuffix('b')) crashed on any
+  user-tuned unit-suffixed session conf.
+- ``quality.plan_lint.broadcast_hint_offenders`` must flag a hint on an
+  SF-scaling scan, stay quiet without the hint, and honour the
+  size-bounding exemptions (Aggregate, Limit).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_lakehouse_spark.pinning import pin_checkpoint, pin_small_result
+from f1_lakehouse_spark.quality.plan_lint import broadcast_hint_offenders
+from f1_lakehouse_spark.session import parse_byte_size
+from f1_lakehouse_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_pin_small_result_roundtrip(spark):
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    pinned = pin_small_result(df, 10)
+    assert [r.asDict() for r in pinned.orderBy("id").collect()] == [
+        {"id": i, "v": 2 * i} for i in range(10)
+    ]
+    assert pinned.schema == df.schema
+
+
+def test_pin_small_result_refuses_data_proportional(spark):
+    df = spark.range(100)
+    with pytest.raises(AssertionError, match="pin_checkpoint"):
+        pin_small_result(df, 99)
+
+
+def test_pin_checkpoint_survives_upstream_unpersist(spark):
+    base = spark.range(1000).withColumn("v", F.col("id") % 7)
+    base = base.persist()
+    base.count()
+    out = base.groupBy("v").agg(F.count("*").alias("n"))
+    pinned = pin_checkpoint(out)
+    base.unpersist(blocking=True)
+    assert pinned.agg(F.sum("n")).collect()[0][0] == 1000
+
+
+@pytest.mark.parametrize(
+    ("value", "want"),
+    [
+        ("134217728", 134217728),
+        (134217728, 134217728),
+        ("128m", 128 << 20),
+        ("100MB", 100 << 20),
+        ("1g", 1 << 30),
+        ("64k", 64 << 10),
+        ("  2tb ", 2 << 40),
+        ("1.5k", 1536),
+        ("garbage", 128 << 20),
+        ("", 128 << 20),
+    ],
+)
+def test_parse_byte_size(value, want):
+    assert parse_byte_size(value) == want
+
+
+def test_lint_flags_hinted_sf_scaling_scan(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_linenumber")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey")
+    bad = o.join(F.broadcast(li), o["o_orderkey"] == li["l_orderkey"])
+    assert broadcast_hint_offenders(bad) != []
+
+
+def test_lint_quiet_without_hint(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_linenumber")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey")
+    ok = o.join(li, o["o_orderkey"] == li["l_orderkey"])
+    assert broadcast_hint_offenders(ok) == []
+
+
+def test_lint_exempts_aggregate_and_limit(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey")
+    agg = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    assert (
+        broadcast_hint_offenders(
+            o.join(F.broadcast(agg), o["o_orderkey"] == agg["l_orderkey"])
+        )
+        == []
+    )
+    capped = li.select("l_orderkey").limit(5)
+    assert (
+        broadcast_hint_offenders(
+            o.join(F.broadcast(capped), o["o_orderkey"] == capped["l_orderkey"])
+        )
+        == []
+    )
+
+
+def test_lint_exempts_bounded_dims(spark):
+    n = load_table(spark, SF_DIR, "nation")
+    c = load_table(spark, SF_DIR, "customer")
+    df = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    assert broadcast_hint_offenders(df) == []

@@ -11,12 +11,20 @@ Two markers are banned outright in any executed plan at sf0.001:
   Python executes only through Arrow-vectorized forms (ArrowEvalPython /
   mapInPandas / grouped-agg pandas), each with a native twin.
 
-~2 minutes for all 258 plans; marked slow-ish but always-on — the cost of
+Plus one logical-plan rule (r5 verdict item 1): no explicit broadcast hint
+may reach an SF-scaling base-table scan without a size-bounding node
+(Aggregate / Deduplicate / Limit) between the hint and the scan — an
+explicit hint bypasses autoBroadcastJoinThreshold and Spark hard-fails
+broadcasts >8 GB, so such a plan dies at the 100 TB framing. See
+f1_lakehouse_spark/quality/plan_lint.py.
+
+~2 minutes for all plans; marked slow-ish but always-on — the cost of
 a silent CartesianProduct regression at 100 TB dwarfs it.
 """
 
 from __future__ import annotations
 
+from f1_lakehouse_spark.quality.plan_lint import broadcast_hint_offenders
 from f1_lakehouse_spark.registry import REGISTRY, _ensure_loaded
 from tests.conftest import SF_DIR
 
@@ -28,10 +36,10 @@ BANNED = ("CartesianProduct", "BatchEvalPython")
 def test_no_cartesian_product_or_rowwise_python_anywhere(spark):
     offenders: dict[str, list[str]] = {}
     for name, q in sorted(REGISTRY.items()):
-        plan = (
-            q.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-        )
+        df = q.fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
         found = [m for m in BANNED if m in plan]
+        found += [f"broadcast-hint:{o}" for o in broadcast_hint_offenders(df)]
         if found:
             offenders[name] = found
     assert not offenders, offenders
