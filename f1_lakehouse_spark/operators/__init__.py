@@ -12,6 +12,7 @@ from f1_lakehouse_spark.operators import (  # noqa: F401
     pandas_variants,
     projection,
     round5_stats,
+    round6_stats,
     scalars,
     setops,
     skew,

@@ -1,0 +1,861 @@
+"""Round-6 statistical operators: two-sample hypothesis testing, sketch
+quantiles with an accuracy contract, robust outlier scoring, and matching
+estimators — all exact cross-engine.
+
+Shared discipline (round5_stats.py): distributed work is partial-aggregated
+shuffles to model-sized or domain-bounded cell tables; global order
+statistics go through ``extensions.global_prefix_sum`` (range repartition +
+pid windows + driver prefix offsets — never a single-partition window);
+sums are DECIMAL end-to-end with scale-0 rounding before the only double
+casts (a scale-0 decimal→double is ONE int→double conversion, bit-identical
+at any magnitude); the only transcendental is sqrt (IEEE correctly rounded,
+hence engine-identical); every double expression tree is written with the
+SAME structure in the Spark code and the DuckDB oracle.
+
+Reference parity: the reference ships no statistics beyond AVG/MIN/MAX
+(dbt gold models, /root/reference/transform — see BASELINE.md); these are
+the experiment-readout and data-quality tests a lakehouse team runs
+downstream, as first-class distributed operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_lakehouse_spark.pinning import pin_small_result
+from f1_lakehouse_spark.pipeline.hashing import (
+    spark_md5_hash48,
+    spark_salted_hash,
+    sql_md5_hash48,
+    sql_salted_hash,
+)
+from f1_lakehouse_spark.registry import register
+from f1_lakehouse_spark.tables import load_table
+
+# Exact integer cents for the double `value` column — the proven
+# round→DECIMAL(18,2)→×100 idiom from round5_stats._MONTHLY_SQL.
+_SQL_CENTS = "CAST(CAST(round(value, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+
+def _cents(col):
+    return (F.round(col, 2).cast("decimal(18,2)") * 100).cast("long")
+
+
+# --- two-sample Kolmogorov-Smirnov -----------------------------------------------------
+# D = max_x |F_A(x) - F_B(x)| between the purchase-value distributions of
+# two hash-split user cohorts. Made INTEGER-EXACT by clearing denominators:
+# D = max |n_b*C_A(x) - n_a*C_B(x)| / (n_a*n_b), so the running statistic
+# is one exact decimal prefix sum over per-distinct-value signed cells
+# (cum of a linear combination = linear combination of cums) and the only
+# float ops are the final two divisions and one sqrt — identical trees in
+# both engines. Cell table is bounded by the VALUE DOMAIN (distinct cents),
+# and the prefix sum is the distributed global_prefix_sum machinery, so
+# nothing assumes the domain is small.
+
+_KS_ORACLE = f"""
+WITH per AS (
+  SELECT {sql_salted_hash("user_id", ":ks")} % 2 AS g, {_SQL_CENTS} AS v
+  FROM events WHERE event_type = 'purchase'
+), cells AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM per GROUP BY v
+), tot AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM cells
+), cum AS (
+  SELECT CAST(SUM(CAST(t.nb AS DECIMAL(19,0)) * CAST(c.ca AS DECIMAL(19,0))
+               - CAST(t.na AS DECIMAL(19,0)) * CAST(c.cb AS DECIMAL(19,0)))
+              OVER (ORDER BY c.v) AS DECIMAL(38,0)) AS s
+  FROM cells c CROSS JOIN tot t
+), dnum AS (
+  SELECT CAST(MAX(abs(s)) AS DECIMAL(38,0)) AS d_num FROM cum
+)
+SELECT t.na AS n_a, t.nb AS n_b,
+       CAST(d.d_num AS DOUBLE)
+         / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) AS d_stat,
+       (CAST(d.d_num AS DOUBLE)
+         / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)))
+         * sqrt(CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)
+                / (CAST(t.na AS DOUBLE) + CAST(t.nb AS DOUBLE))) AS ks_z
+FROM dnum d CROSS JOIN tot t
+"""
+
+
+@register(
+    "events_ks_two_sample",
+    oracle=_KS_ORACLE,
+    doc="two-sample Kolmogorov-Smirnov D between hash-split cohorts' "
+    "purchase-value distributions: denominators cleared so the running "
+    "statistic is ONE exact decimal prefix sum over per-value signed "
+    "cells (distributed global_prefix_sum, never a single-partition "
+    "window); D and the KS z-score are the only float ops.",
+    tags=("stats", "hypothesis-test", "prefix-sum", "extension"),
+)
+def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one (value-cents) cell aggregate with map-side combine, one
+    range-repartitioned prefix pass over the cell table (domain-bounded,
+    but correct at any cardinality), O(1)-row collects only."""
+    from f1_lakehouse_spark.operators.extensions import global_prefix_sum
+
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    per = e.select(
+        (spark_salted_hash("user_id", ":ks") % 2).alias("g"),
+        _cents(F.col("value")).alias("v"),
+    )
+    cells = per.groupBy("v").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    tot = cells.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    ).collect()[0]
+    na, nb = int(tot["na"]), int(tot["nb"])
+    signed = cells.select(
+        "v",
+        (
+            F.lit(nb).cast("decimal(19,0)") * F.col("ca").cast("decimal(19,0)")
+            - F.lit(na).cast("decimal(19,0)") * F.col("cb").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("s"),
+    )
+    cum, release, _total = global_prefix_sum(spark, signed, "s", [F.col("v").asc()])
+    d_num = cum.agg(F.max(F.abs(F.col("cum"))).cast("decimal(38,0)").alias("d"))
+    na_d = F.lit(na).cast("double")
+    nb_d = F.lit(nb).cast("double")
+    d_stat = F.col("d").cast("double") / (na_d * nb_d)
+    out = d_num.select(
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        d_stat.alias("d_stat"),
+        (d_stat * F.sqrt(na_d * nb_d / (na_d + nb_d))).alias("ks_z"),
+    )
+    out = pin_small_result(out, 16)
+    release()
+    return out
+
+
+# --- Welch's t-test --------------------------------------------------------------------
+# Unequal-variance t between the same two cohorts' purchase values. The
+# six sufficient statistics (n, sum, sum-of-squares per arm) are exact
+# DECIMAL(38,0) integers (cents; per-row squares fit int64, Spark squares
+# DECIMAL(18,0) — 18+18+1=37 <= 38 so the product is exact; DuckDB sums
+# spill to HUGEINT and are cast back); every downstream double — means,
+# sample variances, t, Welch-Satterthwaite df — is the SAME expression
+# tree over those six numbers in both engines.
+
+_WELCH_ORACLE = f"""
+WITH per AS (
+  SELECT {sql_salted_hash("user_id", ":ks")} % 2 AS g, {_SQL_CENTS} AS v
+  FROM events WHERE event_type = 'purchase'
+), s AS (
+  SELECT
+    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN g = 0 THEN v ELSE 0 END) AS DECIMAL(38,0)) AS s_a,
+    CAST(SUM(CASE WHEN g = 1 THEN v ELSE 0 END) AS DECIMAL(38,0)) AS s_b,
+    CAST(SUM(CASE WHEN g = 0 THEN v * v ELSE 0 END) AS DECIMAL(38,0)) AS q_a,
+    CAST(SUM(CASE WHEN g = 1 THEN v * v ELSE 0 END) AS DECIMAL(38,0)) AS q_b
+  FROM per
+)
+SELECT n_a, n_b,
+       CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+       CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+       (CAST(q_a AS DOUBLE) - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS var_a,
+       (CAST(q_b AS DOUBLE) - (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS var_b,
+       (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+         / sqrt(((CAST(q_a AS DOUBLE) - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+                + ((CAST(q_b AS DOUBLE) - (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE)) AS t_stat,
+       ((((CAST(q_a AS DOUBLE) - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+         + ((CAST(q_b AS DOUBLE) - (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE))
+        * (((CAST(q_a AS DOUBLE) - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+           + ((CAST(q_b AS DOUBLE) - (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE)))
+       / ((((CAST(q_a AS DOUBLE) - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE))
+          * (((CAST(q_a AS DOUBLE) - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE))
+          / (CAST(n_a AS DOUBLE) - 1.0)
+          + (((CAST(q_b AS DOUBLE) - (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE))
+          * (((CAST(q_b AS DOUBLE) - (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE))
+          / (CAST(n_b AS DOUBLE) - 1.0)) AS welch_df
+FROM s
+"""
+
+
+@register(
+    "events_welch_ttest",
+    oracle=_WELCH_ORACLE,
+    doc="Welch's unequal-variance t-test between hash-split cohorts' "
+    "purchase values: six exact DECIMAL sufficient statistics from ONE "
+    "map-side-combined aggregate; t and the Welch-Satterthwaite df are "
+    "identical double expression trees over those six numbers.",
+    tags=("stats", "hypothesis-test", "extension"),
+)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one pass, one 1-row aggregate with map-side combine — the
+    cheapest possible shape; nothing downstream touches rows."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    per = e.select(
+        (spark_salted_hash("user_id", ":ks") % 2).alias("g"),
+        _cents(F.col("value")).alias("v"),
+    )
+    vd = F.col("v").cast("decimal(18,0)")
+    s = per.agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("g") == 0, vd).otherwise(F.lit(0).cast("decimal(18,0)")))
+        .cast("decimal(38,0)")
+        .alias("s_a"),
+        F.sum(F.when(F.col("g") == 1, vd).otherwise(F.lit(0).cast("decimal(18,0)")))
+        .cast("decimal(38,0)")
+        .alias("s_b"),
+        F.sum(
+            F.when(F.col("g") == 0, vd * vd).otherwise(F.lit(0).cast("decimal(37,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("q_a"),
+        F.sum(
+            F.when(F.col("g") == 1, vd * vd).otherwise(F.lit(0).cast("decimal(37,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("q_b"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    mean_a = F.col("s_a").cast("double") / n_a
+    mean_b = F.col("s_b").cast("double") / n_b
+    var_a = (
+        F.col("q_a").cast("double")
+        - (F.col("s_a").cast("double") * F.col("s_a").cast("double")) / n_a
+    ) / (n_a - F.lit(1.0))
+    var_b = (
+        F.col("q_b").cast("double")
+        - (F.col("s_b").cast("double") * F.col("s_b").cast("double")) / n_b
+    ) / (n_b - F.lit(1.0))
+    sa2 = var_a / n_a
+    sb2 = var_b / n_b
+    return s.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        var_a.alias("var_a"),
+        var_b.alias("var_b"),
+        ((mean_b - mean_a) / F.sqrt(sa2 + sb2)).alias("t_stat"),
+        (
+            ((sa2 + sb2) * (sa2 + sb2))
+            / (sa2 * sa2 / (n_a - F.lit(1.0)) + sb2 * sb2 / (n_b - F.lit(1.0)))
+        ).alias("welch_df"),
+    )
+
+
+# --- Monte-Carlo permutation test --------------------------------------------------------
+# Does mean purchase value differ between users who hit errors and users
+# who don't? The permutation p-value re-randomizes the group label
+# PERM_B times via salted md5 hashes (deterministic, engine-identical
+# "randomness"), recomputes the mean difference per replicate from exact
+# decimal per-user sums, and counts replicates at least as extreme as the
+# observed split. The explode is over USER-level aggregates (never raw
+# events) and collapses map-side to 2*PERM_B cells — CPU is PERM_B x
+# |users| hash evaluations, shuffle is constant.
+
+PERM_B = 128
+
+
+def _perm_diff_sql(s1: str, n1: str, s0: str, n0: str) -> str:
+    return (
+        f"CAST({s1} AS DOUBLE) / CAST({n1} AS DOUBLE)"
+        f" - CAST({s0} AS DOUBLE) / CAST({n0} AS DOUBLE)"
+    )
+
+
+_PERM_ORACLE = f"""
+WITH users AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN {_SQL_CENTS} ELSE 0 END) AS BIGINT) AS su,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cnt,
+         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS grp
+  FROM events GROUP BY user_id
+), buyers AS (
+  SELECT * FROM users WHERE cnt > 0
+), obs AS (
+  SELECT {_perm_diff_sql(
+      "SUM(CASE WHEN grp = 1 THEN su ELSE 0 END)",
+      "SUM(CASE WHEN grp = 1 THEN cnt ELSE 0 END)",
+      "SUM(CASE WHEN grp = 0 THEN su ELSE 0 END)",
+      "SUM(CASE WHEN grp = 0 THEN cnt ELSE 0 END)")} AS d_obs
+  FROM buyers
+), perms AS (
+  SELECT b.b,
+         {_perm_diff_sql(
+      "SUM(CASE WHEN " + sql_md5_hash48("CAST(u.user_id AS VARCHAR) || ':perm' || CAST(b.b AS VARCHAR)") + " % 2 = 1 THEN u.su ELSE 0 END)",
+      "SUM(CASE WHEN " + sql_md5_hash48("CAST(u.user_id AS VARCHAR) || ':perm' || CAST(b.b AS VARCHAR)") + " % 2 = 1 THEN u.cnt ELSE 0 END)",
+      "SUM(CASE WHEN " + sql_md5_hash48("CAST(u.user_id AS VARCHAR) || ':perm' || CAST(b.b AS VARCHAR)") + " % 2 = 0 THEN u.su ELSE 0 END)",
+      "SUM(CASE WHEN " + sql_md5_hash48("CAST(u.user_id AS VARCHAR) || ':perm' || CAST(b.b AS VARCHAR)") + " % 2 = 0 THEN u.cnt ELSE 0 END)")} AS d_b
+  FROM buyers u CROSS JOIN (SELECT unnest(generate_series(0, {PERM_B - 1})) AS b) b
+  GROUP BY b.b
+)
+SELECT o.d_obs AS diff_obs,
+       CAST({PERM_B} AS BIGINT) AS n_perms,
+       CAST(SUM(CASE WHEN abs(p.d_b) >= abs(o.d_obs) THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+       (1.0 + CAST(SUM(CASE WHEN abs(p.d_b) >= abs(o.d_obs) THEN 1 ELSE 0 END) AS DOUBLE))
+         / (1.0 + CAST({PERM_B} AS DOUBLE)) AS p_value
+FROM perms p CROSS JOIN obs o
+GROUP BY o.d_obs
+"""
+
+
+@register(
+    "events_permutation_test",
+    oracle=_PERM_ORACLE,
+    doc="Monte-Carlo permutation test of mean purchase value between "
+    "error-hit and error-free users: PERM_B deterministic salted-hash "
+    "relabelings over per-user exact decimal sums, replicate diffs from "
+    "one 2xPERM_B-cell aggregate, p = (1+#extreme)/(1+B).",
+    tags=("stats", "hypothesis-test", "permutation", "extension"),
+)
+def events_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: user aggregate (map-side combined), then a PERM_B-way
+    explode over USER rows only, collapsing map-side to 2*PERM_B cells —
+    CPU linear with constant PERM_B, shuffle constant-size."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", _cents(F.col("value"))).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("su"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("cnt"),
+        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("grp"),
+    )
+    buyers = users.where(F.col("cnt") > 0)
+    buyers = buyers.persist()
+    buyers.count()  # two derived uses (obs + perms): materialize once
+
+    sud = F.col("su").cast("decimal(38,0)")
+
+    def diff(s1, n1, s0, n0):
+        return s1.cast("double") / n1.cast("double") - s0.cast("double") / n0.cast(
+            "double"
+        )
+
+    obs = buyers.agg(
+        F.sum(F.when(F.col("grp") == 1, sud).otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("grp") == 0, sud).otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("decimal(38,0)")
+        .alias("s0"),
+        F.sum(F.when(F.col("grp") == 0, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+    ).select(diff(F.col("s1"), F.col("c1"), F.col("s0"), F.col("c0")).alias("d_obs"))
+
+    fan = buyers.select(
+        "su",
+        "cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(PERM_B - 1))).alias("b"),
+        F.col("user_id"),
+    ).select(
+        "b",
+        "su",
+        "cnt",
+        (
+            spark_md5_hash48(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit(":perm"),
+                    F.col("b").cast("string"),
+                )
+            )
+            % 2
+        ).alias("pg"),
+    )
+    perms = fan.groupBy("b").agg(
+        F.sum(
+            F.when(F.col("pg") == 1, F.col("su").cast("decimal(38,0)")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum(F.when(F.col("pg") == 1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(
+            F.when(F.col("pg") == 0, F.col("su").cast("decimal(38,0)")).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("s0"),
+        F.sum(F.when(F.col("pg") == 0, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("c0"),
+    ).select(diff(F.col("s1"), F.col("c1"), F.col("s0"), F.col("c0")).alias("d_b"))
+
+    out = (
+        perms.crossJoin(F.broadcast(obs))
+        .agg(
+            F.max("d_obs").alias("diff_obs"),
+            F.sum(
+                F.when(F.abs(F.col("d_b")) >= F.abs(F.col("d_obs")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_ge"),
+        )
+        .select(
+            "diff_obs",
+            F.lit(PERM_B).cast("long").alias("n_perms"),
+            "n_ge",
+            (
+                (F.lit(1.0) + F.col("n_ge").cast("double"))
+                / (F.lit(1.0) + F.lit(float(PERM_B)))
+            ).alias("p_value"),
+        )
+        .select("diff_obs", "n_perms", "n_ge", "p_value")
+    )
+    out = pin_small_result(out, 16)
+    buyers.unpersist()
+    return out
+
+
+# --- mergeable histogram quantile sketch with an accuracy contract ---------------------
+# The distributed-quantile pattern for 100 TB: a fixed-width integer
+# histogram (<= QSK_BINS cells) is MERGEABLE (per-partition histograms
+# sum), so the sketch costs one map-side-combined aggregate; the estimate
+# for rank k is the upper edge of the first bin whose cumulative count
+# reaches k, and the deterministic guarantee 0 <= est - exact <= width-1
+# is emitted as a BOOLEAN the oracle pins TRUE (the hll_register_sketch
+# contract discipline). The exact order statistics come from ONE
+# global_prefix_sum rank pass serving all three quantiles, so the op is
+# also its own accuracy audit.
+
+QSK_BINS = 4096
+QSK_QS = ((1, 2), (9, 10), (99, 100))  # exact rational quantiles
+
+_QSK_ORACLE = f"""
+WITH v AS (
+  SELECT CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         o_orderkey
+  FROM orders
+), mm AS (
+  SELECT MIN(c) AS lo, MAX(c) AS hi, CAST(COUNT(*) AS BIGINT) AS n,
+         (MAX(c) - MIN(c) + {QSK_BINS}) // {QSK_BINS} AS w
+  FROM v
+), hist AS (
+  SELECT (v.c - mm.lo) // mm.w AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM v CROSS JOIN mm GROUP BY 1
+), cum AS (
+  SELECT bin, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cc FROM hist
+), ks AS (
+  SELECT t.qn, t.qd, (mm.n * t.qn + t.qd - 1) // t.qd AS k, mm.lo, mm.w
+  FROM (VALUES {", ".join(f"({qn}, {qd})" for qn, qd in QSK_QS)}) AS t(qn, qd)
+  CROSS JOIN mm
+), est AS (
+  SELECT k.qn, k.qd, k.lo + (MIN(c2.bin) + 1) * k.w - 1 AS est_c, k.w
+  FROM ks k JOIN cum c2 ON c2.cc >= k.k
+  GROUP BY k.qn, k.qd, k.lo, k.w
+), ranked AS (
+  SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c, o_orderkey) AS BIGINT) AS rk FROM v
+), exact AS (
+  SELECT k.qn, k.qd, MIN(r.c) AS exact_c
+  FROM ks k JOIN ranked r ON r.rk = k.k
+  GROUP BY k.qn, k.qd
+)
+SELECT CAST(e.qn AS DOUBLE) / CAST(e.qd AS DOUBLE) AS q,
+       e.est_c AS est_cents,
+       x.exact_c AS exact_cents,
+       e.w AS bin_width,
+       (e.est_c - x.exact_c BETWEEN 0 AND e.w - 1) AS within_bound
+FROM est e JOIN exact x ON e.qn = x.qn AND e.qd = x.qd
+ORDER BY q
+"""
+
+
+@register(
+    "orders_quantile_sketch_contract",
+    oracle=_QSK_ORACLE,
+    doc="mergeable fixed-width histogram quantile sketch over order value "
+    "cents with its deterministic accuracy contract (0 <= est - exact "
+    "<= width-1) pinned as a boolean: one map-side-combined histogram "
+    "aggregate, one global_prefix_sum rank pass for the exact order "
+    "statistics, integer arithmetic end-to-end.",
+    tags=("stats", "sketch", "quantile", "prefix-sum", "extension"),
+)
+def orders_quantile_sketch_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: histogram cells cap at QSK_BINS regardless of rows (the
+    mergeable-sketch shape); driver work is one <=QSK_BINS-cell fold (the
+    model-sized-collect convention, same class as global_prefix_sum's
+    offsets); exact ranks are one range-repartitioned prefix pass."""
+    from f1_lakehouse_spark.operators.extensions import global_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v = o.select(
+        (F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("c"),
+        "o_orderkey",
+    )
+    v = v.persist()
+    mm = v.agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    lo, hi, n = int(mm["lo"]), int(mm["hi"]), int(mm["n"])
+    w = (hi - lo + QSK_BINS) // QSK_BINS
+    hist = (
+        v.groupBy(F.expr(f"(c - {lo}) div {w}").alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )  # <= QSK_BINS cells: model-sized by construction
+    ks = {qn_qd: (n * qn_qd[0] + qn_qd[1] - 1) // qn_qd[1] for qn_qd in QSK_QS}
+    cum = 0
+    est: dict[tuple[int, int], int] = {}
+    for row in sorted(hist, key=lambda r: r["bin"]):
+        cum += row["cnt"]
+        for qq, k in ks.items():
+            if qq not in est and cum >= k:
+                est[qq] = lo + (int(row["bin"]) + 1) * w - 1
+    one = v.withColumn("one", F.lit(1).cast("decimal(27,6)"))
+    ranked, release, _tot = global_prefix_sum(
+        spark, one, "one", [F.col("c").asc(), F.col("o_orderkey").asc()]
+    )
+    ranked = ranked.withColumn("rk", F.col("cum").cast("long"))
+    picks = {
+        int(r["rk"]): int(r["c"])
+        for r in ranked.where(F.col("rk").isin(*ks.values()))
+        .select("rk", "c")
+        .collect()
+    }
+    release()
+    v.unpersist()
+    rows = [
+        (
+            float(qn) / float(qd),
+            est[(qn, qd)],
+            picks[ks[(qn, qd)]],
+            w,
+            0 <= est[(qn, qd)] - picks[ks[(qn, qd)]] <= w - 1,
+        )
+        for qn, qd in QSK_QS
+    ]
+    return spark.createDataFrame(
+        rows,
+        "q double, est_cents long, exact_cents long, bin_width long, "
+        "within_bound boolean",
+    )
+
+
+# --- MAD robust z-score outliers -------------------------------------------------------
+# Median absolute deviation outlier scoring over supplier revenue: the
+# robust twin of z-scoring (median/MAD instead of mean/stddev, 50%
+# breakdown point vs 0%). Both medians are exact distributed order
+# statistics — kept INTEGER by carrying med2 = r[k_lo] + r[k_hi] (twice
+# the median) and mad4 = d[k_lo] + d[k_hi] over d = |2r - med2| (four
+# times the MAD), so the only doubles are the final z/median/MAD ratios
+# with identical expression trees in both engines. Two prefix-rank
+# passes + one TakeOrdered top-k.
+
+_MAD_K = 10
+_MAD_C = "1.4826"  # the classic consistency constant (shared literal)
+
+_MAD_ORACLE = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))), 0) AS BIGINT) AS r
+  FROM lineitem GROUP BY l_suppkey
+), st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rev
+), rr AS (
+  SELECT r, l_suppkey, CAST(ROW_NUMBER() OVER (ORDER BY r, l_suppkey) AS BIGINT) AS rk
+  FROM rev
+), med AS (
+  SELECT (SELECT r FROM rr, st WHERE rk = (n + 1) // 2)
+       + (SELECT r FROM rr, st WHERE rk = n // 2 + 1) AS med2
+), dev AS (
+  SELECT l_suppkey, r, abs(2 * r - med.med2) AS d FROM rev CROSS JOIN med
+), dr AS (
+  SELECT d, l_suppkey, CAST(ROW_NUMBER() OVER (ORDER BY d, l_suppkey) AS BIGINT) AS rk
+  FROM dev
+), mad AS (
+  SELECT (SELECT d FROM dr, st WHERE rk = (n + 1) // 2)
+       + (SELECT d FROM dr, st WHERE rk = n // 2 + 1) AS mad4
+)
+SELECT v.l_suppkey AS s_suppkey,
+       v.r AS revenue_units,
+       2.0 * CAST(2 * v.r - med.med2 AS DOUBLE)
+         / ({_MAD_C} * CAST(mad.mad4 AS DOUBLE)) AS robust_z,
+       CAST(med.med2 AS DOUBLE) / 2.0 AS median_rev,
+       CAST(mad.mad4 AS DOUBLE) / 4.0 AS mad_rev
+FROM rev v CROSS JOIN med CROSS JOIN mad
+ORDER BY abs(2 * v.r - med.med2) DESC, v.l_suppkey ASC
+LIMIT {_MAD_K}
+"""
+
+
+@register(
+    "supplier_mad_outliers",
+    oracle=_MAD_ORACLE,
+    doc="MAD robust z-score outliers over supplier revenue: median and "
+    "MAD as exact distributed order statistics (two global_prefix_sum "
+    "rank passes, integers doubled/quadrupled to avoid fractional "
+    "medians), top-k by integer |2r - med2| with unique tiebreak, one "
+    "identical double tree for the z ratio.",
+    tags=("stats", "robust", "order-statistics", "prefix-sum", "extension"),
+)
+def supplier_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: supplier revenue is one map-side-combined aggregate; each
+    median is a range-repartitioned prefix-rank pass with O(1)-row
+    collects; the final top-k is TakeOrdered (no global sort)."""
+    from f1_lakehouse_spark.operators.extensions import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(27,6)"
+                )
+            ),
+            0,
+        )
+        .cast("long")
+        .alias("r")
+    )
+    rev = rev.persist()
+    n = rev.count()
+    k_lo, k_hi = (n + 1) // 2, n // 2 + 1
+
+    def pick2(df: DataFrame, col: str, tiebreak: str) -> int:
+        one = df.withColumn("one", F.lit(1).cast("decimal(27,6)"))
+        ranked, release, _t = global_prefix_sum(
+            spark, one, "one", [F.col(col).asc(), F.col(tiebreak).asc()]
+        )
+        ranked = ranked.withColumn("rk", F.col("cum").cast("long"))
+        picks = {
+            int(row["rk"]): int(row[col])
+            for row in ranked.where(F.col("rk").isin(k_lo, k_hi))
+            .select("rk", col)
+            .collect()
+        }
+        release()
+        return picks[k_lo] + picks[k_hi]
+
+    med2 = pick2(rev, "r", "l_suppkey")
+    dev = rev.select(
+        "l_suppkey", "r", F.abs(2 * F.col("r") - F.lit(med2)).alias("d")
+    )
+    mad4 = pick2(dev, "d", "l_suppkey")
+    out = (
+        rev.select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.col("r").alias("revenue_units"),
+            (
+                F.lit(2.0) * (2 * F.col("r") - F.lit(med2)).cast("double")
+                / (F.lit(float(_MAD_C)) * F.lit(mad4).cast("double"))
+            ).alias("robust_z"),
+            (F.lit(med2).cast("double") / F.lit(2.0)).alias("median_rev"),
+            (F.lit(mad4).cast("double") / F.lit(4.0)).alias("mad_rev"),
+        )
+        .orderBy(
+            F.abs(2 * F.col("revenue_units") - F.lit(med2)).desc(),
+            F.col("s_suppkey").asc(),
+        )
+        .limit(_MAD_K)
+    )
+    out = pin_small_result(out, _MAD_K)
+    rev.unpersist()
+    return out
+
+
+# --- propensity nearest-neighbor matching (ATT) ------------------------------------------
+# The matching-estimator shape: every "treated" document (fails the gopher
+# repetition gate) is matched to the control (passes) with the NEAREST
+# hashed-linear quality score, and the average treated-minus-matched-control
+# difference in n_chars is the ATT readout. 1-D nearest matching
+# distributes as TWO exclusive prefix-max passes over the score-ordered
+# stream (global_prefix_max — never a single-partition window): controls
+# seen so far under ascending order give the nearest score below; the same
+# machinery over descending order with negated scores gives the nearest
+# above; ties at equal gap resolve to the below match. The matched control
+# representative per score is arg_max(n_chars, doc_id) — unique doc_id
+# makes it deterministic. All gaps/diffs are exact integers; the two
+# output ratios are identical double trees.
+
+_ATT_ORACLE = """
+WITH scores AS ({score_q}),
+labels AS ({label_q}),
+base AS (
+  SELECT s.doc_id, s.score_sum AS sc, l.passes_repetition AS y, d.n_chars
+  FROM scores s
+  JOIN labels l ON s.doc_id = l.doc_id
+  JOIN documents d ON d.doc_id = s.doc_id
+),
+wm AS (
+  SELECT doc_id, sc, y, n_chars,
+         MAX(CASE WHEN y = 1 THEN sc END)
+           OVER (ORDER BY sc ASC, y DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS below_sc,
+         MAX(CASE WHEN y = 1 THEN -sc END)
+           OVER (ORDER BY sc DESC, y DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS neg_above
+  FROM base
+),
+matched AS (
+  SELECT doc_id, sc, n_chars,
+         CASE WHEN below_sc IS NULL AND neg_above IS NULL THEN NULL
+              WHEN neg_above IS NULL THEN below_sc
+              WHEN below_sc IS NULL THEN -neg_above
+              WHEN sc - below_sc <= (-neg_above) - sc THEN below_sc
+              ELSE -neg_above END AS m_sc
+  FROM wm WHERE y = 0
+),
+reps AS (
+  SELECT sc AS r_sc, arg_max(n_chars, doc_id) AS rep_chars
+  FROM base WHERE y = 1 GROUP BY sc
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+       CAST(COUNT(m.m_sc) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN m.m_sc IS NOT NULL THEN abs(m.sc - m.m_sc) END) AS BIGINT) AS sum_abs_gap,
+       CAST(CAST(SUM(CASE WHEN m.m_sc IS NOT NULL THEN abs(m.sc - m.m_sc) END) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(m.m_sc) AS DOUBLE) AS avg_abs_gap,
+       CAST(CAST(SUM(CASE WHEN m.m_sc IS NOT NULL THEN m.n_chars - r.rep_chars END) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(m.m_sc) AS DOUBLE) AS att_chars
+FROM matched m LEFT JOIN reps r ON m.m_sc = r.r_sc
+"""
+
+
+@register(
+    "scoring_propensity_nn_att",
+    oracle=None,  # composed at module end (needs the registered sub-oracles)
+    doc="propensity nearest-neighbor matching ATT: each gate-failing doc "
+    "matched to the nearest-scoring passing doc via TWO distributed "
+    "exclusive prefix-max passes (ascending for below, descending with "
+    "negated scores for above; equal-gap ties take below), control "
+    "representative per score by arg_max(n_chars, doc_id), integer gaps, "
+    "identical double ratio trees.",
+    tags=("pipeline", "scoring", "matching", "prefix-max", "extension"),
+)
+def scoring_propensity_nn_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: two range-repartitioned prefix-max passes (model-sized
+    offset collects) + one score-keyed rep join; nothing quadratic, no
+    global sort to the driver."""
+    from f1_lakehouse_spark.operators.extensions import global_prefix_max
+    from f1_lakehouse_spark.pipeline.filtering import quality_gopher_repetition
+    from f1_lakehouse_spark.pipeline.scoring import scoring_hashed_linear_quality
+
+    s = scoring_hashed_linear_quality(spark, sf_dir).select("doc_id", "score_sum")
+    lab = quality_gopher_repetition(spark, sf_dir).select(
+        "doc_id", "passes_repetition"
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    base = (
+        s.join(lab, "doc_id")
+        .join(d, "doc_id")
+        .select(
+            "doc_id",
+            F.col("score_sum").alias("sc"),
+            F.col("passes_repetition").alias("y"),
+            "n_chars",
+        )
+    )
+    base = base.persist()
+    base.count()  # three derived uses (two prefix passes + reps)
+
+    below_in = base.withColumn(
+        "cv", F.when(F.col("y") == 1, F.col("sc")).cast("long")
+    )
+    below_f, rel1 = global_prefix_max(
+        spark,
+        below_in,
+        "cv",
+        [F.col("sc").asc(), F.col("y").desc(), F.col("doc_id").asc()],
+    )
+    below_f = below_f.withColumnRenamed("excl_max", "below_sc").drop("cv")
+
+    above_in = below_f.withColumn(
+        "cvn", F.when(F.col("y") == 1, -F.col("sc")).cast("long")
+    )
+    above_f, rel2 = global_prefix_max(
+        spark,
+        above_in,
+        "cvn",
+        [F.col("sc").desc(), F.col("y").desc(), F.col("doc_id").asc()],
+    )
+    above_f = above_f.withColumnRenamed("excl_max", "neg_above").drop("cvn")
+
+    matched = above_f.where(F.col("y") == 0).select(
+        "doc_id",
+        "sc",
+        "n_chars",
+        F.when(
+            F.col("below_sc").isNull() & F.col("neg_above").isNull(), F.lit(None)
+        )
+        .when(F.col("neg_above").isNull(), F.col("below_sc"))
+        .when(F.col("below_sc").isNull(), -F.col("neg_above"))
+        .when(
+            F.col("sc") - F.col("below_sc") <= (-F.col("neg_above")) - F.col("sc"),
+            F.col("below_sc"),
+        )
+        .otherwise(-F.col("neg_above"))
+        .alias("m_sc"),
+    )
+    reps = (
+        base.where(F.col("y") == 1)
+        .groupBy(F.col("sc").alias("r_sc"))
+        .agg(F.max_by("n_chars", "doc_id").alias("rep_chars"))
+    )
+    joined = matched.join(reps, matched["m_sc"] == reps["r_sc"], "left")
+    agg = joined.agg(
+        F.count("*").cast("long").alias("n_treated"),
+        F.count("m_sc").cast("long").alias("n_matched"),
+        F.sum(
+            F.when(F.col("m_sc").isNotNull(), F.abs(F.col("sc") - F.col("m_sc")))
+        )
+        .cast("long")
+        .alias("sum_abs_gap"),
+        F.sum(
+            F.when(
+                F.col("m_sc").isNotNull(), F.col("n_chars") - F.col("rep_chars")
+            )
+        )
+        .cast("long")
+        .alias("sum_diff"),
+    )
+    out = agg.select(
+        "n_treated",
+        "n_matched",
+        "sum_abs_gap",
+        (
+            F.col("sum_abs_gap").cast("double") / F.col("n_matched").cast("double")
+        ).alias("avg_abs_gap"),
+        (F.col("sum_diff").cast("double") / F.col("n_matched").cast("double")).alias(
+            "att_chars"
+        ),
+    )
+    out = pin_small_result(out, 16)
+    rel2()
+    rel1()
+    base.unpersist()
+    return out
+
+
+# wire the composed oracle (the sub-oracles register on module import;
+# text must load before filtering->dedup so the chain registers under ANY
+# module import order — the scoring.py convention)
+import f1_lakehouse_spark.pipeline.scoring  # noqa: E402,F401
+import f1_lakehouse_spark.pipeline.filtering  # noqa: E402,F401
+
+from f1_lakehouse_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["scoring_propensity_nn_att"].oracle = _ATT_ORACLE.format(
+    score_q=_REG["scoring_hashed_linear_quality"].oracle,
+    label_q=_REG["quality_gopher_repetition"].oracle,
+)

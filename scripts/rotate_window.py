@@ -46,10 +46,23 @@ ANCHORS: tuple[str, ...] = (
 # Round-6 priorities: ``approx_sketches`` is the single registered query
 # without a green driver row ever (r01 harness-canonicalization err, r02
 # no_oracle; reshaped in r5 to an exact oracle and MATCHing locally) — it
-# re-enters via the LEAD bypass. Everything else fills from the 81
-# never-driver-checked queries in registry order.
+# re-enters via the LEAD bypass. Then the four remaining f1_* parity
+# queries (r5 verdict: "local-pass awaiting rotation") and the six
+# round-6 operators, pinned so registry-import-order churn can't displace
+# them. Everything else fills from the never-driver-checked pool in
+# registry order.
 LEAD: tuple[str, ...] = (
     "approx_sketches",
+    "f1_weather_pace_join",
+    "f1_driver_alias_audit",
+    "f1_team_points",
+    "f1_classification_breakdown",
+    "events_ks_two_sample",
+    "events_welch_ttest",
+    "events_permutation_test",
+    "orders_quantile_sketch_contract",
+    "supplier_mad_outliers",
+    "scoring_propensity_nn_att",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"
