@@ -859,3 +859,543 @@ _REG["scoring_propensity_nn_att"].oracle = _ATT_ORACLE.format(
     score_q=_REG["scoring_hashed_linear_quality"].oracle,
     label_q=_REG["quality_gopher_repetition"].oracle,
 )
+
+
+# --- X-bar/S statistical process control chart --------------------------------------------
+# The manufacturing-quality readout applied to daily revenue: subgroups
+# are months, the subgroup statistic is the mean/stddev of DAILY revenue
+# within the month, and the 3-sigma control limits flag months whose mean
+# drifted. Per-subgroup sufficient statistics are exact decimals (daily
+# cents; squares through DECIMAL(18,0)^2 = (37,0), exact); the grand
+# means fold over ONE calendar-bounded packed array in ym0 order with a
+# DOUBLE-LIST accumulator (the orders_holt_forecast fold discipline —
+# DuckDB list_reduce computes struct accumulators incorrectly, lists fold
+# exactly, and init/elements must share the list type). Simplified
+# Shewhart limits (no c4 small-sample correction — a shared convention,
+# not an approximation mismatch; both engines use the identical formula).
+
+_SPC_ORACLE = """
+WITH daily AS (
+  SELECT (CAST(year(o_orderdate) AS BIGINT) * 12 + CAST(month(o_orderdate) AS BIGINT) - 1) AS ym0,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month_str,
+         CAST(SUM(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS dc
+  FROM orders GROUP BY 1, 2, o_orderdate
+), grp AS (
+  SELECT ym0, month_str,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dc) AS DECIMAL(38,0)) AS sx,
+         CAST(SUM(CAST(dc AS DECIMAL(19,0)) * CAST(dc AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS qx
+  FROM daily GROUP BY 1, 2
+), stats AS (
+  SELECT ym0, month_str, n,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS xbar,
+         sqrt((CAST(qx AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) / 100.0 AS s
+  FROM grp WHERE n >= 2
+), packed AS (
+  SELECT list(struct_pack(ym0 := ym0, xbar := xbar, s := s) ORDER BY ym0) AS arr,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM stats
+), grand AS (
+  SELECT list_reduce(
+           list_prepend([CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+                        list_transform(arr, t -> [t.xbar, t.s])),
+           (a, b) -> [a[1] + b[1], a[2] + b[2]]) AS f,
+         m
+  FROM packed
+)
+SELECT st.month_str, st.n AS n_days, st.xbar, st.s,
+       g.f[1] / CAST(g.m AS DOUBLE) AS grand_mean,
+       g.f[2] / CAST(g.m AS DOUBLE) AS s_bar,
+       g.f[1] / CAST(g.m AS DOUBLE)
+         + 3.0 * (g.f[2] / CAST(g.m AS DOUBLE)) / sqrt(CAST(st.n AS DOUBLE)) AS ucl,
+       g.f[1] / CAST(g.m AS DOUBLE)
+         - 3.0 * (g.f[2] / CAST(g.m AS DOUBLE)) / sqrt(CAST(st.n AS DOUBLE)) AS lcl,
+       (st.xbar > g.f[1] / CAST(g.m AS DOUBLE)
+          + 3.0 * (g.f[2] / CAST(g.m AS DOUBLE)) / sqrt(CAST(st.n AS DOUBLE))
+        OR st.xbar < g.f[1] / CAST(g.m AS DOUBLE)
+          - 3.0 * (g.f[2] / CAST(g.m AS DOUBLE)) / sqrt(CAST(st.n AS DOUBLE))) AS out_of_control
+FROM stats st CROSS JOIN grand g
+"""
+
+
+@register(
+    "orders_spc_control_chart",
+    oracle=_SPC_ORACLE,
+    doc="X-bar/S Shewhart control chart of daily revenue by month: exact "
+    "decimal subgroup sufficient statistics, grand means via a "
+    "DOUBLE-list fold over one calendar-bounded packed array, 3-sigma "
+    "limits and out-of-control flags from identical double trees.",
+    tags=("stats", "timeseries", "quality-control", "extension"),
+)
+def orders_spc_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one (month, day) partial-aggregated shuffle, then a second
+    aggregate to ~84 month cells; the grand fold runs over the packed
+    array — row-scale work is one scan, everything after is
+    calendar-bounded."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    cents = (F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    daily = (
+        o.select(
+            (
+                F.year("o_orderdate").cast("long") * 12
+                + F.month("o_orderdate").cast("long")
+                - 1
+            ).alias("ym0"),
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias(
+                "month_str"
+            ),
+            F.col("o_orderdate").alias("d"),
+            cents.alias("c"),
+        )
+        .groupBy("ym0", "month_str", "d")
+        .agg(F.sum("c").alias("dc"))
+    )
+    dcd = F.col("dc").cast("decimal(19,0)")
+    grp = daily.groupBy("ym0", "month_str").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dc").cast("decimal(38,0)").alias("sx"),
+        F.sum(dcd * dcd).cast("decimal(38,0)").alias("qx"),
+    )
+    # subgroup stddev needs >= 2 observations: a 1-day partial month at the
+    # calendar edge otherwise divides by zero (NULL in DuckDB, NaN in Spark)
+    grp = grp.where(F.col("n") >= 2)
+    n_d = F.col("n").cast("double")
+    stats = grp.select(
+        "ym0",
+        "month_str",
+        "n",
+        (F.col("sx").cast("double") / n_d / F.lit(100.0)).alias("xbar"),
+        (
+            F.sqrt(
+                (
+                    F.col("qx").cast("double")
+                    - (F.col("sx").cast("double") * F.col("sx").cast("double")) / n_d
+                )
+                / (n_d - F.lit(1.0))
+            )
+            / F.lit(100.0)
+        ).alias("s"),
+    )
+    stats = stats.persist()
+    stats.count()  # two derived uses (grand fold + per-month output)
+    packed = stats.agg(
+        F.sort_array(
+            F.collect_list(F.struct("ym0", "xbar", "s"))
+        ).alias("arr"),
+        F.count("*").cast("long").alias("m"),
+    )
+    grand = packed.select(
+        F.aggregate(
+            F.transform("arr", lambda t: F.array(t["xbar"], t["s"])),
+            F.array(F.lit(0.0), F.lit(0.0)),
+            lambda a, b: F.array(
+                F.element_at(a, 1) + F.element_at(b, 1),
+                F.element_at(a, 2) + F.element_at(b, 2),
+            ),
+        ).alias("f"),
+        "m",
+    )
+    m_d = F.col("m").cast("double")
+    gmean = F.element_at(F.col("f"), 1) / m_d
+    sbar = F.element_at(F.col("f"), 2) / m_d
+    nd2 = F.col("n").cast("double")
+    ucl = gmean + F.lit(3.0) * sbar / F.sqrt(nd2)
+    lcl = gmean - F.lit(3.0) * sbar / F.sqrt(nd2)
+    out = stats.crossJoin(F.broadcast(grand)).select(
+        "month_str",
+        F.col("n").alias("n_days"),
+        "xbar",
+        "s",
+        gmean.alias("grand_mean"),
+        sbar.alias("s_bar"),
+        ucl.alias("ucl"),
+        lcl.alias("lcl"),
+        ((F.col("xbar") > ucl) | (F.col("xbar") < lcl)).alias("out_of_control"),
+    )
+    out = pin_small_result(out, 4096)
+    stats.unpersist()
+    return out
+
+
+# --- autocorrelation function + Ljung-Box portmanteau -------------------------------------
+# Is monthly revenue white noise after detrending by its mean? ACF at
+# lags 1..ACF_LAGS over the ~84-month packed array plus the cumulative
+# Ljung-Box Q — the residual-diagnostics companion to the Holt/seasonal
+# forecasters. The array is calendar-bounded, so the O(lags x months)
+# fold work is constant at any SF; every sum is a LEFT FOLD in index
+# order (IEEE-identical both engines); the demeaned series is a
+# MATERIALIZED column before element_at touches it (HOF re-evaluation
+# trap). Assumes months > ACF_LAGS + 1, which the fixed synthetic
+# calendar (~84 months at every SF) guarantees.
+
+ACF_LAGS = 12
+
+_ACF_ORACLE = f"""
+WITH monthly AS (
+  SELECT (CAST(year(o_orderdate) AS BIGINT) * 12 + CAST(month(o_orderdate) AS BIGINT) - 1) AS ym0,
+         CAST(SUM(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), packed AS (
+  SELECT list(CAST(cents AS DOUBLE) / 100.0 ORDER BY ym0) AS arr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM monthly
+), demeaned AS (
+  SELECT n, arr,
+         list_transform(arr, v -> v - list_reduce(list_prepend(CAST(0.0 AS DOUBLE), arr), (a, b) -> a + b) / CAST(n AS DOUBLE)) AS e
+  FROM packed
+), den AS (
+  SELECT n, e,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list_transform(e, v -> v * v)), (a, b) -> a + b) AS d
+  FROM demeaned
+), acfs AS (
+  SELECT n, d,
+         list_transform(range(1, {ACF_LAGS} + 1),
+           k -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(range(k + 1, n + 1),
+                    t -> e[CAST(t AS INTEGER)] * e[CAST(t - k AS INTEGER)])),
+                  (a, b) -> a + b) / d) AS acf
+  FROM den
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+       acf[CAST(lag AS INTEGER)] AS acf_value,
+       CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+         * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, lag + 1),
+               j -> acf[CAST(j AS INTEGER)] * acf[CAST(j AS INTEGER)]
+                    / (CAST(n AS DOUBLE) - CAST(j AS DOUBLE)))),
+             (a, b) -> a + b) AS ljung_box_q
+FROM acfs, (SELECT unnest(range(1, {ACF_LAGS} + 1)) AS lag)
+"""
+
+
+@register(
+    "orders_acf_ljung_box",
+    oracle=_ACF_ORACLE,
+    doc=f"autocorrelation of monthly revenue at lags 1..{ACF_LAGS} with "
+    "the cumulative Ljung-Box Q: calendar-bounded packed-array index "
+    "folds (left fold order, IEEE-identical), demeaned series "
+    "materialized before element_at, no transcendentals.",
+    tags=("stats", "timeseries", "diagnostics", "extension"),
+)
+def orders_acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one partial-aggregated shuffle to ~84 month cells; the
+    O(lags x months) DP is constant-size at any row count."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    cents = (F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    monthly = (
+        o.select(
+            (
+                F.year("o_orderdate").cast("long") * 12
+                + F.month("o_orderdate").cast("long")
+                - 1
+            ).alias("ym0"),
+            cents.alias("c"),
+        )
+        .groupBy("ym0")
+        .agg(F.sum("c").alias("cents"))
+    )
+    packed = monthly.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("ym0", (F.col("cents").cast("double") / F.lit(100.0)).alias("v"))
+            )
+        ).alias("sarr"),
+        F.count("*").cast("long").alias("n"),
+    ).select(F.transform("sarr", lambda s: s["v"]).alias("arr"), "n")
+    n_d = F.col("n").cast("double")
+
+    def fold_sum(arr_col):
+        return F.aggregate(arr_col, F.lit(0.0), lambda a, b: a + b)
+
+    demeaned = packed.select(
+        "n",
+        F.transform(
+            "arr", lambda v: v - fold_sum(F.col("arr")) / n_d
+        ).alias("e"),
+    )
+    # e must be a materialized column before the lagged element_at folds
+    den = demeaned.select(
+        "n",
+        "e",
+        fold_sum(F.transform("e", lambda v: v * v)).alias("d"),
+    )
+    acfs = den.select(
+        "n",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(ACF_LAGS)),
+            lambda k: F.aggregate(
+                F.sequence(k + 1, F.col("n").cast("int")),
+                F.lit(0.0),
+                lambda a, t: a
+                + F.element_at("e", t.cast("int"))
+                * F.element_at("e", (t - k).cast("int")),
+            )
+            / F.col("d"),
+        ).alias("acf"),
+    )
+    out = acfs.select(
+        F.explode(F.sequence(F.lit(1), F.lit(ACF_LAGS))).alias("lagi"), "acf", "n"
+    ).select(
+        F.col("lagi").cast("long").alias("lag"),
+        F.element_at("acf", F.col("lagi").cast("int")).alias("acf_value"),
+        (
+            n_d
+            * (n_d + F.lit(2.0))
+            * F.aggregate(
+                F.sequence(F.lit(1), F.col("lagi")),
+                F.lit(0.0),
+                lambda a, j: a
+                + F.element_at("acf", j.cast("int"))
+                * F.element_at("acf", j.cast("int"))
+                / (n_d - j.cast("double")),
+            )
+        ).alias("ljung_box_q"),
+    )
+    return out
+
+
+# --- Cohen's kappa inter-rater agreement ---------------------------------------------------
+# Do the expensive gopher repetition gate and the cheap hashed-linear
+# score agree beyond chance? Rater A = the gate; rater B = score >= the
+# score's own low-median (the rank-(n+1)//2 order statistic — a single
+# distributed prefix-rank pick, deterministic in both engines because the
+# rank and the (sc, doc_id) total order are identical). kappa =
+# (po - pe)/(1 - pe) from the exact 2x2 integer cells; the chance-
+# agreement products go through DECIMAL(18,0)^2 (exact at any corpus
+# size) before the only double casts.
+
+_KAPPA_ORACLE = """
+WITH scores AS ({score_q}),
+labels AS ({label_q}),
+base AS (
+  SELECT s.doc_id, s.score_sum AS sc, l.passes_repetition AS y
+  FROM scores s JOIN labels l ON s.doc_id = l.doc_id
+),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+ranked AS (
+  SELECT sc, CAST(ROW_NUMBER() OVER (ORDER BY sc, doc_id) AS BIGINT) AS rk FROM base
+),
+med AS (SELECT sc AS m FROM ranked, st WHERE rk = (n + 1) // 2),
+cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN y = 1 AND sc >= med.m THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+    CAST(SUM(CASE WHEN y = 1 AND sc <  med.m THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+    CAST(SUM(CASE WHEN y = 0 AND sc >= med.m THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+    CAST(SUM(CASE WHEN y = 0 AND sc <  med.m THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  FROM base CROSS JOIN med
+)
+SELECT st.n AS n_docs, c.n11, c.n10, c.n01, c.n00,
+       CAST(c.n11 + c.n00 AS DOUBLE) / CAST(st.n AS DOUBLE) AS po,
+       CAST(CAST(c.n11 + c.n10 AS DECIMAL(18,0)) * CAST(c.n11 + c.n01 AS DECIMAL(18,0))
+            + CAST(c.n01 + c.n00 AS DECIMAL(18,0)) * CAST(c.n10 + c.n00 AS DECIMAL(18,0)) AS DOUBLE)
+         / (CAST(st.n AS DOUBLE) * CAST(st.n AS DOUBLE)) AS pe,
+       (CAST(c.n11 + c.n00 AS DOUBLE) / CAST(st.n AS DOUBLE)
+        - CAST(CAST(c.n11 + c.n10 AS DECIMAL(18,0)) * CAST(c.n11 + c.n01 AS DECIMAL(18,0))
+               + CAST(c.n01 + c.n00 AS DECIMAL(18,0)) * CAST(c.n10 + c.n00 AS DECIMAL(18,0)) AS DOUBLE)
+          / (CAST(st.n AS DOUBLE) * CAST(st.n AS DOUBLE)))
+       / (1.0 - CAST(CAST(c.n11 + c.n10 AS DECIMAL(18,0)) * CAST(c.n11 + c.n01 AS DECIMAL(18,0))
+                     + CAST(c.n01 + c.n00 AS DECIMAL(18,0)) * CAST(c.n10 + c.n00 AS DECIMAL(18,0)) AS DOUBLE)
+            / (CAST(st.n AS DOUBLE) * CAST(st.n AS DOUBLE))) AS kappa
+FROM cells c CROSS JOIN st
+"""
+
+
+@register(
+    "scoring_cohens_kappa",
+    oracle=None,  # composed at module end
+    doc="Cohen's kappa between the gopher repetition gate and the "
+    "median-thresholded hashed-linear score: one distributed prefix-rank "
+    "median pick, exact 2x2 integer cells from one aggregate, "
+    "chance-agreement products through DECIMAL(18,0)^2, identical "
+    "double trees for po/pe/kappa.",
+    tags=("pipeline", "scoring", "agreement", "prefix-sum", "extension"),
+)
+def scoring_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: score/label join + one prefix-rank pass + one 1-row
+    aggregate; collects are O(1) rows (n, the median pick)."""
+    from f1_lakehouse_spark.operators.extensions import global_prefix_sum
+    from f1_lakehouse_spark.pipeline.filtering import quality_gopher_repetition
+    from f1_lakehouse_spark.pipeline.scoring import scoring_hashed_linear_quality
+
+    s = scoring_hashed_linear_quality(spark, sf_dir).select("doc_id", "score_sum")
+    lab = quality_gopher_repetition(spark, sf_dir).select(
+        "doc_id", "passes_repetition"
+    )
+    base = s.join(lab, "doc_id").select(
+        "doc_id", F.col("score_sum").alias("sc"), F.col("passes_repetition").alias("y")
+    )
+    base = base.persist()
+    n = base.count()
+    k = (n + 1) // 2
+    one = base.withColumn("one", F.lit(1).cast("decimal(27,6)"))
+    ranked, release, _t = global_prefix_sum(
+        spark, one, "one", [F.col("sc").asc(), F.col("doc_id").asc()]
+    )
+    ranked = ranked.withColumn("rk", F.col("cum").cast("long"))
+    m = int(
+        ranked.where(F.col("rk") == k).select("sc").collect()[0]["sc"]
+    )
+    release()
+    cells = base.agg(
+        F.sum(F.when((F.col("y") == 1) & (F.col("sc") >= m), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("sc") < m), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("sc") >= m), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("sc") < m), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+    )
+    n_d = F.lit(n).cast("double")
+    pe_num = (
+        (F.col("n11") + F.col("n10")).cast("decimal(18,0)")
+        * (F.col("n11") + F.col("n01")).cast("decimal(18,0)")
+        + (F.col("n01") + F.col("n00")).cast("decimal(18,0)")
+        * (F.col("n10") + F.col("n00")).cast("decimal(18,0)")
+    ).cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n_d
+    pe = pe_num / (n_d * n_d)
+    out = cells.select(
+        F.lit(n).cast("long").alias("n_docs"),
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+    out = pin_small_result(out, 16)
+    base.unpersist()
+    return out
+
+
+# --- inverse-propensity-scored off-policy evaluation ---------------------------------------
+# "What would the average event value be under a policy that served only
+# purchase/click, 50/50?" — answered from LOGGED data alone, the
+# counterfactual-eval shape behind recsys/RLHF reward audits. Behavior
+# propensities are empirical action shares estimated on a salted-hash
+# TRAIN split; IPS / self-normalized IPS / effective sample size are
+# evaluated on the disjoint EVAL split (estimating propensities on the
+# evaluation data itself would make SNIPS collapse to IPS identically).
+# Everything reduces to per-action-type cells (<= |event types|): exact
+# integer counts and decimal cent sums, then identical double trees.
+
+IPS_TARGET = ("purchase", "click")  # target policy: uniform over these
+
+
+_IPS_ORACLE = f"""
+WITH tagged AS (
+  SELECT event_type, value,
+         {sql_salted_hash("event_id", ":ips")} % 2 AS split
+  FROM events
+), cells AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+         CAST(SUM(CASE WHEN split = 1 THEN {_SQL_CENTS} ELSE 0 END) AS DECIMAL(38,0)) AS sv
+  FROM tagged GROUP BY event_type
+), tot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS n_train, CAST(SUM(ce) AS BIGINT) AS n_eval FROM cells
+), t AS (
+  SELECT
+    MAX(CASE WHEN event_type = '{IPS_TARGET[0]}' THEN ct END) AS ct_p,
+    MAX(CASE WHEN event_type = '{IPS_TARGET[0]}' THEN ce END) AS ce_p,
+    MAX(CASE WHEN event_type = '{IPS_TARGET[0]}' THEN sv END) AS sv_p,
+    MAX(CASE WHEN event_type = '{IPS_TARGET[1]}' THEN ct END) AS ct_c,
+    MAX(CASE WHEN event_type = '{IPS_TARGET[1]}' THEN ce END) AS ce_c,
+    MAX(CASE WHEN event_type = '{IPS_TARGET[1]}' THEN sv END) AS sv_c
+  FROM cells
+)
+SELECT tot.n_train, tot.n_eval,
+       (CAST(tot.n_train AS DOUBLE) / (2.0 * CAST(t.ct_p AS DOUBLE)) * (CAST(t.sv_p AS DOUBLE) / 100.0)
+        + CAST(tot.n_train AS DOUBLE) / (2.0 * CAST(t.ct_c AS DOUBLE)) * (CAST(t.sv_c AS DOUBLE) / 100.0))
+         / CAST(tot.n_eval AS DOUBLE) AS ips_value,
+       (CAST(tot.n_train AS DOUBLE) / (2.0 * CAST(t.ct_p AS DOUBLE)) * (CAST(t.sv_p AS DOUBLE) / 100.0)
+        + CAST(tot.n_train AS DOUBLE) / (2.0 * CAST(t.ct_c AS DOUBLE)) * (CAST(t.sv_c AS DOUBLE) / 100.0))
+         / (CAST(tot.n_train AS DOUBLE) / (2.0 * CAST(t.ct_p AS DOUBLE)) * CAST(t.ce_p AS DOUBLE)
+            + CAST(tot.n_train AS DOUBLE) / (2.0 * CAST(t.ct_c AS DOUBLE)) * CAST(t.ce_c AS DOUBLE)) AS snips_value,
+       (CAST(tot.n_train AS DOUBLE) / (2.0 * CAST(t.ct_p AS DOUBLE)) * CAST(t.ce_p AS DOUBLE)
+        + CAST(tot.n_train AS DOUBLE) / (2.0 * CAST(t.ct_c AS DOUBLE)) * CAST(t.ce_c AS DOUBLE))
+       * (CAST(tot.n_train AS DOUBLE) / (2.0 * CAST(t.ct_p AS DOUBLE)) * CAST(t.ce_p AS DOUBLE)
+          + CAST(tot.n_train AS DOUBLE) / (2.0 * CAST(t.ct_c AS DOUBLE)) * CAST(t.ce_c AS DOUBLE))
+       / (CAST(tot.n_train AS DOUBLE) / (2.0 * CAST(t.ct_p AS DOUBLE))
+            * (CAST(tot.n_train AS DOUBLE) / (2.0 * CAST(t.ct_p AS DOUBLE))) * CAST(t.ce_p AS DOUBLE)
+          + CAST(tot.n_train AS DOUBLE) / (2.0 * CAST(t.ct_c AS DOUBLE))
+            * (CAST(tot.n_train AS DOUBLE) / (2.0 * CAST(t.ct_c AS DOUBLE))) * CAST(t.ce_c AS DOUBLE)) AS ess
+FROM tot CROSS JOIN t
+"""
+
+
+@register(
+    "events_ips_offpolicy",
+    oracle=_IPS_ORACLE,
+    doc="off-policy evaluation of a uniform purchase/click target policy "
+    "via IPS, self-normalized IPS, and effective sample size: empirical "
+    "propensities from a salted-hash train split, value estimated on the "
+    "disjoint eval split, everything from per-action-type cells (exact "
+    "counts + decimal cent sums) through identical double trees.",
+    tags=("events", "counterfactual", "off-policy", "extension"),
+)
+def events_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one pass, one |event-types|-cell aggregate with map-side
+    combine; the estimator math runs over <= 5 cells."""
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.select(
+        "event_type",
+        (spark_salted_hash("event_id", ":ips") % 2).alias("split"),
+        _cents(F.col("value")).alias("v"),
+    )
+    cells = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("split") == 0, 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(F.col("split") == 1, 1).otherwise(0)).cast("long").alias("ce"),
+        F.sum(F.when(F.col("split") == 1, F.col("v")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("sv"),
+    )
+    t = cells.agg(
+        F.sum("ct").cast("long").alias("n_train"),
+        F.sum("ce").cast("long").alias("n_eval"),
+        F.max(F.when(F.col("event_type") == IPS_TARGET[0], F.col("ct"))).alias("ct_p"),
+        F.max(F.when(F.col("event_type") == IPS_TARGET[0], F.col("ce"))).alias("ce_p"),
+        F.max(F.when(F.col("event_type") == IPS_TARGET[0], F.col("sv"))).alias("sv_p"),
+        F.max(F.when(F.col("event_type") == IPS_TARGET[1], F.col("ct"))).alias("ct_c"),
+        F.max(F.when(F.col("event_type") == IPS_TARGET[1], F.col("ce"))).alias("ce_c"),
+        F.max(F.when(F.col("event_type") == IPS_TARGET[1], F.col("sv"))).alias("sv_c"),
+    )
+    ntr = F.col("n_train").cast("double")
+    w_p = ntr / (F.lit(2.0) * F.col("ct_p").cast("double"))
+    w_c = ntr / (F.lit(2.0) * F.col("ct_c").cast("double"))
+    wv = w_p * (F.col("sv_p").cast("double") / F.lit(100.0)) + w_c * (
+        F.col("sv_c").cast("double") / F.lit(100.0)
+    )
+    sumw = w_p * F.col("ce_p").cast("double") + w_c * F.col("ce_c").cast("double")
+    sumw2 = w_p * w_p * F.col("ce_p").cast("double") + w_c * w_c * F.col(
+        "ce_c"
+    ).cast("double")
+    return t.select(
+        "n_train",
+        "n_eval",
+        (wv / F.col("n_eval").cast("double")).alias("ips_value"),
+        (wv / sumw).alias("snips_value"),
+        (sumw * sumw / sumw2).alias("ess"),
+    )
+
+
+# wire the kappa composed oracle (the scoring/filtering imports above the
+# propensity section already registered the sub-oracles)
+from f1_lakehouse_spark.registry import REGISTRY as _REG6  # noqa: E402
+
+_REG6["scoring_cohens_kappa"].oracle = _KAPPA_ORACLE.format(
+    score_q=_REG6["scoring_hashed_linear_quality"].oracle,
+    label_q=_REG6["quality_gopher_repetition"].oracle,
+)

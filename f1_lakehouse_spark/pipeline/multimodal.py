@@ -443,6 +443,34 @@ _PHASH_BANDS = 3
 _PHASH_BAND_BITS = 21
 
 
+def _phash_sql_cte() -> str:
+    """g/f/ph fingerprint CTEs (naive O(n^2) WHT — same exact integers as
+    the engine's butterfly; only evaluation strategy differs)."""
+    grid = (
+        "list_transform(range(0, 64), "
+        "k -> ascii(substr(text, CAST(k % length(text) AS INTEGER) + 1, 1)))"
+    )
+    coeff = (
+        "list_transform(range(0, 64), t -> "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 64), "
+        "s -> CAST((1 - 2 * ((bit_count(CAST(t // 8 AS BIGINT) & CAST(s // 8 AS BIGINT))"
+        " + bit_count(CAST(t % 8 AS BIGINT) & CAST(s % 8 AS BIGINT))) % 2)) AS BIGINT)"
+        " * g[CAST(s AS INTEGER) + 1])), (a, b) -> a + b))"
+    )
+    pack = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 63), "
+        "j -> CASE WHEN f[64 - CAST(j AS INTEGER)] > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)), "
+        "(acc, b) -> acc * 2 + b)"
+    )
+    return f"""g AS (
+  SELECT doc_id, {grid} AS g FROM documents WHERE length(text) > 0
+), f AS (
+  SELECT doc_id, {coeff} AS f FROM g
+), ph AS (
+  SELECT doc_id, {pack} AS phash FROM f
+)"""
+
+
 def _phash_oracle() -> str:
     grid = (
         "list_transform(range(0, 64), "
@@ -506,10 +534,9 @@ def mm_phash_hadamard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _phash_candidates_lazy(spark: SparkSession, sf_dir: str):
-    """Build (persisted fingerprint frame, lazy candidate-pair frame) —
-    separated so tests can assert the candidate plan (the registered fn
-    materializes through collect, which hides it behind an ExistingRDD)."""
+def _phash_frame(spark: SparkSession, sf_dir: str):
+    """Lazy per-document Walsh-Hadamard fingerprint frame (doc_id, phash)
+    — the shared build for the near-dup pair op and the radius search."""
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     # the fingerprint build is pure map CPU: make it run wide even when the
     # input is one small file (input-bytes-derived check, the
@@ -577,6 +604,15 @@ def _phash_candidates_lazy(spark: SparkSession, sf_dir: str):
             .cast("long"),
         ).alias("phash"),
     )
+    return ph
+
+
+def _phash_candidates_lazy(spark: SparkSession, sf_dir: str):
+    """Build (persisted fingerprint frame, lazy candidate-pair frame) —
+    separated so tests can assert the candidate plan (the registered fn
+    materializes through pin_checkpoint, which hides it behind a
+    LogicalRDD)."""
+    ph = _phash_frame(spark, sf_dir)
     ph = ph.persist()
     ph.count()  # self-join on a derived frame: materialize the barrier
     mask = F.lit((1 << _PHASH_BAND_BITS) - 1).cast("long")
@@ -621,3 +657,64 @@ def _phash_candidates_lazy(spark: SparkSession, sf_dir: str):
 from f1_lakehouse_spark.registry import REGISTRY as _REG5  # noqa: E402
 
 _REG5["mm_phash_hadamard_neardup"].oracle = _phash_oracle()
+
+
+# --- Hamming radius search against a query fingerprint ----------------------------------
+# The point-query twin of the near-dup pair sweep: every document within
+# Hamming radius _PHASH_HAMMING_MAX of ONE query document's fingerprint.
+# Map-only: the 1-row query fingerprint broadcasts (plan-visible limit
+# under the plan-lint rule) and every corpus fingerprint answers with one
+# XOR popcount inside the scan stage — zero shuffle of the corpus, the
+# shape that serves "find copies of THIS image" at any scale. The result
+# set is duplicate-cluster-proportional, so it pins via localCheckpoint.
+
+_PHASH_QUERY_DOC = 8  # has radius-6 neighbors at sf0.001 and sf0.01 (non-empty gate)
+
+
+@register(
+    "mm_phash_radius_search",
+    oracle=None,  # composed below from the shared fingerprint CTE
+    doc="Hamming radius search over perceptual fingerprints: 1-row query "
+    f"fingerprint broadcast, XOR popcount filter at radius "
+    f"{_PHASH_HAMMING_MAX} inside the scan stage — map-only, zero corpus "
+    "shuffle.",
+    tags=("pipeline", "multimodal", "similarity", "sketch"),
+)
+def mm_phash_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: fingerprint build is the shared map-only butterfly; the
+    query side is one row (limit(1) makes the broadcast bound
+    plan-provable); output pins via pin_checkpoint (cluster-proportional,
+    never through the driver)."""
+    ph = _phash_frame(spark, sf_dir)
+    ph = ph.persist()
+    ph.count()  # self-join on a derived frame: materialize the barrier
+    q = (
+        ph.where(F.col("doc_id") == _PHASH_QUERY_DOC)
+        .limit(1)
+        .select(F.col("phash").alias("qph"))
+    )
+    ham = F.bit_count(F.col("phash").bitwiseXOR(F.col("qph"))).cast("long")
+    out = (
+        ph.crossJoin(F.broadcast(q))
+        .where(F.col("doc_id") != _PHASH_QUERY_DOC)
+        .select("doc_id", ham.alias("hamming"))
+        .where(F.col("hamming") <= _PHASH_HAMMING_MAX)
+        .orderBy("hamming", "doc_id")
+    )
+    out = pin_checkpoint(out)
+    ph.unpersist()
+    return out
+
+
+_REG2 = __import__(
+    "f1_lakehouse_spark.registry", fromlist=["REGISTRY"]
+).REGISTRY
+_REG2["mm_phash_radius_search"].oracle = f"""
+WITH {_phash_sql_cte()},
+q AS (SELECT phash AS qph FROM ph WHERE doc_id = {_PHASH_QUERY_DOC})
+SELECT p.doc_id, CAST(bit_count(xor(p.phash, q.qph)) AS BIGINT) AS hamming
+FROM ph p CROSS JOIN q
+WHERE p.doc_id <> {_PHASH_QUERY_DOC}
+  AND bit_count(xor(p.phash, q.qph)) <= {_PHASH_HAMMING_MAX}
+ORDER BY hamming, p.doc_id
+"""

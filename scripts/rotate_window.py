@@ -63,6 +63,11 @@ LEAD: tuple[str, ...] = (
     "orders_quantile_sketch_contract",
     "supplier_mad_outliers",
     "scoring_propensity_nn_att",
+    "orders_spc_control_chart",
+    "orders_acf_ljung_box",
+    "scoring_cohens_kappa",
+    "events_ips_offpolicy",
+    "mm_phash_radius_search",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"
