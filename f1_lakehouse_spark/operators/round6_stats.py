@@ -318,6 +318,16 @@ def events_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """100 TB: user aggregate (map-side combined), then a PERM_B-way
     explode over USER rows only, collapsing map-side to 2*PERM_B cells —
     CPU linear with constant PERM_B, shuffle constant-size."""
+    buyers, out = _permutation_lazy(spark, sf_dir)
+    out = pin_small_result(out, 16)
+    buyers.unpersist()
+    return out
+
+
+def _permutation_lazy(spark: SparkSession, sf_dir: str):
+    """(persisted per-user frame, lazy result) — separated so tests can
+    assert the fan-out plan (the registered fn pins through
+    pin_small_result, which hides it behind an ExistingRDD)."""
     e = load_table(spark, sf_dir, "events")
     users = e.groupBy("user_id").agg(
         F.sum(
@@ -422,9 +432,7 @@ def events_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("diff_obs", "n_perms", "n_ge", "p_value")
     )
-    out = pin_small_result(out, 16)
-    buyers.unpersist()
-    return out
+    return buyers, out
 
 
 # --- mergeable histogram quantile sketch with an accuracy contract ---------------------
@@ -614,6 +622,16 @@ def supplier_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """100 TB: supplier revenue is one map-side-combined aggregate; each
     median is a range-repartitioned prefix-rank pass with O(1)-row
     collects; the final top-k is TakeOrdered (no global sort)."""
+    rev, out = _mad_lazy(spark, sf_dir)
+    out = pin_small_result(out, _MAD_K)
+    rev.unpersist()
+    return out
+
+
+def _mad_lazy(spark: SparkSession, sf_dir: str):
+    """(persisted revenue frame, lazy top-k result) — separated so tests
+    can assert the TakeOrdered plan (the registered fn pins through
+    pin_small_result, which hides it behind an ExistingRDD)."""
     from f1_lakehouse_spark.operators.extensions import global_prefix_sum
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -670,9 +688,7 @@ def supplier_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_MAD_K)
     )
-    out = pin_small_result(out, _MAD_K)
-    rev.unpersist()
-    return out
+    return rev, out
 
 
 # --- propensity nearest-neighbor matching (ATT) ------------------------------------------
