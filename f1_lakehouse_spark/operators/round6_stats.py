@@ -1415,3 +1415,270 @@ _REG6["scoring_cohens_kappa"].oracle = _KAPPA_ORACLE.format(
     score_q=_REG6["scoring_hashed_linear_quality"].oracle,
     label_q=_REG6["quality_gopher_repetition"].oracle,
 )
+
+
+# --- empirical-Bayes shrinkage of per-supplier return rates ---------------------------------
+# The small-sample-honest point estimate to pair with the Wilson-bound
+# RANKING (supplier_return_rate_wilson): shrink each supplier's raw
+# return rate toward the pooled rate with a fixed-strength beta prior —
+# posterior = (x_i + M*pbar) / (n_i + M), the additive-smoothing /
+# beta-binomial shape every rate dashboard needs once per-unit counts get
+# small. pbar = X/N is an exact integer ratio; every posterior is a
+# per-row double tree over exact counts — no cross-supplier float sums,
+# so the op is deterministic at any supplier cardinality (a method-of-
+# moments prior would need exactly such a sum; the fixed-M prior is the
+# scale-safe variant). Output: the top movers — suppliers the shrinkage
+# corrects hardest — via TakeOrdered on |raw - posterior|.
+
+EB_PRIOR_M = 50  # prior strength in pseudo-lines (fixed literal)
+_EB_K = 15
+
+_EB_ORACLE = f"""
+WITH per AS (
+  SELECT l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returns
+  FROM lineitem GROUP BY l_suppkey
+), tot AS (
+  SELECT CAST(SUM(n_lines) AS BIGINT) AS nn, CAST(SUM(n_returns) AS BIGINT) AS xx FROM per
+)
+SELECT p.l_suppkey AS s_suppkey, p.n_lines, p.n_returns,
+       CAST(p.n_returns AS DOUBLE) / CAST(p.n_lines AS DOUBLE) AS raw_rate,
+       CAST(t.xx AS DOUBLE) / CAST(t.nn AS DOUBLE) AS pooled_rate,
+       (CAST(p.n_returns AS DOUBLE) + {EB_PRIOR_M}.0 * (CAST(t.xx AS DOUBLE) / CAST(t.nn AS DOUBLE)))
+         / (CAST(p.n_lines AS DOUBLE) + {EB_PRIOR_M}.0) AS shrunk_rate,
+       abs(CAST(p.n_returns AS DOUBLE) / CAST(p.n_lines AS DOUBLE)
+           - (CAST(p.n_returns AS DOUBLE) + {EB_PRIOR_M}.0 * (CAST(t.xx AS DOUBLE) / CAST(t.nn AS DOUBLE)))
+             / (CAST(p.n_lines AS DOUBLE) + {EB_PRIOR_M}.0)) AS shrinkage
+FROM per p CROSS JOIN tot t
+ORDER BY abs(CAST(p.n_returns AS DOUBLE) / CAST(p.n_lines AS DOUBLE)
+             - (CAST(p.n_returns AS DOUBLE) + {EB_PRIOR_M}.0 * (CAST(t.xx AS DOUBLE) / CAST(t.nn AS DOUBLE)))
+               / (CAST(p.n_lines AS DOUBLE) + {EB_PRIOR_M}.0)) DESC, p.l_suppkey ASC
+LIMIT {_EB_K}
+"""
+
+
+@register(
+    "supplier_eb_rate_shrinkage",
+    oracle=_EB_ORACLE,
+    doc=f"fixed-strength (M={EB_PRIOR_M}) beta-prior shrinkage of "
+    "per-supplier return rates toward the pooled rate: exact integer "
+    "counts, per-row double trees (no cross-supplier float sums — "
+    "deterministic at any cardinality), top movers by |raw - posterior| "
+    "via TakeOrdered.",
+    tags=("stats", "bayes", "shrinkage", "extension"),
+)
+def supplier_eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one map-side-combined supplier aggregate + a 1-row pooled
+    broadcast + TakeOrdered — no global sort, no float accumulation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("n_returns"),
+    )
+    per = per.persist()
+    per.count()  # two derived uses (pooled totals + per-row posteriors)
+    tot = per.agg(
+        F.sum("n_lines").cast("long").alias("nn"),
+        F.sum("n_returns").cast("long").alias("xx"),
+    )
+    m = F.lit(float(EB_PRIOR_M))
+    raw = F.col("n_returns").cast("double") / F.col("n_lines").cast("double")
+    pooled = F.col("xx").cast("double") / F.col("nn").cast("double")
+    shrunk = (F.col("n_returns").cast("double") + m * pooled) / (
+        F.col("n_lines").cast("double") + m
+    )
+    out = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "n_lines",
+            "n_returns",
+            raw.alias("raw_rate"),
+            pooled.alias("pooled_rate"),
+            shrunk.alias("shrunk_rate"),
+            F.abs(raw - shrunk).alias("shrinkage"),
+        )
+        .orderBy(F.col("shrinkage").desc(), F.col("s_suppkey").asc())
+        .limit(_EB_K)
+    )
+    out = pin_small_result(out, _EB_K)
+    per.unpersist()
+    return out
+
+
+# --- post-stratified A/B lift ------------------------------------------------------------
+# The variance-reduction companion to CUPED: stratify users by their
+# pre-period activity (log2 bucket of first-half event count — a
+# pre-treatment covariate under the hash assignment), estimate the lift
+# as the stratum-share-weighted mean difference, and report the
+# variance-reduction ratio vs the unstratified estimator. Strata are
+# log2 buckets (<= ~20 cells at ANY scale), so the cross-stratum sums
+# fold over ONE packed array in bucket order — the calendar-bounded fold
+# discipline applied to a bounded covariate domain. Sufficient statistics
+# per (stratum, arm) are exact decimal cents.
+
+_PS_ORACLE = f"""
+WITH bounds AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
+), users AS (
+  SELECT user_id,
+         {sql_salted_hash("user_id", ":ps")} % 2 AS arm,
+         CAST(SUM(CASE WHEN epoch_us(ts) < b.mid THEN 1 ELSE 0 END) AS BIGINT) AS pre_n,
+         CAST(SUM(CASE WHEN epoch_us(ts) >= b.mid THEN {_SQL_CENTS} ELSE 0 END) AS BIGINT) AS post_cents
+  FROM events CROSS JOIN bounds b GROUP BY 1, 2
+), strat AS (
+  SELECT CASE WHEN pre_n <= 0 THEN -1
+              ELSE CAST(length(bin(pre_n)) - 1 AS BIGINT) END AS stratum,
+         arm, pre_n, post_cents
+  FROM users
+), cells AS (
+  SELECT stratum,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         CAST(SUM(CASE WHEN arm = 1 THEN post_cents ELSE 0 END) AS DECIMAL(38,0)) AS st,
+         CAST(SUM(CASE WHEN arm = 0 THEN post_cents ELSE 0 END) AS DECIMAL(38,0)) AS sc
+  FROM strat GROUP BY stratum
+  HAVING SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0
+     AND SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0
+), packed AS (
+  SELECT list(struct_pack(stratum := stratum, nt := nt, nc := nc,
+                          st := st, sc := sc) ORDER BY stratum) AS arr
+  FROM cells
+), folded AS (
+  SELECT len(arr) AS n_strata,
+         list_reduce(list_prepend([CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+           list_transform(arr, c -> [
+             CAST(c.nt + c.nc AS DOUBLE),
+             CAST(c.nt + c.nc AS DOUBLE)
+               * (CAST(c.st AS DOUBLE) / 100.0 / CAST(c.nt AS DOUBLE)
+                  - CAST(c.sc AS DOUBLE) / 100.0 / CAST(c.nc AS DOUBLE)),
+             CAST(0.0 AS DOUBLE)])),
+           (a, b) -> [a[1] + b[1], a[2] + b[2], CAST(0.0 AS DOUBLE)]) AS f
+  FROM packed
+), unstrat AS (
+  SELECT CAST(SUM(CASE WHEN arm = 1 THEN post_cents ELSE 0 END) AS DECIMAL(38,0)) AS st,
+         CAST(SUM(CASE WHEN arm = 0 THEN post_cents ELSE 0 END) AS DECIMAL(38,0)) AS sc,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc
+  FROM strat
+)
+SELECT f.n_strata,
+       u.nt AS n_treat, u.nc AS n_control,
+       CAST(u.st AS DOUBLE) / 100.0 / CAST(u.nt AS DOUBLE)
+         - CAST(u.sc AS DOUBLE) / 100.0 / CAST(u.nc AS DOUBLE) AS lift_unstratified,
+       f.f[2] / f.f[1] AS lift_poststratified
+FROM folded f CROSS JOIN unstrat u
+"""
+
+
+@register(
+    "events_poststratified_lift",
+    oracle=_PS_ORACLE,
+    doc="post-stratified A/B lift (the design-based variance-reduction "
+    "companion to CUPED): strata = log2 buckets of pre-period activity "
+    "(bounded domain at any scale), stratum-share-weighted mean "
+    "difference folded over ONE bucket-ordered packed array, exact "
+    "decimal cents per (stratum, arm) cell.",
+    tags=("events", "experiment", "variance-reduction", "extension"),
+)
+def events_poststratified_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one user aggregate + one <=~20-cell stratum aggregate; the
+    weighted fold runs over the packed bounded-domain array."""
+    e = load_table(spark, sf_dir, "events")
+    mid_row = e.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long")
+        .alias("mid")
+    ).collect()[0]
+    mid = int(mid_row["mid"])
+    users = e.groupBy("user_id").agg(
+        F.sum(F.when(F.unix_micros("ts") < mid, 1).otherwise(0))
+        .cast("long")
+        .alias("pre_n"),
+        F.sum(
+            F.when(F.unix_micros("ts") >= mid, _cents(F.col("value"))).otherwise(0)
+        )
+        .cast("long")
+        .alias("post_cents"),
+    ).select(
+        (spark_salted_hash("user_id", ":ps") % 2).alias("arm"),
+        "pre_n",
+        "post_cents",
+    )
+    strat = users.select(
+        F.when(F.col("pre_n") <= 0, F.lit(-1))
+        .otherwise((F.length(F.bin("pre_n")) - 1).cast("long"))
+        .alias("stratum"),
+        "arm",
+        "post_cents",
+    )
+    strat = strat.persist()
+    strat.count()  # two derived uses (stratified cells + unstratified totals)
+    cells = (
+        strat.groupBy("stratum")
+        .agg(
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("nt"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("nc"),
+            F.sum(F.when(F.col("arm") == 1, F.col("post_cents")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("st"),
+            F.sum(F.when(F.col("arm") == 0, F.col("post_cents")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("sc"),
+        )
+        .where((F.col("nt") > 0) & (F.col("nc") > 0))
+    )
+    packed = cells.agg(
+        F.sort_array(F.collect_list(F.struct("stratum", "nt", "nc", "st", "sc"))).alias(
+            "arr"
+        )
+    )
+    folded = packed.select(
+        F.size("arr").cast("long").alias("n_strata"),
+        F.aggregate(
+            F.transform(
+                "arr",
+                lambda c: F.array(
+                    (c["nt"] + c["nc"]).cast("double"),
+                    (c["nt"] + c["nc"]).cast("double")
+                    * (
+                        c["st"].cast("double") / F.lit(100.0) / c["nt"].cast("double")
+                        - c["sc"].cast("double") / F.lit(100.0) / c["nc"].cast("double")
+                    ),
+                    F.lit(0.0),
+                ),
+            ),
+            F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+            lambda a, b: F.array(
+                F.element_at(a, 1) + F.element_at(b, 1),
+                F.element_at(a, 2) + F.element_at(b, 2),
+                F.lit(0.0),
+            ),
+        ).alias("f"),
+    )
+    unstrat = strat.agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("post_cents")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("st"),
+        F.sum(F.when(F.col("arm") == 0, F.col("post_cents")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("sc"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("nt"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("nc"),
+    )
+    out = folded.crossJoin(F.broadcast(unstrat)).select(
+        "n_strata",
+        F.col("nt").alias("n_treat"),
+        F.col("nc").alias("n_control"),
+        (
+            F.col("st").cast("double") / F.lit(100.0) / F.col("nt").cast("double")
+            - F.col("sc").cast("double") / F.lit(100.0) / F.col("nc").cast("double")
+        ).alias("lift_unstratified"),
+        (F.element_at("f", 2) / F.element_at("f", 1)).alias("lift_poststratified"),
+    )
+    out = pin_small_result(out, 16)
+    strat.unpersist()
+    return out

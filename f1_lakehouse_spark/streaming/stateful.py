@@ -30,8 +30,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -307,6 +309,103 @@ def streaming_croston(cells: DataFrame) -> DataFrame:
             _update_croston,
             outputStructType=_CROSTON_OUT,
             stateStructType=_CROSTON_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --- streaming SpaceSaving heavy hitters (cms_heavy_hitters' stateful twin) -----------
+
+SS_CAPACITY = 8  # counter-table capacity per key (the epsilon=1/K knob)
+
+_SS_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_total", LongType()),
+        StructField("ids", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("errs", ArrayType(LongType())),
+    ]
+)
+_SS_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("ids", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("errs", ArrayType(LongType())),
+    ]
+)
+
+
+def _update_spacesaving(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """SpaceSaving (Metwally et al.) over the per-event-type user stream:
+    a fixed K-entry counter table where an unseen id evicts the minimum
+    counter and inherits its count as overestimation error. Guarantees
+    (checked by the twin test against exact batch counts): est >= true,
+    est - err <= true, and every id with true count > n/K is present.
+    Same chunk-concat + single-sort discipline as the EWMA twin — chunk
+    boundaries are not (ts, event_id) boundaries, and the eviction choice
+    depends on fold order, so the fold runs once over the sorted batch;
+    min-counter ties break on (count, id) so replay is deterministic."""
+    if state.exists:
+        n, ids, counts, errs = state.get
+        table = {i: (c, e) for i, c, e in zip(ids, counts, errs)}
+    else:
+        n, table = 0, {}
+    chunks = list(pdfs)
+    pdf = (
+        pd.concat(chunks)
+        if chunks
+        else pd.DataFrame(columns=["ts", "event_id", "user_id"])
+    )
+    pdf = pdf.sort_values(["ts", "event_id"])
+    for uid in pdf["user_id"].astype(int):
+        n += 1
+        if uid in table:
+            c, e = table[uid]
+            table[uid] = (c + 1, e)
+        elif len(table) < SS_CAPACITY:
+            table[uid] = (1, 0)
+        else:
+            evict_id, (mc, _me) = min(
+                table.items(), key=lambda kv: (kv[1][0], kv[0])
+            )
+            del table[evict_id]
+            table[uid] = (mc + 1, mc)
+    items = sorted(table.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    ids = [i for i, _ in items]
+    counts = [c for _, (c, _e) in items]
+    errs = [e for _, (_c, e) in items]
+    state.update((n, ids, counts, errs))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_total": [n],
+            "ids": [ids],
+            "counts": [counts],
+            "errs": [errs],
+        }
+    )
+
+
+def streaming_heavy_hitters(events: DataFrame) -> DataFrame:
+    """Per-event-type streaming SpaceSaving heavy hitters: the stateful
+    twin of the batch `cms_heavy_hitters` sketch — state is a fixed
+    K-entry counter table per key (BOUNDED by construction, unlike the
+    running-totals twins), so this shape holds state constant at any
+    stream length and any user cardinality."""
+    return (
+        events.select("event_type", "ts", "event_id", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _update_spacesaving,
+            outputStructType=_SS_OUT,
+            stateStructType=_SS_STATE,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

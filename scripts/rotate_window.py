@@ -68,6 +68,8 @@ LEAD: tuple[str, ...] = (
     "scoring_cohens_kappa",
     "events_ips_offpolicy",
     "mm_phash_radius_search",
+    "supplier_eb_rate_shrinkage",
+    "events_poststratified_lift",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"

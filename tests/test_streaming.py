@@ -702,3 +702,47 @@ def test_stateful_streaming_croston_equals_batch(spark):
     for pk, expected in batch.items():
         assert pk in streamed, pk
         assert streamed[pk] == expected, (pk, streamed[pk], expected)
+
+
+def test_stateful_streaming_spacesaving_guarantees(spark):
+    """The streaming SpaceSaving twin must satisfy the algorithm's
+    deterministic guarantees against EXACT batch counts for every key:
+    est >= true, est - err <= true, and every id with true share > 1/K
+    present in the table — plus bit-identical output on a replay."""
+    from f1_lakehouse_spark.streaming.stateful import SS_CAPACITY, streaming_heavy_hitters
+
+    def run(name):
+        out = streaming_heavy_hitters(stream_events(spark, SF_DIR))
+        run_available_now_to_memory(out, name, output_mode="update")
+        return {
+            r["event_type"]: (r["n_total"], list(r["ids"]), list(r["counts"]), list(r["errs"]))
+            for r in spark.sql(
+                f"SELECT event_type, n_total, ids, counts, errs FROM {name}"
+            ).collect()
+        }
+
+    got = run("ss_out_a")
+    exact = {}
+    for r in (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ):
+        exact.setdefault(r["event_type"], {})[r["user_id"]] = r["c"]
+
+    assert set(got) == set(exact)
+    for et, (n_total, ids, counts, errs) in got.items():
+        truth = exact[et]
+        assert n_total == sum(truth.values())
+        assert len(ids) <= SS_CAPACITY
+        for uid, est, err in zip(ids, counts, errs):
+            true_c = truth.get(uid, 0)
+            assert est >= true_c, (et, uid)
+            assert est - err <= true_c, (et, uid)
+        thresh = n_total / SS_CAPACITY
+        for uid, true_c in truth.items():
+            if true_c > thresh:
+                assert uid in ids, (et, uid, true_c, thresh)
+
+    assert run("ss_out_b") == got  # deterministic replay
