@@ -1682,3 +1682,242 @@ def events_poststratified_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pin_small_result(out, 16)
     strat.unpersist()
     return out
+
+
+# --- grouped quantile sketch with per-group accuracy contracts ------------------------------
+# The production generalization of orders_quantile_sketch_contract: one
+# MERGEABLE fixed-width histogram per nation (grouped per-partition
+# histograms sum — a single map-side-combined (nation, bin) aggregate),
+# per-nation p50/p90 estimates from the bin cumulative, and the same
+# deterministic 0 <= est - exact <= width-1 contract pinned per (nation,
+# q). Bin edges are GLOBAL (one 1-row min/max) so every group's sketch is
+# mergeable with every other's — the property that lets a 1000-executor
+# rollup combine sketches across any regrouping. The exact audit
+# quantiles use nation-partitioned windows — group-bounded (25 nations),
+# never a global single-partition window.
+
+GQ_BINS = 2048
+GQ_QS = ((1, 2), (9, 10))
+
+_GQ_ORACLE = f"""
+WITH v AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         o.o_orderkey
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), mm AS (
+  SELECT MIN(c) AS lo, (MAX(c) - MIN(c) + {GQ_BINS}) // {GQ_BINS} AS w FROM v
+), hist AS (
+  SELECT v.nk, (v.c - mm.lo) // mm.w AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM v CROSS JOIN mm GROUP BY 1, 2
+), cum AS (
+  SELECT nk, bin, CAST(SUM(cnt) OVER (PARTITION BY nk ORDER BY bin) AS BIGINT) AS cc
+  FROM hist
+), nn AS (
+  SELECT nk, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY nk
+), ks AS (
+  SELECT nn.nk, t.qn, t.qd, (nn.n * t.qn + t.qd - 1) // t.qd AS k
+  FROM nn CROSS JOIN (VALUES {", ".join(f"({qn}, {qd})" for qn, qd in GQ_QS)}) AS t(qn, qd)
+), est AS (
+  SELECT k.nk, k.qn, k.qd, mm.lo + (MIN(c2.bin) + 1) * mm.w - 1 AS est_c, mm.w
+  FROM ks k JOIN cum c2 ON c2.nk = k.nk AND c2.cc >= k.k CROSS JOIN mm
+  GROUP BY k.nk, k.qn, k.qd, mm.lo, mm.w
+), ranked AS (
+  SELECT nk, c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY nk ORDER BY c, o_orderkey) AS BIGINT) AS rk
+  FROM v
+), exact AS (
+  SELECT k.nk, k.qn, k.qd, MIN(r.c) AS exact_c
+  FROM ks k JOIN ranked r ON r.nk = k.nk AND r.rk = k.k
+  GROUP BY k.nk, k.qn, k.qd
+)
+SELECT e.nk AS nationkey,
+       CAST(e.qn AS DOUBLE) / CAST(e.qd AS DOUBLE) AS q,
+       e.est_c AS est_cents,
+       x.exact_c AS exact_cents,
+       e.w AS bin_width,
+       (e.est_c - x.exact_c BETWEEN 0 AND e.w - 1) AS within_bound
+FROM est e JOIN exact x ON e.nk = x.nk AND e.qn = x.qn AND e.qd = x.qd
+"""
+
+
+@register(
+    "nation_grouped_quantile_sketch",
+    oracle=_GQ_ORACLE,
+    doc="per-nation mergeable histogram quantile sketch (global bin "
+    "edges, one map-side-combined (nation, bin) aggregate) with the "
+    "0 <= est - exact <= width-1 contract pinned per (nation, q); exact "
+    "audit quantiles via nation-partitioned (group-bounded) windows.",
+    tags=("stats", "sketch", "quantile", "grouped", "extension"),
+)
+def nation_grouped_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: histogram cells cap at |nations| x GQ_BINS regardless of
+    rows; the cumulative and the exact-rank windows partition by nation
+    (25 groups — bounded, never a single global partition); estimates
+    and audit join on (nation, bin)-sized frames only."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    v = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_nationkey").alias("nk"),
+        (F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("c"),
+        "o_orderkey",
+    )
+    v = v.persist()
+    mm = v.agg(F.min("c").alias("lo"), F.max("c").alias("hi")).collect()[0]
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    w = (hi - lo + GQ_BINS) // GQ_BINS
+    hist = v.groupBy("nk", F.expr(f"(c - {lo}) div {w}").alias("bin")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    wcum = Window.partitionBy("nk").orderBy("bin")
+    cum = hist.withColumn(
+        "cc", F.sum("cnt").over(wcum).cast("long")
+    ).select("nk", "bin", "cc")
+    nn = v.groupBy("nk").agg(F.count("*").cast("long").alias("n"))
+    qframe = spark.createDataFrame(list(GQ_QS), "qn long, qd long")
+    ks = nn.crossJoin(F.broadcast(qframe)).select(
+        "nk",
+        "qn",
+        "qd",
+        ((F.col("n") * F.col("qn") + F.col("qd") - 1) / F.col("qd"))
+        .cast("long")
+        .alias("k"),
+    )
+    est = (
+        ks.join(cum, (ks["nk"] == cum["nk"]) & (cum["cc"] >= ks["k"]))
+        .groupBy(ks["nk"].alias("e_nk"), "qn", "qd")
+        .agg((F.lit(lo) + (F.min("bin") + 1) * F.lit(w) - 1).alias("est_c"))
+    )
+    wrk = Window.partitionBy("nk").orderBy("c", "o_orderkey")
+    ranked = v.withColumn("rk", F.row_number().over(wrk).cast("long"))
+    exact = (
+        ks.join(ranked, (ks["nk"] == ranked["nk"]) & (ranked["rk"] == ks["k"]))
+        .groupBy(ks["nk"].alias("x_nk"), ks["qn"].alias("x_qn"), ks["qd"].alias("x_qd"))
+        .agg(F.min("c").alias("exact_c"))
+    )
+    out = (
+        est.join(
+            exact,
+            (F.col("e_nk") == F.col("x_nk"))
+            & (F.col("qn") == F.col("x_qn"))
+            & (F.col("qd") == F.col("x_qd")),
+        )
+        .select(
+            F.col("e_nk").alias("nationkey"),
+            (F.col("qn").cast("double") / F.col("qd").cast("double")).alias("q"),
+            "est_c",
+            "exact_c",
+            F.lit(w).cast("long").alias("bin_width"),
+            (
+                (F.col("est_c") - F.col("exact_c") >= 0)
+                & (F.col("est_c") - F.col("exact_c") <= w - 1)
+            ).alias("within_bound"),
+        )
+        .withColumnRenamed("est_c", "est_cents")
+        .withColumnRenamed("exact_c", "exact_cents")
+    )
+    out = pin_small_result(out, 25 * len(GQ_QS) * 2)
+    v.unpersist()
+    return out
+
+
+# --- minimum detectable effect (experiment power planning) ---------------------------------
+# "How small a lift could the purchase-value experiment detect at 80%
+# power?" — the planning readout every A/B program computes before
+# launching: MDE = (z_alpha/2 + z_beta) * sqrt(var_a/n_a + var_b/n_b),
+# from the same six exact sufficient statistics as the Welch test. z
+# values are shared dyadic-free literals (the standard 1.959964 /
+# 0.841621 — both engines parse the same decimal literal to the same
+# double); everything else is the identical double tree discipline.
+
+_MDE_Z_ALPHA = "1.959964"  # two-sided 5%
+_MDE_Z_BETA = "0.841621"   # 80% power
+
+_MDE_ORACLE = f"""
+WITH per AS (
+  SELECT {sql_salted_hash("user_id", ":ks")} % 2 AS g, {_SQL_CENTS} AS v
+  FROM events WHERE event_type = 'purchase'
+), s AS (
+  SELECT
+    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN g = 0 THEN v ELSE 0 END) AS DECIMAL(38,0)) AS s_a,
+    CAST(SUM(CASE WHEN g = 1 THEN v ELSE 0 END) AS DECIMAL(38,0)) AS s_b,
+    CAST(SUM(CASE WHEN g = 0 THEN v * v ELSE 0 END) AS DECIMAL(38,0)) AS q_a,
+    CAST(SUM(CASE WHEN g = 1 THEN v * v ELSE 0 END) AS DECIMAL(38,0)) AS q_b
+  FROM per
+)
+SELECT n_a, n_b,
+       (CAST({_MDE_Z_ALPHA} AS DOUBLE) + CAST({_MDE_Z_BETA} AS DOUBLE))
+         * sqrt(((CAST(q_a AS DOUBLE) - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+                + ((CAST(q_b AS DOUBLE) - (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE)) AS mde_cents,
+       (CAST({_MDE_Z_ALPHA} AS DOUBLE) + CAST({_MDE_Z_BETA} AS DOUBLE))
+         * sqrt(((CAST(q_a AS DOUBLE) - (CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE)
+                + ((CAST(q_b AS DOUBLE) - (CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE))
+         / (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) AS mde_relative
+FROM s
+"""
+
+
+@register(
+    "events_mde_power_analysis",
+    oracle=_MDE_ORACLE,
+    doc="minimum detectable effect at 5%/80% for the purchase-value "
+    "experiment: (z_a + z_b) * SE from the Welch sufficient statistics "
+    "— one 1-row aggregate, shared z literals, identical double trees; "
+    "reported absolute (cents) and relative to the control mean.",
+    tags=("events", "experiment", "power", "extension"),
+)
+def events_mde_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: identical shape to events_welch_ttest — one pass, one
+    map-side-combined 1-row aggregate."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    per = e.select(
+        (spark_salted_hash("user_id", ":ks") % 2).alias("g"),
+        _cents(F.col("value")).alias("v"),
+    )
+    vd = F.col("v").cast("decimal(18,0)")
+    s = per.agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("g") == 0, vd).otherwise(F.lit(0).cast("decimal(18,0)")))
+        .cast("decimal(38,0)")
+        .alias("s_a"),
+        F.sum(F.when(F.col("g") == 1, vd).otherwise(F.lit(0).cast("decimal(18,0)")))
+        .cast("decimal(38,0)")
+        .alias("s_b"),
+        F.sum(
+            F.when(F.col("g") == 0, vd * vd).otherwise(F.lit(0).cast("decimal(37,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("q_a"),
+        F.sum(
+            F.when(F.col("g") == 1, vd * vd).otherwise(F.lit(0).cast("decimal(37,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("q_b"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    var_a = (
+        F.col("q_a").cast("double")
+        - (F.col("s_a").cast("double") * F.col("s_a").cast("double")) / n_a
+    ) / (n_a - F.lit(1.0))
+    var_b = (
+        F.col("q_b").cast("double")
+        - (F.col("s_b").cast("double") * F.col("s_b").cast("double")) / n_b
+    ) / (n_b - F.lit(1.0))
+    zsum = F.lit(float(_MDE_Z_ALPHA)) + F.lit(float(_MDE_Z_BETA))
+    mde = zsum * F.sqrt(var_a / n_a + var_b / n_b)
+    return s.select(
+        "n_a",
+        "n_b",
+        mde.alias("mde_cents"),
+        (mde / (F.col("s_a").cast("double") / n_a)).alias("mde_relative"),
+    )

@@ -70,6 +70,8 @@ LEAD: tuple[str, ...] = (
     "mm_phash_radius_search",
     "supplier_eb_rate_shrinkage",
     "events_poststratified_lift",
+    "nation_grouped_quantile_sketch",
+    "events_mde_power_analysis",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"
