@@ -88,6 +88,21 @@ EXTENDED = [
     "decontam_ngram_overlap",
     "quality_gopher_repetition",
     "pii_scrub_redact",
+    "events_ks_two_sample",
+    "events_welch_ttest",
+    "events_permutation_test",
+    "orders_quantile_sketch_contract",
+    "supplier_mad_outliers",
+    "scoring_propensity_nn_att",
+    "orders_spc_control_chart",
+    "orders_acf_ljung_box",
+    "scoring_cohens_kappa",
+    "events_ips_offpolicy",
+    "mm_phash_radius_search",
+    "supplier_eb_rate_shrinkage",
+    "events_poststratified_lift",
+    "nation_grouped_quantile_sketch",
+    "events_mde_power_analysis",
     "curation_train_val_test_split",
     "curation_pack_sequences",
     "curation_domain_mixture",
