@@ -121,6 +121,26 @@ SHOWCASE: dict[str, str] = {
     "f1_driver_session_summary": "The reference gold model over the mapped "
     "driver tables: window + aggregates share one 7-key shuffle, "
     "personal-best side broadcast back (flagship shape).",
+    # round 6
+    "events_ks_two_sample": "Integer-exact two-sample KS: per-value signed "
+    "cells partial-agg map-side; the running statistic is ONE "
+    "range-repartitioned prefix sum (pid windows + driver offsets), "
+    "never a single-partition window.",
+    "orders_quantile_sketch_contract": "Mergeable fixed-width histogram "
+    "(<= 4096 cells at any row count, partial-agg map-side) + one "
+    "prefix-rank pass for the exact audit quantiles.",
+    "nation_grouped_quantile_sketch": "Per-nation sketches with GLOBAL bin "
+    "edges (mergeable under any regrouping); cumulative and exact-rank "
+    "windows partition by nation — group-bounded, never global.",
+    "scoring_propensity_nn_att": "1-D nearest matching as two exclusive "
+    "prefix-max passes over the score-ordered stream; rep attach is a "
+    "score-keyed equi-join — no quadratic pair set.",
+    "events_permutation_test": "B=128 hash relabelings explode over "
+    "USER-level aggregates and die into map-side partials — the exchange "
+    "carries 2B cells, never fanned rows.",
+    "supplier_eb_rate_shrinkage": "Posterior is a per-row double tree over "
+    "exact counts (1-row pooled broadcast); top movers via "
+    "TakeOrderedAndProject.",
 }
 
 
