@@ -103,6 +103,8 @@ EXTENDED = [
     "events_poststratified_lift",
     "nation_grouped_quantile_sketch",
     "events_mde_power_analysis",
+    "orders_interrupted_time_series",
+    "orders_cpk_capability",
     "curation_train_val_test_split",
     "curation_pack_sequences",
     "curation_domain_mixture",

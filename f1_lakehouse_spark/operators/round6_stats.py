@@ -1921,3 +1921,281 @@ def events_mde_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         mde.alias("mde_cents"),
         (mde / (F.col("s_a").cast("double") / n_a)).alias("mde_relative"),
     )
+
+
+# --- interrupted time series (segmented regression) ----------------------------------------
+# The causal-inference companion to events_did_lift when there is no
+# control group: fit separate OLS lines to monthly revenue BEFORE and
+# AFTER the calendar-midpoint cutoff and report the level and slope
+# discontinuities — the segmented-regression ITS readout. Month indexes
+# are small integers and the cell sums are exact decimals, so both
+# segments' normal equations (n, Σt, Σt², Σy, Σty) are exact; slopes /
+# intercepts / changes are identical double trees. Spark keeps the
+# Σt·y products exact via DECIMAL multiplication; DuckDB widens its
+# operands to int128 (the CLAUDE.md trap-4 discipline).
+
+_ITS_ORACLE = """
+WITH monthly AS (
+  SELECT (CAST(year(o_orderdate) AS BIGINT) * 12 + CAST(month(o_orderdate) AS BIGINT) - 1) AS ym0,
+         CAST(SUM(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), mm AS (
+  SELECT MIN(ym0) AS base, CAST(COUNT(*) AS BIGINT) AS n FROM monthly
+), cells AS (
+  SELECT m.ym0 - mm.base AS t, m.cents, (m.ym0 - mm.base >= mm.n // 2) AS post,
+         mm.n // 2 AS t0
+  FROM monthly m CROSS JOIN mm
+), seg AS (
+  SELECT
+    CAST(SUM(CASE WHEN NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(SUM(CASE WHEN NOT post THEN t ELSE 0 END) AS BIGINT) AS st0,
+    CAST(SUM(CASE WHEN NOT post THEN t * t ELSE 0 END) AS BIGINT) AS stt0,
+    CAST(SUM(CASE WHEN NOT post THEN cents ELSE 0 END) AS DECIMAL(38,0)) AS sy0,
+    CAST(SUM(CASE WHEN NOT post THEN CAST(t AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)) ELSE 0 END) AS DECIMAL(38,0)) AS sty0,
+    CAST(SUM(CASE WHEN post THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN post THEN t ELSE 0 END) AS BIGINT) AS st1,
+    CAST(SUM(CASE WHEN post THEN t * t ELSE 0 END) AS BIGINT) AS stt1,
+    CAST(SUM(CASE WHEN post THEN cents ELSE 0 END) AS DECIMAL(38,0)) AS sy1,
+    CAST(SUM(CASE WHEN post THEN CAST(t AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)) ELSE 0 END) AS DECIMAL(38,0)) AS sty1,
+    MAX(t0) AS t0
+  FROM cells
+)
+SELECT n0 AS n_pre, n1 AS n_post,
+       (CAST(n0 AS DOUBLE) * CAST(sty0 AS DOUBLE) - CAST(st0 AS DOUBLE) * CAST(sy0 AS DOUBLE))
+         / (CAST(n0 AS DOUBLE) * CAST(stt0 AS DOUBLE) - CAST(st0 AS DOUBLE) * CAST(st0 AS DOUBLE)) / 100.0 AS slope_pre,
+       (CAST(n1 AS DOUBLE) * CAST(sty1 AS DOUBLE) - CAST(st1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+         / (CAST(n1 AS DOUBLE) * CAST(stt1 AS DOUBLE) - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE)) / 100.0 AS slope_post,
+       (CAST(sy0 AS DOUBLE) / 100.0
+          - ((CAST(n0 AS DOUBLE) * CAST(sty0 AS DOUBLE) - CAST(st0 AS DOUBLE) * CAST(sy0 AS DOUBLE))
+             / (CAST(n0 AS DOUBLE) * CAST(stt0 AS DOUBLE) - CAST(st0 AS DOUBLE) * CAST(st0 AS DOUBLE)) / 100.0)
+            * CAST(st0 AS DOUBLE)) / CAST(n0 AS DOUBLE) AS intercept_pre,
+       (CAST(sy1 AS DOUBLE) / 100.0
+          - ((CAST(n1 AS DOUBLE) * CAST(sty1 AS DOUBLE) - CAST(st1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+             / (CAST(n1 AS DOUBLE) * CAST(stt1 AS DOUBLE) - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE)) / 100.0)
+            * CAST(st1 AS DOUBLE)) / CAST(n1 AS DOUBLE) AS intercept_post,
+       ((CAST(sy1 AS DOUBLE) / 100.0
+          - ((CAST(n1 AS DOUBLE) * CAST(sty1 AS DOUBLE) - CAST(st1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+             / (CAST(n1 AS DOUBLE) * CAST(stt1 AS DOUBLE) - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE)) / 100.0)
+            * CAST(st1 AS DOUBLE)) / CAST(n1 AS DOUBLE)
+        + ((CAST(n1 AS DOUBLE) * CAST(sty1 AS DOUBLE) - CAST(st1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+           / (CAST(n1 AS DOUBLE) * CAST(stt1 AS DOUBLE) - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE)) / 100.0)
+          * CAST(t0 AS DOUBLE))
+       - ((CAST(sy0 AS DOUBLE) / 100.0
+          - ((CAST(n0 AS DOUBLE) * CAST(sty0 AS DOUBLE) - CAST(st0 AS DOUBLE) * CAST(sy0 AS DOUBLE))
+             / (CAST(n0 AS DOUBLE) * CAST(stt0 AS DOUBLE) - CAST(st0 AS DOUBLE) * CAST(st0 AS DOUBLE)) / 100.0)
+            * CAST(st0 AS DOUBLE)) / CAST(n0 AS DOUBLE)
+        + ((CAST(n0 AS DOUBLE) * CAST(sty0 AS DOUBLE) - CAST(st0 AS DOUBLE) * CAST(sy0 AS DOUBLE))
+           / (CAST(n0 AS DOUBLE) * CAST(stt0 AS DOUBLE) - CAST(st0 AS DOUBLE) * CAST(st0 AS DOUBLE)) / 100.0)
+          * CAST(t0 AS DOUBLE)) AS level_change,
+       (CAST(n1 AS DOUBLE) * CAST(sty1 AS DOUBLE) - CAST(st1 AS DOUBLE) * CAST(sy1 AS DOUBLE))
+         / (CAST(n1 AS DOUBLE) * CAST(stt1 AS DOUBLE) - CAST(st1 AS DOUBLE) * CAST(st1 AS DOUBLE)) / 100.0
+       - (CAST(n0 AS DOUBLE) * CAST(sty0 AS DOUBLE) - CAST(st0 AS DOUBLE) * CAST(sy0 AS DOUBLE))
+         / (CAST(n0 AS DOUBLE) * CAST(stt0 AS DOUBLE) - CAST(st0 AS DOUBLE) * CAST(st0 AS DOUBLE)) / 100.0 AS slope_change
+FROM seg
+"""
+
+
+@register(
+    "orders_interrupted_time_series",
+    oracle=_ITS_ORACLE,
+    doc="segmented-regression interrupted time series at the calendar "
+    "midpoint: per-segment OLS from exact integer normal equations "
+    "(month indexes x decimal cents), level and slope discontinuities "
+    "at the cutoff — the no-control-group causal companion to DiD.",
+    tags=("stats", "timeseries", "causal", "extension"),
+)
+def orders_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one partial-aggregated shuffle to ~84 month cells, one
+    1-row conditional aggregate — the cheapest causal readout."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    cents = (F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    monthly = (
+        o.select(
+            (
+                F.year("o_orderdate").cast("long") * 12
+                + F.month("o_orderdate").cast("long")
+                - 1
+            ).alias("ym0"),
+            cents.alias("c"),
+        )
+        .groupBy("ym0")
+        .agg(F.sum("c").alias("cents"))
+    )
+    monthly = monthly.persist()
+    mm = monthly.agg(
+        F.min("ym0").alias("base"), F.count("*").cast("long").alias("n")
+    ).collect()[0]
+    base, nm = int(mm["base"]), int(mm["n"])
+    t0 = nm // 2
+    cells = monthly.select(
+        (F.col("ym0") - F.lit(base)).alias("t"),
+        "cents",
+        ((F.col("ym0") - F.lit(base)) >= F.lit(t0)).alias("post"),
+    )
+    td = F.col("t").cast("decimal(19,0)")
+    cd = F.col("cents").cast("decimal(19,0)")
+    zero38 = F.lit(0).cast("decimal(38,0)")
+
+    def seg(post_val: bool, suffix: str):
+        cond = F.col("post") if post_val else ~F.col("post")
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"n{suffix}"),
+            F.sum(F.when(cond, F.col("t")).otherwise(0)).cast("long").alias(f"st{suffix}"),
+            F.sum(F.when(cond, F.col("t") * F.col("t")).otherwise(0))
+            .cast("long")
+            .alias(f"stt{suffix}"),
+            F.sum(F.when(cond, F.col("cents")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias(f"sy{suffix}"),
+            F.sum(F.when(cond, td * cd).otherwise(zero38))
+            .cast("decimal(38,0)")
+            .alias(f"sty{suffix}"),
+        ]
+
+    segf = cells.agg(*(seg(False, "0") + seg(True, "1")))
+
+    def fit(suffix: str):
+        n = F.col(f"n{suffix}").cast("double")
+        st = F.col(f"st{suffix}").cast("double")
+        stt = F.col(f"stt{suffix}").cast("double")
+        sy = F.col(f"sy{suffix}").cast("double")
+        sty = F.col(f"sty{suffix}").cast("double")
+        slope = (n * sty - st * sy) / (n * stt - st * st) / F.lit(100.0)
+        intercept = (sy / F.lit(100.0) - slope * st) / n
+        return slope, intercept
+
+    s0, i0 = fit("0")
+    s1, i1 = fit("1")
+    t0d = F.lit(float(t0))
+    out = segf.select(
+        F.col("n0").alias("n_pre"),
+        F.col("n1").alias("n_post"),
+        s0.alias("slope_pre"),
+        s1.alias("slope_post"),
+        i0.alias("intercept_pre"),
+        i1.alias("intercept_post"),
+        ((i1 + s1 * t0d) - (i0 + s0 * t0d)).alias("level_change"),
+        (s1 - s0).alias("slope_change"),
+    )
+    out = pin_small_result(out, 16)
+    monthly.unpersist()
+    return out
+
+
+# --- process capability index (Cp / Cpk) vs a baseline-year spec -----------------------------
+# "Is daily revenue still inside the spec the process established in its
+# first year?" — the Cpk drift audit: spec limits = baseline-year mean
+# ± 3 baseline sigma (exact decimal sufficient statistics), capability of
+# the FULL series against them. Two conditional aggregates in one pass;
+# every ratio is an identical double tree; sqrt only.
+
+_CPK_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS dc
+  FROM orders GROUP BY 1, 2
+), y0 AS (
+  SELECT MIN(yr) AS yr0 FROM daily
+), s AS (
+  SELECT
+    CAST(SUM(CASE WHEN d2.yr = y0.yr0 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    CAST(SUM(CASE WHEN d2.yr = y0.yr0 THEN d2.dc ELSE 0 END) AS DECIMAL(38,0)) AS sb,
+    CAST(SUM(CASE WHEN d2.yr = y0.yr0 THEN CAST(d2.dc AS DECIMAL(19,0)) * CAST(d2.dc AS DECIMAL(19,0)) ELSE 0 END) AS DECIMAL(38,0)) AS qb,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(d2.dc) AS DECIMAL(38,0)) AS sa,
+    CAST(SUM(CAST(d2.dc AS DECIMAL(19,0)) * CAST(d2.dc AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS qa
+  FROM daily d2 CROSS JOIN y0
+), f AS (
+  SELECT nb, n,
+         CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+         sqrt((CAST(qb AS DOUBLE) - (CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)) AS sigb,
+         CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         sqrt((CAST(qa AS DOUBLE) - (CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS sig
+  FROM s
+)
+SELECT nb AS n_baseline_days, n AS n_days,
+       mb / 100.0 AS baseline_mean,
+       sigb / 100.0 AS baseline_sigma,
+       mu / 100.0 AS process_mean,
+       sig / 100.0 AS process_sigma,
+       ((mb + 3.0 * sigb) - (mb - 3.0 * sigb)) / (6.0 * sig) AS cp,
+       least((mb + 3.0 * sigb) - mu, mu - (mb - 3.0 * sigb)) / (3.0 * sig) AS cpk
+FROM f
+"""
+
+
+@register(
+    "orders_cpk_capability",
+    oracle=_CPK_ORACLE,
+    doc="Cp/Cpk process capability of daily revenue against the baseline "
+    "first-year spec (mean ± 3 sigma): exact decimal sufficient "
+    "statistics from one conditional aggregate, identical double trees, "
+    "sqrt only — the drift audit companion to the Shewhart chart.",
+    tags=("stats", "quality-control", "extension"),
+)
+def orders_cpk_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB: one (day) partial-aggregated shuffle + one 1-row
+    conditional aggregate — same class as the Welch shape."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    cents = (F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)") * 100).cast(
+        "long"
+    )
+    daily = (
+        o.select(
+            F.col("o_orderdate").alias("d"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+            cents.alias("c"),
+        )
+        .groupBy("d", "yr")
+        .agg(F.sum("c").alias("dc"))
+    )
+    daily = daily.persist()
+    yr0 = int(daily.agg(F.min("yr").alias("y")).collect()[0]["y"])
+    dcd = F.col("dc").cast("decimal(19,0)")
+    isb = F.col("yr") == yr0
+    s = daily.agg(
+        F.sum(F.when(isb, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(isb, F.col("dc")).otherwise(0)).cast("decimal(38,0)").alias("sb"),
+        F.sum(F.when(isb, dcd * dcd).otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("decimal(38,0)")
+        .alias("qb"),
+        F.count("*").cast("long").alias("n"),
+        F.sum("dc").cast("decimal(38,0)").alias("sa"),
+        F.sum(dcd * dcd).cast("decimal(38,0)").alias("qa"),
+    )
+    nb = F.col("nb").cast("double")
+    n = F.col("n").cast("double")
+    mb = F.col("sb").cast("double") / nb
+    sigb = F.sqrt(
+        (
+            F.col("qb").cast("double")
+            - (F.col("sb").cast("double") * F.col("sb").cast("double")) / nb
+        )
+        / (nb - F.lit(1.0))
+    )
+    mu = F.col("sa").cast("double") / n
+    sig = F.sqrt(
+        (
+            F.col("qa").cast("double")
+            - (F.col("sa").cast("double") * F.col("sa").cast("double")) / n
+        )
+        / (n - F.lit(1.0))
+    )
+    usl = mb + F.lit(3.0) * sigb
+    lsl = mb - F.lit(3.0) * sigb
+    out = s.select(
+        F.col("nb").alias("n_baseline_days"),
+        F.col("n").alias("n_days"),
+        (mb / F.lit(100.0)).alias("baseline_mean"),
+        (sigb / F.lit(100.0)).alias("baseline_sigma"),
+        (mu / F.lit(100.0)).alias("process_mean"),
+        (sig / F.lit(100.0)).alias("process_sigma"),
+        ((usl - lsl) / (F.lit(6.0) * sig)).alias("cp"),
+        (F.least(usl - mu, mu - lsl) / (F.lit(3.0) * sig)).alias("cpk"),
+    )
+    out = pin_small_result(out, 16)
+    daily.unpersist()
+    return out

@@ -72,6 +72,8 @@ LEAD: tuple[str, ...] = (
     "events_poststratified_lift",
     "nation_grouped_quantile_sketch",
     "events_mde_power_analysis",
+    "orders_interrupted_time_series",
+    "orders_cpk_capability",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"

@@ -746,3 +746,63 @@ def test_stateful_streaming_spacesaving_guarantees(spark):
                 assert uid in ids, (et, uid, true_c, thresh)
 
     assert run("ss_out_b") == got  # deterministic replay
+
+
+def test_spacesaving_guarantees_property():
+    """Property test (no Spark): for ANY stream and any chunking, the
+    SpaceSaving fold must satisfy est >= true, est - err <= true, and
+    every id with share > 1/K present — driven directly through the
+    pandas update function with a fake GroupState."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from collections import Counter
+    import pandas as pd
+
+    from f1_lakehouse_spark.streaming.stateful import SS_CAPACITY, _update_spacesaving
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=200),
+        st.integers(min_value=1, max_value=5),
+    )
+    def run(uids, n_chunks):
+        rows = [
+            {"ts": i, "event_id": i, "user_id": u} for i, u in enumerate(uids)
+        ]
+        # arbitrary chunk boundaries — the fold must concat+sort first
+        size = max(1, len(rows) // n_chunks)
+        chunks = [
+            pd.DataFrame(rows[i : i + size]) for i in range(0, len(rows), size)
+        ]
+        state = FakeState()
+        [out] = list(_update_spacesaving(("t",), iter(chunks), state))
+        truth = Counter(uids)
+        n_total = int(out["n_total"][0])
+        ids = list(out["ids"][0])
+        counts = list(out["counts"][0])
+        errs = list(out["errs"][0])
+        assert n_total == len(uids)
+        assert len(ids) <= SS_CAPACITY
+        for uid, est, err in zip(ids, counts, errs):
+            true_c = truth.get(uid, 0)
+            assert est >= true_c
+            assert est - err <= true_c
+        thresh = n_total / SS_CAPACITY
+        for uid, true_c in truth.items():
+            if true_c > thresh:
+                assert uid in ids
+
+    run()
