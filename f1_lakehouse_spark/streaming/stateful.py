@@ -393,12 +393,17 @@ def _update_spacesaving(
     )
 
 
-def streaming_heavy_hitters(events: DataFrame) -> DataFrame:
+def streaming_heavy_hitters(
+    events: DataFrame, output_mode: str = "update"
+) -> DataFrame:
     """Per-event-type streaming SpaceSaving heavy hitters: the stateful
     twin of the batch `cms_heavy_hitters` sketch — state is a fixed
     K-entry counter table per key (BOUNDED by construction, unlike the
     running-totals twins), so this shape holds state constant at any
-    stream length and any user cardinality."""
+    stream length and any user cardinality. ``output_mode="append"``
+    makes the frame file-sink-compatible (checkpoint recovery — memory
+    sinks cannot restart; the latest row per key is the one with the
+    highest n_total)."""
     return (
         events.select("event_type", "ts", "event_id", "user_id")
         .groupBy("event_type")
@@ -406,7 +411,7 @@ def streaming_heavy_hitters(events: DataFrame) -> DataFrame:
             _update_spacesaving,
             outputStructType=_SS_OUT,
             stateStructType=_SS_STATE,
-            outputMode="update",
+            outputMode=output_mode,
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

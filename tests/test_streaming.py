@@ -806,3 +806,92 @@ def test_spacesaving_guarantees_property():
                 assert uid in ids
 
     run()
+
+
+def test_stateful_spacesaving_checkpoint_restart(spark, tmp_path):
+    """State must survive a query RESTART from the checkpoint: run the
+    SpaceSaving stream over a first file, stop, drop a second file, restart
+    from the same checkpoint — the final n_total must count BOTH files
+    (recovered state, not a reset) and the counter-table guarantees must
+    hold against exact counts over the full history."""
+    import shutil
+
+    from f1_lakehouse_spark.streaming.stateful import (
+        SS_CAPACITY,
+        streaming_heavy_hitters,
+    )
+    from f1_lakehouse_spark.streaming.ingest import stream_events
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, SF_DIR, "events")
+    mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
+
+    def drop_file(df, name):
+        # the streaming file source wants FLAT files in the watched dir —
+        # write to a scratch dir and move the single part file in
+        scratch = tmp_path / f"scratch_{name}"
+        df.coalesce(1).write.parquet(str(scratch))
+        part = next(p for p in scratch.iterdir() if p.name.endswith(".parquet"))
+        part.rename(src / f"{name}.parquet")
+        shutil.rmtree(str(scratch), ignore_errors=True)
+
+    drop_file(ev.where(F.col("event_id") <= mid), "part1")
+
+    sink = str(tmp_path / "sink")
+
+    def run_pass(name):
+        # memory sinks refuse checkpoint recovery — append to a parquet
+        # sink; the latest row per key is the one with the highest n_total
+        out = streaming_heavy_hitters(
+            stream_events(spark, str(src), "*.parquet"), output_mode="append"
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(sink).collect()
+        latest = {}
+        for r in rows:
+            if r["event_type"] not in latest or r["n_total"] > latest[r["event_type"]][0]:
+                latest[r["event_type"]] = (
+                    r["n_total"],
+                    list(r["ids"]),
+                    list(r["counts"]),
+                    list(r["errs"]),
+                )
+        return latest
+
+    first = run_pass("ss_ckpt_a")
+    n_first = ev.where(F.col("event_id") <= mid).count()
+    assert sum(v[0] for v in first.values()) == n_first
+
+    drop_file(ev.where(F.col("event_id") > mid), "part2")
+    second = run_pass("ss_ckpt_b")
+
+    exact = {}
+    for r in ev.groupBy("event_type", "user_id").agg(F.count("*").alias("c")).collect():
+        exact.setdefault(r["event_type"], {})[r["user_id"]] = r["c"]
+
+    assert set(second) == set(exact)
+    for et, (n_total, ids, counts, errs) in second.items():
+        truth = exact[et]
+        # full-history count proves the state store was RECOVERED, not reset
+        assert n_total == sum(truth.values())
+        assert len(ids) <= SS_CAPACITY
+        for uid, est, err in zip(ids, counts, errs):
+            true_c = truth.get(uid, 0)
+            assert est >= true_c
+            assert est - err <= true_c
+        thresh = n_total / SS_CAPACITY
+        for uid, true_c in truth.items():
+            if true_c > thresh:
+                assert uid in ids
+
+    shutil.rmtree(str(src), ignore_errors=True)
