@@ -43,38 +43,14 @@ ANCHORS: tuple[str, ...] = (
     "dedup_minhash_verified",
 )
 
-# Round-6 priorities: ``approx_sketches`` is the single registered query
-# without a green driver row ever (r01 harness-canonicalization err, r02
-# no_oracle; reshaped in r5 to an exact oracle and MATCHing locally) — it
-# re-enters via the LEAD bypass. Then the four remaining f1_* parity
-# queries (r5 verdict: "local-pass awaiting rotation") and the six
-# round-6 operators, pinned so registry-import-order churn can't displace
-# them. Everything else fills from the never-driver-checked pool in
-# registry order.
-LEAD: tuple[str, ...] = (
-    "approx_sketches",
-    "f1_weather_pace_join",
-    "f1_driver_alias_audit",
-    "f1_team_points",
-    "f1_classification_breakdown",
-    "events_ks_two_sample",
-    "events_welch_ttest",
-    "events_permutation_test",
-    "orders_quantile_sketch_contract",
-    "supplier_mad_outliers",
-    "scoring_propensity_nn_att",
-    "orders_spc_control_chart",
-    "orders_acf_ljung_box",
-    "scoring_cohens_kappa",
-    "events_ips_offpolicy",
-    "mm_phash_radius_search",
-    "supplier_eb_rate_shrinkage",
-    "events_poststratified_lift",
-    "nation_grouped_quantile_sketch",
-    "events_mde_power_analysis",
-    "orders_interrupted_time_series",
-    "orders_cpk_capability",
-)
+# Round-7 priorities: no re-entries needed — CORRECTNESS_r06 landed 50/50
+# green, so every prior window name (incl. the historic ``approx_sketches``
+# blemish) is now driver-certified. The whole window fills from the
+# 53-query never-driver-checked pool in registry order (46 slots this
+# round; the remaining 7 — the tail curation/mm names — close in r8 per
+# the r6 verdict plan). Registry growth is frozen until 331/331 closes;
+# any op that MUST land this round gets pinned here the same commit.
+LEAD: tuple[str, ...] = ()
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"
 END = "# --- END GENERATED WINDOW ---"
