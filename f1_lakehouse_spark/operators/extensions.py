@@ -1048,6 +1048,103 @@ def global_prefix_sum(
     return cum, r.unpersist, acc
 
 
+def grouped_prefix_rank(
+    spark: SparkSession,
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    n_parts: int = _PARETO_PARTS,
+):
+    """Exact per-group 1-based row rank under a TOTAL within-group order
+    (callers must include a unique tiebreaker in ``order_cols``) — the
+    grouped generalization of :func:`global_prefix_sum`, for SKEWED group
+    keys where ``Window.partitionBy(group)`` would hand the dominant group
+    (e.g. the majority language of a web corpus, ~half the rows) to one
+    task.
+
+    Shape: range-repartition on ``group_cols + order_cols`` (a big group
+    spans several consecutive ranges, so no task ever sorts a whole
+    dominant group); per-``(pid, group)`` ROW_NUMBER windows; driver-side
+    prefix offsets of the per-``(pid, group)`` COUNTS. The offset table is
+    ``n_parts x |groups|`` rows — callers must have BOUNDED group
+    cardinality (it is collected and broadcast back, same contract as the
+    per-partition totals in ``global_prefix_sum``). Boundaries come from
+    sampling and are nondeterministic; the rank is exact under any
+    placement because the within-group order is total.
+
+    Returns ``(frame, release)``: the frame carries the input columns plus
+    ``rank`` (1-based within group, LONG) and ``n_g`` (exact group size,
+    LONG); call ``release()`` once downstream results have materialized.
+    """
+    from pyspark.sql.types import (  # noqa: PLC0415
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    group_cols = list(group_cols)
+    r = df.repartitionByRange(n_parts, *group_cols, *order_cols).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    r = r.persist()
+    r.count()
+    cnt_rows = r.groupBy("pid", *group_cols).count().collect()
+    per_group: dict[tuple, list] = {}
+    for row in cnt_rows:
+        per_group.setdefault(tuple(row[c] for c in group_cols), []).append(
+            (row["pid"], row["count"])
+        )
+    off_rows, tot_rows = [], []
+    for key, pairs in sorted(per_group.items()):
+        acc = 0
+        for pid, c in sorted(pairs):
+            off_rows.append((pid, *key, acc))
+            acc += c
+        tot_rows.append((*key, acc))
+    gfields = list(df.select(*group_cols).schema.fields)
+    offdf = spark.createDataFrame(
+        off_rows,
+        StructType(
+            [StructField("pid", IntegerType())]
+            + gfields
+            + [StructField("_rank_off", LongType())]
+        ),
+    )
+    ngdf = spark.createDataFrame(
+        tot_rows, StructType(gfields + [StructField("n_g", LongType())])
+    )
+    w = Window.partitionBy("pid", *group_cols).orderBy(*order_cols)
+    ranked = (
+        r.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(offdf), ["pid", *group_cols])
+        .join(F.broadcast(ngdf), group_cols)
+        .withColumn("rank", (F.col("_rn") + F.col("_rank_off")).cast("long"))
+        .drop("_rn", "_rank_off", "pid")
+    )
+    return ranked, r.unpersist
+
+
+def _intdiv(a, b):
+    """Exact integer division of LONG columns via ``(a - a % b) / b``: the
+    numerator is exactly divisible, so the double quotient is the exact
+    integer (no truncation-after-inexact-division edge at large counts)."""
+    return ((a - a % b) / b).cast("long")
+
+
+def _ntile_from_rank_cols(rank, n, k: int):
+    """SQL NTILE(k) bucket from a 1-based ``rank`` column and a per-group
+    size COLUMN ``n`` — the column twin of :func:`_ntile_from_rank` (whose
+    n is a Python int): the first n%k buckets hold ceil(n/k) rows."""
+    kk = F.lit(k).cast("long")
+    base = _intdiv(n, kk)
+    rem = n % kk
+    cut = rem * (base + F.lit(1))
+    return F.when(rank <= cut, _intdiv(rank - 1, base + F.lit(1)) + 1).otherwise(
+        rem + _intdiv(rank - cut - 1, F.greatest(base, F.lit(1))) + 1
+    )
+
+
 @register(
     "pareto_abc_parts",
     oracle=f"""

@@ -140,9 +140,11 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Welch's t-test --------------------------------------------------------------------
 # Unequal-variance t between the same two cohorts' purchase values. The
 # six sufficient statistics (n, sum, sum-of-squares per arm) are exact
-# DECIMAL(38,0) integers (cents; per-row squares fit int64, Spark squares
-# DECIMAL(18,0) — 18+18+1=37 <= 38 so the product is exact; DuckDB sums
-# spill to HUGEINT and are cast back); every downstream double — means,
+# DECIMAL(38,0) integers (cents; Spark squares DECIMAL(18,0) —
+# 18+18+1=37 <= 38 so the product is exact; the oracle widens ITS
+# operands to DECIMAL(19,0) so DuckDB squares in int128 — a plain
+# BIGINT*BIGINT would error past ~3e9 cents, CLAUDE.md trap 4; DuckDB
+# sums spill to HUGEINT and are cast back); every downstream double — means,
 # sample variances, t, Welch-Satterthwaite df — is the SAME expression
 # tree over those six numbers in both engines.
 
@@ -156,8 +158,8 @@ WITH per AS (
     CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
     CAST(SUM(CASE WHEN g = 0 THEN v ELSE 0 END) AS DECIMAL(38,0)) AS s_a,
     CAST(SUM(CASE WHEN g = 1 THEN v ELSE 0 END) AS DECIMAL(38,0)) AS s_b,
-    CAST(SUM(CASE WHEN g = 0 THEN v * v ELSE 0 END) AS DECIMAL(38,0)) AS q_a,
-    CAST(SUM(CASE WHEN g = 1 THEN v * v ELSE 0 END) AS DECIMAL(38,0)) AS q_b
+    CAST(SUM(CASE WHEN g = 0 THEN CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)) ELSE 0 END) AS DECIMAL(38,0)) AS q_a,
+    CAST(SUM(CASE WHEN g = 1 THEN CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)) ELSE 0 END) AS DECIMAL(38,0)) AS q_b
   FROM per
 )
 SELECT n_a, n_b,
@@ -1134,7 +1136,11 @@ def orders_acf_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             "arr", lambda v: v - fold_sum(F.col("arr")) / n_d
         ).alias("e"),
     )
-    # e must be a materialized column before the lagged element_at folds
+    # NOTE: `e` is a lazy projection — CollapseProject may inline the
+    # transform into each lagged element_at lookup below (the CLAUDE.md
+    # O(n^2) HOF trap). That re-evaluation is ACCEPTABLE here because the
+    # array is calendar-bounded (~84 monthly points, not data-scaled), so
+    # the worst case is 84^2 scalar ops per row of a months-sized frame.
     den = demeaned.select(
         "n",
         "e",
@@ -1374,7 +1380,14 @@ def events_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = tagged.groupBy("event_type").agg(
         F.sum(F.when(F.col("split") == 0, 1).otherwise(0)).cast("long").alias("ct"),
         F.sum(F.when(F.col("split") == 1, 1).otherwise(0)).cast("long").alias("ce"),
-        F.sum(F.when(F.col("split") == 1, F.col("v")).otherwise(0))
+        # summand cast BEFORE the sum: the accumulator is decimal end-to-end
+        # (a long accumulator would wrap silently at extreme scale while the
+        # oracle's BIGINT sum spills to exact HUGEINT — ADVICE r6)
+        F.sum(
+            F.when(
+                F.col("split") == 1, F.col("v").cast("decimal(18,0)")
+            ).otherwise(F.lit(0).cast("decimal(18,0)"))
+        )
         .cast("decimal(38,0)")
         .alias("sv"),
     )
@@ -1622,10 +1635,18 @@ def events_poststratified_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("nt"),
             F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("nc"),
-            F.sum(F.when(F.col("arm") == 1, F.col("post_cents")).otherwise(0))
+            F.sum(
+                F.when(
+                    F.col("arm") == 1, F.col("post_cents").cast("decimal(18,0)")
+                ).otherwise(F.lit(0).cast("decimal(18,0)"))
+            )
             .cast("decimal(38,0)")
             .alias("st"),
-            F.sum(F.when(F.col("arm") == 0, F.col("post_cents")).otherwise(0))
+            F.sum(
+                F.when(
+                    F.col("arm") == 0, F.col("post_cents").cast("decimal(18,0)")
+                ).otherwise(F.lit(0).cast("decimal(18,0)"))
+            )
             .cast("decimal(38,0)")
             .alias("sc"),
         )
@@ -1660,10 +1681,18 @@ def events_poststratified_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f"),
     )
     unstrat = strat.agg(
-        F.sum(F.when(F.col("arm") == 1, F.col("post_cents")).otherwise(0))
+        F.sum(
+            F.when(
+                F.col("arm") == 1, F.col("post_cents").cast("decimal(18,0)")
+            ).otherwise(F.lit(0).cast("decimal(18,0)"))
+        )
         .cast("decimal(38,0)")
         .alias("st"),
-        F.sum(F.when(F.col("arm") == 0, F.col("post_cents")).otherwise(0))
+        F.sum(
+            F.when(
+                F.col("arm") == 0, F.col("post_cents").cast("decimal(18,0)")
+            ).otherwise(F.lit(0).cast("decimal(18,0)"))
+        )
         .cast("decimal(38,0)")
         .alias("sc"),
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("nt"),
@@ -1849,8 +1878,8 @@ WITH per AS (
     CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
     CAST(SUM(CASE WHEN g = 0 THEN v ELSE 0 END) AS DECIMAL(38,0)) AS s_a,
     CAST(SUM(CASE WHEN g = 1 THEN v ELSE 0 END) AS DECIMAL(38,0)) AS s_b,
-    CAST(SUM(CASE WHEN g = 0 THEN v * v ELSE 0 END) AS DECIMAL(38,0)) AS q_a,
-    CAST(SUM(CASE WHEN g = 1 THEN v * v ELSE 0 END) AS DECIMAL(38,0)) AS q_b
+    CAST(SUM(CASE WHEN g = 0 THEN CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)) ELSE 0 END) AS DECIMAL(38,0)) AS q_a,
+    CAST(SUM(CASE WHEN g = 1 THEN CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0)) ELSE 0 END) AS DECIMAL(38,0)) AS q_b
   FROM per
 )
 SELECT n_a, n_b,

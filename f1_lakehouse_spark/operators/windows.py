@@ -65,23 +65,45 @@ SELECT s_suppkey, s_nationkey, s_acctbal,
        NTILE(4)     OVER (ORDER BY s_acctbal DESC, s_suppkey) AS quartile
 FROM supplier
 """,
-    doc="RANK/DENSE_RANK per partition + global NTILE quartiles",
-    tags=("window", "rank"),
+    doc="RANK/DENSE_RANK per partition + global NTILE quartiles — the "
+    "quartile is a distributed exact prefix-sum rank mapped through the "
+    "closed-form NTILE bucket formula (orders_rfm_segmentation idiom), "
+    "never a single-partition global sort; the oracle keeps plain NTILE, "
+    "proving the formulation bit-identical",
+    tags=("window", "rank", "prefix-sum"),
 )
 def w_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = load_table(spark, sf_dir, "supplier")
+    # lazy import: a module-level one would reorder registry imports and
+    # churn the rotation window (see memory note / rotate_window.py)
+    from f1_lakehouse_spark.operators.extensions import (  # noqa: PLC0415
+        _ntile_from_rank,
+        global_prefix_sum,
+    )
+
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+        .withColumn("one", F.lit(1).cast("decimal(27,6)"))
+    )
+    cum, release, total = global_prefix_sum(
+        spark, s, "one", [F.col("s_acctbal").desc(), F.col("s_suppkey").asc()]
+    )
+    n = int(total)
     wp = Window.partitionBy("s_nationkey").orderBy(
         F.col("s_acctbal").desc(), "s_suppkey"
     )
-    wg = Window.orderBy(F.col("s_acctbal").desc(), "s_suppkey")
-    return s.select(
+    out = cum.select(
         "s_suppkey",
         "s_nationkey",
         "s_acctbal",
         F.rank().over(wp).alias("rnk"),
         F.dense_rank().over(wp).alias("drnk"),
-        F.ntile(4).over(wg).alias("quartile"),
+        _ntile_from_rank(F.col("cum").cast("long"), n, 4).alias("quartile"),
     )
+    out = out.persist()
+    out.count()
+    release()
+    return out
 
 
 # --- LAG/LEAD + gap sessionization (common OLAP pattern) -----------------------

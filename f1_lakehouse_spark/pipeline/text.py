@@ -1000,9 +1000,12 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CCNet (Wenzek et al. 2020) buckets web documents into head/middle/tail by
 # language-model perplexity percentile WITHIN each language, then trains
 # mostly on the head. Composition: the self-trained trigram-LM surprisal
-# (text_lm_surprisal's integer-quantized bits) ranked per-language with an
-# NTILE(3) window — partitioned by lang, so the sort parallelizes across
-# languages; the doc_id tiebreaker totals the order.
+# (text_lm_surprisal's integer-quantized bits) ranked per-language with the
+# grouped distributed prefix-sum rank (range repartition over
+# (lang, key) + pid windows + driver offsets) mapped through the
+# closed-form NTILE(3) bucket formula — lang is skewed, so a
+# lang-partitioned window sort would hand the dominant language to one
+# task; the doc_id tiebreaker totals the order.
 
 
 @register(
@@ -1033,9 +1036,10 @@ SELECT doc_id, lang, surprisal_bits,
             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
 FROM scored
 """,
-    doc="CCNet-style head/middle/tail buckets: per-language NTILE(3) over "
-    "integer-scaled avg trigram surprisal (micro-bits, no float ranking "
-    "keys); the window partitions by lang — parallel across languages",
+    doc="CCNet-style head/middle/tail buckets: per-language exact NTILE(3) "
+    "over integer-scaled avg trigram surprisal (micro-bits, no float "
+    "ranking keys) via the grouped distributed prefix-sum rank — lang is "
+    "a skewed key, so no lang-partitioned window sort",
     tags=("pipeline", "text", "quality"),
 )
 def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1054,11 +1058,25 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # integer-scaled ranking key: micro-bits per trigram (exact int64 div —
     # a double avg as the ORDER BY key could tie-break differently across
-    # engines at the ntile boundary)
-    rank_key = F.expr("surprisal_bits * 1000000 div n_trigrams")
-    w = Window.partitionBy("lang").orderBy(rank_key, F.col("doc_id").asc())
-    nt = F.ntile(3).over(w)
-    out = scored.select(
+    # engines at the ntile boundary). Language is a SKEWED key (the
+    # dominant language is ~half the corpus), so the per-lang NTILE goes
+    # through the grouped distributed prefix-sum rank + closed-form bucket
+    # formula — never a lang-partitioned window sort (one task would hold
+    # the whole majority language). Lazy import: module-level would churn
+    # registry order (rotation window).
+    from f1_lakehouse_spark.operators.extensions import (  # noqa: PLC0415
+        _ntile_from_rank_cols,
+        grouped_prefix_rank,
+    )
+
+    keyed = scored.withColumn(
+        "rank_key", F.expr("surprisal_bits * 1000000 div n_trigrams")
+    )
+    ranked, release = grouped_prefix_rank(
+        spark, keyed, ["lang"], [F.col("rank_key").asc(), F.col("doc_id").asc()]
+    )
+    nt = _ntile_from_rank_cols(F.col("rank"), F.col("n_g"), 3)
+    out = ranked.select(
         "doc_id",
         "lang",
         "surprisal_bits",
@@ -1068,6 +1086,7 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = out.persist()
     out.count()
+    release()
     return out
 
 

@@ -1,4 +1,10 @@
-"""Logical-plan lint: ban explicit broadcast hints on SF-scaling scans.
+"""Logical-plan lint: two scale rules over the analyzed plan.
+
+Rule 1 — no explicit broadcast hint on an SF-scaling scan.
+Rule 2 — no partition-less Window over an unbounded SF-scaling scan
+(``global_window_offenders``): Spark plans an empty partition spec as
+Exchange SinglePartition + a one-task sort, the exact shape the
+``global_prefix_sum`` / ``grouped_prefix_rank`` idioms exist to avoid.
 
 An explicit ``F.broadcast()`` hint bypasses
 ``spark.sql.autoBroadcastJoinThreshold`` entirely, and Spark hard-fails any
@@ -58,24 +64,55 @@ def _output_names(node) -> list[str]:
     return [out.apply(i).name() for i in range(out.size())]
 
 
-def _walk(node, under_hint: bool, offenders: list[str]) -> None:
+def _is_broadcast_hint(node, cls: str) -> bool:
+    """True only for BROADCAST-strategy hints: a merge/shuffle_hash/
+    shuffle_replicate_nl hint on a scaling scan is legal (it never hits the
+    8 GB broadcast cap), so it must not trip this rule."""
+    try:
+        if cls.startswith("ResolvedHint"):
+            # HintInfo.toString renders "(strategy=broadcast)" for
+            # BROADCAST; other strategies render their own names.
+            return "broadcast" in node.hints().toString().lower()
+        return "broadcast" in node.name().lower()  # UnresolvedHint
+    except Exception:  # pragma: no cover - py4j API drift: fail closed
+        return True
+
+
+def _walk(node, under_hint: bool, under_gwin: bool, off_h: list, off_w: list) -> None:
     cls = _cls(node)
     if any(cls.startswith(b) for b in _SIZE_BOUNDING):
-        under_hint = False  # everything below is size-bounded at this node
-    if cls.startswith("ResolvedHint") or cls.startswith("UnresolvedHint"):
+        # everything below is size-bounded at this node
+        under_hint = False
+        under_gwin = False
+    if (
+        cls.startswith("ResolvedHint") or cls.startswith("UnresolvedHint")
+    ) and _is_broadcast_hint(node, cls):
         under_hint = True
-    if cls in _LEAF_SCANS and under_hint:
+    if cls == "Window" and node.partitionSpec().size() == 0:
+        under_gwin = True
+    if cls in _LEAF_SCANS:
         names = set(_output_names(node))
         hit = sorted(names & SF_SCALING_MARKERS)
         if hit:
-            offenders.append(f"{cls}[{','.join(hit)}]")
+            if under_hint:
+                off_h.append(f"{cls}[{','.join(hit)}]")
+            if under_gwin:
+                off_w.append(f"{cls}[{','.join(hit)}]")
     kids = node.children()
     for i in range(kids.size()):
-        _walk(kids.apply(i), under_hint, offenders)
+        _walk(kids.apply(i), under_hint, under_gwin, off_h, off_w)
     # Subqueries (scalar / IN) hang off expressions, not children.
     inner = node.subqueries()
     for i in range(inner.size()):
-        _walk(inner.apply(i), under_hint, offenders)
+        _walk(inner.apply(i), under_hint, under_gwin, off_h, off_w)
+
+
+def _offenders(df: DataFrame) -> tuple[list[str], list[str]]:
+    plan = df._jdf.queryExecution().analyzed()
+    off_h: list[str] = []
+    off_w: list[str] = []
+    _walk(plan, False, False, off_h, off_w)
+    return off_h, off_w
 
 
 def broadcast_hint_offenders(df: DataFrame) -> list[str]:
@@ -84,7 +121,28 @@ def broadcast_hint_offenders(df: DataFrame) -> list[str]:
     Empty list == compliant. Each entry names the leaf class and the
     signature column(s) that identified the scaling table.
     """
-    plan = df._jdf.queryExecution().analyzed()
-    offenders: list[str] = []
-    _walk(plan, False, offenders)
-    return offenders
+    return _offenders(df)[0]
+
+
+def all_plan_offenders(df: DataFrame) -> list[str]:
+    """Both rules in one py4j walk, entries prefixed with the rule name."""
+    off_h, off_w = _offenders(df)
+    return [f"broadcast-hint:{o}" for o in off_h] + [
+        f"global-window:{o}" for o in off_w
+    ]
+
+
+def global_window_offenders(df: DataFrame) -> list[str]:
+    """SF-scaling scans feeding a partition-less Window in df's plan.
+
+    A ``Window`` node with an empty partition spec executes as ONE task
+    (Spark plans it as an Exchange SinglePartition + sort): correct at any
+    SF, but a scale killer on an unbounded input. Global cumulative
+    anything must go through ``operators.extensions.global_prefix_sum`` /
+    ``grouped_prefix_rank`` instead (CLAUDE.md rule; r6 verdict item 3
+    turns it into this standing gate). Aggregate / Deduplicate / Limit
+    below the window exempt the subtree — partition-less windows over
+    model-sized frames (calendar months, top-k pools, k-means cells) stay
+    legal. Empty list == compliant.
+    """
+    return _offenders(df)[1]

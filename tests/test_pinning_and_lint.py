@@ -11,17 +11,29 @@
   — ADVICE r5: the old int(str(v).removesuffix('b')) crashed on any
   user-tuned unit-suffixed session conf.
 - ``quality.plan_lint.broadcast_hint_offenders`` must flag a hint on an
-  SF-scaling scan, stay quiet without the hint, and honour the
-  size-bounding exemptions (Aggregate, Limit).
+  SF-scaling scan, stay quiet without the hint, honour the size-bounding
+  exemptions (Aggregate, Limit), and (ADVICE r6) NOT misfire on
+  non-broadcast join-strategy hints (merge / shuffle_hash).
+- ``quality.plan_lint.global_window_offenders`` (r6 verdict item 3) must
+  flag a partition-less Window over an unbounded SF-scaling scan, stay
+  quiet for partitioned windows and for global windows over
+  Aggregate/Limit-bounded frames.
+- ``operators.extensions.grouped_prefix_rank`` + ``_ntile_from_rank_cols``
+  must reproduce ROW_NUMBER / NTILE semantics per group exactly —
+  including n < k groups and multi-range dominant groups.
 """
 
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from f1_lakehouse_spark.pinning import pin_checkpoint, pin_small_result
-from f1_lakehouse_spark.quality.plan_lint import broadcast_hint_offenders
+from f1_lakehouse_spark.quality.plan_lint import (
+    broadcast_hint_offenders,
+    global_window_offenders,
+)
 from f1_lakehouse_spark.session import parse_byte_size
 from f1_lakehouse_spark.tables import load_table
 from tests.conftest import SF_DIR
@@ -109,3 +121,73 @@ def test_lint_exempts_bounded_dims(spark):
     c = load_table(spark, SF_DIR, "customer")
     df = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
     assert broadcast_hint_offenders(df) == []
+
+
+def test_lint_ignores_non_broadcast_hints(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_linenumber")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey")
+    merged = o.join(li.hint("merge"), o["o_orderkey"] == li["l_orderkey"])
+    assert broadcast_hint_offenders(merged) == []
+    shuffled = o.join(li.hint("shuffle_hash"), o["o_orderkey"] == li["l_orderkey"])
+    assert broadcast_hint_offenders(shuffled) == []
+
+
+def test_global_window_lint_flags_partitionless_over_scan(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_linenumber")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    bad = li.withColumn("rn", F.row_number().over(w))
+    assert global_window_offenders(bad) != []
+
+
+def test_global_window_lint_quiet_for_partitioned_and_bounded(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_linenumber")
+    wp = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    ok = li.withColumn("rn", F.row_number().over(wp))
+    assert global_window_offenders(ok) == []
+    # a global window over an Aggregate-bounded frame is legal
+    agg = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    wg = Window.orderBy("n", "l_orderkey")
+    assert (
+        global_window_offenders(agg.withColumn("rn", F.row_number().over(wg))) == []
+    )
+    capped = li.limit(7)
+    assert (
+        global_window_offenders(
+            capped.withColumn(
+                "rn", F.row_number().over(Window.orderBy("l_orderkey", "l_linenumber"))
+            )
+        )
+        == []
+    )
+
+
+def test_grouped_prefix_rank_matches_window_semantics(spark):
+    from f1_lakehouse_spark.operators.extensions import (
+        _ntile_from_rank_cols,
+        grouped_prefix_rank,
+    )
+
+    # skewed groups: 'a' dominant (401 rows: spans multiple ranges at
+    # n_parts=4), 'b' mid (37), 'c' has n < k (2 rows)
+    rows = (
+        [("a", i) for i in range(401)]
+        + [("b", 1000 + i) for i in range(37)]
+        + [("c", 5000), ("c", 5001)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    ranked, release = grouped_prefix_rank(
+        spark, df, ["g"], [F.col("v").asc()], n_parts=4
+    )
+    got = ranked.select(
+        "g", "v", "rank", "n_g", _ntile_from_rank_cols(F.col("rank"), F.col("n_g"), 3).alias("b3")
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    want = df.select(
+        "g",
+        "v",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.count("*").over(Window.partitionBy("g")).alias("n_g"),
+        F.ntile(3).over(w).cast("long").alias("b3"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    release()
