@@ -259,6 +259,17 @@ EXTENDED = [
 # committed in BENCH_LOCAL.json each round.
 EXTENDED_ENABLED = os.environ.get("SPARK_GRAFT_BENCH_EXTENDED", "0") == "1"
 
+# r6 verdict item 5: the three headline queries whose plans were rewritten
+# for scale in r6 (de-hinting + plan-visible probe bounds) moved >1.2x in
+# the r6 snapshot. Record ALL run times (not just best-of) for these so
+# BENCH_LOCAL carries the per-query variance needed to tell VM noise from
+# a structural scale-for-bench tradeoff.
+VARIANCE_WATCH = [
+    "ann_cosine_topk_bruteforce",
+    "ann_cosine_topk_lsh",
+    "skew_salted_aggregate",
+]
+
 
 def main() -> None:
     _ensure_loaded()
@@ -307,6 +318,18 @@ def main() -> None:
 
     times = time_set(HEADLINE)
     extended = time_set(EXTENDED) if EXTENDED_ENABLED else None
+    variance = None
+    if EXTENDED_ENABLED:
+        # all-runs timing for the r6 structural movers (5 runs each)
+        variance = {}
+        for name in VARIANCE_WATCH:
+            fn = REGISTRY[name].fn
+            runs_all = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                runs_all.append(round(time.perf_counter() - t0, 3))
+            variance[name] = runs_all
     total = round(sum(times.values()), 3)
     payload = {
         "metric": "headline_suite_total_sec",
@@ -318,6 +341,8 @@ def main() -> None:
     }
     if extended is not None:
         payload["extended"] = extended
+    if variance is not None:
+        payload["variance_watch_runs"] = variance
     # The driver tail-captures stdout; r2's stored line was truncated by
     # post-print JVM shutdown noise + line length. Defend both ways:
     # full payload to a file, then stop Spark BEFORE printing so the JSON

@@ -27,6 +27,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 FLAG_SEC = 5.0
 
+# Standing notes for flagged entries whose cost is INHERENT CPU, not a plan
+# smell — recorded next to the flag so a future round doesn't "fix" a
+# correct plan (r6 verdict item 6).
+FLAG_NOTES = {
+    "stats_bootstrap_ci_poisson": (
+        "inherent B=64 map-side Poisson-bootstrap fan-out dying into "
+        "partial sums — ~64x CPU at any scale factor by construction; the "
+        "plan is THE distributed bootstrap (extensions.py), no scale-killer"
+    ),
+}
+
 
 def main() -> None:
     _ensure_loaded()
@@ -66,6 +77,11 @@ def main() -> None:
         },
         "flag_threshold_sec": FLAG_SEC,
         "flagged": {n: t for n, t in sorted(times.items(), key=lambda kv: -kv[1]) if t > FLAG_SEC},
+        "flag_notes": {
+            n: FLAG_NOTES[n]
+            for n in sorted(times)
+            if times[n] > FLAG_SEC and n in FLAG_NOTES
+        },
         "queries": times,
     }
     spark.stop()
