@@ -225,3 +225,63 @@ def test_global_prefix_max_equals_sequential(spark, values, n_parts):
     for i, v in enumerate(values):
         assert got[i] == run, (i, got[i], run)
         run = v if run is None or v > run else run
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # group (skew-prone: few keys)
+            st.integers(min_value=0, max_value=50),  # value (ties likely)
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=2, max_value=5),
+)
+def test_grouped_prefix_rank_equals_window_semantics(spark, pairs, n_parts, k):
+    """The grouped distributed rank (range repartition over
+    (group, order) + pid windows + driver offsets) must equal sequential
+    per-group ROW_NUMBER for any multiset, any partition count — pins
+    boundary-placement independence when a group spans several ranges —
+    and the closed-form column NTILE formula must equal SQL NTILE(k)
+    including n_g < k and remainder groups."""
+    from pyspark.sql import functions as F
+
+    from f1_lakehouse_spark.operators.extensions import (
+        _ntile_from_rank_cols,
+        grouped_prefix_rank,
+    )
+
+    rows = [(i, g, v) for i, (g, v) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "id long, g int, v int")
+    ranked, release = grouped_prefix_rank(
+        spark, df, ["g"], [F.col("v").asc(), F.col("id").asc()], n_parts=n_parts
+    )
+    got = {
+        r["id"]: (r["rank"], r["n_g"], r["bucket"])
+        for r in ranked.select(
+            "id",
+            "rank",
+            "n_g",
+            _ntile_from_rank_cols(F.col("rank"), F.col("n_g"), k).alias("bucket"),
+        ).collect()
+    }
+    release()
+    by_group: dict[int, list] = {}
+    for i, (g, v) in enumerate(pairs):
+        by_group.setdefault(g, []).append((v, i))
+    for g, members in by_group.items():
+        members.sort()
+        n = len(members)
+        base, rem = divmod(n, k)
+        for rank0, (_, i) in enumerate(members):
+            rank = rank0 + 1
+            cut = rem * (base + 1)
+            want_bucket = (
+                (rank - 1) // (base + 1) + 1
+                if rank <= cut
+                else rem + (rank - cut - 1) // max(base, 1) + 1
+            )
+            assert got[i] == (rank, n, want_bucket), (g, i, got[i], (rank, n, want_bucket))
