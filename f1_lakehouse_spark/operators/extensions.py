@@ -998,12 +998,31 @@ PARETO_B = 0.95
 _PARETO_PARTS = 8
 
 
+def _prefix_parts(spark: SparkSession, n_parts: int | None) -> int:
+    """Range-partition count for the prefix-sum family. Explicit wins;
+    otherwise the session's ``spark.sql.shuffle.partitions`` — which
+    ``session.autosize_shuffle_partitions`` derives from input volume
+    where the engine owns the session — with ``_PARETO_PARTS`` as the
+    floor (the repo's size-knob rule: derive from input, constants are
+    floors). A FIXED 8 would be a scale bug: at the 100 TB framing each
+    range would hold terabytes for one task's sort. The driver-side
+    offsets table stays O(n_parts) rows — model-sized even at the
+    20k-partition cap."""
+    if n_parts is not None:
+        return n_parts
+    try:
+        conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # pragma: no cover - conf missing/non-numeric
+        conf = 0
+    return max(_PARETO_PARTS, conf)
+
+
 def global_prefix_sum(
     spark: SparkSession,
     df: DataFrame,
     value_col: str,
     order_cols: list,
-    n_parts: int = _PARETO_PARTS,
+    n_parts: int | None = None,
 ):
     """Exact distributed global cumulative sum of a DECIMAL column under a
     TOTAL order (callers must include a unique tiebreaker in
@@ -1021,6 +1040,7 @@ def global_prefix_sum(
     persisted for its two derived uses, per the CLAUDE.md discipline)."""
     from decimal import Decimal  # noqa: PLC0415
 
+    n_parts = _prefix_parts(spark, n_parts)
     r = df.repartitionByRange(n_parts, *order_cols).withColumn(
         "pid", F.spark_partition_id()
     )
@@ -1053,7 +1073,7 @@ def grouped_prefix_rank(
     df: DataFrame,
     group_cols: list,
     order_cols: list,
-    n_parts: int = _PARETO_PARTS,
+    n_parts: int | None = None,
 ):
     """Exact per-group 1-based row rank under a TOTAL within-group order
     (callers must include a unique tiebreaker in ``order_cols``) — the
@@ -1084,6 +1104,7 @@ def grouped_prefix_rank(
     )
 
     group_cols = list(group_cols)
+    n_parts = _prefix_parts(spark, n_parts)
     r = df.repartitionByRange(n_parts, *group_cols, *order_cols).withColumn(
         "pid", F.spark_partition_id()
     )
@@ -2125,7 +2146,6 @@ def w_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WATERMARK_US = 600_000_000  # 10 min
 NET_DELAY_S = 1800  # simulated arrival jitter: 0..30 min
-_WM_PARTS = 8
 
 
 def global_prefix_max(
@@ -2133,11 +2153,13 @@ def global_prefix_max(
     df: DataFrame,
     value_col: str,
     order_cols: list,
-    n_parts: int = _WM_PARTS,
+    n_parts: int | None = None,
 ):
     """Exact distributed EXCLUSIVE global running max of an int64 column
     under a TOTAL order: the frame gains ``excl_max`` (NULL for the global
-    first row). Returns (frame, release)."""
+    first row). Returns (frame, release). ``n_parts`` defaults to the
+    session's (autosized) shuffle-partition count via ``_prefix_parts``."""
+    n_parts = _prefix_parts(spark, n_parts)
     r = df.repartitionByRange(n_parts, *order_cols).withColumn(
         "pid", F.spark_partition_id()
     )
