@@ -1117,7 +1117,11 @@ def grouped_prefix_rank(
             (row["pid"], row["count"])
         )
     off_rows, tot_rows = [], []
-    for key, pairs in sorted(per_group.items()):
+    # None-safe driver sort (a NULL group key is a legal group); order is
+    # cosmetic — offsets are keyed, not positional
+    for key, pairs in sorted(
+        per_group.items(), key=lambda kv: tuple((v is None, v) for v in kv[0])
+    ):
         acc = 0
         for pid, c in sorted(pairs):
             off_rows.append((pid, *key, acc))
@@ -1135,13 +1139,20 @@ def grouped_prefix_rank(
     ngdf = spark.createDataFrame(
         tot_rows, StructType(gfields + [StructField("n_g", LongType())])
     )
+    # join back on a STRUCT surrogate of the group key: struct equality is
+    # null-safe field-wise, so rows of a NULL group are not silently
+    # dropped the way a plain equi-join on the raw columns would drop them
+    gk = F.struct(*group_cols)
+    offdf = offdf.withColumn("_gk", gk).drop(*group_cols)
+    ngdf = ngdf.withColumn("_gk", gk).drop(*group_cols)
     w = Window.partitionBy("pid", *group_cols).orderBy(*order_cols)
     ranked = (
-        r.withColumn("_rn", F.row_number().over(w))
-        .join(F.broadcast(offdf), ["pid", *group_cols])
-        .join(F.broadcast(ngdf), group_cols)
+        r.withColumn("_gk", gk)
+        .withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(offdf), ["pid", "_gk"])
+        .join(F.broadcast(ngdf), ["_gk"])
         .withColumn("rank", (F.col("_rn") + F.col("_rank_off")).cast("long"))
-        .drop("_rn", "_rank_off", "pid")
+        .drop("_rn", "_rank_off", "pid", "_gk")
     )
     return ranked, r.unpersist
 

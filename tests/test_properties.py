@@ -231,7 +231,9 @@ def test_global_prefix_max_equals_sequential(spark, values, n_parts):
 @given(
     st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=3),  # group (skew-prone: few keys)
+            # group (skew-prone: few keys; None is a legal group — the
+            # struct-surrogate join must not drop it like a raw equi-join)
+            st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
             st.integers(min_value=0, max_value=50),  # value (ties likely)
         ),
         min_size=1,
@@ -246,7 +248,7 @@ def test_grouped_prefix_rank_equals_window_semantics(spark, pairs, n_parts, k):
     per-group ROW_NUMBER for any multiset, any partition count — pins
     boundary-placement independence when a group spans several ranges —
     and the closed-form column NTILE formula must equal SQL NTILE(k)
-    including n_g < k and remainder groups."""
+    including n_g < k, remainder groups, and a NULL group key."""
     from pyspark.sql import functions as F
 
     from f1_lakehouse_spark.operators.extensions import (
