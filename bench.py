@@ -303,33 +303,29 @@ def main() -> None:
 
     calib = _calibrate()
 
-    def time_set(names: list[str]) -> dict[str, float]:
-        out: dict[str, float] = {}
-        for name in names:
-            fn = REGISTRY[name].fn
-            best = float("inf")
-            # best-of-N: single-run numbers on a shared VM swing ±50% (GC/JIT)
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            out[name] = round(best, 3)
+    def timed_runs(name: str, n: int) -> list[float]:
+        """The ONE measurement protocol: full materialization through the
+        noop sink, n wall-clock samples."""
+        fn = REGISTRY[name].fn
+        out = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            out.append(round(time.perf_counter() - t0, 3))
         return out
+
+    def time_set(names: list[str]) -> dict[str, float]:
+        # best-of-N: single-run numbers on a shared VM swing ±50% (GC/JIT)
+        return {name: min(timed_runs(name, runs)) for name in names}
 
     times = time_set(HEADLINE)
     extended = time_set(EXTENDED) if EXTENDED_ENABLED else None
-    variance = None
-    if EXTENDED_ENABLED:
-        # all-runs timing for the r6 structural movers (5 runs each)
-        variance = {}
-        for name in VARIANCE_WATCH:
-            fn = REGISTRY[name].fn
-            runs_all = []
-            for _ in range(5):
-                t0 = time.perf_counter()
-                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                runs_all.append(round(time.perf_counter() - t0, 3))
-            variance[name] = runs_all
+    variance = (
+        # all-runs timing for the r6 structural movers, same protocol
+        {name: timed_runs(name, 5) for name in VARIANCE_WATCH}
+        if EXTENDED_ENABLED
+        else None
+    )
     total = round(sum(times.values()), 3)
     payload = {
         "metric": "headline_suite_total_sec",

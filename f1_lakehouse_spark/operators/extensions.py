@@ -564,9 +564,15 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark_indexed_hash48(i_col, key_col, ":") % CMS_W
 
     rows = F.sequence(F.lit(0), F.lit(CMS_D - 1))
+    # bucket aliased in a Project BEFORE the aggregate: the sketch is
+    # (CMS_D x CMS_W)-bounded regardless of corpus size, and the aggregate
+    # keyed on the pre-aliased bucket lets the plan lint see that (a
+    # grouping expression referencing user_id inline would read as a
+    # scaling-key aggregate)
     cells = (
         e.select("user_id", F.explode(rows).alias("i"))
-        .groupBy("i", bucket(F.col("i"), F.col("user_id")).alias("bucket"))
+        .select("i", bucket(F.col("i"), F.col("user_id")).alias("bucket"))
+        .groupBy("i", "bucket")
         .agg(F.count("*").alias("c"))
     )
     exact = e.groupBy("user_id").agg(F.count("*").alias("exact_count"))
@@ -758,11 +764,16 @@ def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("w"), F.lit(0)).bitwiseAND(mask)) == mask
         ).cast("int").alias("hit"),
     )
+    # ground-truth membership join WITHOUT a broadcast hint: the distinct
+    # build-key set is customer-proportional — forcing it into a broadcast
+    # is exactly the scale mistake the Bloom sketch exists to avoid (the
+    # SKETCH broadcasts, fixed-size; the exact set shuffles; AQE may still
+    # broadcast it at bench scale where it fits)
     flags = (
         checks.groupBy("c_custkey")
         .agg((F.sum("hit") == BLOOM_K).cast("int").alias("bloom_pass"))
         .join(
-            F.broadcast(build.withColumn("member", F.lit(1))),
+            build.withColumn("member", F.lit(1)),
             F.col("c_custkey") == F.col("o_custkey"),
             "left",
         )
@@ -1005,16 +1016,21 @@ def _prefix_parts(spark: SparkSession, n_parts: int | None) -> int:
     where the engine owns the session — with ``_PARETO_PARTS`` as the
     floor (the repo's size-knob rule: derive from input, constants are
     floors). A FIXED 8 would be a scale bug: at the 100 TB framing each
-    range would hold terabytes for one task's sort. The driver-side
-    offsets table stays O(n_parts) rows — model-sized even at the
-    20k-partition cap."""
+    range would hold terabytes for one task's sort. The conf value is
+    clamped to ``session.SHUFFLE_PARTITIONS_CAP`` (a user-tuned conf above
+    the cap must not balloon the driver hop), so the driver-side offsets
+    stay O(cap) rows for the global helpers and O(cap x |groups|) for
+    ``grouped_prefix_rank`` — the latter is why grouped callers need
+    bounded group cardinality."""
+    from f1_lakehouse_spark.session import SHUFFLE_PARTITIONS_CAP  # noqa: PLC0415
+
     if n_parts is not None:
         return n_parts
     try:
         conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:  # pragma: no cover - conf missing/non-numeric
         conf = 0
-    return max(_PARETO_PARTS, conf)
+    return max(_PARETO_PARTS, min(conf, SHUFFLE_PARTITIONS_CAP))
 
 
 def global_prefix_sum(
@@ -1630,16 +1646,10 @@ RFM_K = 5
 
 
 def _ntile_from_rank(rank, n: int, k: int):
-    """SQL NTILE(k) bucket for 1-based ``rank`` of ``n`` rows: the first
-    n%k buckets hold ceil(n/k) rows, the rest floor(n/k)."""
-    base, rem = n // k, n % k
-    cut = rem * (base + 1)
-    # the else-branch is only reached when rank > cut, which requires
-    # base >= 1; greatest() keeps the unreached division well-defined
-    base_safe = max(base, 1)
-    return F.when(
-        rank <= cut, ((rank - 1) / F.lit(base + 1)).cast("long") + 1
-    ).otherwise(rem + ((rank - cut - 1) / F.lit(base_safe)).cast("long") + 1)
+    """SQL NTILE(k) bucket for 1-based ``rank`` of ``n`` rows (driver-known
+    Python int n): delegates to the column twin so the bucket formula
+    lives in exactly one place (Catalyst constant-folds the literal n)."""
+    return _ntile_from_rank_cols(rank, F.lit(n).cast("long"), k)
 
 
 @register(

@@ -475,8 +475,11 @@ def q20_excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("q") > 50)
         .select("l_suppkey")
     )
+    # heavy is (suppkey, partkey)-grained → SF-proportional: no broadcast
+    # hint (r7 lint: a hinted scaling-key aggregate dies at the 8 GB cap at
+    # 100 TB; AQE still picks broadcast at bench scale where it fits)
     return (
-        s.join(F.broadcast(heavy), s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        s.join(heavy, s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
         .join(F.broadcast(nat), s["s_nationkey"] == nat["n_nationkey"], "left_semi")
         .select("s_suppkey", "s_name")
     )

@@ -468,8 +468,12 @@ def decontam_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_g = grams.filter(F.col("bench_slot") != 0).select(
         F.col("doc_id").alias("train_doc_id"), "g"
     )
+    # no broadcast hint: the bench side here is a HASH SLICE of the corpus
+    # (1/BENCH_MOD — SF-proportional), unlike decontam_ngram_overlap's
+    # fixed benchmark list; a hinted broadcast would pass bench scale and
+    # die at 100 TB. AQE still broadcasts it at test SFs where it fits.
     pairs = (
-        train_g.join(F.broadcast(bench_g), "g")
+        train_g.join(bench_g, "g")
         .groupBy("bench_doc_id", "train_doc_id")
         .agg(F.count("*").alias("shared_grams"))
     )

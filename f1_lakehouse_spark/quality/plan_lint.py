@@ -30,6 +30,8 @@ job execution. Enforced for every registered query by
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 #: A leaf relation is "SF-scaling" iff its output contains one of these
@@ -50,6 +52,43 @@ SF_SCALING_MARKERS: frozenset[str] = frozenset(
 #: Node classes that bound the size of everything above them: an aggregate
 #: output is model-sized by this repo's conventions, a limit is explicit.
 _SIZE_BOUNDING = ("Aggregate", "Deduplicate", "GlobalLimit", "LocalLimit")
+
+#: Columns whose CARDINALITY scales with the scale factor. An Aggregate or
+#: Deduplicate keyed by one of these is data-proportional, NOT model-sized
+#: — groupBy(doc_id) over the corpus has one row per document — so it must
+#: not exempt the subtree from either rule (r7 review finding #1). The set
+#: extends the per-table signature markers with the scaling foreign keys.
+SF_SCALING_KEY_COLS: frozenset[str] = SF_SCALING_MARKERS | frozenset(
+    {
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "o_custkey",
+        "ps_partkey",
+        "ps_suppkey",
+        "user_id",
+    }
+)
+
+_KEY_RE = re.compile(r"\b(" + "|".join(sorted(SF_SCALING_KEY_COLS)) + r")\b")
+
+
+def _bounds_subtree(node, cls: str) -> bool:
+    """Limits always bound. Aggregate/Deduplicate bound ONLY when their
+    grouping/dedup keys reference no SF-scaling-cardinality column (a
+    conservative string scan of the key expressions: a derived bounded
+    bucket like pmod(hash(doc_id), 64) would also trip it — acceptable,
+    the fix is to alias the bucket before the aggregate)."""
+    try:
+        if cls.startswith("Aggregate"):
+            keys = node.groupingExpressions().toString()
+        elif cls.startswith("Deduplicate"):
+            keys = node.keys().toString()
+        else:
+            return True  # GlobalLimit / LocalLimit
+        return not _KEY_RE.search(keys)
+    except Exception:  # pragma: no cover - py4j API drift: fail closed
+        return False
 
 #: Leaf classes that scan a base relation.
 _LEAF_SCANS = ("LogicalRelation", "LogicalRDD", "LocalRelation")
@@ -80,7 +119,7 @@ def _is_broadcast_hint(node, cls: str) -> bool:
 
 def _walk(node, under_hint: bool, under_gwin: bool, off_h: list, off_w: list) -> None:
     cls = _cls(node)
-    if any(cls.startswith(b) for b in _SIZE_BOUNDING):
+    if any(cls.startswith(b) for b in _SIZE_BOUNDING) and _bounds_subtree(node, cls):
         # everything below is size-bounded at this node
         under_hint = False
         under_gwin = False

@@ -57,24 +57,27 @@ END = "# --- END GENERATED WINDOW ---"
 
 
 def driver_checked_names(
-    repo: Path = REPO, exclude_subsets_of: set[str] | None = None
+    repo: Path = REPO, exclude_window_artifact: set[str] | None = None
 ) -> set[str]:
     """Every query name with ANY row in any CORRECTNESS_r*.json.
 
-    ``exclude_subsets_of``: skip artifacts whose name set is contained in
-    the given window — i.e. artifacts the committed window itself produced.
-    The driver writes CORRECTNESS_r{N} (exactly the window's names) AFTER
-    the round's last commit; the invariant tests evaluate the committed
-    window against the checked set as it stood at generation time, so that
-    round-boundary artifact cannot flip CI red (r6 verdict "what's wrong"
-    #2). Older artifacts always contain at least one name outside the
-    current window (their fills were consumed from the never-checked pool),
-    so only the own-output artifact is ever excluded.
+    ``exclude_window_artifact``: skip an artifact whose name set EQUALS
+    the given window — i.e. the artifact the committed window itself
+    produced. The driver writes CORRECTNESS_r{N} (exactly the window's
+    names, err rows included) AFTER the round's last commit; the invariant
+    tests evaluate the committed window against the checked set as it
+    stood at generation time, so that round-boundary artifact cannot flip
+    CI red (r6 verdict "what's wrong" #2). Equality, not subset: a partial
+    artifact from a crashed driver run must NOT be silently excluded —
+    that is a real signal the strict regeneration check should surface.
+    Older artifacts always contain at least one name outside the current
+    window (their fills were consumed from the never-checked pool), so
+    only the own-output artifact ever matches.
     """
     checked: set[str] = set()
     for p in sorted(repo.glob("CORRECTNESS_r*.json")):
         names = set(json.loads(p.read_text()).keys())
-        if exclude_subsets_of is not None and names <= exclude_subsets_of:
+        if exclude_window_artifact is not None and names == exclude_window_artifact:
             continue
         checked |= names
     return checked

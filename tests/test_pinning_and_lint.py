@@ -97,13 +97,14 @@ def test_lint_quiet_without_hint(spark):
     assert broadcast_hint_offenders(ok) == []
 
 
-def test_lint_exempts_aggregate_and_limit(spark):
+def test_lint_exempts_bounded_aggregate_and_limit(spark):
     li = load_table(spark, SF_DIR, "lineitem")
-    o = load_table(spark, SF_DIR, "orders").select("o_orderkey")
-    agg = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderstatus")
+    # model-sized aggregate (3 flag values) — legal broadcast
+    agg = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
     assert (
         broadcast_hint_offenders(
-            o.join(F.broadcast(agg), o["o_orderkey"] == agg["l_orderkey"])
+            o.join(F.broadcast(agg), o["o_orderstatus"] == agg["l_returnflag"])
         )
         == []
     )
@@ -114,6 +115,28 @@ def test_lint_exempts_aggregate_and_limit(spark):
         )
         == []
     )
+
+
+def test_lint_flags_scaling_key_aggregate_broadcast(spark):
+    """r7 tightening: an aggregate KEYED by a scaling-cardinality column
+    (one row per order) is data-proportional, not model-sized — a
+    broadcast hint on it must flag instead of being exempted."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey")
+    agg = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    assert (
+        broadcast_hint_offenders(
+            o.join(F.broadcast(agg), o["o_orderkey"] == agg["l_orderkey"])
+        )
+        != []
+    )
+    # and the same shape under a partition-less window trips rule 2
+    from pyspark.sql import Window as W
+
+    ranked = agg.withColumn(
+        "rn", F.row_number().over(W.orderBy("n", "l_orderkey"))
+    )
+    assert global_window_offenders(ranked) != []
 
 
 def test_lint_exempts_bounded_dims(spark):
@@ -144,9 +167,12 @@ def test_global_window_lint_quiet_for_partitioned_and_bounded(spark):
     wp = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
     ok = li.withColumn("rn", F.row_number().over(wp))
     assert global_window_offenders(ok) == []
-    # a global window over an Aggregate-bounded frame is legal
-    agg = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
-    wg = Window.orderBy("n", "l_orderkey")
+    # a global window over a MODEL-SIZED aggregate (3 flag values) is
+    # legal; a scaling-key aggregate is not (see
+    # test_lint_flags_scaling_key_aggregate_broadcast)
+    lif = load_table(spark, SF_DIR, "lineitem")
+    agg = lif.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    wg = Window.orderBy("n", "l_returnflag")
     assert (
         global_window_offenders(agg.withColumn("rn", F.row_number().over(wg))) == []
     )

@@ -277,13 +277,14 @@ def test_grouped_prefix_rank_equals_window_semantics(spark, pairs, n_parts, k):
     for g, members in by_group.items():
         members.sort()
         n = len(members)
+        # independent NTILE reference built straight from the SQL
+        # definition (first n%k buckets hold ceil(n/k) rows), NOT the
+        # closed-form formula under test — a shared formula bug would
+        # otherwise pass formula-vs-itself
         base, rem = divmod(n, k)
+        assignment = [
+            b for b in range(1, k + 1) for _ in range(base + (1 if b <= rem else 0))
+        ]
         for rank0, (_, i) in enumerate(members):
-            rank = rank0 + 1
-            cut = rem * (base + 1)
-            want_bucket = (
-                (rank - 1) // (base + 1) + 1
-                if rank <= cut
-                else rem + (rank - cut - 1) // max(base, 1) + 1
-            )
-            assert got[i] == (rank, n, want_bucket), (g, i, got[i], (rank, n, want_bucket))
+            want = (rank0 + 1, n, assignment[rank0])
+            assert got[i] == want, (g, i, got[i], want)
