@@ -43,13 +43,12 @@ ANCHORS: tuple[str, ...] = (
     "dedup_minhash_verified",
 )
 
-# Round-7 priorities: no re-entries needed — CORRECTNESS_r06 landed 50/50
-# green, so every prior window name (incl. the historic ``approx_sketches``
-# blemish) is now driver-certified. The whole window fills from the
-# 53-query never-driver-checked pool in registry order (46 slots this
-# round; the remaining 7 — the tail curation/mm names — close in r8 per
-# the r6 verdict plan). Registry growth is frozen until 331/331 closes;
-# any op that MUST land this round gets pinned here the same commit.
+# Round-8 priorities: CORRECTNESS_r07 landed 50/50 green, leaving exactly
+# 7 never-driver-checked names (2 curation + 5 mm tail). They fill the
+# window automatically from the never-checked pool; the remaining slots
+# top up with least-recently-verified greens (registry order). Any NEW
+# operator registered this round MUST be pinned here in the same commit
+# (r6 lesson: unpinned new ops grew the never-checked pool 35 -> 53).
 LEAD: tuple[str, ...] = ()
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"
