@@ -1012,8 +1012,10 @@ _PARETO_PARTS = 8
 def _prefix_parts(spark: SparkSession, n_parts: int | None) -> int:
     """Range-partition count for the prefix-sum family. Explicit wins;
     otherwise the session's ``spark.sql.shuffle.partitions`` — which
-    ``session.autosize_shuffle_partitions`` derives from input volume
-    where the engine owns the session — with ``_PARETO_PARTS`` as the
+    ``tables._autosize_for`` (invoked on every ``load_table``, so it also
+    fires under the driver's vanilla session) derives from input volume
+    via ``session.autosize_shuffle_partitions`` whenever the conf still
+    holds Spark's untouched static default — with ``_PARETO_PARTS`` as the
     floor (the repo's size-knob rule: derive from input, constants are
     floors). A FIXED 8 would be a scale bug: at the 100 TB framing each
     range would hold terabytes for one task's sort. The conf value is
@@ -1062,6 +1064,8 @@ def global_prefix_sum(
     )
     r = r.persist()
     r.count()
+    # structurally bounded collect: groupBy(pid) yields <= n_parts rows,
+    # and n_parts <= SHUFFLE_PARTITIONS_CAP by _prefix_parts
     ptots = {
         row["pid"]: row["ptot"]
         for row in r.groupBy("pid")
@@ -1090,6 +1094,7 @@ def grouped_prefix_rank(
     group_cols: list,
     order_cols: list,
     n_parts: int | None = None,
+    max_offset_rows: int = 4_000_000,
 ):
     """Exact per-group 1-based row rank under a TOTAL within-group order
     (callers must include a unique tiebreaker in ``order_cols``) — the
@@ -1104,9 +1109,14 @@ def grouped_prefix_rank(
     prefix offsets of the per-``(pid, group)`` COUNTS. The offset table is
     ``n_parts x |groups|`` rows — callers must have BOUNDED group
     cardinality (it is collected and broadcast back, same contract as the
-    per-partition totals in ``global_prefix_sum``). Boundaries come from
-    sampling and are nondeterministic; the rank is exact under any
-    placement because the within-group order is total.
+    per-partition totals in ``global_prefix_sum``). The contract is
+    RUNTIME-ENFORCED: the collect is capped at ``max_offset_rows`` (a
+    semantics-derived ceiling, generous for any bounded-cardinality
+    caller: cap 20k partitions x a few hundred groups) and fails loudly —
+    naming the scale-safe alternative — instead of silently OOMing the
+    driver at 100 TB if a future caller passes a high-cardinality group.
+    Boundaries come from sampling and are nondeterministic; the rank is
+    exact under any placement because the within-group order is total.
 
     Returns ``(frame, release)``: the frame carries the input columns plus
     ``rank`` (1-based within group, LONG) and ``n_g`` (exact group size,
@@ -1126,7 +1136,23 @@ def grouped_prefix_rank(
     )
     r = r.persist()
     r.count()
-    cnt_rows = r.groupBy("pid", *group_cols).count().collect()
+    # limit(max+1) bounds the DRIVER TRANSFER itself (not just a post-hoc
+    # check): a high-cardinality group key trips the assert after at most
+    # max_offset_rows+1 rows cross, never an unbounded collect
+    cnt_rows = (
+        r.groupBy("pid", *group_cols).count().limit(max_offset_rows + 1).collect()
+    )
+    if len(cnt_rows) > max_offset_rows:
+        r.unpersist()
+        raise AssertionError(
+            f"grouped_prefix_rank: offset table exceeds {max_offset_rows} rows "
+            f"({n_parts} partitions x too many groups) — the group key is "
+            "high-cardinality, which violates this helper's bounded-groups "
+            "contract. High-cardinality groups do not skew: use a plain "
+            "Window.partitionBy(*group_cols).orderBy(*order_cols) with "
+            "row_number() instead (each group is small relative to the data, "
+            "so the partitioned window distributes fine)."
+        )
     per_group: dict[tuple, list] = {}
     for row in cnt_rows:
         per_group.setdefault(tuple(row[c] for c in group_cols), []).append(
@@ -1174,9 +1200,14 @@ def grouped_prefix_rank(
 
 
 def _intdiv(a, b):
-    """Exact integer division of LONG columns via ``(a - a % b) / b``: the
-    numerator is exactly divisible, so the double quotient is the exact
-    integer (no truncation-after-inexact-division edge at large counts)."""
+    """Exact integer division of LONG columns via ``(a - a % b) / b``.
+
+    PRECONDITION: ``a - a % b`` < 2^53. The numerator is exactly divisible,
+    but it passes through an int64→double conversion BEFORE the division,
+    which itself rounds above 2^53 — so exactness holds only below that
+    bound. All callers here divide ranks/row counts (≤ total row count;
+    ~1e12 rows at the 100 TB framing, four orders of magnitude inside the
+    9.0e15 bound), never free-form int64s (r7 ADVICE, low)."""
     return ((a - a % b) / b).cast("long")
 
 
@@ -2186,6 +2217,8 @@ def global_prefix_max(
     )
     r = r.persist()
     r.count()
+    # structurally bounded collect: groupBy(pid) yields <= n_parts rows,
+    # and n_parts <= SHUFFLE_PARTITIONS_CAP by _prefix_parts
     ptots = {
         row["pid"]: row["pmax"]
         for row in r.groupBy("pid").agg(F.max(value_col).alias("pmax")).collect()

@@ -49,6 +49,15 @@ NEW_BATCH_MOD = 10
 # unchanged wherever the driver or the stress harness checks; a production
 # ingest passes an explicitly bounded batch frame
 # (ingest_batch_with_dedup). Mirrored verbatim in the oracle.
+#
+# KNOWN BIAS (deliberate, r7 ADVICE low): once the corpus outgrows the
+# bound, the capped batch is a doc_id PREFIX of the hash split, not a
+# uniform sample — the simulated-batch semantics narrow to the oldest ids
+# with corpus growth. A uniform alternative (hash-mod predicate) would
+# need a data-dependent modulus to stay no-op at test SFs, costing an
+# extra corpus scan; since the capped query only demos the ingest path
+# (production uses ingest_batch_with_dedup with a real bounded batch),
+# the cheap prefix bound is the right trade.
 INCR_BATCH_MAX_DOCS = 25_000
 _BATCH_DOC_ID_BOUND = NEW_BATCH_MOD * INCR_BATCH_MAX_DOCS
 

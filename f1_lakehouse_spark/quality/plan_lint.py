@@ -112,7 +112,11 @@ def _is_broadcast_hint(node, cls: str) -> bool:
             # HintInfo.toString renders "(strategy=broadcast)" for
             # BROADCAST; other strategies render their own names.
             return "broadcast" in node.hints().toString().lower()
-        return "broadcast" in node.name().lower()  # UnresolvedHint
+        # UnresolvedHint: match Spark's full broadcast alias set — MAPJOIN
+        # and BROADCASTJOIN resolve to the broadcast strategy without the
+        # substring 'broadcast' necessarily appearing (r7 ADVICE, low)
+        name = node.name().lower()
+        return "broadcast" in name or name in ("mapjoin", "broadcastjoin")
     except Exception:  # pragma: no cover - py4j API drift: fail closed
         return True
 

@@ -155,6 +155,32 @@ def test_lint_ignores_non_broadcast_hints(spark):
     assert broadcast_hint_offenders(shuffled) == []
 
 
+def test_lint_flags_mapjoin_alias(spark):
+    """MAPJOIN / BROADCASTJOIN are broadcast-strategy aliases and must trip
+    the lint like the canonical name (r7 ADVICE, low)."""
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_linenumber")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey")
+    for alias in ("mapjoin", "broadcastjoin"):
+        hinted = o.join(li.hint(alias), o["o_orderkey"] == li["l_orderkey"])
+        assert broadcast_hint_offenders(hinted) != [], alias
+
+    # the UnresolvedHint branch (a hint that survives un-resolved into the
+    # walked plan) must also match the full alias set — duck-typed node
+    from f1_lakehouse_spark.quality.plan_lint import _is_broadcast_hint
+
+    class _FakeNode:
+        def __init__(self, name):
+            self._name = name
+
+        def name(self):
+            return self._name
+
+    for alias in ("MAPJOIN", "BROADCASTJOIN", "BROADCAST", "broadcast"):
+        assert _is_broadcast_hint(_FakeNode(alias), "UnresolvedHint"), alias
+    for alias in ("MERGE", "SHUFFLE_HASH", "SHUFFLE_REPLICATE_NL"):
+        assert not _is_broadcast_hint(_FakeNode(alias), "UnresolvedHint"), alias
+
+
 def test_global_window_lint_flags_partitionless_over_scan(spark):
     li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_linenumber")
     w = Window.orderBy("l_orderkey", "l_linenumber")
@@ -217,3 +243,20 @@ def test_grouped_prefix_rank_matches_window_semantics(spark):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     release()
+
+
+def test_grouped_prefix_rank_rejects_high_cardinality_group(spark):
+    """The bounded-group-cardinality contract is runtime-enforced: a group
+    key with too many distinct values fails loudly (naming the scale-safe
+    alternative) instead of silently collecting an unbounded offset table
+    to the driver (r7 verdict 'what's wrong' #2)."""
+    import pytest
+
+    from f1_lakehouse_spark.operators.extensions import grouped_prefix_rank
+
+    # every row its own group: offset table = n rows, way over the ceiling
+    df = spark.range(64).selectExpr("CAST(id AS STRING) AS g", "id AS v")
+    with pytest.raises(AssertionError, match="Window.partitionBy"):
+        grouped_prefix_rank(
+            spark, df, ["g"], [F.col("v").asc()], n_parts=4, max_offset_rows=16
+        )

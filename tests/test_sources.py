@@ -328,6 +328,37 @@ def test_autosize_shuffle_partitions_scales_with_volume(spark):
         spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
+def test_load_table_autosizes_vanilla_session_only(spark):
+    """load_table is the session-owning choke point under the driver's
+    VANILLA session (r7 ADVICE, medium): when spark.sql.shuffle.partitions
+    still holds Spark's untouched static default (200) it is replaced with
+    the input-derived count; an explicitly tuned value is left alone."""
+    from f1_lakehouse_spark import tables as tbl_mod
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    key = (spark.sparkContext.applicationId, __import__("os").path.abspath(
+        "/root/testdata/sf0.001"))
+    try:
+        # vanilla default → autosized to the floor (testdata << floor*128MB)
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        tbl_mod._AUTOSIZED.discard(key)
+        tbl_mod.load_table(spark, "/root/testdata/sf0.001", "region")
+        floor = int(spark.sparkContext.defaultParallelism)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(floor)
+        # explicit wins: a tuned value survives a fresh autosize pass
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        tbl_mod._AUTOSIZED.discard(key)
+        tbl_mod.load_table(spark, "/root/testdata/sf0.001", "region")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+        # and the pass is once-per-(session, dir): no re-sizing on reload
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        tbl_mod.load_table(spark, "/root/testdata/sf0.001", "region")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+        tbl_mod._AUTOSIZED.discard(key)
+
+
 def test_training_shards_deterministic_manifest_and_verify(spark, tmp_path):
     """Shard writer contract: same input -> identical manifest (membership
     is key-hash-derived, checksums order-independent); the consumer-side
