@@ -1,0 +1,140 @@
+"""Lifecycle round-trips registered behind the driver gate (r7 verdict
+item 4a/4b): the two pipeline-boundary operations that were pytest-only —
+the streaming MVCC gold refresh and the training-shard handoff — each get a
+`queries()` entry whose RESULT encodes the round-trip property, so the
+external driver certifies them differentially instead of trusting the unit
+suite.
+
+Both queries write to a private tempdir, read their own output back, and
+pin the (model-sized) result before cleaning up — the returned frame is a
+LocalRelation, so repeated driver/bench runs leave nothing behind.
+
+Reference parity: the reference rebuilds gold from scratch per dbt run
+(`/root/reference/transform/models/gold/driver_session_summary.sql` via
+`dbt build`, README.md:24) and hands results off as ad-hoc warehouse
+tables; the incremental refresh + verified shard handoff are the scaled-up
+equivalents of those two lifecycle steps.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+
+from f1_lakehouse_spark.pinning import pin_small_result
+from f1_lakehouse_spark.pipeline.hashing import sql_md5_hash48, sql_salted_hash
+from f1_lakehouse_spark.registry import register
+from f1_lakehouse_spark.tables import load_table
+
+# event_type is a TAXONOMY (a handful of product-defined names), not a
+# data-proportional key: the pin ceiling is semantics-derived
+EVENT_TYPE_MAX = 64
+
+SHARD_N = 8
+_SHARD_COLS = ["doc_id", "lang", "n_chars", "source", "text"]  # sorted(documents)
+_NULL_SENTINEL_SQL = "chr(0) || '<NULL>'"
+
+
+@register(
+    "incremental_gold_refresh_roundtrip",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(value AS DECIMAL(28,9))) AS total_value
+FROM events
+GROUP BY event_type
+""",
+    doc="Streaming MVCC gold refresh certified end-to-end: run the "
+    "foreachBatch key-replace merge over the events stream, RESTART it "
+    "with no new data (checkpoint recovery must no-op, not double-count), "
+    "read the published version back through the _CURRENT pointer, and "
+    "compare against the batch aggregate the oracle computes directly. "
+    "A replay double-count, a broken pointer swap, or stale version "
+    "retention all surface as a driver hash mismatch.",
+    tags=("streaming", "lifecycle"),
+)
+def incremental_gold_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.streaming.ingest import (  # noqa: PLC0415
+        incremental_gold_refresh,
+        read_gold,
+    )
+
+    base = tempfile.mkdtemp(prefix="f1ls_gold_refresh_")
+    gold, ckpt = os.path.join(base, "gold"), os.path.join(base, "ckpt")
+    try:
+        incremental_gold_refresh(spark, sf_dir, gold, ckpt)
+        # restart against the same checkpoint with no new files: the
+        # recovered stream must publish nothing new and keep the pointer
+        # consistent (the crash-replay no-op path)
+        incremental_gold_refresh(spark, sf_dir, gold, ckpt)
+        out = read_gold(spark, gold).select("event_type", "n_events", "total_value")
+        # pin BEFORE the tempdir vanishes; event-type taxonomy bound
+        return pin_small_result(out, EVENT_TYPE_MAX)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _shard_oracle() -> str:
+    """DuckDB twin of sources/shards.py's row-hash/shard/checksum pipeline:
+    shard = salted md5 hash of the key mod SHARD_N; checksum = exact
+    decimal SUM of the per-row 48-bit md5 hash over the sorted column
+    list (NULLs sentinel-encoded exactly like ``shards._row_hash``)."""
+    row = " , ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), {_NULL_SENTINEL_SQL})" for c in _SHARD_COLS
+    )
+    row_hash = sql_md5_hash48(f"concat_ws(chr(31), {row})")
+    shard = sql_salted_hash("doc_id", ":shard")
+    return f"""
+WITH hashed AS (
+    SELECT CAST({shard} % {SHARD_N} AS INTEGER) AS shard,
+           CAST({row_hash} AS DECIMAL(38,0)) AS h
+    FROM documents
+)
+SELECT shard,
+       COUNT(*) AS n_rows,
+       SUM(h) AS checksum,
+       TRUE AS verified
+FROM hashed
+GROUP BY shard
+"""
+
+
+@register(
+    "training_shards_roundtrip",
+    oracle=_shard_oracle(),
+    doc="Training-shard handoff certified end-to-end: hash-shard the "
+    "documents table to parquet, write the manifest from the FILES READ "
+    "BACK, run the consumer-side verifier, and return the per-shard "
+    "(count, checksum, verified) rows. The oracle recomputes shard "
+    "membership and the order-independent checksum from the source table "
+    "directly, so a dropped row, a mis-sharded row, a corrupt write, or a "
+    "verifier that stops verifying all surface as a driver mismatch.",
+    tags=("sink", "lifecycle"),
+)
+def training_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.sources.shards import (  # noqa: PLC0415
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="f1ls_shards_")
+    out = os.path.join(base, "shards")
+    try:
+        manifest = write_training_shards(docs, out, key_col="doc_id", n_shards=SHARD_N)
+        report = verify_training_shards(spark, out)
+        rows = [
+            (int(sid), int(m["n_rows"]), Decimal(m["checksum"]), bool(report["ok"]))
+            for sid, m in sorted(manifest["shards"].items(), key=lambda kv: int(kv[0]))
+        ]
+        # model-sized LocalRelation (n_shards rows) straight from the
+        # manifest the writer derived from the written files
+        return spark.createDataFrame(
+            rows, "shard int, n_rows long, checksum decimal(38,0), verified boolean"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

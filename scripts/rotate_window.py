@@ -48,8 +48,12 @@ ANCHORS: tuple[str, ...] = (
 # window automatically from the never-checked pool; the remaining slots
 # top up with least-recently-verified greens (registry order). Any NEW
 # operator registered this round MUST be pinned here in the same commit
-# (r6 lesson: unpinned new ops grew the never-checked pool 35 -> 53).
-LEAD: tuple[str, ...] = ()
+# (r6 lesson: unpinned new ops grew the never-checked pool 35 -> 53) —
+# the two r8 lifecycle round-trips (pipeline/lifecycle.py) are pinned.
+LEAD: tuple[str, ...] = (
+    "incremental_gold_refresh_roundtrip",
+    "training_shards_roundtrip",
+)
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"
 END = "# --- END GENERATED WINDOW ---"
