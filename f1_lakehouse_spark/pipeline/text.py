@@ -2236,3 +2236,157 @@ def text_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("burstiness").desc(), F.col("token").asc())
         .limit(_BURST_TOPK)
     )
+
+
+# --- BM25 ranked retrieval (round 8) -------------------------------------------------
+# The retrieval standard the TF-IDF query stops short of: Okapi BM25 over a
+# fixed benchmark query, the scoring used by retrieval-based decontamination
+# and RAG-corpus construction. Reference has no retrieval surface; this is
+# part of the LLM-pipeline brief's text family.
+#
+# Shape (the 100 TB design — see docs/SCALE.md "Round-8 additions"): for a
+# FIXED small query, the classic postings pipeline (explode -> (doc, term)
+# groupBy -> df join) is the wrong plan — it tokenizes the corpus once per
+# derived frame and shuffles a posting per (doc, term). Instead ONE map-side
+# projection computes, per document, its length and the four per-term counts
+# via higher-order functions (size(filter(tokens, = t)) — JVM codegen, no
+# explode, no shuffle); df/avgdl/N then come from ONE scalar aggregate row
+# broadcast back; scoring is map-side arithmetic; the global top-k is
+# orderBy+limit (TakeOrdered). The narrow per-doc feature frame (6 numeric
+# columns, no text) is pinned via localCheckpoint so the corpus is
+# TEXT-SCANNED EXACTLY ONCE even though both the aggregate and the scoring
+# read it.
+#
+# Determinism (cross-engine hash equality):
+# - every literal is CAST AS DOUBLE in the oracle (DuckDB literal arithmetic
+#   is DECIMAL; Spark adds doubles — CLAUDE.md trap);
+# - the per-document score adds the four per-term scores in one fixed
+#   syntactic order (no float aggregation order anywhere);
+# - avgdl is one double division of an exact integer sum;
+# - emitted score rounded to 9 decimals (JVM vs DuckDB libm ln() differ by
+#   ~1 ulp; same treatment as text_tfidf_top_terms).
+
+BM25_QUERY_TERMS = ("hash", "join", "vector", "dup")  # generator vocab, df 25..400
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 25
+
+
+def _bm25_oracle() -> str:
+    feat_cols = ",\n           ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    )
+    df_aggs = ",\n           ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    k1p1 = f"CAST({BM25_K1 + 1.0!r} AS DOUBLE)"
+    k1 = f"CAST({BM25_K1!r} AS DOUBLE)"
+    b = f"CAST({BM25_B!r} AS DOUBLE)"
+    terms_score = "\n         + ".join(
+        f"(CASE WHEN f.tf_{i} > 0 THEN "
+        f"ln((CAST(s.n AS DOUBLE) - CAST(s.df_{i} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" / (CAST(s.df_{i} AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE))"
+        f" * (CAST(f.tf_{i} AS DOUBLE) * {k1p1})"
+        f" / (CAST(f.tf_{i} AS DOUBLE) + {k1} * (CAST(1 AS DOUBLE) - {b}"
+        f" + {b} * CAST(f.dl AS DOUBLE) / s.avgdl))"
+        f" ELSE CAST(0 AS DOUBLE) END)"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    any_tf = " + ".join(f"f.tf_{i}" for i in range(len(BM25_QUERY_TERMS)))
+    return f"""
+WITH feat AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS dl,
+           {feat_cols}
+    FROM documents
+), stats AS (
+    SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+           COUNT(*) AS n,
+           {df_aggs}
+    FROM feat
+), scored AS (
+    SELECT f.doc_id,
+           {terms_score} AS bm25
+    FROM feat f, stats s
+    WHERE {any_tf} > 0
+)
+SELECT doc_id, round(bm25, 9) AS bm25, rk
+FROM (
+    SELECT doc_id, bm25,
+           ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+    FROM scored
+) WHERE rk <= {BM25_TOPK}
+"""
+
+
+def _bm25_tf(t: str):
+    """Per-term token count via higher-order functions (factory per the
+    CLAUDE.md lambda-capture rule; single-arg lambda, so no (value, index)
+    arity surprise)."""
+    return F.size(F.filter(F.split("text", " "), lambda x: x == F.lit(t)))
+
+
+@register(
+    "text_bm25_retrieval",
+    oracle=_bm25_oracle(),
+    doc="Okapi BM25 top-k retrieval for a fixed benchmark query over the "
+    "documents corpus (k1=1.2, b=0.75): per-term idf ln((N-df+0.5)/(df+0.5)+1), "
+    "tf saturation with length normalization against the exact average "
+    "doc length, per-doc scores combined in fixed order, TakeOrdered "
+    "top-25 with doc_id tiebreak. One text scan: per-doc features map-side "
+    "via size(filter(tokens)), df/avgdl from one scalar aggregate.",
+    tags=("pipeline", "text", "retrieval"),
+)
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.pinning import pin_checkpoint  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    nt = len(BM25_QUERY_TERMS)
+    feat = pin_checkpoint(  # narrow (no text); both consumers read it once
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("dl"),
+            *[_bm25_tf(t).alias(f"tf_{i}") for i, t in enumerate(BM25_QUERY_TERMS)],
+        )
+    )
+    stats = feat.agg(
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(nt)
+        ],
+    )
+
+    def term_score(i: int):
+        tf = F.col(f"tf_{i}").cast("double")
+        idf = F.log(
+            (F.col("n").cast("double") - F.col(f"df_{i}").cast("double") + F.lit(0.5))
+            / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0)
+            - F.lit(BM25_B)
+            + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        return F.when(
+            F.col(f"tf_{i}") > 0, (idf * (tf * F.lit(BM25_K1 + 1.0))) / denom
+        ).otherwise(F.lit(0.0))
+
+    total = term_score(0)
+    for i in range(1, nt):
+        total = total + term_score(i)
+    any_tf = F.col("tf_0")
+    for i in range(1, nt):
+        any_tf = any_tf + F.col(f"tf_{i}")
+    scored = (
+        feat.crossJoin(stats).where(any_tf > 0).select("doc_id", total.alias("bm25"))
+    )
+    top = scored.orderBy(F.col("bm25").desc(), "doc_id").limit(BM25_TOPK)
+    w_rk = Window.orderBy(F.col("bm25").desc(), "doc_id")  # over <= 25 rows
+    return top.withColumn("rk", F.row_number().over(w_rk)).select(
+        "doc_id", F.round("bm25", 9).alias("bm25"), "rk"
+    )

@@ -53,6 +53,7 @@ ANCHORS: tuple[str, ...] = (
 LEAD: tuple[str, ...] = (
     "incremental_gold_refresh_roundtrip",
     "training_shards_roundtrip",
+    "text_bm25_retrieval",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"
