@@ -4,7 +4,14 @@ on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query materializes fully through the noop sink (no driver collect cost,
-no skipped projections)."""
+no skipped projections).
+
+Drift diagnosis (r7 lesson): when a round's numbers look uniformly inflated,
+re-run A/B against the previous round's code in the SAME warm process —
+warm A/B is the diagnostic; the calibration ratio (jvm_sum / scan) alone
+UNDER-explains VM drift, so a calib-normalized comparison can still chase
+phantom regressions. An idle-VM re-run resolved r7's 424 s -> 252 s
+full-suite artifact."""
 
 from __future__ import annotations
 

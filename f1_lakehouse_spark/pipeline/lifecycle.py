@@ -65,12 +65,17 @@ def incremental_gold_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> Data
 
     base = tempfile.mkdtemp(prefix="f1ls_gold_refresh_")
     gold, ckpt = os.path.join(base, "gold"), os.path.join(base, "ckpt")
+    # the events table is a single FILE in the driver's testdata but a
+    # DIRECTORY when Spark wrote it (e.g. the scale-stress replica);
+    # pathGlobFilter matches LEAF file names, so pick the root accordingly
+    tbl = os.path.join(sf_dir, "events.parquet")
+    src, glob = (tbl, "*.parquet") if os.path.isdir(tbl) else (sf_dir, "events.parquet")
     try:
-        incremental_gold_refresh(spark, sf_dir, gold, ckpt)
+        incremental_gold_refresh(spark, src, gold, ckpt, glob=glob)
         # restart against the same checkpoint with no new files: the
         # recovered stream must publish nothing new and keep the pointer
         # consistent (the crash-replay no-op path)
-        incremental_gold_refresh(spark, sf_dir, gold, ckpt)
+        incremental_gold_refresh(spark, src, gold, ckpt, glob=glob)
         out = read_gold(spark, gold).select("event_type", "n_events", "total_value")
         # pin BEFORE the tempdir vanishes; event-type taxonomy bound
         return pin_small_result(out, EVENT_TYPE_MAX)

@@ -206,7 +206,28 @@ def _knn_with_planes(n_planes: int):
     return run
 
 
-EXTRA = {"ann_knn_12planes": _knn_with_planes(12)}
+def _bm25_replica_terms(spark, sf_dir):
+    """BM25 against the replica: the density-preserving perturbation
+    prefixes every replica word with r{k}_, so the plain query terms only
+    exist in the base corpus. Swap in replica-0's terms for the x10 run —
+    the cost the stress measures (one tokenize scan + scalar aggregate +
+    map-side score) is term-independent, and r0-terms keep the result
+    non-degenerate."""
+    import f1_lakehouse_spark.pipeline.text as t
+
+    orig = t.BM25_QUERY_TERMS
+    try:
+        if "spark_graft_scale_x" in sf_dir:
+            t.BM25_QUERY_TERMS = tuple(f"r0_{w}" for w in orig)
+        return t.text_bm25_retrieval(spark, sf_dir)  # plan built eagerly here
+    finally:
+        t.BM25_QUERY_TERMS = orig
+
+
+EXTRA = {
+    "ann_knn_12planes": _knn_with_planes(12),
+    "bm25_replica_terms": _bm25_replica_terms,
+}
 
 
 def time_queries(spark, sf_dir: str) -> dict[str, float]:
