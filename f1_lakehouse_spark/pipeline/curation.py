@@ -1143,3 +1143,89 @@ def curation_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc"),
     )
+
+
+# --- curriculum interleave (round 8) -------------------------------------------------
+# Curriculum training orders data easy->hard, but a pure sort front-loads
+# one difficulty regime; the standard fix interleaves difficulty deciles so
+# every training window sees the full mixture while the WITHIN-decile order
+# stays easy->hard. Emitted schedule_pos = (pos_in_decile - 1) * k + decile
+# is exactly that round-robin.
+#
+# Scale (100 TB): the global difficulty rank comes from the distributed
+# prefix-sum spine (range repartition + pid windows + driver offsets of
+# n_parts totals — never a single-partition ORDER BY); decile AND position
+# within decile are then CLOSED-FORM integer arithmetic on that one rank
+# (the NTILE bucket formula and its bucket-start inverse), so the whole
+# schedule costs ONE range shuffle. The oracle keeps plain NTILE +
+# partitioned ROW_NUMBER, proving the closed form bit-identical.
+
+CURRICULUM_K = 10
+
+
+@register(
+    "curation_curriculum_interleave",
+    oracle=f"""
+WITH ranked AS (
+    SELECT doc_id, n_chars,
+           ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rk,
+           CAST(NTILE({CURRICULUM_K}) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+               AS decile
+    FROM documents
+), pos AS (
+    SELECT doc_id, n_chars, decile,
+           ROW_NUMBER() OVER (PARTITION BY decile ORDER BY n_chars, doc_id)
+               AS pos_in_decile
+    FROM ranked
+)
+SELECT doc_id, n_chars, decile, pos_in_decile,
+       CAST((pos_in_decile - 1) * {CURRICULUM_K} + decile AS BIGINT)
+           AS schedule_pos
+FROM pos
+""",
+    doc="Curriculum interleave: difficulty deciles (proxy: n_chars) with "
+    "round-robin schedule positions — every training window sees all "
+    "difficulty regimes, within-decile order stays easy->hard. Decile and "
+    "position derive in closed form from ONE distributed prefix-sum rank; "
+    "the oracle's plain NTILE + partitioned ROW_NUMBER proves the "
+    "arithmetic identical.",
+    tags=("pipeline", "curation", "curriculum", "prefix-sum"),
+)
+def curation_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.operators.extensions import (  # noqa: PLC0415
+        _ntile_from_rank,
+        global_prefix_sum,
+    )
+
+    k = CURRICULUM_K
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .withColumn("one", F.lit(1).cast("decimal(27,6)"))
+    )
+    cum, release, total = global_prefix_sum(
+        spark, d, "one", [F.col("n_chars").asc(), F.col("doc_id").asc()]
+    )
+    n = int(total)
+    q, r = divmod(n, k)
+    rank = F.col("cum").cast("long")
+    # decile via the exact NTILE bucket formula; its 1-based start rank is
+    # then pure integer COLUMN arithmetic (no division): buckets 1..r hold
+    # q+1 rows, buckets r+1..k hold q rows.
+    decile = _ntile_from_rank(rank, n, k).cast("long")
+    cut = r * (q + 1)
+    start = F.when(
+        decile <= F.lit(r), (decile - 1) * F.lit(q + 1) + 1
+    ).otherwise(F.lit(cut) + (decile - 1 - F.lit(r)) * F.lit(q) + 1)
+    pos = (rank - start + F.lit(1)).cast("long")
+    out = cum.select(
+        "doc_id",
+        "n_chars",
+        decile.alias("decile"),
+        pos.alias("pos_in_decile"),
+        ((pos - 1) * F.lit(k) + decile).cast("long").alias("schedule_pos"),
+    )
+    out = out.persist()
+    out.count()
+    release()
+    return out

@@ -54,6 +54,7 @@ LEAD: tuple[str, ...] = (
     "incremental_gold_refresh_roundtrip",
     "training_shards_roundtrip",
     "text_bm25_retrieval",
+    "curation_curriculum_interleave",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"
