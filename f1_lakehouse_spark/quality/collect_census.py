@@ -72,10 +72,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     "per-clerk-bucket capability stats (constant bucket mod)",
     ("pipeline/curation.py", "curation_greedy_coverage"): "model-sized: "
     "greedy rounds collect one cover-gain aggregate per step (fixed k)",
-    ("pipeline/dedup.py", "_union_find_driver"): "guarded: operates on the "
-    "verified duplicate PAIR list, pinned upstream via pin_checkpoint and "
-    "bounded by the banded-LSH candidate caps (MAX_DF); pair count is a "
-    "dedup-audit result set, not the corpus",
+    ("pipeline/dedup.py", "_union_find_driver"): "guarded: the CALLER "
+    "counts the pair list first and takes this path only when n_pairs <= "
+    "driver_threshold, else routes to _propagate_distributed — the "
+    "collect is size-checked before it happens",
     ("pipeline/scoring.py", "scoring_conformal_interval"): "model-sized: "
     "calibration-split quantile probes (fixed alpha grid)",
     ("pipeline/similarity.py", "_spark_update"): "model-sized: k-means "
