@@ -2339,16 +2339,21 @@ def _bm25_tf(t: str):
     "via size(filter(tokens)), df/avgdl from one scalar aggregate.",
     tags=("pipeline", "text", "retrieval"),
 )
-def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_bm25_retrieval(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+) -> DataFrame:
     from f1_lakehouse_spark.pinning import pin_checkpoint  # noqa: PLC0415
 
     d = load_table(spark, sf_dir, "documents")
-    nt = len(BM25_QUERY_TERMS)
+    nt = len(terms)
     feat = pin_checkpoint(  # narrow (no text); both consumers read it once
         d.select(
             "doc_id",
             F.size(F.split("text", " ")).alias("dl"),
-            *[_bm25_tf(t).alias(f"tf_{i}") for i, t in enumerate(BM25_QUERY_TERMS)],
+            *[_bm25_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
         )
     )
     stats = feat.agg(

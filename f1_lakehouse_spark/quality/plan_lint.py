@@ -112,11 +112,10 @@ def _is_broadcast_hint(node, cls: str) -> bool:
             # HintInfo.toString renders "(strategy=broadcast)" for
             # BROADCAST; other strategies render their own names.
             return "broadcast" in node.hints().toString().lower()
-        # UnresolvedHint: match Spark's full broadcast alias set — MAPJOIN
-        # and BROADCASTJOIN resolve to the broadcast strategy without the
-        # substring 'broadcast' necessarily appearing (r7 ADVICE, low)
+        # UnresolvedHint: the substring covers BROADCAST and BROADCASTJOIN;
+        # MAPJOIN is the one broadcast-strategy alias it misses (r7 ADVICE)
         name = node.name().lower()
-        return "broadcast" in name or name in ("mapjoin", "broadcastjoin")
+        return "broadcast" in name or name == "mapjoin"
     except Exception:  # pragma: no cover - py4j API drift: fail closed
         return True
 

@@ -209,19 +209,16 @@ def _knn_with_planes(n_planes: int):
 def _bm25_replica_terms(spark, sf_dir):
     """BM25 against the replica: the density-preserving perturbation
     prefixes every replica word with r{k}_, so the plain query terms only
-    exist in the base corpus. Swap in replica-0's terms for the x10 run —
-    the cost the stress measures (one tokenize scan + scalar aggregate +
-    map-side score) is term-independent, and r0-terms keep the result
-    non-degenerate."""
+    exist in the base corpus. Pass replica-0's terms explicitly for the
+    x10 run — the cost the stress measures (one tokenize scan + scalar
+    aggregate + map-side score) is term-independent, and r0-terms keep the
+    result non-degenerate."""
     import f1_lakehouse_spark.pipeline.text as t
 
-    orig = t.BM25_QUERY_TERMS
-    try:
-        if "spark_graft_scale_x" in sf_dir:
-            t.BM25_QUERY_TERMS = tuple(f"r0_{w}" for w in orig)
-        return t.text_bm25_retrieval(spark, sf_dir)  # plan built eagerly here
-    finally:
-        t.BM25_QUERY_TERMS = orig
+    terms = t.BM25_QUERY_TERMS
+    if "spark_graft_scale_x" in sf_dir:
+        terms = tuple(f"r0_{w}" for w in terms)
+    return t.text_bm25_retrieval(spark, sf_dir, terms=terms)
 
 
 EXTRA = {
