@@ -96,6 +96,11 @@ QUERIES = [
     "orders_seasonal_decompose",
     "orders_holt_forecast",
     "events_viterbi_journeys",
+    # round 8 (measured ratios 0.24-1.45 at 10x)
+    "incremental_gold_refresh_roundtrip",
+    "training_shards_roundtrip",
+    "bm25_replica_terms",  # text_bm25_retrieval with replica-survivable terms
+    "curation_curriculum_interleave",
 ]
 
 
