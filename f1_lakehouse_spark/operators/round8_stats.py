@@ -1,0 +1,407 @@
+"""Round-8 operations-research / econometrics operators over the TPC-H-ish
+star schema: newsvendor service-level quantiles, log-log price elasticity,
+and a Bass diffusion fit — the demand-planning trio a lakehouse analytics
+layer runs next to its forecasting family (Holt / Croston / hierarchical
+reconcile in round5/6_stats).
+
+Determinism contract (CLAUDE.md): order statistics go through the
+distributed grouped prefix rank (never a scaling-partition window sort);
+every cross-row float reduction is a left fold over a packed, explicitly
+sorted, BOUNDED array (price buckets, calendar months); decimal sums of
+raw parquet doubles use low scales (2-3) so both engines' casts agree; the
+only transcendentals (ln / sqrt) apply to identical doubles in identical
+expression order, with round(,9) absorbing the last ulp on output (the
+BM25 idiom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from f1_lakehouse_spark.pinning import pin_small_result
+from f1_lakehouse_spark.registry import register
+from f1_lakehouse_spark.tables import load_table
+
+# --- newsvendor service-level quantile ----------------------------------------------
+# The classic single-period inventory policy: stock to the q-th quantile
+# of demand where q = cu/(cu+co) is the critical fractile. Here q = 0.8
+# over order values per customer nation — the EXACT per-group order
+# statistic (percentile_disc semantics: smallest value whose rank reaches
+# ceil(q*n)), computed with the distributed grouped prefix rank (nation is
+# a bounded-cardinality, potentially SKEWED group key; a per-nation window
+# sort would hand the largest nation to one task at 100 TB).
+
+NEWSVENDOR_PCT_NUM = 4  # q = 4/5 = 0.8 critical fractile
+NEWSVENDOR_PCT_DEN = 5
+
+
+@register(
+    "orders_newsvendor_quantile",
+    oracle=f"""
+WITH j AS (
+  SELECT n.n_name, o.o_totalprice, o.o_orderkey
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+r AS (
+  SELECT n_name, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY n_name
+                            ORDER BY o_totalprice, o_orderkey) AS rk,
+         COUNT(*) OVER (PARTITION BY n_name) AS n_g
+  FROM j
+)
+SELECT n_name, CAST(n_g AS BIGINT) AS n_orders,
+       CAST(0.8 AS DOUBLE) AS service_level,
+       o_totalprice AS newsvendor_price
+FROM r
+WHERE rk = ({NEWSVENDOR_PCT_NUM} * n_g + {NEWSVENDOR_PCT_DEN - 1})
+          // {NEWSVENDOR_PCT_DEN}
+""",
+    doc="newsvendor stocking quantile per customer nation: exact 0.8 "
+    "critical-fractile order statistic of order value (percentile_disc "
+    "semantics, integer rank arithmetic) via the distributed grouped "
+    "prefix rank — skew-safe, never a per-nation window sort",
+    tags=("stats", "inventory", "quantile"),
+)
+def orders_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.operators.extensions import (  # noqa: PLC0415
+        grouped_prefix_rank,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select("n_name", "o_totalprice", "o_orderkey")
+    )
+    ranked, release = grouped_prefix_rank(
+        spark, j, ["n_name"], [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+    )
+    # ceil(q*n) = (num*n + den-1) div den on exact integers
+    target = F.expr(
+        f"({NEWSVENDOR_PCT_NUM} * n_g + {NEWSVENDOR_PCT_DEN - 1}) "
+        f"div {NEWSVENDOR_PCT_DEN}"
+    )
+    out = ranked.filter(F.col("rank") == target).select(
+        "n_name",
+        F.col("n_g").alias("n_orders"),
+        F.lit(0.8).alias("service_level"),
+        F.col("o_totalprice").alias("newsvendor_price"),
+    )
+    out = pin_small_result(out, 25)  # one row per nation
+    release()
+    return out
+
+
+# --- log-log price elasticity of demand ---------------------------------------------
+# Elasticity = d ln(quantity) / d ln(price), the canonical demand-curve
+# readout. The raw scan collapses to (returnflag x price-bucket) cells
+# with exact decimal sums (map-side combine, bounded ~22 buckets per
+# flag); cell means take ONE exact int->double conversion each (decimal
+# sums rounded to scale 0 — bit-identical at any magnitude, CLAUDE trap
+# #3); the OLS of ln(mean_qty) on ln(mean_price) folds over the packed
+# bucket array in bucket order.
+
+ELASTICITY_BUCKET_WIDTH = 5_000  # l_extendedprice in [900, 105k] -> <=22 cells
+
+
+def _elast_fold_sql(term: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(a, g -> {term})), (x, y) -> x + y)"
+    )
+
+
+_ELAST_LNP = "ln(CAST(g.sp AS DOUBLE) / CAST(g.n AS DOUBLE))"
+_ELAST_LNQ = "ln(CAST(g.sq AS DOUBLE) / CAST(g.n AS DOUBLE))"
+
+
+@register(
+    "lineitem_price_elasticity",
+    oracle=f"""
+WITH cells AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice / {ELASTICITY_BUCKET_WIDTH}.0) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,3))), 0) AS BIGINT) AS sq,
+         CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS BIGINT) AS sp
+  FROM lineitem GROUP BY 1, 2
+),
+packed AS (
+  SELECT l_returnflag,
+         list(struct_pack(bucket := bucket, n := n, sq := sq, sp := sp)
+              ORDER BY bucket) AS a,
+         CAST(SUM(n) AS BIGINT) AS n_lines
+  FROM cells GROUP BY 1
+),
+sums AS (
+  SELECT l_returnflag, n_lines, CAST(len(a) AS DOUBLE) AS k,
+         {_elast_fold_sql(_ELAST_LNP)} AS sx,
+         {_elast_fold_sql(_ELAST_LNQ)} AS sy,
+         {_elast_fold_sql(f"{_ELAST_LNP} * {_ELAST_LNQ}")} AS sxy,
+         {_elast_fold_sql(f"{_ELAST_LNP} * {_ELAST_LNP}")} AS sxx
+  FROM packed
+)
+SELECT l_returnflag, CAST(k AS BIGINT) AS n_buckets, n_lines,
+       CASE WHEN k >= 2 AND (k * sxx - sx * sx) <> CAST(0.0 AS DOUBLE)
+            THEN round((k * sxy - sx * sy) / (k * sxx - sx * sx), 9)
+            END AS elasticity,
+       CASE WHEN k >= 2 AND (k * sxx - sx * sx) <> CAST(0.0 AS DOUBLE)
+            THEN round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx) / k, 9)
+            END AS ln_c
+FROM sums
+""",
+    doc="log-log price elasticity of demand per returnflag: OLS of "
+    "ln(mean qty) on ln(mean price) across exact-decimal price-bucket "
+    "cells — one map-side-combined cell aggregate, bounded per-flag folds",
+    tags=("stats", "econometrics"),
+)
+def lineitem_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") / ELASTICITY_BUCKET_WIDTH)
+        .cast("long")
+        .alias("bucket"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,3)")), 0)
+        .cast("long")
+        .alias("sq"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 0)
+        .cast("long")
+        .alias("sp"),
+    )
+    packed = cells.groupBy("l_returnflag").agg(
+        F.sort_array(
+            F.collect_list(F.struct("bucket", "n", "sq", "sp"))
+        ).alias("a"),
+        F.sum("n").cast("long").alias("n_lines"),
+    )
+
+    def fold(term):
+        return F.aggregate(F.transform("a", term), F.lit(0.0), lambda x, y: x + y)
+
+    lnp = lambda g: F.log(g["sp"].cast("double") / g["n"].cast("double"))  # noqa: E731
+    lnq = lambda g: F.log(g["sq"].cast("double") / g["n"].cast("double"))  # noqa: E731
+    sums = packed.select(
+        "l_returnflag",
+        "n_lines",
+        F.size("a").cast("double").alias("k"),
+        fold(lambda g: lnp(g)).alias("sx"),
+        fold(lambda g: lnq(g)).alias("sy"),
+        fold(lambda g: lnp(g) * lnq(g)).alias("sxy"),
+        fold(lambda g: lnp(g) * lnp(g)).alias("sxx"),
+    )
+    k, sx, sy, sxy, sxx = (F.col(c) for c in ("k", "sx", "sy", "sxy", "sxx"))
+    det = k * sxx - sx * sx
+    slope = (k * sxy - sx * sy) / det
+    ok = (k >= 2) & (det != F.lit(0.0))
+    return sums.select(
+        "l_returnflag",
+        F.col("k").cast("long").alias("n_buckets"),
+        "n_lines",
+        F.when(ok, F.round(slope, 9)).alias("elasticity"),
+        F.when(ok, F.round((sy - slope * sx) / k, 9)).alias("ln_c"),
+    )
+
+
+# --- Bass diffusion fit --------------------------------------------------------------
+# Bass (1969) new-product adoption: n_t = p*M + (q-p)*N_{t-1} - (q/M)*N²,
+# fit by the standard discrete-time OLS n_t = a + b*N + c*N² over monthly
+# first-order ("adoption") counts, then p/q/M recovered from the roots of
+# c*M² + b*M + a = 0. Months are CALENDAR-BOUNDED (~80), so the cumulative
+# N_{t-1} builds with per-position slice folds over the packed month array
+# (the sanctioned bounded-array exception, cf. orders_acf_ljung_box), and
+# the 3x3 normal equations solve by Cramer's rule in fixed-order double
+# arithmetic — bit-identical cross-engine.
+
+_BASS_CUM = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(a[1:i-1], g -> CAST(g.cnt AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+def _bass_fold_sql(term: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(pts, g -> {term})), (x, y) -> x + y)"
+    )
+
+
+_BASS_ORACLE = f"""
+WITH adopt AS (
+  SELECT o_custkey, MIN(o_orderdate) AS first_dt FROM orders GROUP BY 1
+),
+monthly AS (
+  SELECT CAST((year(first_dt) - 1995) * 12 + month(first_dt) - 1 AS BIGINT) AS midx,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM adopt GROUP BY 1
+),
+packed AS (
+  SELECT list(struct_pack(midx := midx, cnt := cnt) ORDER BY midx) AS a FROM monthly
+),
+pts_t AS (
+  SELECT len(a) AS t,
+         CASE WHEN len(a) >= 2 THEN
+           list_transform(generate_series(2, len(a)),
+             i -> struct_pack(y := CAST(a[i].cnt AS DOUBLE), x := {_BASS_CUM}))
+         ELSE [] END AS pts
+  FROM packed
+),
+sums AS (
+  SELECT CAST(t AS BIGINT) AS n_months,
+         CAST(len(pts) AS DOUBLE) AS s0,
+         {_bass_fold_sql('g.x')} AS s1,
+         {_bass_fold_sql('g.x * g.x')} AS s2,
+         {_bass_fold_sql('g.x * g.x * g.x')} AS s3,
+         {_bass_fold_sql('g.x * g.x * g.x * g.x')} AS s4,
+         {_bass_fold_sql('g.y')} AS sy,
+         {_bass_fold_sql('g.x * g.y')} AS sxy,
+         {_bass_fold_sql('g.x * g.x * g.y')} AS sx2y
+  FROM pts_t
+),
+solved AS (
+  SELECT n_months, s0,
+         (s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2)
+          + s2 * (s1 * s3 - s2 * s2)) AS det,
+         (sy * (s2 * s4 - s3 * s3) - s1 * (sxy * s4 - s3 * sx2y)
+          + s2 * (sxy * s3 - s2 * sx2y)) AS det_a,
+         (s0 * (sxy * s4 - sx2y * s3) - sy * (s1 * s4 - s3 * s2)
+          + s2 * (s1 * sx2y - s2 * sxy)) AS det_b,
+         (s0 * (s2 * sx2y - s3 * sxy) - s1 * (s1 * sx2y - sxy * s2)
+          + sy * (s1 * s3 - s2 * s2)) AS det_c
+  FROM sums
+),
+coefs AS (
+  SELECT n_months,
+         CASE WHEN s0 >= 3 AND det <> CAST(0.0 AS DOUBLE) THEN det_a / det END AS a,
+         CASE WHEN s0 >= 3 AND det <> CAST(0.0 AS DOUBLE) THEN det_b / det END AS b,
+         CASE WHEN s0 >= 3 AND det <> CAST(0.0 AS DOUBLE) THEN det_c / det END AS c
+  FROM solved
+),
+roots AS (
+  SELECT n_months, a, b, c,
+         CASE WHEN c IS NOT NULL AND c <> CAST(0.0 AS DOUBLE)
+                   AND b * b - 4.0 * a * c >= CAST(0.0 AS DOUBLE)
+              THEN (-b - sqrt(b * b - 4.0 * a * c)) / (2.0 * c) END AS m
+  FROM coefs
+)
+SELECT n_months,
+       round(a, 9) AS a, round(b, 9) AS b, round(c, 9) AS c,
+       round(m, 9) AS m_total,
+       CASE WHEN m IS NOT NULL AND m <> CAST(0.0 AS DOUBLE)
+            THEN round(a / m, 9) END AS p_coef,
+       CASE WHEN m IS NOT NULL AND m <> CAST(0.0 AS DOUBLE)
+            THEN round(a / m + b, 9) END AS q_coef
+FROM roots
+"""
+
+
+@register(
+    "orders_bass_diffusion",
+    oracle=_BASS_ORACLE,
+    doc="Bass (1969) diffusion fit over monthly first-order adoption "
+    "counts: discrete-time OLS n_t = a + b*N + c*N^2 (3x3 Cramer solve) "
+    "with innovation p / imitation q / market size M recovered from the "
+    "quadratic root — one customer aggregate + one calendar-bounded "
+    "month aggregate, folds over the packed month array",
+    tags=("stats", "forecast", "econometrics"),
+)
+def orders_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    adopt = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    monthly = adopt.groupBy(
+        ((F.year("first_dt") - 1995) * 12 + F.month("first_dt") - 1)
+        .cast("long")
+        .alias("midx")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    packed = monthly.agg(
+        F.sort_array(F.collect_list(F.struct("midx", "cnt"))).alias("a")
+    )
+    # N_{i-1}: fold over the slice a[1:i-1] — slice of a MATERIALIZED
+    # column (would-be-empty-range rule); the whole array is
+    # calendar-bounded (~80 months), the sanctioned O(T^2) exception
+    cum = lambda i: F.aggregate(  # noqa: E731
+        F.transform(
+            F.slice("a", F.lit(1), i - F.lit(1)), lambda g: g["cnt"].cast("double")
+        ),
+        F.lit(0.0),
+        lambda x, y: x + y,
+    )
+    t = F.size("a")
+    pts_expr = F.when(
+        t >= 2,
+        F.transform(
+            F.sequence(F.lit(2), t),
+            lambda i: F.struct(
+                F.element_at("a", i)["cnt"].cast("double").alias("y"),
+                cum(i).alias("x"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<y:double,x:double>>"))
+    pts_t = packed.select(t.cast("long").alias("n_months"), pts_expr.alias("pts"))
+
+    def fold(term):
+        return F.aggregate(F.transform("pts", term), F.lit(0.0), lambda x, y: x + y)
+
+    sums = pts_t.select(
+        "n_months",
+        F.size("pts").cast("double").alias("s0"),
+        fold(lambda g: g["x"]).alias("s1"),
+        fold(lambda g: g["x"] * g["x"]).alias("s2"),
+        fold(lambda g: g["x"] * g["x"] * g["x"]).alias("s3"),
+        fold(lambda g: g["x"] * g["x"] * g["x"] * g["x"]).alias("s4"),
+        fold(lambda g: g["y"]).alias("sy"),
+        fold(lambda g: g["x"] * g["y"]).alias("sxy"),
+        fold(lambda g: g["x"] * g["x"] * g["y"]).alias("sx2y"),
+    )
+    s0, s1, s2, s3, s4 = (F.col(c) for c in ("s0", "s1", "s2", "s3", "s4"))
+    sy, sxy, sx2y = (F.col(c) for c in ("sy", "sxy", "sx2y"))
+    det = s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2) + s2 * (
+        s1 * s3 - s2 * s2
+    )
+    det_a = sy * (s2 * s4 - s3 * s3) - s1 * (sxy * s4 - s3 * sx2y) + s2 * (
+        sxy * s3 - s2 * sx2y
+    )
+    det_b = s0 * (sxy * s4 - sx2y * s3) - sy * (s1 * s4 - s3 * s2) + s2 * (
+        s1 * sx2y - s2 * sxy
+    )
+    det_c = s0 * (s2 * sx2y - s3 * sxy) - s1 * (s1 * sx2y - sxy * s2) + sy * (
+        s1 * s3 - s2 * s2
+    )
+    okd = (s0 >= 3) & (det != F.lit(0.0))
+    coefs = sums.select(
+        "n_months",
+        F.when(okd, det_a / det).alias("a"),
+        F.when(okd, det_b / det).alias("b"),
+        F.when(okd, det_c / det).alias("c"),
+    )
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    disc = b * b - F.lit(4.0) * a * c
+    roots = coefs.select(
+        "n_months",
+        "a",
+        "b",
+        "c",
+        F.when(
+            c.isNotNull() & (c != F.lit(0.0)) & (disc >= F.lit(0.0)),
+            (-b - F.sqrt(disc)) / (F.lit(2.0) * c),
+        ).alias("m"),
+    )
+    m = F.col("m")
+    return roots.select(
+        "n_months",
+        F.round("a", 9).alias("a"),
+        F.round("b", 9).alias("b"),
+        F.round("c", 9).alias("c"),
+        F.round(m, 9).alias("m_total"),
+        F.when(m.isNotNull() & (m != F.lit(0.0)), F.round(a / m, 9)).alias("p_coef"),
+        F.when(m.isNotNull() & (m != F.lit(0.0)), F.round(a / m + b, 9)).alias(
+            "q_coef"
+        ),
+    )

@@ -1284,3 +1284,111 @@ _REG["scoring_brier_decomposition"].oracle = _BRIER_ORACLE.format(
     label_q=_REG["quality_gopher_repetition"].oracle,
     nb=_ISO_BINS,
 )
+
+
+# --- population stability index (score drift) ---------------------------------------
+# The standard model-monitoring drift readout: PSI between a "reference"
+# and a "current" score population over fixed bins,
+#     PSI = sum_b (p_cur_b - p_ref_b) * ln(p_cur_b / p_ref_b).
+# Populations are a salted hash split of the corpus (':psi' tag — the
+# production shape is yesterday's scores vs today's); bins are the same
+# integer-exact (sc - mn) * NB div (mx - mn + 1) scheme as the Brier /
+# isotonic queries; +1 Laplace smoothing keeps every ln argument finite.
+#
+# Determinism: bin counts are integers; p's are single double divisions
+# of < 2^53 integers; the per-bin ln() argument is the double ratio
+# p_cur / p_ref computed by the identical operation sequence in both
+# engines, and round(,9) absorbs the last ulp (BM25 idiom). Output is
+# per-bin (bounded NB rows) so the reader sees WHERE the drift sits.
+#
+# Scale: one corpus scan for the scores (map-side fold), one broadcast
+# min/max, one NB-row bin aggregate. The bin frame is pinned (model-sized)
+# before its totals self-join.
+
+_PSI_BINS = 10
+
+_PSI_ORACLE = """
+WITH scores AS ({score_q}),
+split AS (
+  SELECT score_sum AS sc, ({grp_hash}) % 2 AS grp FROM scores
+),
+rng AS (SELECT MIN(sc) AS mn, MAX(sc) AS mx FROM split),
+binned AS (
+  SELECT CAST((s.sc - r.mn) * {nb} // (r.mx - r.mn + 1) AS BIGINT) AS bin,
+         CAST(SUM(CASE WHEN s.grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN s.grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM split s CROSS JOIN rng r GROUP BY 1
+),
+tots AS (
+  SELECT CAST(SUM(n_ref) AS BIGINT) AS nt_ref, CAST(SUM(n_cur) AS BIGINT) AS nt_cur
+  FROM binned
+)
+SELECT b.bin, b.n_ref, b.n_cur,
+       round(CAST(b.n_ref + 1 AS DOUBLE) / CAST(t.nt_ref + {nb} AS DOUBLE), 9) AS p_ref,
+       round(CAST(b.n_cur + 1 AS DOUBLE) / CAST(t.nt_cur + {nb} AS DOUBLE), 9) AS p_cur,
+       round((CAST(b.n_cur + 1 AS DOUBLE) / CAST(t.nt_cur + {nb} AS DOUBLE)
+              - CAST(b.n_ref + 1 AS DOUBLE) / CAST(t.nt_ref + {nb} AS DOUBLE))
+             * ln((CAST(b.n_cur + 1 AS DOUBLE) / CAST(t.nt_cur + {nb} AS DOUBLE))
+                  / (CAST(b.n_ref + 1 AS DOUBLE) / CAST(t.nt_ref + {nb} AS DOUBLE))), 9)
+         AS psi_term
+FROM binned b CROSS JOIN tots t
+"""
+
+
+@register(
+    "scoring_psi_drift",
+    oracle=None,  # composed below
+    doc=f"population stability index of the hashed-linear quality score "
+    f"between a salted-hash reference/current split over {_PSI_BINS} "
+    "integer-exact bins (+1 Laplace smoothing): the standard score-drift "
+    "monitor, emitted per bin so the drift location is visible; one "
+    "corpus scan, model-sized bin frame pinned before its totals join",
+    tags=("pipeline", "scoring", "drift"),
+)
+def scoring_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = scoring_hashed_linear_quality(spark, sf_dir).select(
+        F.col("score_sum").alias("sc"),
+        (spark_salted_hash("doc_id", ":psi") % 2).alias("grp"),
+    )
+    rng = s.agg(F.min("sc").alias("mn"), F.max("sc").alias("mx"))
+    binned = (
+        s.crossJoin(F.broadcast(rng))
+        .select(
+            ((F.col("sc") - F.col("mn")) * _PSI_BINS / (F.col("mx") - F.col("mn") + 1))
+            .cast("long")
+            .alias("bin"),
+            "grp",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_cur"),
+        )
+    )
+    binned = pin_small_result(binned, _PSI_BINS)
+    tots = binned.agg(
+        F.sum("n_ref").cast("long").alias("nt_ref"),
+        F.sum("n_cur").cast("long").alias("nt_cur"),
+    )
+    nb = F.lit(_PSI_BINS)
+    p_ref = (F.col("n_ref") + 1).cast("double") / (F.col("nt_ref") + nb).cast("double")
+    p_cur = (F.col("n_cur") + 1).cast("double") / (F.col("nt_cur") + nb).cast("double")
+    return binned.crossJoin(F.broadcast(tots)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 9).alias("p_ref"),
+        F.round(p_cur, 9).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 9).alias("psi_term"),
+    )
+
+
+_REG["scoring_psi_drift"].oracle = _PSI_ORACLE.format(
+    score_q=_REG["scoring_hashed_linear_quality"].oracle,
+    grp_hash=sql_salted_hash("doc_id", ":psi"),
+    nb=_PSI_BINS,
+)

@@ -3313,3 +3313,121 @@ def embedding_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
 from f1_lakehouse_spark.registry import REGISTRY as _REG5  # noqa: E402
 
 _REG5["embedding_knn_shapley"].oracle = _shapley_oracle()
+
+
+# --- Johnson-Lindenstrauss random projection ----------------------------------------
+# Dimensionality reduction for the embedding column: project the d-dim
+# vector onto JL_DIM deterministic +-1 sign rows (Achlioptas 2003 — the
+# database-friendly JL construction) scaled by 1/sqrt(JL_DIM), and audit
+# the distortion per vector: ||Px||^2 / ||x||^2 concentrates around 1, so
+# rows far from 1 flag vectors the reduced index would mis-rank. The sign
+# matrix is md5-derived (data-independent, regenerated identically in
+# both engines' builds — no model file, no broadcast).
+#
+# Determinism: signs are exact +-1.0 doubles, every dot is the shared
+# left-fold helper (fixed order), the cross-dim sum is a fixed-order
+# chain, and /JL_DIM is an exact power-of-two division; round(,9) on the
+# emitted ratios absorbs nothing here but keeps the output contract
+# uniform. Map-only: zero shuffles, scan speed at 100 TB.
+
+JL_DIM = 16
+_JL_SRC_DIM = 64
+
+
+def _jl_sign_rows() -> list[list[float]]:
+    import hashlib  # noqa: PLC0415
+
+    rows: list[list[float]] = []
+    for j in range(JL_DIM):
+        row = []
+        for i in range(_JL_SRC_DIM):
+            h = hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()
+            row.append(1.0 if int(h[:12], 16) % 2 == 0 else -1.0)
+        rows.append(row)
+    return rows
+
+
+_JL_ROWS = _jl_sign_rows()
+
+
+def _jl_oracle() -> str:
+    # each dot evaluated ONCE in a MATERIALIZED CTE (the inlined form
+    # re-evaluates every 64-step fold per referencing column)
+    dot_cols = ",\n         ".join(
+        f"({_sql_dot('embedding', _sql_plane_literal(row))}) AS d{j}"
+        for j, row in enumerate(_JL_ROWS)
+    )
+    proj2 = (
+        "(" + " + ".join(f"d{j} * d{j}" for j in range(JL_DIM)) + f") / {float(JL_DIM)!r}"
+    )
+    orig2 = (
+        "list_reduce(list_transform(generate_series(1, len(embedding)), "
+        "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+WITH feat AS MATERIALIZED (
+  SELECT vec_id, label,
+         {orig2} AS o2,
+         {dot_cols}
+  FROM embeddings
+)
+SELECT vec_id, label,
+       round(o2, 9) AS orig_norm2,
+       round({proj2}, 9) AS proj_norm2,
+       round(d0 / sqrt({float(JL_DIM)!r}), 9) AS proj_d1,
+       round(d1 / sqrt({float(JL_DIM)!r}), 9) AS proj_d2,
+       CASE WHEN o2 > CAST(0.0 AS DOUBLE)
+            THEN round(({proj2}) / o2, 9) END AS distortion
+FROM feat
+"""
+
+
+@register(
+    "embedding_random_projection_jl",
+    oracle=_jl_oracle(),
+    doc=f"Johnson-Lindenstrauss +-1 random projection ({_JL_SRC_DIM}->"
+    f"{JL_DIM} dims, Achlioptas construction, md5-derived data-independent "
+    "signs) with a per-vector norm-distortion audit ||Px||^2/||x||^2 — "
+    "the scale path for downstream ANN on reduced vectors; map-only, "
+    "zero shuffles, left-fold dots",
+    tags=("pipeline", "similarity", "projection"),
+)
+def embedding_random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.pinning import pin_checkpoint  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    dots = [_spark_dot_lit(vec, row) for row in _JL_ROWS]
+    orig2 = F.aggregate(
+        F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # each 64-step dot fold runs ONCE: CollapseProject would otherwise
+    # substitute every fold into each of its ~3 use sites downstream
+    # (the unmaterialized-expression trap, CLAUDE.md) — checkpoint the
+    # narrow (18-double) feature frame like the BM25 feature pin
+    feat = pin_checkpoint(
+        e.select(
+            "vec_id",
+            "label",
+            orig2.alias("o2"),
+            *[d.alias(f"d{j}") for j, d in enumerate(dots)],
+        )
+    )
+    proj2 = F.col("d0") * F.col("d0")
+    for j in range(1, JL_DIM):
+        proj2 = proj2 + F.col(f"d{j}") * F.col(f"d{j}")
+    proj2 = proj2 / F.lit(float(JL_DIM))
+    scale = F.sqrt(F.lit(float(JL_DIM)))
+    o2 = F.col("o2")
+    return feat.select(
+        "vec_id",
+        "label",
+        F.round(o2, 9).alias("orig_norm2"),
+        F.round(proj2, 9).alias("proj_norm2"),
+        F.round(F.col("d0") / scale, 9).alias("proj_d1"),
+        F.round(F.col("d1") / scale, 9).alias("proj_d2"),
+        F.when(o2 > F.lit(0.0), F.round(proj2 / o2, 9)).alias("distortion"),
+    )

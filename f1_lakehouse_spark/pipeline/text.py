@@ -2395,3 +2395,115 @@ def text_bm25_retrieval(
     return top.withColumn("rk", F.row_number().over(w_rk)).select(
         "doc_id", F.round("bm25", 9).alias("bm25"), "rk"
     )
+
+
+# --- per-source Zipf exponent -------------------------------------------------------
+# Power-law diagnostics for corpus health: a natural web corpus follows
+# Zipf's law (term frequency ~ C * rank^-alpha with alpha near 1); a
+# template farm or collapsed scrape bends the curve (alpha far from 1, or
+# a poor log-log fit). Estimated per source by OLS of ln(freq) on
+# ln(rank) over the top-ZIPF_TOPK terms.
+#
+# Scale: the corpus collapses to a (source, term) count aggregate
+# (map-side combine); the per-source top-k runs as a ROW_NUMBER window
+# over that AGGREGATED frame (vocabulary-sized, sub-linear in corpus
+# bytes — never the raw scan), and the OLS folds over a <=ZIPF_TOPK
+# packed array per source in rank order (left fold, deterministic). The
+# only float logs are ln() of exact integer-valued doubles, applied
+# identically in both engines and combined in a fixed order, with
+# round(,9) absorbing the last ulp on output (the BM25 idiom).
+
+ZIPF_TOPK = 64
+
+
+def _zipf_fold_sql(term: str) -> str:
+    """DuckDB left fold of ``term`` (a lambda body over struct g) across
+    the packed rank array — same shape as the Brier decomposition folds."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(a, g -> {term})), (x, y) -> x + y)"
+    )
+
+
+@register(
+    "text_zipf_alpha",
+    oracle=f"""
+WITH words AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL
+),
+cnts AS (SELECT source, w, COUNT(*) AS cnt FROM words GROUP BY 1, 2),
+ranked AS (
+  SELECT source, cnt,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, w) AS rk
+  FROM cnts
+),
+packed AS (
+  SELECT source,
+         list(struct_pack(rk := rk, cnt := cnt) ORDER BY rk) AS a
+  FROM ranked WHERE rk <= {ZIPF_TOPK} GROUP BY 1
+),
+sums AS (
+  SELECT source, CAST(len(a) AS DOUBLE) AS n,
+         {_zipf_fold_sql('ln(CAST(g.rk AS DOUBLE))')} AS sx,
+         {_zipf_fold_sql('ln(CAST(g.cnt AS DOUBLE))')} AS sy,
+         {_zipf_fold_sql('ln(CAST(g.rk AS DOUBLE)) * ln(CAST(g.cnt AS DOUBLE))')} AS sxy,
+         {_zipf_fold_sql('ln(CAST(g.rk AS DOUBLE)) * ln(CAST(g.rk AS DOUBLE))')} AS sxx
+  FROM packed
+)
+SELECT source, CAST(n AS BIGINT) AS n_terms,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> CAST(0.0 AS DOUBLE)
+            THEN round(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 9) END AS alpha,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> CAST(0.0 AS DOUBLE)
+            THEN round((sy + ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 9)
+            END AS ln_c
+FROM sums
+""",
+    doc=f"per-source Zipf exponent: OLS of ln(freq) on ln(rank) over the "
+    f"top-{ZIPF_TOPK} terms — power-law corpus-health diagnostic "
+    "(template farms / collapsed scrapes bend the rank-frequency curve); "
+    "one vocab aggregate, a window over the aggregated frame, bounded "
+    "per-source folds",
+    tags=("pipeline", "text", "diagnostics"),
+)
+def text_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    cnts = words.groupBy("source", "w").agg(F.count("*").alias("cnt"))
+    # window over the AGGREGATED vocab frame (sub-linear), partitioned by
+    # source — never a window over the raw scan (plan-lint rule 2)
+    w_rk = Window.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("w").asc())
+    ranked = cnts.withColumn("rk", F.row_number().over(w_rk)).filter(
+        F.col("rk") <= ZIPF_TOPK
+    )
+    packed = ranked.groupBy("source").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("rk").cast("long").alias("rk"), "cnt"))
+        ).alias("a")
+    )
+
+    def fold(term):
+        return F.aggregate(
+            F.transform("a", term), F.lit(0.0), lambda x, y: x + y
+        )
+
+    lnrk = lambda g: F.log(g["rk"].cast("double"))  # noqa: E731
+    lncnt = lambda g: F.log(g["cnt"].cast("double"))  # noqa: E731
+    sums = packed.select(
+        "source",
+        F.size("a").cast("double").alias("n"),
+        fold(lambda g: lnrk(g)).alias("sx"),
+        fold(lambda g: lncnt(g)).alias("sy"),
+        fold(lambda g: lnrk(g) * lncnt(g)).alias("sxy"),
+        fold(lambda g: lnrk(g) * lnrk(g)).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    det = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / det
+    ok = (n >= 2) & (det != F.lit(0.0))
+    return sums.select(
+        "source",
+        F.col("n").cast("long").alias("n_terms"),
+        F.when(ok, F.round(-slope, 9)).alias("alpha"),
+        F.when(ok, F.round((sy + slope * sx) / n, 9)).alias("ln_c"),
+    )

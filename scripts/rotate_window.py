@@ -55,6 +55,13 @@ LEAD: tuple[str, ...] = (
     "training_shards_roundtrip",
     "text_bm25_retrieval",
     "curation_curriculum_interleave",
+    # second r8 batch — pinned in the registering round per the rotation rule
+    "text_zipf_alpha",
+    "scoring_psi_drift",
+    "embedding_random_projection_jl",
+    "orders_newsvendor_quantile",
+    "lineitem_price_elasticity",
+    "orders_bass_diffusion",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"

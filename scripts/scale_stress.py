@@ -101,6 +101,13 @@ QUERIES = [
     "training_shards_roundtrip",
     "bm25_replica_terms",  # text_bm25_retrieval with replica-survivable terms
     "curation_curriculum_interleave",
+    # round 8, second batch
+    "text_zipf_alpha",
+    "scoring_psi_drift",
+    "embedding_random_projection_jl",
+    "orders_newsvendor_quantile",
+    "lineitem_price_elasticity",
+    "orders_bass_diffusion",
 ]
 
 
