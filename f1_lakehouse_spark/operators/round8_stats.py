@@ -405,3 +405,63 @@ def orders_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_coef"
         ),
     )
+
+
+# --- RANGE-interval window frame ------------------------------------------------------
+# The time-interval window frame the SQL surface was still missing: a
+# per-customer rolling 28-day spend via RANGE BETWEEN 27 PRECEDING AND
+# CURRENT ROW over integer epoch days — peers at the same day aggregate
+# identically in both engines (RANGE, not ROWS, so no tiebreak ambiguity
+# exists to begin with). Window partitions are per-customer (bounded ~25
+# orders each at any SF — key COUNT scales, partition SIZE does not), and
+# the spend accumulates in DECIMAL (order-independent) with one exact
+# decimal->double conversion on output (scale-2 unscaled value is a
+# 28-day single-customer total — nowhere near 2^53).
+
+
+@register(
+    "w_range_interval_frame",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(COUNT(*) OVER w AS BIGINT) AS rolling_n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS rolling_spend
+FROM (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS d,
+         o_totalprice
+  FROM orders
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+             RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
+""",
+    doc="per-customer rolling 28-day order count + spend via a RANGE "
+    "interval frame over integer epoch days (peer rows aggregate "
+    "set-wise — no ordering ambiguity), decimal-accumulated spend; "
+    "per-customer partitions stay bounded at any SF",
+    tags=("windows", "frames"),
+)
+def w_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-27, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.count("*").over(w).cast("long").alias("rolling_n"),
+        F.sum("price_dec").over(w).cast("double").alias("rolling_spend"),
+    )

@@ -1392,3 +1392,140 @@ _REG["scoring_psi_drift"].oracle = _PSI_ORACLE.format(
     grp_hash=sql_salted_hash("doc_id", ":psi"),
     nb=_PSI_BINS,
 )
+
+
+# --- Youden-J optimal classification threshold --------------------------------------
+# The standard operating-point readout for a quality classifier: the score
+# cut t* maximizing J(t) = TPR(t) - FPR(t) against the gopher gate. Over
+# distinct score values (an AGGREGATED frame) the argmax of J equals the
+# argmax of the EXACT integer statistic
+#     S(t) = sum_{sc >= t} [ npos*N - (n - npos)*P ]
+# (multiply out the P*N denominator), so the scan order, the cumulative
+# sum, and the argmax are all integer/decimal-exact — no float compare
+# decides the winner. The cumulative S runs through the distributed
+# global_prefix_sum (never a single-partition window); decimal products
+# use (18,0) operands (p1+p2+1 <= 38 keeps Spark exact; the oracle widens
+# to DuckDB int128 per the engine-trap rule). Emitted rates are single
+# double divisions of < 2^53 integers.
+
+_YJ_ORACLE = """
+WITH scores AS ({score_q}),
+labels AS ({label_q}),
+joined AS (
+  SELECT s.score_sum AS sc, CAST(l.passes_repetition AS BIGINT) AS y
+  FROM scores s JOIN labels l ON s.doc_id = l.doc_id
+),
+byscore AS (
+  SELECT sc, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS npos
+  FROM joined GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(npos) AS BIGINT) AS p,
+         CAST(SUM(n) - SUM(npos) AS BIGINT) AS nn
+  FROM byscore
+),
+cums AS (
+  SELECT b.sc,
+         SUM(CAST(b.npos AS DECIMAL(19,0)) * CAST(t.nn AS DECIMAL(19,0))
+             - CAST(b.n - b.npos AS DECIMAL(19,0)) * CAST(t.p AS DECIMAL(19,0)))
+           OVER (ORDER BY b.sc DESC) AS cum
+  FROM byscore b CROSS JOIN tot t
+),
+best AS (SELECT sc FROM cums ORDER BY cum DESC, sc ASC LIMIT 1),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN b.sc >= x.sc THEN b.npos ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN b.sc >= x.sc THEN b.n - b.npos ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(b.npos) AS BIGINT) AS p,
+         CAST(SUM(b.n - b.npos) AS BIGINT) AS nn,
+         MIN(x.sc) AS threshold
+  FROM byscore b CROSS JOIN best x
+)
+SELECT threshold, tp, fp, p - tp AS fn, nn - fp AS tn,
+       round(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE), 9) AS tpr,
+       round(CAST(fp AS DOUBLE) / CAST(nn AS DOUBLE), 9) AS fpr,
+       round(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE)
+             - CAST(fp AS DOUBLE) / CAST(nn AS DOUBLE), 9) AS youden_j
+FROM agg
+"""
+
+
+@register(
+    "scoring_youden_j_threshold",
+    oracle=None,  # composed below
+    doc="Youden-J optimal threshold for the hashed-linear quality score "
+    "vs the gopher gate: argmax of the integer-exact statistic "
+    "npos*N - nneg*P cumulated over distinct scores (distributed prefix "
+    "sum, decimal-exact argmax — no float compare picks the winner); "
+    "emits the full confusion matrix and rates at t*",
+    tags=("pipeline", "scoring", "calibration"),
+)
+def scoring_youden_j_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.operators.extensions import (  # noqa: PLC0415
+        global_prefix_sum,
+    )
+    from f1_lakehouse_spark.pipeline.filtering import (  # noqa: PLC0415
+        quality_gopher_repetition,
+    )
+
+    s = scoring_hashed_linear_quality(spark, sf_dir).select("doc_id", "score_sum")
+    lab = quality_gopher_repetition(spark, sf_dir).select("doc_id", "passes_repetition")
+    joined = s.join(lab, "doc_id").select(
+        F.col("score_sum").alias("sc"),
+        F.col("passes_repetition").cast("long").alias("y"),
+    )
+    byscore = joined.groupBy("sc").agg(
+        F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("npos")
+    )
+    byscore = byscore.persist()
+    byscore.count()  # three derived uses: totals, prefix input, final agg
+    tot = byscore.agg(
+        F.sum("npos").cast("long").alias("p"),
+        (F.sum("n") - F.sum("npos")).cast("long").alias("nn"),
+    )
+    d18 = lambda c: c.cast("decimal(18,0)")  # noqa: E731
+    signed = byscore.crossJoin(F.broadcast(tot)).select(
+        "sc",
+        (
+            d18(F.col("npos")) * d18(F.col("nn"))
+            - d18(F.col("n") - F.col("npos")) * d18(F.col("p"))
+        )
+        .cast("decimal(38,0)")
+        .alias("m"),
+    )
+    ranked, release, _tot = global_prefix_sum(spark, signed, "m", [F.col("sc").desc()])
+    best = ranked.orderBy(F.col("cum").desc(), F.col("sc").asc()).limit(1).select("sc")
+    agg = byscore.crossJoin(F.broadcast(best.withColumnRenamed("sc", "t"))).agg(
+        F.sum(F.when(F.col("sc") >= F.col("t"), F.col("npos")).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(
+            F.when(F.col("sc") >= F.col("t"), F.col("n") - F.col("npos")).otherwise(0)
+        )
+        .cast("long")
+        .alias("fp"),
+        F.sum("npos").cast("long").alias("p"),
+        (F.sum("n") - F.sum("npos")).cast("long").alias("nn"),
+        F.min("t").alias("threshold"),
+    )
+    tp_d = F.col("tp").cast("double") / F.col("p").cast("double")
+    fp_d = F.col("fp").cast("double") / F.col("nn").cast("double")
+    out = agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        (F.col("p") - F.col("tp")).alias("fn"),
+        (F.col("nn") - F.col("fp")).alias("tn"),
+        F.round(tp_d, 9).alias("tpr"),
+        F.round(fp_d, 9).alias("fpr"),
+        F.round(tp_d - fp_d, 9).alias("youden_j"),
+    )
+    out = pin_small_result(out, 1)
+    release()
+    byscore.unpersist()
+    return out
+
+
+_REG["scoring_youden_j_threshold"].oracle = _YJ_ORACLE.format(
+    score_q=_REG["scoring_hashed_linear_quality"].oracle,
+    label_q=_REG["quality_gopher_repetition"].oracle,
+)

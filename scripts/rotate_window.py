@@ -62,6 +62,8 @@ LEAD: tuple[str, ...] = (
     "orders_newsvendor_quantile",
     "lineitem_price_elasticity",
     "orders_bass_diffusion",
+    "scoring_youden_j_threshold",
+    "w_range_interval_frame",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"

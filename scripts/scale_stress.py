@@ -108,6 +108,8 @@ QUERIES = [
     "orders_newsvendor_quantile",
     "lineitem_price_elasticity",
     "orders_bass_diffusion",
+    "scoring_youden_j_threshold",
+    "w_range_interval_frame",
 ]
 
 

@@ -308,3 +308,65 @@ def test_bass_diffusion_matches_numpy_normal_equations(spark):
     if row["m_total"] is not None:
         res = row["a"] + row["b"] * row["m_total"] + row["c"] * row["m_total"] ** 2
         assert abs(res) < 1e-3 * max(1.0, abs(row["a"]))
+
+
+def test_youden_j_matches_python_threshold_sweep(spark):
+    from f1_lakehouse_spark.pipeline.filtering import quality_gopher_repetition
+    from f1_lakehouse_spark.pipeline.scoring import (
+        scoring_hashed_linear_quality,
+        scoring_youden_j_threshold,
+    )
+
+    s = {
+        r["doc_id"]: r["score_sum"]
+        for r in scoring_hashed_linear_quality(spark, SF_DIR).collect()
+    }
+    y = {
+        r["doc_id"]: int(r["passes_repetition"])
+        for r in quality_gopher_repetition(spark, SF_DIR).collect()
+    }
+    pairs = [(s[d], y[d]) for d in s if d in y]
+    p = sum(v for _, v in pairs)
+    nn = len(pairs) - p
+    best = None
+    for t in sorted({sc for sc, _ in pairs}):
+        tp = sum(1 for sc, v in pairs if sc >= t and v == 1)
+        fp = sum(1 for sc, v in pairs if sc >= t and v == 0)
+        # the exact integer statistic the operator maximizes
+        stat = tp * nn - fp * p
+        key = (stat, -t)  # max stat, then LOWEST threshold (sc ASC tiebreak)
+        if best is None or key > best[0]:
+            best = (key, t, tp, fp)
+    _, t_star, tp, fp = best
+    row = scoring_youden_j_threshold(spark, SF_DIR).collect()[0]
+    assert row["threshold"] == t_star
+    assert (row["tp"], row["fp"]) == (tp, fp)
+    assert (row["fn"], row["tn"]) == (p - tp, nn - fp)
+    assert abs(row["youden_j"] - (tp / p - fp / nn)) < 1e-6
+
+
+def test_range_interval_frame_matches_python_rolling(spark):
+    from f1_lakehouse_spark.operators.round8_stats import w_range_interval_frame
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    from datetime import date
+
+    epoch = date(1970, 1, 1)
+    by_cust: dict[int, list] = {}
+    for r in orders:
+        d = (r["o_orderdate"].date() - epoch).days
+        by_cust.setdefault(r["o_custkey"], []).append(
+            (d, r["o_orderkey"], r["o_totalprice"])
+        )
+    got = {
+        r["o_orderkey"]: r for r in w_range_interval_frame(spark, SF_DIR).collect()
+    }
+    assert len(got) == len(orders)
+    for cust, rows in by_cust.items():
+        for d, okey, _ in rows:
+            window = [(dd, pp) for dd, _, pp in rows if d - 27 <= dd <= d]
+            assert got[okey]["rolling_n"] == len(window)
+            want = sum(round(pp * 100) for _, pp in window) / 100.0
+            assert abs(got[okey]["rolling_spend"] - want) < 1e-6
