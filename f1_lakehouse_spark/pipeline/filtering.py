@@ -319,6 +319,9 @@ from f1_lakehouse_spark.pipeline import dedup as _dedup  # noqa: E402  (after re
 from f1_lakehouse_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
 
 
+_SURVIVORS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 @register(
     "pipeline_corpus_survivors",
     oracle=f"""
@@ -348,6 +351,17 @@ JOIN dec USING (doc_id)
     tags=("pipeline", "filtering", "compose"),
 )
 def pipeline_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-entry (session, input)-keyed persisted cache (the
+    # char_trigram_frame convention): the composed pipeline re-runs the
+    # dedup candidate+verify, gopher, and decontam stages — its one other
+    # consumer (filtering_bias_audit) audits the SAME survivors, so the
+    # three stages should run once per corpus, not once per query
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SURVIVORS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for old_key in list(_SURVIVORS_CACHE):
+        _SURVIVORS_CACHE.pop(old_key).unpersist()
     kept = (
         _dedup.dedup_keep_list(spark, sf_dir)
         .filter(F.col("keep") == 1)
@@ -364,7 +378,7 @@ def pipeline_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     d = load_table(spark, sf_dir, "documents")
-    return (
+    out = (
         d.join(kept, "doc_id")
         .join(rep, "doc_id")
         .join(dec, "doc_id")
@@ -375,6 +389,10 @@ def pipeline_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         )
     )
+    out = out.persist()
+    out.count()
+    _SURVIVORS_CACHE[key] = out
+    return out
 
 
 # --- contamination provenance (the auditor's inverse report) ---------------------------
