@@ -127,6 +127,30 @@ _SQL_SHINGLE_KEYS = f"""
 """
 
 
+# Shared distinct shingle frame: five registered dedup queries (ngram
+# jaccard, LSH candidate recall's truth arm, edit distance, jaccard
+# prefix filter, containment) all start from the identical distinct
+# (doc_id, sk) 3-gram frame — a corpus scan + per-word md5 + explode +
+# DISTINCT shuffle each time. One persisted entry per (session, input),
+# the char_trigram_frame convention (never unpersisted inside a query
+# fn; rolls over on input change).
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def shingle_keys_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for old_key in list(_SHINGLE_CACHE):
+        _SHINGLE_CACHE.pop(old_key).unpersist()
+    shk = _spark_shingle_keys(load_table(spark, sf_dir, "documents")).persist()
+    shk.count()
+    _SHINGLE_CACHE[key] = shk
+    return shk
+
+
+
 # --- exact dedup -----------------------------------------------------------------
 
 
@@ -184,10 +208,13 @@ WHERE CAST(c.n_common AS DOUBLE) / (sa.sz + sb.sz - c.n_common) >= {JACCARD_THRE
     tags=("pipeline", "dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return jaccard_pairs(load_table(spark, sf_dir, "documents"))
+    return jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        shk=shingle_keys_frame(spark, sf_dir),
+    )
 
 
-def jaccard_pairs(d: DataFrame) -> DataFrame:
+def jaccard_pairs(d: DataFrame, shk: DataFrame | None = None) -> DataFrame:
     """Core Jaccard near-dup pass over any (doc_id, text) frame.
 
     One ``groupBy(sk)`` collects each shingle's (sorted, distinct) doc list
@@ -198,7 +225,7 @@ def jaccard_pairs(d: DataFrame) -> DataFrame:
     (doc_a, doc_b) count, bounded at MAX_DF^2/2 pairs per shingle
     independent of corpus size. Per-doc sizes are |docs| rows → broadcast.
     """
-    shk = _spark_shingle_keys(d)
+    shk = _spark_shingle_keys(d) if shk is None else shk
     ds = F.col("ds")
     grouped = (
         shk.groupBy("sk")
@@ -286,7 +313,7 @@ JOIN documents tb ON tb.doc_id = c.doc_b
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    shk = _spark_shingle_keys(d)
+    shk = shingle_keys_frame(spark, sf_dir)
     ds = F.col("ds")
     grouped = (
         shk.groupBy("sk")
@@ -1007,7 +1034,9 @@ def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    truth = jaccard_pairs(d).select("doc_a", "doc_b")
+    truth = jaccard_pairs(d, shk=shingle_keys_frame(spark, sf_dir)).select(
+        "doc_a", "doc_b"
+    )
     cand = minhash_lsh_pairs(d)
     hits = truth.join(cand, ["doc_a", "doc_b"])
     row = (
@@ -1200,7 +1229,7 @@ WHERE CAST(n_common AS DOUBLE) / (sza + szb - n_common) >= {JACCARD_THRESHOLD}
 )
 def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    shk = _spark_shingle_keys(d)
+    shk = shingle_keys_frame(spark, sf_dir)
     dfreq = shk.groupBy("sk").agg(F.count("*").alias("df"))
     # per-doc shingle list in (df, sk) order — a TOTAL order (sk distinct
     # within a doc), so the prefix is deterministic on both engines
@@ -1412,7 +1441,7 @@ WHERE CAST(c.n_common AS DOUBLE) / sa.sz >= {CONTAIN_THRESHOLD}
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    shk = _spark_shingle_keys(d)
+    shk = shingle_keys_frame(spark, sf_dir)
     ds = F.col("ds")
     grouped = (
         shk.groupBy("sk")
