@@ -135,6 +135,7 @@ _SQL_SHINGLE_KEYS = f"""
 # the char_trigram_frame convention (never unpersisted inside a query
 # fn; rolls over on input change).
 _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_MH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def shingle_keys_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,7 +395,20 @@ MINHASH_PAIRS_SQL = _MINHASH_PAIRS_SQL
     tags=("pipeline", "dedup", "minhash"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    # shared (session, input)-keyed persisted cache: the candidate pair
+    # list is consumed by clusters / keep_list / candidate_recall too,
+    # and is tiny (bucket-bounded) while its lineage is a full corpus
+    # md5+minhash pass
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _MH_PAIRS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for old_key in list(_MH_PAIRS_CACHE):
+        _MH_PAIRS_CACHE.pop(old_key).unpersist()
+    pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents")).persist()
+    pairs.count()
+    _MH_PAIRS_CACHE[key] = pairs
+    return pairs
 
 
 def minhash_band_signatures(shh: DataFrame) -> DataFrame:
@@ -914,7 +928,7 @@ def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    clusters = connected_components(minhash_lsh_pairs(d))
+    clusters = dedup_clusters(spark, sf_dir)
     return exact_keep.join(clusters, "doc_id", "left").select(
         "doc_id",
         F.when(
@@ -1037,7 +1051,7 @@ def dedup_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = jaccard_pairs(d, shk=shingle_keys_frame(spark, sf_dir)).select(
         "doc_a", "doc_b"
     )
-    cand = minhash_lsh_pairs(d)
+    cand = dedup_minhash_lsh(spark, sf_dir)
     hits = truth.join(cand, ["doc_a", "doc_b"])
     row = (
         truth.agg(F.count("*").alias("n_truth"))
