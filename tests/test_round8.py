@@ -370,3 +370,27 @@ def test_range_interval_frame_matches_python_rolling(spark):
             assert got[okey]["rolling_n"] == len(window)
             want = sum(round(pp * 100) for _, pp in window) / 100.0
             assert abs(got[okey]["rolling_spend"] - want) < 1e-6
+
+
+def test_shared_frame_caches_hit_and_roll_over(spark):
+    """The r8 shared-frame caches must return the SAME persisted frame on
+    repeat calls (cache hit — the whole point) and roll over to a single
+    entry when the input dir changes (no session-lifetime storage leak)."""
+    from f1_lakehouse_spark.pipeline import dedup as D
+    from f1_lakehouse_spark.pipeline import scoring as S
+
+    a = S.hashed_score_frame(spark, SF_DIR)
+    assert S.hashed_score_frame(spark, SF_DIR) is a
+    b = D.shingle_keys_frame(spark, SF_DIR)
+    assert D.shingle_keys_frame(spark, SF_DIR) is b
+    c = D.dedup_minhash_lsh(spark, SF_DIR)
+    assert D.dedup_minhash_lsh(spark, SF_DIR) is c
+    # roll-over: a different input evicts the old entry (single-entry cache)
+    other = "/root/testdata/sf0.01"
+    d2 = S.hashed_score_frame(spark, other)
+    assert d2 is not a
+    assert len(S._SCORE_CACHE) == 1
+    # the evicted frame is unpersisted (storage released)
+    assert not a.is_cached
+    # restore the sf0.001 entry so later tests in this session start clean
+    S.hashed_score_frame(spark, SF_DIR)
