@@ -85,6 +85,16 @@ LEFT JOIN hits h USING (doc_id)
     tags=("pipeline", "filtering", "decontam"),
 )
 def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shared (session, input)-keyed persisted cache: called by its own
+    # query AND the survivor composition; the previous per-call persist
+    # (kept for the bench/verify double-read) accumulated one persisted
+    # copy per invocation — a storage leak pattern at 100 TB
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _DECONTAM_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for old_key in list(_DECONTAM_CACHE):
+        _DECONTAM_CACHE.pop(old_key).unpersist()
     d = load_table(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
@@ -126,6 +136,7 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.persist()
     out.count()
     grams.unpersist()
+    _DECONTAM_CACHE[key] = out
     return out
 
 
@@ -319,6 +330,7 @@ from f1_lakehouse_spark.pipeline import dedup as _dedup  # noqa: E402  (after re
 from f1_lakehouse_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
 
 
+_DECONTAM_CACHE: dict[tuple[str, str], DataFrame] = {}
 _SURVIVORS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
