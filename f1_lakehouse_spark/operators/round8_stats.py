@@ -465,3 +465,100 @@ def w_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("long").alias("rolling_n"),
         F.sum("price_dec").over(w).cast("double").alias("rolling_spend"),
     )
+
+
+# --- Hill tail-index estimator --------------------------------------------------------
+# The standard heavy-tail diagnostic for a value distribution (revenue,
+# latency, token counts): over the top-k order statistics,
+#     alpha_hat = k / sum_{i<=k} ln(x_(i) / x_(k+1)),
+# the Hill (1975) MLE of the Pareto tail exponent — the companion to the
+# mean-excess EVT curve (lineitem_mean_excess_evt) from the estimation
+# side. Top-(k+1) comes from TakeOrderedAndProject (plan-visible bound,
+# never a global sort); the fold runs over the packed, explicitly sorted
+# (k+1)-element array; ln applies to one double division per element in
+# rank order (the BM25 idiom, round(,9) on output).
+
+HILL_K = 200
+
+
+@register(
+    "events_hill_tail_index",
+    oracle=f"""
+WITH topk AS (
+  SELECT value, event_id
+  FROM events
+  WHERE event_type = 'purchase' AND value > 0
+  ORDER BY value DESC, event_id
+  LIMIT {HILL_K + 1}
+),
+packed AS (
+  SELECT list(value ORDER BY value DESC, event_id) AS xs,
+         CAST(COUNT(*) AS BIGINT) AS m
+  FROM topk
+),
+folded AS (
+  SELECT m, xs[{HILL_K + 1}] AS x_threshold,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(xs[1:{HILL_K}], x -> ln(x / (xs[{HILL_K + 1}])))),
+           (a, b) -> a + b) AS lnsum
+  FROM packed WHERE m = {HILL_K + 1}
+)
+SELECT CAST({HILL_K} AS BIGINT) AS k, x_threshold,
+       round(lnsum, 9) AS sum_log_excess,
+       CASE WHEN lnsum > CAST(0.0 AS DOUBLE)
+            THEN round(CAST({HILL_K} AS DOUBLE) / lnsum, 9) END AS hill_alpha,
+       CASE WHEN lnsum > CAST(0.0 AS DOUBLE)
+            THEN round(lnsum / CAST({HILL_K} AS DOUBLE), 9) END AS tail_gamma
+FROM folded
+""",
+    doc=f"Hill tail-index MLE of the purchase-value distribution over the "
+    f"top-{HILL_K} order statistics (TakeOrdered bound, packed-array fold, "
+    "ln of per-element ratios in rank order) — the heavy-tail exponent "
+    "companion to the mean-excess EVT curve",
+    tags=("stats", "tail", "events"),
+)
+def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    )
+    topk = (
+        e.select("value", "event_id")
+        .orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(HILL_K + 1)
+    )
+    packed = topk.agg(
+        # (value desc, event_id asc) via sort on (-value, event_id): a
+        # plain reverse(sort_array) would flip the event_id tiebreak too
+        F.sort_array(
+            F.collect_list(
+                F.struct((-F.col("value")).alias("nv"), F.col("event_id").alias("eid"))
+            )
+        ).alias("ordered"),
+        F.count("*").cast("long").alias("m"),
+    )
+    xs = F.transform("ordered", lambda g: -g["nv"])
+    packed = packed.select(xs.alias("xs"), "m").where(F.col("m") == HILL_K + 1)
+    xk1 = F.element_at("xs", HILL_K + 1)
+    # single-arg lambda, closure capture — a default arg would make this
+    # the two-arg (value, index) form and hand xk1 the ELEMENT INDEX
+    # (the CLAUDE.md arity trap)
+    lnsum = F.aggregate(
+        F.transform(F.slice("xs", 1, HILL_K), lambda x: F.log(x / xk1)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    folded = packed.select(
+        xk1.alias("x_threshold"), lnsum.alias("lnsum")
+    )
+    ok = F.col("lnsum") > F.lit(0.0)
+    return folded.select(
+        F.lit(HILL_K).cast("long").alias("k"),
+        "x_threshold",
+        F.round("lnsum", 9).alias("sum_log_excess"),
+        F.when(ok, F.round(F.lit(float(HILL_K)) / F.col("lnsum"), 9)).alias(
+            "hill_alpha"
+        ),
+        F.when(ok, F.round(F.col("lnsum") / F.lit(float(HILL_K)), 9)).alias(
+            "tail_gamma"
+        ),
+    )

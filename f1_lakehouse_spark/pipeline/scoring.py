@@ -1555,3 +1555,205 @@ _REG["scoring_youden_j_threshold"].oracle = _YJ_ORACLE.format(
     score_q=_REG["scoring_hashed_linear_quality"].oracle,
     label_q=_REG["quality_gopher_repetition"].oracle,
 )
+
+
+# --- Platt scaling (sigmoid calibration) ---------------------------------------------
+# The third classical calibration method next to isotonic and Brier:
+# fit p = sigmoid(A*s + B) by penalized MLE (Platt 1999 / Lin-Weng-Weng
+# targets t+ = (Np+1)/(Np+2), t- = 1/(Nn+2)) with EIGHT fixed Newton
+# steps over the 20-bin sufficient statistics. The iteration state [A, B]
+# is a homogeneous DOUBLE-list fold accumulator (the orders_holt_forecast
+# pattern — exact in both engines); each step's gradient/Hessian sums are
+# nested folds over the bounded bin array in bin order; the 2x2 Newton
+# solve is fixed-order double arithmetic. Newton is contractive near the
+# optimum, so the last-ulp exp() divergence between libms damps instead
+# of amplifying; round(,9) absorbs the remainder (BM25 idiom).
+
+_PLATT_ITERS = 8
+_PLATT_RIDGE = 1e-10  # fixed Hessian ridge, identical in both engines
+
+_PLATT_ORACLE_TMPL = """
+WITH scores AS ({score_q}),
+labels AS ({label_q}),
+joined AS (
+  SELECT s.score_sum AS sc, CAST(l.passes_repetition AS BIGINT) AS y
+  FROM scores s JOIN labels l ON s.doc_id = l.doc_id
+), rng AS (
+  SELECT MIN(sc) AS mn, MAX(sc) AS mx FROM joined
+), binned AS (
+  SELECT CAST((j.sc - r.mn) * {nb} // (r.mx - r.mn + 1) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(j.y) AS BIGINT) AS pos
+  FROM joined j CROSS JOIN rng r GROUP BY 1
+), packed AS (
+  SELECT list(struct_pack(
+           x := (CAST(bin AS DOUBLE) + 0.5) / {nb}.0,
+           np := CAST(pos AS DOUBLE),
+           nn := CAST(n - pos AS DOUBLE)) ORDER BY bin) AS pts,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(n) - SUM(pos) AS BIGINT) AS n_neg,
+         CAST(COUNT(*) AS BIGINT) AS n_bins
+  FROM binned
+), fitted AS (
+  SELECT n_pos, n_neg, n_bins,
+    list_reduce(
+      list_prepend(
+        [CAST(0.0 AS DOUBLE),
+         ln((CAST(n_pos AS DOUBLE) + CAST(1.0 AS DOUBLE))
+            / (CAST(n_neg AS DOUBLE) + CAST(1.0 AS DOUBLE)))],
+        list_transform(generate_series(1, {iters}),
+                       i -> [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)])),
+      (acc, e) -> {step}
+    ) AS ab
+  FROM packed
+)
+SELECT n_pos, n_neg, n_bins,
+       round(ab[1], 9) AS a_coef,
+       round(ab[2], 9) AS b_coef,
+       round(CAST(1.0 AS DOUBLE)
+             / (CAST(1.0 AS DOUBLE) + exp(-(ab[1] * CAST(0.5 AS DOUBLE) + ab[2]))),
+             9) AS p_mid
+FROM fitted
+"""
+
+
+def _platt_sql_step() -> str:
+    """One Newton step in DuckDB SQL: acc = [A, B] -> [A', B']."""
+    tpos = "((CAST(n_pos AS DOUBLE) + 1.0) / (CAST(n_pos AS DOUBLE) + 2.0))"
+    tneg = "(1.0 / (CAST(n_neg AS DOUBLE) + 2.0))"
+    p = "(1.0 / (1.0 + exp(-(acc[1] * g.x + acc[2]))))"
+    d = f"(g.np * ({p} - {tpos}) + g.nn * ({p} - {tneg}))"
+    w = f"((g.np + g.nn) * {p} * (1.0 - {p}))"
+
+    def fold(term: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(pts, g -> {term})), (s, v) -> s + v)"
+        )
+
+    g1, g2 = fold(f"g.x * {d}"), fold(d)
+    h11 = f"({fold(f'g.x * g.x * {w}')} + {_PLATT_RIDGE!r})"
+    h12 = fold(f"g.x * {w}")
+    h22 = f"({fold(w)} + {_PLATT_RIDGE!r})"
+    det = f"({h11} * {h22} - {h12} * {h12})"
+    return (
+        f"[acc[1] - ({h22} * {g1} - {h12} * {g2}) / {det}, "
+        f"acc[2] - ({h11} * {g2} - {h12} * {g1}) / {det}]"
+    )
+
+
+@register(
+    "scoring_platt_scaling",
+    oracle=None,  # composed below
+    doc=f"Platt sigmoid calibration of the hashed-linear quality score vs "
+    f"the gopher gate: {_PLATT_ITERS} fixed Newton steps on the "
+    f"{_ISO_BINS}-bin sufficient statistics, [A,B] as a DOUBLE-list fold "
+    "accumulator (exact in both engines), Lin-Weng targets; emits the "
+    "fitted coefficients and the calibrated mid-score probability",
+    tags=("pipeline", "scoring", "calibration"),
+)
+def scoring_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.pipeline.filtering import (  # noqa: PLC0415
+        quality_gopher_repetition,
+    )
+
+    s = scoring_hashed_linear_quality(spark, sf_dir).select("doc_id", "score_sum")
+    lab = quality_gopher_repetition(spark, sf_dir).select("doc_id", "passes_repetition")
+    joined = s.join(lab, "doc_id").select(
+        F.col("score_sum").alias("sc"),
+        F.col("passes_repetition").cast("long").alias("y"),
+    )
+    rng = joined.agg(F.min("sc").alias("mn"), F.max("sc").alias("mx"))
+    binned = (
+        joined.crossJoin(F.broadcast(rng))
+        .select(
+            ((F.col("sc") - F.col("mn")) * _ISO_BINS / (F.col("mx") - F.col("mn") + 1))
+            .cast("long")
+            .alias("bin"),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("pos"))
+    )
+    packed = binned.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("bin").alias("b"), "n", "pos"))
+        ).alias("raw"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.sum("n") - F.sum("pos")).cast("long").alias("n_neg"),
+        F.count("*").cast("long").alias("n_bins"),
+    ).select(
+        F.transform(
+            "raw",
+            lambda g: F.struct(
+                ((g["b"].cast("double") + F.lit(0.5)) / F.lit(float(_ISO_BINS))).alias(
+                    "x"
+                ),
+                g["pos"].cast("double").alias("np"),
+                (g["n"] - g["pos"]).cast("double").alias("nn"),
+            ),
+        ).alias("pts"),
+        "n_pos",
+        "n_neg",
+        "n_bins",
+    )
+    np_d = F.col("n_pos").cast("double")
+    nn_d = F.col("n_neg").cast("double")
+    tpos = (np_d + F.lit(1.0)) / (np_d + F.lit(2.0))
+    tneg = F.lit(1.0) / (nn_d + F.lit(2.0))
+
+    def step(acc):
+        a_c, b_c = F.element_at(acc, 1), F.element_at(acc, 2)
+
+        def p(g):
+            return F.lit(1.0) / (F.lit(1.0) + F.exp(-(a_c * g["x"] + b_c)))
+
+        def fold(term):
+            return F.aggregate(
+                F.transform("pts", term), F.lit(0.0), lambda s2, v: s2 + v
+            )
+
+        d = lambda g: g["np"] * (p(g) - tpos) + g["nn"] * (p(g) - tneg)  # noqa: E731
+        w = lambda g: (g["np"] + g["nn"]) * p(g) * (F.lit(1.0) - p(g))  # noqa: E731
+        g1 = fold(lambda g: g["x"] * d(g))
+        g2 = fold(lambda g: d(g))
+        h11 = fold(lambda g: g["x"] * g["x"] * w(g)) + F.lit(_PLATT_RIDGE)
+        h12 = fold(lambda g: g["x"] * w(g))
+        h22 = fold(lambda g: w(g)) + F.lit(_PLATT_RIDGE)
+        det = h11 * h22 - h12 * h12
+        return F.array(
+            a_c - (h22 * g1 - h12 * g2) / det,
+            b_c - (h11 * g2 - h12 * g1) / det,
+        )
+
+    init = F.array(
+        F.lit(0.0),
+        F.log((np_d + F.lit(1.0)) / (nn_d + F.lit(1.0))),
+    )
+    ab = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_PLATT_ITERS)),
+        init,
+        lambda acc, _i: step(acc),
+    )
+    fitted = packed.select("n_pos", "n_neg", "n_bins", ab.alias("ab"))
+    a1 = F.element_at("ab", 1)
+    b1 = F.element_at("ab", 2)
+    return fitted.select(
+        "n_pos",
+        "n_neg",
+        "n_bins",
+        F.round(a1, 9).alias("a_coef"),
+        F.round(b1, 9).alias("b_coef"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-(a1 * F.lit(0.5) + b1))), 9
+        ).alias("p_mid"),
+    )
+
+
+_REG["scoring_platt_scaling"].oracle = _PLATT_ORACLE_TMPL.format(
+    score_q=_REG["scoring_hashed_linear_quality"].oracle,
+    label_q=_REG["quality_gopher_repetition"].oracle,
+    nb=_ISO_BINS,
+    iters=_PLATT_ITERS,
+    step=_platt_sql_step(),
+)

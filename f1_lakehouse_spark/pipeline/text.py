@@ -2507,3 +2507,124 @@ def text_zipf_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.round(-slope, 9)).alias("alpha"),
         F.when(ok, F.round((sy + slope * sx) / n, 9)).alias("ln_c"),
     )
+
+
+# --- nDCG@k retrieval evaluation ------------------------------------------------------
+# The IR-eval companion to the BM25 query: binary relevance from the
+# gopher repetition gate, DCG@k = sum rel_i / log2(i+1) over the ranked
+# list, IDCG@k from the corpus-wide relevant count — so retrieval quality
+# is a measured, driver-checked number, not a vibe. Both fold over
+# bounded arrays (k = BM25_TOPK rows; the IDCG index range); log2 applies
+# to exact small-integer doubles identically in both engines.
+
+_NDCG_ORACLE = """
+WITH ranked AS ({bm25_q}),
+labels AS ({label_q}),
+rels AS (
+  SELECT r.rk, CAST(COALESCE(l.passes_repetition, 0) AS BIGINT) AS rel
+  FROM ranked r LEFT JOIN labels l ON r.doc_id = l.doc_id
+),
+tot AS (
+  SELECT CAST(SUM(passes_repetition) AS BIGINT) AS n_rel_total FROM labels
+),
+packed AS (
+  SELECT list(struct_pack(rk := rk, rel := rel) ORDER BY rk) AS a,
+         CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+         CAST(SUM(rel) AS BIGINT) AS n_rel_retrieved
+  FROM rels
+),
+folded AS (
+  SELECT p.n_retrieved, p.n_rel_retrieved, t.n_rel_total,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(a, g -> CAST(g.rel AS DOUBLE)
+                                   / log2(CAST(g.rk + 1 AS DOUBLE)))),
+           (x, y) -> x + y) AS dcg,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(generate_series(1, CAST(least(p.n_retrieved,
+                                                         t.n_rel_total) AS BIGINT)),
+                          i -> CAST(1.0 AS DOUBLE)
+                               / log2(CAST(i + 1 AS DOUBLE)))),
+           (x, y) -> x + y) AS idcg
+  FROM packed p CROSS JOIN tot t
+)
+SELECT n_retrieved, n_rel_retrieved, n_rel_total,
+       round(dcg, 9) AS dcg,
+       round(idcg, 9) AS idcg,
+       CASE WHEN idcg > CAST(0.0 AS DOUBLE) THEN round(dcg / idcg, 9) END AS ndcg
+FROM folded
+"""
+
+
+@register(
+    "text_bm25_ndcg_eval",
+    oracle=None,  # composed below
+    doc=f"nDCG@{BM25_TOPK} of the BM25 ranking against the gopher gate as "
+    "binary relevance: DCG folds over the k-row ranked list, IDCG over "
+    "the least(k, corpus-relevant) index range — retrieval quality as a "
+    "driver-checked number",
+    tags=("pipeline", "text", "retrieval", "eval"),
+)
+def text_bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.pipeline.filtering import (  # noqa: PLC0415
+        quality_gopher_repetition,
+    )
+
+    ranked = text_bm25_retrieval(spark, sf_dir).select("doc_id", "rk")
+    labels = quality_gopher_repetition(spark, sf_dir).select(
+        "doc_id", "passes_repetition"
+    )
+    rels = ranked.join(labels, "doc_id", "left").select(
+        "rk",
+        F.coalesce(F.col("passes_repetition"), F.lit(0)).cast("long").alias("rel"),
+    )
+    tot = labels.agg(
+        F.sum("passes_repetition").cast("long").alias("n_rel_total")
+    )
+    packed = rels.agg(
+        F.sort_array(F.collect_list(F.struct("rk", "rel"))).alias("a"),
+        F.count("*").cast("long").alias("n_retrieved"),
+        F.sum("rel").cast("long").alias("n_rel_retrieved"),
+    )
+    dcg = F.aggregate(
+        F.transform(
+            "a", lambda g: g["rel"].cast("double") / F.log2((g["rk"] + 1).cast("double"))
+        ),
+        F.lit(0.0),
+        lambda x, y: x + y,
+    )
+    idcg = F.aggregate(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.least(F.col("n_retrieved"), F.col("n_rel_total")).cast("int"),
+            ),
+            lambda i: F.lit(1.0) / F.log2((i + 1).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda x, y: x + y,
+    )
+    folded = packed.crossJoin(F.broadcast(tot)).select(
+        "n_retrieved",
+        "n_rel_retrieved",
+        "n_rel_total",
+        dcg.alias("dcg"),
+        idcg.alias("idcg"),
+    )
+    ok = F.col("idcg") > F.lit(0.0)
+    return folded.select(
+        "n_retrieved",
+        "n_rel_retrieved",
+        "n_rel_total",
+        F.round("dcg", 9).alias("dcg"),
+        F.round("idcg", 9).alias("idcg"),
+        F.when(ok, F.round(F.col("dcg") / F.col("idcg"), 9)).alias("ndcg"),
+    )
+
+
+from f1_lakehouse_spark.pipeline import filtering as _filtering  # noqa: E402, F401
+from f1_lakehouse_spark.registry import REGISTRY as _REG8  # noqa: E402
+
+_REG8["text_bm25_ndcg_eval"].oracle = _NDCG_ORACLE.format(
+    bm25_q=_REG8["text_bm25_retrieval"].oracle,
+    label_q=_REG8["quality_gopher_repetition"].oracle,
+)

@@ -64,6 +64,9 @@ LEAD: tuple[str, ...] = (
     "orders_bass_diffusion",
     "scoring_youden_j_threshold",
     "w_range_interval_frame",
+    "events_hill_tail_index",
+    "text_bm25_ndcg_eval",
+    "scoring_platt_scaling",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"

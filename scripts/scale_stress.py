@@ -110,6 +110,9 @@ QUERIES = [
     "orders_bass_diffusion",
     "scoring_youden_j_threshold",
     "w_range_interval_frame",
+    "events_hill_tail_index",
+    "text_bm25_ndcg_eval",
+    "scoring_platt_scaling",
 ]
 
 

@@ -394,3 +394,121 @@ def test_shared_frame_caches_hit_and_roll_over(spark):
     assert not a.is_cached
     # restore the sf0.001 entry so later tests in this session start clean
     S.hashed_score_frame(spark, SF_DIR)
+
+
+def test_hill_tail_index_matches_python_reference(spark):
+    from f1_lakehouse_spark.operators.round8_stats import (
+        HILL_K,
+        events_hill_tail_index,
+    )
+
+    vals = [
+        (r["value"], r["event_id"])
+        for r in load_table(spark, SF_DIR, "events")
+        .where("event_type = 'purchase' AND value > 0")
+        .select("value", "event_id")
+        .collect()
+    ]
+    vals.sort(key=lambda p: (-p[0], p[1]))
+    top = [v for v, _ in vals[: HILL_K + 1]]
+    rows = events_hill_tail_index(spark, SF_DIR).collect()
+    if len(top) < HILL_K + 1:
+        assert rows == []
+        return
+    xk1 = top[HILL_K]
+    lnsum = sum(math.log(x / xk1) for x in top[:HILL_K])
+    row = rows[0]
+    assert row["x_threshold"] == xk1
+    assert abs(row["sum_log_excess"] - lnsum) < 1e-6
+    assert abs(row["hill_alpha"] - HILL_K / lnsum) < 1e-6
+
+
+def test_bm25_ndcg_matches_python_reference(spark):
+    from f1_lakehouse_spark.pipeline.filtering import quality_gopher_repetition
+    from f1_lakehouse_spark.pipeline.text import (
+        text_bm25_ndcg_eval,
+        text_bm25_retrieval,
+    )
+
+    ranked = {
+        r["rk"]: r["doc_id"] for r in text_bm25_retrieval(spark, SF_DIR).collect()
+    }
+    rel = {
+        r["doc_id"]: int(r["passes_repetition"] or 0)
+        for r in quality_gopher_repetition(spark, SF_DIR).collect()
+    }
+    n_rel_total = sum(rel.values())
+    dcg = sum(rel.get(ranked[rk], 0) / math.log2(rk + 1) for rk in sorted(ranked))
+    idcg = sum(
+        1.0 / math.log2(i + 1)
+        for i in range(1, min(len(ranked), n_rel_total) + 1)
+    )
+    row = text_bm25_ndcg_eval(spark, SF_DIR).collect()[0]
+    assert row["n_retrieved"] == len(ranked)
+    assert row["n_rel_total"] == n_rel_total
+    assert abs(row["dcg"] - dcg) < 1e-6
+    assert abs(row["idcg"] - idcg) < 1e-6
+    assert abs(row["ndcg"] - dcg / idcg) < 1e-6
+    assert 0.0 <= row["ndcg"] <= 1.0
+
+
+def test_platt_scaling_matches_python_newton(spark):
+    from f1_lakehouse_spark.pipeline.filtering import quality_gopher_repetition
+    from f1_lakehouse_spark.pipeline.scoring import (
+        _ISO_BINS,
+        _PLATT_ITERS,
+        _PLATT_RIDGE,
+        scoring_hashed_linear_quality,
+        scoring_platt_scaling,
+    )
+
+    s = {
+        r["doc_id"]: r["score_sum"]
+        for r in scoring_hashed_linear_quality(spark, SF_DIR).collect()
+    }
+    y = {
+        r["doc_id"]: int(r["passes_repetition"])
+        for r in quality_gopher_repetition(spark, SF_DIR).collect()
+    }
+    pairs = [(s[d], y[d]) for d in s if d in y]
+    mn, mx = min(p for p, _ in pairs), max(p for p, _ in pairs)
+    bins: dict[int, list[int]] = {}
+    for sc, lbl in pairs:
+        b = (sc - mn) * _ISO_BINS // (mx - mn + 1)
+        cell = bins.setdefault(b, [0, 0])
+        cell[0] += 1
+        cell[1] += lbl
+    pts = [
+        ((b + 0.5) / _ISO_BINS, float(pos), float(n - pos))
+        for b, (n, pos) in sorted(bins.items())
+    ]
+    n_pos = sum(int(p) for _, p, _ in pts)
+    n_neg = sum(int(q) for _, _, q in pts)
+    tpos = (n_pos + 1.0) / (n_pos + 2.0)
+    tneg = 1.0 / (n_neg + 2.0)
+    a_c, b_c = 0.0, math.log((n_pos + 1.0) / (n_neg + 1.0))
+    for _ in range(_PLATT_ITERS):
+        g1 = g2 = h11 = h12 = h22 = 0.0
+        for x, npb, nnb in pts:
+            p = 1.0 / (1.0 + math.exp(-(a_c * x + b_c)))
+            d = npb * (p - tpos) + nnb * (p - tneg)
+            w = (npb + nnb) * p * (1.0 - p)
+            g1 += x * d
+            g2 += d
+            h11 += x * x * w
+            h12 += x * w
+            h22 += w
+        h11 += _PLATT_RIDGE
+        h22 += _PLATT_RIDGE
+        det = h11 * h22 - h12 * h12
+        a_c, b_c = a_c - (h22 * g1 - h12 * g2) / det, b_c - (
+            h11 * g2 - h12 * g1
+        ) / det
+    row = scoring_platt_scaling(spark, SF_DIR).collect()[0]
+    assert (row["n_pos"], row["n_neg"]) == (n_pos, n_neg)
+    assert abs(row["a_coef"] - a_c) < 1e-6
+    assert abs(row["b_coef"] - b_c) < 1e-6
+    p_mid = 1.0 / (1.0 + math.exp(-(a_c * 0.5 + b_c)))
+    assert abs(row["p_mid"] - p_mid) < 1e-6
+    # a well-posed fit: mid-score probability is a genuine probability
+    assert 0.0 < row["p_mid"] < 1.0
