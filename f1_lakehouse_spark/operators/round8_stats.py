@@ -562,3 +562,143 @@ def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tail_gamma"
         ),
     )
+
+
+# --- Weibull quantile fit of fulfillment durations -----------------------------------
+# Reliability-engineering readout: fit Weibull(k, lambda) to order
+# fulfillment durations by the two-quantile estimator
+#     k = [ln(-ln(0.25)) - ln(-ln(0.75))] / [ln(x75) - ln(x25)]
+#     lambda = x50 / (ln 2)^(1/k)
+# (linearized CDF through the exact 25/50/75th order statistics). The
+# durations are CALENDAR-BOUNDED integers (days), so the exact quantiles
+# come from a bounded duration histogram folded once with a DOUBLE-list
+# accumulator [cum, q25, q50, q75] (the Holt-pattern state list) — no
+# global sort, no prefix machinery needed. The only transcendentals are
+# the final ln/exp chain on exact integer-valued doubles, with every
+# literal CAST AS DOUBLE in the oracle (DuckDB decimal-literal trap).
+
+_WEIB_FOLD_INIT = "[CAST(0.0 AS DOUBLE), -1.0, -1.0, -1.0]"
+
+
+@register(
+    "orders_weibull_quantile_fit",
+    oracle=f"""
+WITH dur AS (
+  SELECT o.o_orderkey,
+         CAST(date_diff('day', o.o_orderdate, MAX(l.l_shipdate)) + 1 AS BIGINT) AS d
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt FROM dur GROUP BY 1),
+packed AS (
+  SELECT list(struct_pack(d := d, cnt := cnt) ORDER BY d) AS a,
+         CAST(SUM(cnt) AS BIGINT) AS n
+  FROM hist
+),
+folded AS (
+  SELECT n,
+    list_reduce(
+      list_prepend({_WEIB_FOLD_INIT},
+        list_transform(a, g -> [CAST(g.d AS DOUBLE), CAST(g.cnt AS DOUBLE),
+                                0.0, 0.0])),
+      (acc, e) -> [
+        acc[1] + e[2],
+        CASE WHEN acc[2] >= CAST(0.0 AS DOUBLE) THEN acc[2]
+             WHEN acc[1] + e[2] >= CAST((n + 3) // 4 AS DOUBLE) THEN e[1]
+             ELSE -1.0 END,
+        CASE WHEN acc[3] >= CAST(0.0 AS DOUBLE) THEN acc[3]
+             WHEN acc[1] + e[2] >= CAST((n + 1) // 2 AS DOUBLE) THEN e[1]
+             ELSE -1.0 END,
+        CASE WHEN acc[4] >= CAST(0.0 AS DOUBLE) THEN acc[4]
+             WHEN acc[1] + e[2] >= CAST((3 * n + 3) // 4 AS DOUBLE) THEN e[1]
+             ELSE -1.0 END]
+    ) AS st
+  FROM packed
+),
+qs AS (
+  SELECT n, st[2] AS x25, st[3] AS x50, st[4] AS x75 FROM folded
+),
+fit AS (
+  SELECT n, x25, x50, x75,
+         CASE WHEN x75 > x25 AND x25 > CAST(0.0 AS DOUBLE)
+              THEN (ln(-ln(CAST(0.25 AS DOUBLE))) - ln(-ln(CAST(0.75 AS DOUBLE))))
+                   / (ln(x75) - ln(x25)) END AS k
+  FROM qs
+)
+SELECT n AS n_orders,
+       CAST(x25 AS BIGINT) AS q25_days,
+       CAST(x50 AS BIGINT) AS q50_days,
+       CAST(x75 AS BIGINT) AS q75_days,
+       round(k, 9) AS weibull_k,
+       CASE WHEN k IS NOT NULL AND k <> CAST(0.0 AS DOUBLE)
+            THEN round(x50 / exp(ln(ln(CAST(2.0 AS DOUBLE))) / k), 9)
+            END AS weibull_lambda
+FROM fit
+""",
+    doc="Weibull(k, lambda) fit of order fulfillment durations via the "
+    "two-quantile linearized-CDF estimator over EXACT 25/50/75th order "
+    "statistics — calendar-bounded duration histogram folded once with a "
+    "DOUBLE-list accumulator, no global sort; single-row output",
+    tags=("stats", "reliability", "survival"),
+)
+def orders_weibull_quantile_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dur = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(o["o_orderkey"], o["o_orderdate"])
+        .agg(F.max("l_shipdate").alias("ship"))
+        .select(
+            (F.datediff(F.col("ship"), F.col("o_orderdate")) + 1)
+            .cast("long")
+            .alias("d")
+        )
+    )
+    hist = dur.groupBy("d").agg(F.count("*").cast("long").alias("cnt"))
+    packed = hist.agg(
+        F.sort_array(F.collect_list(F.struct("d", "cnt"))).alias("a"),
+        F.sum("cnt").cast("long").alias("n"),
+    )
+    k25 = F.expr("(n + 3) div 4").cast("double")
+    k50 = F.expr("(n + 1) div 2").cast("double")
+    k75 = F.expr("(3 * n + 3) div 4").cast("double")
+
+    def merge(acc, e):
+        cum = F.element_at(acc, 1) + e["cnt"].cast("double")
+
+        def pick(slot, k_thr):
+            prev = F.element_at(acc, slot)
+            return F.when(prev >= F.lit(0.0), prev).otherwise(
+                F.when(cum >= k_thr, e["d"].cast("double")).otherwise(F.lit(-1.0))
+            )
+
+        return F.array(cum, pick(2, k25), pick(3, k50), pick(4, k75))
+
+    init = F.array(F.lit(0.0), F.lit(-1.0), F.lit(-1.0), F.lit(-1.0))
+    st = F.aggregate("a", init, merge)
+    qs = packed.select(
+        "n",
+        F.element_at(st, 2).alias("x25"),
+        F.element_at(st, 3).alias("x50"),
+        F.element_at(st, 4).alias("x75"),
+    )
+    y_hi = F.log(-F.log(F.lit(0.25)))
+    y_lo = F.log(-F.log(F.lit(0.75)))
+    x25, x50, x75 = F.col("x25"), F.col("x50"), F.col("x75")
+    k = F.when(
+        (x75 > x25) & (x25 > F.lit(0.0)),
+        (y_hi - y_lo) / (F.log(x75) - F.log(x25)),
+    )
+    fit = qs.select("n", "x25", "x50", "x75", k.alias("k"))
+    kk = F.col("k")
+    return fit.select(
+        F.col("n").alias("n_orders"),
+        x25.cast("long").alias("q25_days"),
+        x50.cast("long").alias("q50_days"),
+        x75.cast("long").alias("q75_days"),
+        F.round(kk, 9).alias("weibull_k"),
+        F.when(
+            kk.isNotNull() & (kk != F.lit(0.0)),
+            F.round(x50 / F.exp(F.log(F.log(F.lit(2.0))) / kk), 9),
+        ).alias("weibull_lambda"),
+    )

@@ -2628,3 +2628,126 @@ _REG8["text_bm25_ndcg_eval"].oracle = _NDCG_ORACLE.format(
     bm25_q=_REG8["text_bm25_retrieval"].oracle,
     label_q=_REG8["quality_gopher_repetition"].oracle,
 )
+
+
+# --- macro-F1 of the language-ID classifier ------------------------------------------
+# The standard multi-class evaluation readout for the profile classifier:
+# per-class precision / recall / F1 from the confusion matrix, with the
+# macro average carried on every row. All integer-ratio doubles (exact
+# cross-engine); 0/0 cells pin to 0.0 explicitly — DuckDB yields NULL and
+# Spark NaN on double zero-division, so the guard IS the contract (the
+# CLAUDE.md denominator rule).
+
+_MACRO_F1_ORACLE = """
+WITH conf AS ({conf_q}),
+per_true AS (
+  SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS support,
+         CAST(SUM(CASE WHEN predicted_lang = lang THEN n_docs ELSE 0 END) AS BIGINT)
+           AS tp
+  FROM conf GROUP BY 1
+),
+per_pred AS (
+  SELECT predicted_lang AS lang, CAST(SUM(n_docs) AS BIGINT) AS pred_n
+  FROM conf GROUP BY 1
+),
+cells AS (
+  SELECT t.lang, t.support, t.tp, COALESCE(p.pred_n, 0) AS pred_n,
+         CASE WHEN COALESCE(p.pred_n, 0) > 0
+              THEN CAST(t.tp AS DOUBLE) / CAST(p.pred_n AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS precision,
+         CASE WHEN t.support > 0
+              THEN CAST(t.tp AS DOUBLE) / CAST(t.support AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS recall
+  FROM per_true t LEFT JOIN per_pred p USING (lang)
+),
+scored AS (
+  SELECT lang, support, tp, pred_n, precision, recall,
+         CASE WHEN precision + recall > CAST(0.0 AS DOUBLE)
+              THEN 2.0 * precision * recall / (precision + recall)
+              ELSE CAST(0.0 AS DOUBLE) END AS f1
+  FROM cells
+),
+macro AS (SELECT AVG(f1) AS macro_f1 FROM scored)
+SELECT s.lang, s.support, s.tp, s.pred_n,
+       round(s.precision, 9) AS precision,
+       round(s.recall, 9) AS recall,
+       round(s.f1, 9) AS f1,
+       round(m.macro_f1, 9) AS macro_f1
+FROM scored s CROSS JOIN macro m
+"""
+
+
+@register(
+    "text_lang_id_macro_f1",
+    oracle=None,  # composed below
+    doc="per-class precision/recall/F1 + macro-F1 of the profile "
+    "language-ID classifier from its confusion matrix — integer-ratio "
+    "doubles, 0/0 cells pinned to 0.0 in both engines; the confusion "
+    "frame pins once (|langs|^2 rows) and serves all three aggregates",
+    tags=("pipeline", "text", "langid", "eval"),
+)
+def text_lang_id_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    conf = pin_small_result(text_lang_id_confusion(spark, sf_dir), 64)
+    per_true = conf.groupBy("lang").agg(
+        F.sum("n_docs").cast("long").alias("support"),
+        F.sum(
+            F.when(F.col("predicted_lang") == F.col("lang"), F.col("n_docs")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("tp"),
+    )
+    per_pred = conf.groupBy(F.col("predicted_lang").alias("lang")).agg(
+        F.sum("n_docs").cast("long").alias("pred_n")
+    )
+    cells = per_true.join(per_pred, "lang", "left").select(
+        "lang",
+        "support",
+        "tp",
+        F.coalesce(F.col("pred_n"), F.lit(0)).alias("pred_n"),
+        F.when(
+            F.coalesce(F.col("pred_n"), F.lit(0)) > 0,
+            F.col("tp").cast("double") / F.col("pred_n").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("precision"),
+        F.when(
+            F.col("support") > 0,
+            F.col("tp").cast("double") / F.col("support").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall"),
+    )
+    pr = F.col("precision") + F.col("recall")
+    scored = cells.select(
+        "lang",
+        "support",
+        "tp",
+        "pred_n",
+        "precision",
+        "recall",
+        F.when(
+            pr > F.lit(0.0),
+            F.lit(2.0) * F.col("precision") * F.col("recall") / pr,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("f1"),
+    )
+    scored = pin_small_result(scored, 8)  # one row per language
+    macro = scored.agg(F.avg("f1").alias("macro_f1"))
+    return scored.crossJoin(F.broadcast(macro)).select(
+        "lang",
+        "support",
+        "tp",
+        "pred_n",
+        F.round("precision", 9).alias("precision"),
+        F.round("recall", 9).alias("recall"),
+        F.round("f1", 9).alias("f1"),
+        F.round("macro_f1", 9).alias("macro_f1"),
+    )
+
+
+_REG8["text_lang_id_macro_f1"].oracle = _MACRO_F1_ORACLE.format(
+    conf_q=_REG8["text_lang_id_confusion"].oracle
+)

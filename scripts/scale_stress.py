@@ -113,6 +113,8 @@ QUERIES = [
     "events_hill_tail_index",
     "text_bm25_ndcg_eval",
     "scoring_platt_scaling",
+    "text_lang_id_macro_f1",
+    "orders_weibull_quantile_fit",
 ]
 
 

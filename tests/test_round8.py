@@ -512,3 +512,72 @@ def test_platt_scaling_matches_python_newton(spark):
     assert abs(row["p_mid"] - p_mid) < 1e-6
     # a well-posed fit: mid-score probability is a genuine probability
     assert 0.0 < row["p_mid"] < 1.0
+
+
+def test_lang_id_macro_f1_matches_python_reference(spark):
+    from f1_lakehouse_spark.pipeline.text import (
+        text_lang_id_confusion,
+        text_lang_id_macro_f1,
+    )
+
+    conf = text_lang_id_confusion(spark, SF_DIR).collect()
+    tp: dict[str, int] = {}
+    support: dict[str, int] = {}
+    pred_n: dict[str, int] = {}
+    for r in conf:
+        support[r["lang"]] = support.get(r["lang"], 0) + r["n_docs"]
+        pred_n[r["predicted_lang"]] = pred_n.get(r["predicted_lang"], 0) + r["n_docs"]
+        if r["lang"] == r["predicted_lang"]:
+            tp[r["lang"]] = tp.get(r["lang"], 0) + r["n_docs"]
+    f1s = {}
+    for lang in support:
+        p = tp.get(lang, 0) / pred_n[lang] if pred_n.get(lang) else 0.0
+        rcl = tp.get(lang, 0) / support[lang]
+        f1s[lang] = 2 * p * rcl / (p + rcl) if p + rcl > 0 else 0.0
+    macro = sum(f1s.values()) / len(f1s)
+    rows = {r["lang"]: r for r in text_lang_id_macro_f1(spark, SF_DIR).collect()}
+    assert set(rows) == set(support)
+    for lang, r in rows.items():
+        assert r["support"] == support[lang]
+        assert r["tp"] == tp.get(lang, 0)
+        assert abs(r["f1"] - f1s[lang]) < 1e-6
+        assert abs(r["macro_f1"] - macro) < 1e-6
+
+
+def test_weibull_fit_matches_python_reference(spark):
+    from f1_lakehouse_spark.operators.round8_stats import (
+        orders_weibull_quantile_fit,
+    )
+
+    o = {
+        r["o_orderkey"]: r["o_orderdate"]
+        for r in load_table(spark, SF_DIR, "orders").collect()
+    }
+    ship: dict[int, object] = {}
+    for r in load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).collect():
+        k = r["l_orderkey"]
+        if k not in ship or r["l_shipdate"] > ship[k]:
+            ship[k] = r["l_shipdate"]
+    durs = sorted(
+        (ship[k].date() - o[k].date()).days + 1 for k in ship if k in o
+    )
+    n = len(durs)
+
+    def q(kth):  # kth = 1-based target rank, percentile_disc semantics
+        return durs[kth - 1]
+
+    x25, x50, x75 = q((n + 3) // 4), q((n + 1) // 2), q((3 * n + 3) // 4)
+    row = orders_weibull_quantile_fit(spark, SF_DIR).collect()[0]
+    assert row["n_orders"] == n
+    assert (row["q25_days"], row["q50_days"], row["q75_days"]) == (x25, x50, x75)
+    if x75 > x25 > 0:
+        k = (math.log(-math.log(0.25)) - math.log(-math.log(0.75))) / (
+            math.log(x75) - math.log(x25)
+        )
+        lam = x50 / math.exp(math.log(math.log(2.0)) / k)
+        assert abs(row["weibull_k"] - k) < 1e-6
+        assert abs(row["weibull_lambda"] - lam) < 1e-6
+        # a shape estimate from genuine durations is positive
+        assert row["weibull_k"] > 0
