@@ -539,8 +539,13 @@ def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     xs = F.transform("ordered", lambda g: -g["nv"])
     packed = packed.select(xs.alias("xs"), "m").where(F.col("m") == HILL_K + 1)
     xk1 = F.element_at("xs", HILL_K + 1)
-    # single-arg lambda, closure capture — a default arg would make this
-    # the two-arg (value, index) form and hand xk1 the ELEMENT INDEX
+    # element_at over the unmaterialized xs transform inside the fold is
+    # the sanctioned CONSTANT-BOUNDED exception (CLAUDE.md): xs is exactly
+    # HILL_K+1 = 201 elements by the m filter, so CollapseProject's
+    # re-evaluation is a fixed ~200x201 of cheap negations — document it
+    # here so a future HILL_K raise re-audits this site.
+    # Also: single-arg lambda, closure capture — a default arg would make
+    # this the two-arg (value, index) form and hand xk1 the ELEMENT INDEX
     # (the CLAUDE.md arity trap)
     lnsum = F.aggregate(
         F.transform(F.slice("xs", 1, HILL_K), lambda x: F.log(x / xk1)),

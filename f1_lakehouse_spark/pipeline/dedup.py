@@ -405,8 +405,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hit
     for old_key in list(_MH_PAIRS_CACHE):
         _MH_PAIRS_CACHE.pop(old_key).unpersist()
-    pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents")).persist()
-    pairs.count()
+    pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    # minhash_lsh_pairs persists+materializes internally; only add our own
+    # persist if a future refactor drops that, so the rollover unpersist
+    # above always releases the frame this cache actually pinned
+    if not pairs.is_cached:
+        pairs = pairs.persist()
+        pairs.count()
     _MH_PAIRS_CACHE[key] = pairs
     return pairs
 
@@ -699,7 +704,13 @@ def connected_components(
     # collect; distributed path: the edges union) — without the cache the
     # whole candidate-generation pipeline re-runs per materialization
     # (measured at 10x: dedup_clusters 32 s, ~2x the pipeline cost).
-    pairs = pairs.persist()
+    # BORROWED frames (already persisted by a caller — e.g. the
+    # _MH_PAIRS_CACHE shared entry) must NOT be unpersisted here: that
+    # would silently turn the session cache cold for every later consumer
+    # (the shared-frame rule: never unpersist inside a query fn).
+    borrowed = pairs.is_cached
+    if not borrowed:
+        pairs = pairs.persist()
     n_pairs = pairs.count()
     try:
         if n_pairs <= driver_threshold:
@@ -709,7 +720,8 @@ def connected_components(
         out.count()  # materialize through the cached pairs before release
         return out
     finally:
-        pairs.unpersist()
+        if not borrowed:
+            pairs.unpersist()
 
 
 def _union_find_driver(pairs: DataFrame) -> DataFrame:

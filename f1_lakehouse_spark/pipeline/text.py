@@ -2570,9 +2570,15 @@ def text_bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ranked = text_bm25_retrieval(spark, sf_dir).select("doc_id", "rk")
-    labels = quality_gopher_repetition(spark, sf_dir).select(
-        "doc_id", "passes_repetition"
+    # persist: the corpus-scale gopher pipeline feeds BOTH the relevance
+    # join and the total-relevant aggregate (Spark does not dedupe common
+    # subplans — without this the gate computes twice per materialization)
+    labels = (
+        quality_gopher_repetition(spark, sf_dir)
+        .select("doc_id", "passes_repetition")
+        .persist()
     )
+    labels.count()
     rels = ranked.join(labels, "doc_id", "left").select(
         "rk",
         F.coalesce(F.col("passes_repetition"), F.lit(0)).cast("long").alias("rel"),
@@ -2592,17 +2598,21 @@ def text_bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda x, y: x + y,
     )
-    idcg = F.aggregate(
-        F.transform(
-            F.sequence(
-                F.lit(1),
-                F.least(F.col("n_retrieved"), F.col("n_rel_total")).cast("int"),
+    # guard the would-be-empty range: Spark sequence(1, 0) yields the
+    # DESCENDING [1, 0] (the CLAUDE.md trap), whose i=0 term divides by
+    # log2(1)=0 — while DuckDB's generate_series(1, 0) is empty
+    idcg_bound = F.least(F.col("n_retrieved"), F.col("n_rel_total")).cast("int")
+    idcg = F.when(
+        idcg_bound >= 1,
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), idcg_bound),
+                lambda i: F.lit(1.0) / F.log2((i + 1).cast("double")),
             ),
-            lambda i: F.lit(1.0) / F.log2((i + 1).cast("double")),
+            F.lit(0.0),
+            lambda x, y: x + y,
         ),
-        F.lit(0.0),
-        lambda x, y: x + y,
-    )
+    ).otherwise(F.lit(0.0))
     folded = packed.crossJoin(F.broadcast(tot)).select(
         "n_retrieved",
         "n_rel_retrieved",
@@ -2611,7 +2621,7 @@ def text_bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         idcg.alias("idcg"),
     )
     ok = F.col("idcg") > F.lit(0.0)
-    return folded.select(
+    out = folded.select(
         "n_retrieved",
         "n_rel_retrieved",
         "n_rel_total",
@@ -2619,6 +2629,9 @@ def text_bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("idcg", 9).alias("idcg"),
         F.when(ok, F.round(F.col("dcg") / F.col("idcg"), 9)).alias("ndcg"),
     )
+    out = pin_small_result(out, 1)  # materialize, then release the labels
+    labels.unpersist()
+    return out
 
 
 from f1_lakehouse_spark.pipeline import filtering as _filtering  # noqa: E402, F401
@@ -2667,7 +2680,12 @@ scored AS (
               ELSE CAST(0.0 AS DOUBLE) END AS f1
   FROM cells
 ),
-macro AS (SELECT AVG(f1) AS macro_f1 FROM scored)
+macro AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(list(f1 ORDER BY lang), v -> v)), (x, y) -> x + y)
+         / CAST(COUNT(*) AS DOUBLE) AS macro_f1
+  FROM scored
+)
 SELECT s.lang, s.support, s.tp, s.pred_n,
        round(s.precision, 9) AS precision,
        round(s.recall, 9) AS recall,
@@ -2735,7 +2753,24 @@ def text_lang_id_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("f1"),
     )
     scored = pin_small_result(scored, 8)  # one row per language
-    macro = scored.agg(F.avg("f1").alias("macro_f1"))
+    # macro average as a LANG-ORDERED fold, not AVG: a cross-row float
+    # AVG associates in partition order — the determinism contract wants
+    # left folds over explicitly sorted arrays
+    macro = scored.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("lang").alias("lg"), F.col("f1")))
+        ).alias("fa"),
+        F.count("*").cast("double").alias("nc"),
+    ).select(
+        (
+            F.aggregate(
+                F.transform("fa", lambda g: g["f1"]),
+                F.lit(0.0),
+                lambda x, y: x + y,
+            )
+            / F.col("nc")
+        ).alias("macro_f1")
+    )
     return scored.crossJoin(F.broadcast(macro)).select(
         "lang",
         "support",

@@ -230,7 +230,7 @@ def test_newsvendor_matches_python_order_statistic(spark):
 
 
 def test_price_elasticity_matches_pure_python_ols(spark):
-    from decimal import Decimal
+    from decimal import ROUND_HALF_UP, Decimal
 
     from f1_lakehouse_spark.operators.round8_stats import (
         ELASTICITY_BUCKET_WIDTH,
@@ -245,13 +245,21 @@ def test_price_elasticity_matches_pure_python_ols(spark):
         b = int(math.floor(r["l_extendedprice"] / ELASTICITY_BUCKET_WIDTH))
         cell = cells.setdefault((r["l_returnflag"], b), [0, Decimal(0), Decimal(0)])
         cell[0] += 1
-        # mirror the engine casts: quantity at scale 3, price at scale 2
-        cell[1] += Decimal(f"{r['l_quantity']:.3f}")
-        cell[2] += Decimal(f"{r['l_extendedprice']:.2f}")
+        # mirror the engine casts: quantity at scale 3, price at scale 2.
+        # Python's default str-format/quantize rounding is HALF_EVEN —
+        # the engines round HALF_UP, so be explicit everywhere a .5 can
+        # land (shortest-repr doubles of 2/3-decimal values quantize
+        # exactly, but the final scale-0 rounding genuinely differs)
+        cell[1] += Decimal(repr(r["l_quantity"])).quantize(
+            Decimal("0.001"), rounding=ROUND_HALF_UP
+        )
+        cell[2] += Decimal(repr(r["l_extendedprice"])).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP
+        )
     byflag: dict[str, list[tuple[int, int, int, int]]] = {}
     for (flag, b), (cn, sq, sp) in cells.items():
-        q0 = int(sq.quantize(Decimal(1)))
-        p0 = int(sp.quantize(Decimal(1)))
+        q0 = int(sq.quantize(Decimal(1), rounding=ROUND_HALF_UP))
+        p0 = int(sp.quantize(Decimal(1), rounding=ROUND_HALF_UP))
         byflag.setdefault(flag, []).append((b, cn, q0, p0))
     got = {
         r["l_returnflag"]: r for r in lineitem_price_elasticity(spark, SF_DIR).collect()
@@ -385,6 +393,10 @@ def test_shared_frame_caches_hit_and_roll_over(spark):
     assert D.shingle_keys_frame(spark, SF_DIR) is b
     c = D.dedup_minhash_lsh(spark, SF_DIR)
     assert D.dedup_minhash_lsh(spark, SF_DIR) is c
+    # consumers must not turn the shared entry cold: connected_components
+    # once unpersisted the borrowed cached pair frame in its finally block
+    D.dedup_clusters(spark, SF_DIR).count()
+    assert c.is_cached, "a consumer unpersisted the shared cache entry"
     # roll-over: a different input evicts the old entry (single-entry cache)
     other = "/root/testdata/sf0.01"
     d2 = S.hashed_score_frame(spark, other)
