@@ -11,7 +11,26 @@ re-run A/B against the previous round's code in the SAME warm process —
 warm A/B is the diagnostic; the calibration ratio (jvm_sum / scan) alone
 UNDER-explains VM drift, so a calib-normalized comparison can still chase
 phantom regressions. An idle-VM re-run resolved r7's 424 s -> 252 s
-full-suite artifact."""
+full-suite artifact.
+
+Cache-dependent per-query times (r8 shared-cache roster, CLAUDE.md): these
+HEADLINE queries' individual numbers depend on SUITE ORDER because an
+earlier query may have warmed a shared (session, sf_dir) cache — read
+their per-query movers against that, not as algorithmic changes (the
+suite TOTAL is always honest):
+
+  query                 warmed by / shared frame
+  --------------------  -------------------------------------------------
+  dedup_minhash_verified pays the warming cost for the pair-list +
+                         shingle caches the queries below reuse
+  dedup_minhash_lsh      MinHash candidate pair list (_MH_PAIRS_CACHE)
+  dedup_clusters         same pair list
+  dedup_ngram_jaccard    distinct-shingles frame (_SHINGLE_CACHE)
+
+In the FULL suite the trigram/hashed-score/survivors caches make the
+text_lm_surprisal, quality_perplexity_buckets, scoring, and bias-audit
+families order-dependent the same way (SCALE.md "cache roster").
+"""
 
 from __future__ import annotations
 

@@ -24,6 +24,7 @@ import tempfile
 from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from f1_lakehouse_spark.pinning import pin_small_result
 from f1_lakehouse_spark.pipeline.hashing import sql_md5_hash48, sql_salted_hash
@@ -41,10 +42,17 @@ _NULL_SENTINEL_SQL = "chr(0) || '<NULL>'"
 
 @register(
     "incremental_gold_refresh_roundtrip",
+    # r8 driver red (hash_match only; emulator + vanilla local[32] both
+    # MATCH): harden the result encoding against hash-canonicalization —
+    # the published DECIMAL(38,9) stays internal, the RESULT re-encodes it
+    # as a scale-3-rescaled DOUBLE (CLAUDE.md decimal->double trap 3: the
+    # scale-3 unscaled int is < 2^53, so the conversion is one exact
+    # int->double in both engines; round(), not CAST, because DuckDB's
+    # decimal rescale CAST truncates while Spark's rounds HALF_UP).
     oracle="""
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(28,9))) AS total_value
+       CAST(round(SUM(CAST(value AS DECIMAL(28,9))), 3) AS DOUBLE) AS total_value
 FROM events
 GROUP BY event_type
 """,
@@ -76,18 +84,33 @@ def incremental_gold_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> Data
         # recovered stream must publish nothing new and keep the pointer
         # consistent (the crash-replay no-op path)
         incremental_gold_refresh(spark, src, gold, ckpt, glob=glob)
-        out = read_gold(spark, gold).select("event_type", "n_events", "total_value")
+        out = read_gold(spark, gold).select(
+            "event_type",
+            "n_events",
+            F.round("total_value", 3).cast("double").alias("total_value"),
+        )
         # pin BEFORE the tempdir vanishes; event-type taxonomy bound
         return pin_small_result(out, EVENT_TYPE_MAX)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
 
+# the manifest checksum is an unbounded decimal SUM of 48-bit row hashes;
+# the RESULT re-encodes it mod 2^62 as BIGINT (still detects any dropped/
+# corrupt/mis-sharded row with probability 1 - 2^-62) so the driver never
+# hashes a decimal(38,0)/HUGEINT-adjacent physical value (r8 red-row
+# hardening; likewise `verified` ships as INT 0/1, not BOOLEAN)
+CHECKSUM_MOD = 1 << 62
+
+
 def _shard_oracle() -> str:
     """DuckDB twin of sources/shards.py's row-hash/shard/checksum pipeline:
     shard = salted md5 hash of the key mod SHARD_N; checksum = exact
     decimal SUM of the per-row 48-bit md5 hash over the sorted column
-    list (NULLs sentinel-encoded exactly like ``shards._row_hash``)."""
+    list (NULLs sentinel-encoded exactly like ``shards._row_hash``),
+    reduced mod 2^62 to BIGINT for the driver-facing encoding. The mod is
+    taken on a HUGEINT intermediate (exact at any magnitude); only the
+    post-mod BIGINT escapes the query."""
     row = " , ".join(
         f"COALESCE(CAST({c} AS VARCHAR), {_NULL_SENTINEL_SQL})" for c in _SHARD_COLS
     )
@@ -101,8 +124,8 @@ WITH hashed AS (
 )
 SELECT shard,
        COUNT(*) AS n_rows,
-       SUM(h) AS checksum,
-       TRUE AS verified
+       CAST(CAST(SUM(h) AS HUGEINT) % {CHECKSUM_MOD} AS BIGINT) AS checksum,
+       CAST(1 AS INTEGER) AS verified
 FROM hashed
 GROUP BY shard
 """
@@ -133,13 +156,475 @@ def training_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         manifest = write_training_shards(docs, out, key_col="doc_id", n_shards=SHARD_N)
         report = verify_training_shards(spark, out)
         rows = [
-            (int(sid), int(m["n_rows"]), Decimal(m["checksum"]), bool(report["ok"]))
+            (
+                int(sid),
+                int(m["n_rows"]),
+                int(Decimal(m["checksum"]) % CHECKSUM_MOD),
+                int(bool(report["ok"])),
+            )
             for sid, m in sorted(manifest["shards"].items(), key=lambda kv: int(kv[0]))
         ]
         # model-sized LocalRelation (n_shards rows) straight from the
-        # manifest the writer derived from the written files
+        # manifest the writer derived from the written files; checksum is
+        # the manifest's exact decimal sum reduced mod 2^62 (see
+        # CHECKSUM_MOD note) so the driver-facing row is all int/bigint
         return spark.createDataFrame(
-            rows, "shard int, n_rows long, checksum decimal(38,0), verified boolean"
+            rows, "shard int, n_rows long, checksum long, verified int"
         )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# user_id is entity-bounded but data-derived; the silver result groups by
+# event_type, so the same taxonomy ceiling applies
+_SILVER_ORACLE = """
+WITH latest AS (
+    SELECT user_id, event_type, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_users,
+       CAST(round(SUM(CAST(value AS DECIMAL(28,9))), 3) AS DOUBLE) AS total_value
+FROM latest
+WHERE rn = 1
+GROUP BY event_type
+"""
+
+# how many files the events backlog is split into before streaming: with
+# maxFilesPerTrigger=1 this forces that many micro-batches, so a user's
+# rows land in DIFFERENT batches and the merge's UPDATE path genuinely runs
+# (a single-batch run would only ever exercise INSERT)
+_SILVER_SPLIT_FILES = 4
+
+
+@register(
+    "incremental_silver_merge_roundtrip",
+    oracle=_SILVER_ORACLE,
+    doc="UPDATE-capable incremental silver certified end-to-end: split the "
+    "events backlog into files, stream it with maxFilesPerTrigger=1 so the "
+    "latest-wins MERGE crosses micro-batch boundaries (real UPDATEs, not "
+    "just INSERTs), RESTART with no new data (checkpoint recovery must "
+    "no-op), read the published version back through the _CURRENT pointer "
+    "and aggregate latest-event-per-user by event_type. The oracle computes "
+    "latest-per-user directly from the source, so an append-only silver, a "
+    "lost update, a replay double-apply, or batch-split dependence all "
+    "surface as a driver mismatch.",
+    tags=("streaming", "lifecycle"),
+)
+def incremental_silver_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.streaming.ingest import (  # noqa: PLC0415
+        incremental_silver_merge,
+        read_gold,
+    )
+
+    base = tempfile.mkdtemp(prefix="f1ls_silver_merge_")
+    src, silver, ckpt = (os.path.join(base, d) for d in ("src", "silver", "ckpt"))
+    try:
+        # split the backlog so each user's events span several files (round-
+        # robin repartition); ts stays normalized because load_table did it
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        ).repartition(_SILVER_SPLIT_FILES).write.parquet(src)
+        incremental_silver_merge(
+            spark, src, silver, ckpt, glob="*.parquet", max_files_per_trigger=1
+        )
+        # restart against the same checkpoint with no new files: recovery
+        # must publish nothing new (the crash-replay no-op path)
+        incremental_silver_merge(
+            spark, src, silver, ckpt, glob="*.parquet", max_files_per_trigger=1
+        )
+        out = (
+            read_gold(spark, silver)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_users"),
+                F.round(F.sum(F.col("value").cast("decimal(28,9)")), 3)
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+        return pin_small_result(out, EVENT_TYPE_MAX)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# stable-cast columns only (bigint + varchar): doubles and timestamps are
+# covered by dedicated aggregate columns instead of the row hash, because
+# double->string and timestamp->string renderings are not contractually
+# identical across engines
+_ORDERS_HASH_COLS = ["o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"]
+_ZORDER_FILES = 8
+ORDERSTATUS_MAX = 8  # o_orderstatus is a 1-char taxonomy (TPC-H: O/F/P)
+
+
+def _compaction_oracle() -> str:
+    """Content twin of the compaction/z-order round-trip: the per-status
+    count, the mod-2^62 key checksum over the stable columns, the decimal-
+    exact total price, and the epoch-day span — recomputed straight from
+    the source table, so ANY row lost, duplicated, or corrupted by the
+    small-file write -> compact -> z-order rewrite chain mismatches."""
+    row = " , ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), {_NULL_SENTINEL_SQL})"
+        for c in _ORDERS_HASH_COLS
+    )
+    row_hash = sql_md5_hash48(f"concat_ws(chr(31), {row})")
+    return f"""
+WITH hashed AS (
+    SELECT o_orderstatus,
+           CAST({row_hash} AS DECIMAL(38,0)) AS h,
+           CAST(o_totalprice AS DECIMAL(28,9)) AS price,
+           CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dday
+    FROM orders
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(CAST(SUM(h) AS HUGEINT) % {CHECKSUM_MOD} AS BIGINT) AS key_checksum,
+       CAST(round(SUM(price), 3) AS DOUBLE) AS total_price,
+       MIN(dday) AS min_day,
+       MAX(dday) AS max_day
+FROM hashed
+GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "compaction_zorder_roundtrip",
+    oracle=_compaction_oracle(),
+    doc="Physical-layout maintenance certified end-to-end: write orders as "
+    "a many-small-files directory (simulated streaming ingest), run "
+    "compact_parquet (bin-pack rewrite + atomic swap), z-order the "
+    "compacted table by (o_custkey, o_totalprice), read it back, ASSERT "
+    "the layout properties Spark-side (file count matches the compaction "
+    "plan; per-file o_custkey spans are materially narrower than random "
+    "placement — the min/max-skipping property z-order exists for), and "
+    "return per-status content checksums the oracle recomputes from the "
+    "source. Content errors surface as a driver mismatch; layout errors "
+    "as a loud AssertionError (driver err row).",
+    tags=("sink", "layout"),
+)
+def compaction_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.pipeline.hashing import spark_md5_hash48  # noqa: PLC0415
+    from f1_lakehouse_spark.sources.layout import (  # noqa: PLC0415
+        compact_parquet,
+        write_zordered,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="f1ls_layout_")
+    small, zdir = os.path.join(base, "small"), os.path.join(base, "zorder")
+    try:
+        # 1. simulate small-file ingest (round-robin: every file spans the
+        #    full key range, the layout z-order must then fix)
+        orders.repartition(16).write.parquet(small)
+        # 2. compact: the bin-packed rewrite must land exactly the planned
+        #    file count on disk
+        planned = compact_parquet(spark, small, target_file_mb=128)
+        actual = sum(
+            1 for f in os.listdir(small) if f.endswith(".parquet")
+        )
+        assert actual == planned, (
+            f"compact_parquet planned {planned} files, found {actual}"
+        )
+        # 3. z-order the compacted table and audit the clustering
+        compacted = spark.read.parquet(small)
+        write_zordered(
+            compacted, zdir, ["o_custkey", "o_totalprice"], n_files=_ZORDER_FILES
+        )
+        back = spark.read.parquet(zdir)
+        spans = (
+            back.groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("o_custkey").alias("lo"), F.max("o_custkey").alias("hi"))
+            .collect()
+        )
+        g_lo, g_hi = min(r["lo"] for r in spans), max(r["hi"] for r in spans)
+        ratio = sum(r["hi"] - r["lo"] for r in spans) / (
+            len(spans) * max(1, g_hi - g_lo)
+        )
+        # random (round-robin) placement gives ratio ~= 1.0; a 4-bit 2-dim
+        # z-curve split into 8 ranges bounds each file to at most half the
+        # custkey buckets, so a healthy layout sits near 0.5
+        assert ratio < 0.8, (
+            f"z-order clustering audit failed: per-file o_custkey span ratio "
+            f"{ratio:.3f} >= 0.8 over {len(spans)} files — files span the "
+            "whole key range, min/max skipping would prune nothing"
+        )
+        # 4. content certification from the ROUND-TRIPPED files
+        row_hash = spark_md5_hash48(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00<NULL>"))
+                    for c in _ORDERS_HASH_COLS
+                ],
+            )
+        )
+        out = (
+            back.withColumn("h", row_hash.cast("decimal(38,0)"))
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_rows"),
+                (F.sum("h") % F.lit(CHECKSUM_MOD).cast("decimal(38,0)"))
+                .cast("long")
+                .alias("key_checksum"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(28,9)")), 3)
+                .cast("double")
+                .alias("total_price"),
+                F.min(F.unix_date(F.col("o_orderdate").cast("date")))
+                .cast("long")
+                .alias("min_day"),
+                F.max(F.unix_date(F.col("o_orderdate").cast("date")))
+                .cast("long")
+                .alias("max_day"),
+            )
+        )
+        return pin_small_result(out, ORDERSTATUS_MAX)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# fixed epoch boundaries spanning the generated o_orderdate range
+# (1995-01-01 .. 2001-08-01 at every SF): literals, so both engines cut
+# the change batches identically with zero data-dependent state
+_SCD2_EPOCHS = ("1997-01-01 00:00:00", "1999-01-01 00:00:00")
+_PRIORITY_MAX = 16  # o_orderpriority is a 5-value TPC-H taxonomy
+
+_SCD2_ORACLE = f"""
+WITH latest AS (
+    SELECT o_custkey, epoch, o_orderpriority FROM (
+        SELECT o_custkey,
+               CASE WHEN o_orderdate < TIMESTAMP '{_SCD2_EPOCHS[0]}' THEN 1
+                    WHEN o_orderdate < TIMESTAMP '{_SCD2_EPOCHS[1]}' THEN 2
+                    ELSE 3 END AS epoch,
+               o_orderpriority,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey,
+                       CASE WHEN o_orderdate < TIMESTAMP '{_SCD2_EPOCHS[0]}' THEN 1
+                            WHEN o_orderdate < TIMESTAMP '{_SCD2_EPOCHS[1]}' THEN 2
+                            ELSE 3 END
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+),
+versions AS (
+    -- SCD2 semantics: a change batch only opens a new version when the
+    -- tracked value actually differs from the key's open row
+    SELECT o_custkey, epoch, o_orderpriority FROM (
+        SELECT o_custkey, epoch, o_orderpriority,
+               LAG(o_orderpriority) OVER (
+                   PARTITION BY o_custkey ORDER BY epoch
+               ) AS prev
+        FROM latest
+    ) WHERE prev IS NULL OR prev <> o_orderpriority
+),
+flagged AS (
+    SELECT o_orderpriority,
+           CASE WHEN ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY epoch DESC
+           ) = 1 THEN 1 ELSE 0 END AS is_open
+    FROM versions
+)
+SELECT o_orderpriority,
+       CAST(SUM(is_open) AS BIGINT) AS n_open,
+       CAST(SUM(1 - is_open) AS BIGINT) AS n_closed
+FROM flagged
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "scd2_history_roundtrip",
+    oracle=_SCD2_ORACLE,
+    doc="Type-2 slowly-changing-dimension maintenance certified end-to-end: "
+    "derive three epoch change batches from orders (latest o_orderpriority "
+    "per customer per fixed calendar epoch), apply them SEQUENTIALLY with "
+    "sources/scd2.scd2_apply onto an initially-empty history, and return "
+    "per-priority open/closed version counts. The oracle recomputes the "
+    "version chain directly from the source with distinct-consecutive "
+    "window logic, so a missed close, a spurious version for an unchanged "
+    "value, a lost first version, or broken open-row survival all surface "
+    "as a driver mismatch.",
+    tags=("lifecycle", "scd2"),
+)
+def scd2_history_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.pinning import pin_checkpoint  # noqa: PLC0415
+    from f1_lakehouse_spark.sources.scd2 import OPEN_END, scd2_apply  # noqa: PLC0415
+
+    orders = load_table(spark, sf_dir, "orders")
+    lo, hi = (F.lit(e).cast("timestamp") for e in _SCD2_EPOCHS)
+    epoch = (
+        F.when(F.col("o_orderdate") < lo, 1)
+        .when(F.col("o_orderdate") < hi, 2)
+        .otherwise(3)
+    )
+    # latest priority per (customer, epoch): map-side max over the ordering
+    # tuple, payload carried in the struct (o_orderkey is the unique tiebreak)
+    latest = (
+        orders.withColumn("epoch", epoch)
+        .groupBy("o_custkey", "epoch")
+        .agg(
+            F.max(
+                F.struct("o_orderdate", "o_orderkey", "o_orderpriority")
+            ).alias("_m")
+        )
+        .select("o_custkey", "epoch", F.col("_m.o_orderpriority").alias("o_orderpriority"))
+    )
+    history = spark.createDataFrame(
+        [], "o_custkey long, o_orderpriority string, valid_from timestamp, valid_to timestamp"
+    )
+    for i, eff in enumerate(["1997-01-01", "1999-01-01", "2002-01-01"], start=1):
+        changes = latest.filter(F.col("epoch") == i).select(
+            "o_custkey", "o_orderpriority"
+        )
+        history = scd2_apply(
+            history, changes, "o_custkey", ["o_orderpriority"], F.lit(eff)
+        )
+        # pin between applications: each scd2_apply consumes `history`
+        # FOUR times (open/closed filters + two joins), so an unpinned
+        # 3-deep chain re-evaluates the whole lineage ~4^3 times;
+        # localCheckpoint keeps it one pass per round, executor-side
+        # (history is customer-proportional — never a driver pin)
+        history = pin_checkpoint(history)
+    is_open = (F.col("valid_to") == F.lit(OPEN_END).cast("timestamp")).cast("int")
+    out = (
+        history.withColumn("is_open", is_open)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("is_open").cast("long").alias("n_open"),
+            F.sum(1 - F.col("is_open")).cast("long").alias("n_closed"),
+        )
+    )
+    return pin_small_result(out, _PRIORITY_MAX)
+
+
+_ABSENT = "<ABSENT>"
+
+_SCHEMA_EVOLUTION_ORACLE = f"""
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN '{_ABSENT}'
+            ELSE o_orderpriority END AS o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(28,9))), 3) AS DOUBLE)
+           AS total_price
+FROM orders
+GROUP BY 1
+"""
+
+
+@register(
+    "schema_evolution_roundtrip",
+    oracle=_SCHEMA_EVOLUTION_ORACLE,
+    doc="Additive schema evolution certified end-to-end: write an old-"
+    "schema batch (even order keys, WITHOUT o_orderpriority) and a new-"
+    "schema batch (odd keys, WITH it) into the same table directory, read "
+    "back with the mergeSchema-reconciling scan, and aggregate with the "
+    "evolved column NULL-coalesced to a sentinel for pre-evolution rows. "
+    "The oracle reconstructs the same split from the source, so dropped "
+    "batches, a scan pinned to one footer's schema, or NULL-fill applied "
+    "to the wrong rows all surface as a driver mismatch.",
+    tags=("sink", "lifecycle"),
+)
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.sources.formats import read_parquet_evolved  # noqa: PLC0415
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    base = tempfile.mkdtemp(prefix="f1ls_evolve_")
+    tbl = os.path.join(base, "orders_evolved")
+    try:
+        old = orders.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority")
+        new = orders.filter(F.col("o_orderkey") % 2 != 0)
+        old.write.parquet(tbl)
+        new.write.mode("append").parquet(tbl)
+        back = read_parquet_evolved(spark, tbl)
+        out = (
+            back.groupBy(
+                F.coalesce("o_orderpriority", F.lit(_ABSENT)).alias("o_orderpriority")
+            )
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.round(F.sum(F.col("o_totalprice").cast("decimal(28,9)")), 3)
+                .cast("double")
+                .alias("total_price"),
+            )
+        )
+        return pin_small_result(out, _PRIORITY_MAX)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# partition-prune window: generated event dates span 2024-01-01..2024-01-30
+# at every SF (TESTDATA.md); the window is a strict interior subset so both
+# engines filter a nontrivial fraction
+_PRUNE_LO, _PRUNE_HI = "2024-01-08", "2024-01-14"
+
+_PARTITION_PRUNE_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '{_PRUNE_LO}' AND DATE '{_PRUNE_HI}'
+GROUP BY event_type
+"""
+
+
+@register(
+    "partition_prune_roundtrip",
+    oracle=_PARTITION_PRUNE_ORACLE,
+    doc="Hive-partitioned sink + partition-pruned scan certified "
+    "end-to-end: write events partitioned by event_date, read back with a "
+    "date-range predicate, ASSERT the physical plan prunes at the "
+    "partition level (PartitionFilters non-empty AND the listed partition "
+    "count equals the window width — the property that turns a 100 TB "
+    "scan into a 7-day scan), and return the windowed aggregate the "
+    "oracle recomputes from the raw table.",
+    tags=("sink", "layout"),
+)
+def partition_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.sources.parquet_io import (  # noqa: PLC0415
+        read_partitioned,
+        write_partitioned,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="f1ls_prune_")
+    tbl = os.path.join(base, "events_by_date")
+    try:
+        write_partitioned(
+            events.withColumn("event_date", F.to_date("ts")), tbl, ["event_date"]
+        )
+        back = read_partitioned(spark, tbl).filter(
+            (F.col("event_date") >= F.lit(_PRUNE_LO))
+            & (F.col("event_date") <= F.lit(_PRUNE_HI))
+        )
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "event_date" in plan.split(
+            "PartitionFilters:"
+        )[1].split("]")[0], f"date predicate did not reach PartitionFilters:\n{plan}"
+        # the pruned scan must READ exactly the window's partition dirs,
+        # not every directory: audit the files the tasks actually touched
+        touched = {
+            r["d"]
+            for r in back.select(
+                F.regexp_extract(F.input_file_name(), "event_date=([0-9-]+)", 1)
+                .alias("d")
+            )
+            .distinct()
+            .collect()
+        }
+        window_days = 7  # inclusive _PRUNE_LO.._PRUNE_HI
+        assert (
+            len(touched) == window_days
+            and min(touched) >= _PRUNE_LO
+            and max(touched) <= _PRUNE_HI
+        ), f"scan touched partitions outside/short of the window: {sorted(touched)}"
+        out = back.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        return pin_small_result(out, EVENT_TYPE_MAX)
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -113,6 +113,12 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     "capped like shuffle partitions)",
     ("sources/shards.py", "verify_training_shards"): "model-sized: per-shard "
     "checksum rows (same bound as the manifest)",
+    ("pipeline/lifecycle.py", "compaction_zorder_roundtrip"): "model-sized: "
+    "one per-file min/max row per written z-order file (n_files=8 constant "
+    "knob) for the clustering audit assertion",
+    ("pipeline/lifecycle.py", "partition_prune_roundtrip"): "model-sized: "
+    "distinct touched partition dates, calendar-bounded by the 7-day prune "
+    "window the assertion checks",
 }
 
 

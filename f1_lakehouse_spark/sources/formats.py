@@ -52,6 +52,17 @@ def delta_available(spark: SparkSession) -> bool:
         return False
 
 
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-tolerant scan: ``mergeSchema=true`` reconciles the
+    per-file footers into the union schema, so files written BEFORE a
+    column existed surface it as NULL — additive lakehouse evolution
+    without a rewrite. Scale note: footer merging costs one distributed
+    footer-read job at planning time (not a data scan); at very large file
+    counts pin the schema in the catalog instead and keep this for
+    discovery/backfill reads."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 CORRUPT_COL = "_corrupt_record"
 
 

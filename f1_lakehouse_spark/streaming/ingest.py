@@ -26,22 +26,27 @@ from f1_lakehouse_spark.tables import _pin_session_confs, table_path
 
 
 def stream_events(
-    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """readStream over the events parquet (schema pinned from a static read,
     as the file source requires a user-supplied schema). ``glob`` widens the
     source beyond the single testdata file (e.g. "*.parquet" for a
-    drop-directory a test or ingest job keeps appending files to)."""
+    drop-directory a test or ingest job keeps appending files to).
+    ``max_files_per_trigger`` caps files per micro-batch — under
+    ``trigger(availableNow=True)`` a backlog then drains as SEVERAL batches,
+    which is how the merge tests force genuine cross-batch updates."""
     _pin_session_confs(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
     # the streaming file source wants a DIRECTORY; the testdata table is a
     # single file, so stream the parent dir with a glob filter
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", glob)
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(sf_dir)
     # same ts normalization as the batch loader — CALL it rather than
     # re-implement, so a batch-side fix can never silently diverge from the
     # streaming path (withWatermark refuses TIMESTAMP_NTZ, hence the cast)
@@ -205,16 +210,17 @@ def read_gold(spark: SparkSession, gold_path: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(gold_path, version))
 
 
-def _gold_merge(batch_df: DataFrame, batch_id: int, gold_path: str) -> None:
-    """One micro-batch's key-replace merge + MVCC publish — module-level so
-    the crash-replay no-op is unit-testable; ``incremental_gold_refresh``
-    wraps it in foreachBatch."""
+def _mvcc_publish(batch_df: DataFrame, batch_id: int, path: str, merge_fn) -> None:
+    """Shared MVCC mechanics for every foreachBatch merge (gold aggregate
+    refresh, silver upsert): crash-replay version guard, read the live
+    version, ``merge_fn(old_or_none, batch_df) -> DataFrame``, write the new
+    version dir (fully distributed), atomic pointer swap, prune."""
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
 
     sess = batch_df.sparkSession
     version = f"v{batch_id:010d}"
-    ptr = os.path.join(gold_path, GOLD_POINTER)
+    ptr = os.path.join(path, GOLD_POINTER)
     prev = None
     if os.path.exists(ptr):
         with open(ptr) as f:
@@ -230,16 +236,9 @@ def _gold_merge(batch_df: DataFrame, batch_id: int, gold_path: str) -> None:
         # older version, so the normal path below re-runs safely: it
         # reads prev's dir and overwrites its own, disjoint dir.)
         return
-    old = read_gold(sess, gold_path)
-    if old is None:
-        out = batch_df
-    else:
-        # key-replace upsert: update-mode rows are already cumulative
-        kept = old.join(
-            batch_df.select("event_type"), "event_type", "left_anti"
-        )
-        out = kept.unionByName(batch_df)
-    out.write.mode("overwrite").parquet(os.path.join(gold_path, version))
+    old = read_gold(sess, path)
+    out = merge_fn(old, batch_df)
+    out.write.mode("overwrite").parquet(os.path.join(path, version))
     tmp = ptr + ".tmp"
     with open(tmp, "w") as f:
         f.write(version)
@@ -247,9 +246,24 @@ def _gold_merge(batch_df: DataFrame, batch_id: int, gold_path: str) -> None:
     # retention: the displaced live version survives one cycle for
     # readers mid-scan; everything older is pruned
     keep = {version, prev}
-    for entry in os.listdir(gold_path):
+    for entry in os.listdir(path):
         if entry.startswith("v") and entry not in keep:
-            shutil.rmtree(os.path.join(gold_path, entry), ignore_errors=True)
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+
+
+def _gold_merge(batch_df: DataFrame, batch_id: int, gold_path: str) -> None:
+    """One micro-batch's key-replace merge + MVCC publish — module-level so
+    the crash-replay no-op is unit-testable; ``incremental_gold_refresh``
+    wraps it in foreachBatch."""
+
+    def merge(old: DataFrame | None, batch: DataFrame) -> DataFrame:
+        if old is None:
+            return batch
+        # key-replace upsert: update-mode rows are already cumulative
+        kept = old.join(batch.select("event_type"), "event_type", "left_anti")
+        return kept.unionByName(batch)
+
+    _mvcc_publish(batch_df, batch_id, gold_path, merge)
 
 
 def incremental_gold_refresh(
@@ -308,6 +322,91 @@ def incremental_gold_refresh(
     q = (
         partial.writeStream.foreachBatch(merge)
         .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# UPDATE-capable incremental silver (r9): row-level latest-wins MERGE
+# ---------------------------------------------------------------------------
+
+SILVER_KEY = "user_id"
+SILVER_ORDER = ("ts", "event_id")  # event_id is the unique tiebreaker
+SILVER_PAYLOAD = ("event_type", "value")
+
+
+def _latest_per_key(df: DataFrame) -> DataFrame:
+    """One row per SILVER_KEY: the row with the max (ts, event_id) ordering
+    tuple, payload carried along inside the struct. ``max(struct(...))``
+    compares fields left-to-right and gets a map-side partial aggregate —
+    one shuffle on the key, no window, no sort. The ordering tuple ends in
+    a unique column, so the payload fields are never consulted for order
+    and the reduction is deterministic under any partitioning."""
+    ordered = [*SILVER_ORDER, *SILVER_PAYLOAD]
+    packed = F.max(F.struct(*[F.col(c) for c in ordered])).alias("_latest")
+    return (
+        df.groupBy(SILVER_KEY)
+        .agg(packed)
+        .select(SILVER_KEY, *[F.col(f"_latest.{c}").alias(c) for c in ordered])
+    )
+
+
+def _silver_merge(batch_df: DataFrame, batch_id: int, silver_path: str) -> None:
+    """One micro-batch's ROW-LEVEL upsert + MVCC publish: reduce the batch
+    to its latest row per key, then merge with the live silver version by
+    re-reducing the union — a later record UPDATES the key's silver row, an
+    unseen key INSERTS. Because latest-per-key is a max over the
+    (ts, event_id) tuple, the merged state is independent of how the
+    backlog was split into micro-batches (the property the twice-through
+    vanilla drive asserts). On Delta/Iceberg this whole function is one
+    ``MERGE INTO ... WHEN MATCHED AND s.ts > t.ts THEN UPDATE``."""
+
+    def merge(old: DataFrame | None, batch: DataFrame) -> DataFrame:
+        latest = _latest_per_key(batch)
+        if old is None:
+            return latest
+        return _latest_per_key(old.unionByName(latest))
+
+    _mvcc_publish(batch_df, batch_id, silver_path, merge)
+
+
+def incremental_silver_merge(
+    spark: SparkSession,
+    src_dir: str,
+    silver_path: str,
+    checkpoint: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Incremental UPDATE-capable silver: maintain the latest event per
+    user as new source files arrive — the medallion layer the reference's
+    ingest-level partition skip cannot express (its S4 idempotence only
+    ever APPENDS; reference ``ingestion/src/ingestion/utils.py:36-37``).
+
+    Unlike ``incremental_gold_refresh`` (which merges STATEFUL cumulative
+    aggregates), the silver merge is stateless per batch — raw rows in,
+    latest-per-key upsert in ``foreachBatch`` — so streaming state is zero
+    and the merge cost is one key shuffle of (live silver ∪ batch), i.e.
+    O(entities + batch), independent of history length.
+
+    Scale: silver is bounded by entity cardinality (users), not event
+    volume; each publish rewrites one versioned dir distributed across
+    executors; the pointer swap is a single atomic rename. Read it back
+    with ``read_gold`` (pointer-resolving, same layout)."""
+    src = stream_events(
+        spark, src_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    rows = src.select(SILVER_KEY, *SILVER_ORDER, *SILVER_PAYLOAD)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        _silver_merge(batch_df, batch_id, silver_path)
+
+    q = (
+        rows.writeStream.foreachBatch(merge)
+        .outputMode("append")
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

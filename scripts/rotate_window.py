@@ -43,32 +43,25 @@ ANCHORS: tuple[str, ...] = (
     "dedup_minhash_verified",
 )
 
-# Round-8 priorities: CORRECTNESS_r07 landed 50/50 green, leaving exactly
-# 7 never-driver-checked names (2 curation + 5 mm tail). They fill the
-# window automatically from the never-checked pool; the remaining slots
-# top up with least-recently-verified greens (registry order). Any NEW
-# operator registered this round MUST be pinned here in the same commit
-# (r6 lesson: unpinned new ops grew the never-checked pool 35 -> 53) —
-# the two r8 lifecycle round-trips (pipeline/lifecycle.py) are pinned.
+# Round-9 priorities: CORRECTNESS_r08 landed 48/50 — the two r8 lifecycle
+# round-trips are the only never-GREEN rows in the project's history
+# (hash_match red; rows/schema green; emulator + vanilla local[32] both
+# MATCH). They MUST stay pinned here until a green driver row exists: the
+# never-checked fill excludes them (they have prior rows) and the top-up
+# only admits greens, so dropping them from LEAD would leave them
+# unverified indefinitely (r8 verdict "what's wrong" #2). Their result
+# encodings were hardened this round (bool->int, decimal->bigint/double;
+# pipeline/lifecycle.py). Any NEW operator registered this round is also
+# pinned here in the same commit (standing rule since r6).
 LEAD: tuple[str, ...] = (
     "incremental_gold_refresh_roundtrip",
     "training_shards_roundtrip",
-    "text_bm25_retrieval",
-    "curation_curriculum_interleave",
-    # second r8 batch — pinned in the registering round per the rotation rule
-    "text_zipf_alpha",
-    "scoring_psi_drift",
-    "embedding_random_projection_jl",
-    "orders_newsvendor_quantile",
-    "lineitem_price_elasticity",
-    "orders_bass_diffusion",
-    "scoring_youden_j_threshold",
-    "w_range_interval_frame",
-    "events_hill_tail_index",
-    "text_bm25_ndcg_eval",
-    "scoring_platt_scaling",
-    "text_lang_id_macro_f1",
-    "orders_weibull_quantile_fit",
+    # new r9 operators, pinned in the registering round (standing rule)
+    "incremental_silver_merge_roundtrip",
+    "compaction_zorder_roundtrip",
+    "scd2_history_roundtrip",
+    "schema_evolution_roundtrip",
+    "partition_prune_roundtrip",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"
@@ -93,29 +86,50 @@ def driver_checked_names(
     window (their fills were consumed from the never-checked pool), so
     only the own-output artifact ever matches.
     """
-    checked: set[str] = set()
+    return set(driver_last_rounds(repo, exclude_window_artifact))
+
+
+def driver_last_rounds(
+    repo: Path = REPO, exclude_window_artifact: set[str] | None = None
+) -> dict[str, int]:
+    """name -> highest round number with a driver row for it (same artifact
+    exclusion semantics as :func:`driver_checked_names`). This is the
+    recency signal the top-up sorts on: since r9 the "least-recently-
+    verified" proxy is the ACTUAL last-verified round, not registry order —
+    registry order made consecutive rounds re-verify the same early names
+    while r01-era greens never rotated back in."""
+    last: dict[str, int] = {}
     for p in sorted(repo.glob("CORRECTNESS_r*.json")):
         names = set(json.loads(p.read_text()).keys())
         if exclude_window_artifact is not None and names == exclude_window_artifact:
             continue
-        checked |= names
-    return checked
+        rnd = int(p.stem.split("_r")[1])
+        for n in names:
+            last[n] = max(last.get(n, 0), rnd)
+    return last
 
 
-def compute_window_detail(checked: set[str] | None = None) -> dict[str, list[str]]:
+def compute_window_detail(
+    checked: set[str] | dict[str, int] | None = None,
+) -> dict[str, list[str]]:
     """Return {window, reentry, topup}.
 
     ``reentry`` = LEAD names admitted despite a prior driver row;
     ``topup`` = already-green names used only because the never-checked
-    pool ran short. The invariant test exempts both sets from its
-    no-prior-row assertion. ``checked`` overrides the artifact scan (used
-    by the invariant tests' round-boundary tolerance).
+    pool ran short, ordered least-recently-verified first (last driver-row
+    round ascending, registry order as the tiebreak). The invariant test
+    exempts both sets from its no-prior-row assertion. ``checked``
+    overrides the artifact scan (used by the invariant tests'
+    round-boundary tolerance); pass the :func:`driver_last_rounds` dict to
+    keep the recency ordering, or a plain set to fall back to registry
+    order for the top-up.
     """
     from f1_lakehouse_spark.registry import DRIVER_WINDOW, REGISTRY, _ensure_loaded
 
     _ensure_loaded()
     if checked is None:
-        checked = driver_checked_names()
+        checked = driver_last_rounds()
+    last_round = checked if isinstance(checked, dict) else {n: 0 for n in checked}
     missing_lead = [n for n in ANCHORS + LEAD if n not in REGISTRY]
     if missing_lead:
         raise SystemExit(f"LEAD/ANCHOR names not registered: {missing_lead}")
@@ -135,13 +149,18 @@ def compute_window_detail(checked: set[str] | None = None) -> dict[str, list[str
     topup: list[str] = []
     if len(window) < DRIVER_WINDOW:
         # fewer never-checked queries remain than slots: top up with the
-        # least-recently-verified greens (registry order as a stable proxy)
-        for n in REGISTRY:
+        # least-recently-verified greens (last driver-row round ascending;
+        # registry order breaks ties deterministically)
+        reg_idx = {n: i for i, n in enumerate(REGISTRY)}
+        candidates = sorted(
+            (n for n in REGISTRY if n not in window and exact_oracle(n)),
+            key=lambda n: (last_round.get(n, 0), reg_idx[n]),
+        )
+        for n in candidates:
             if len(window) >= DRIVER_WINDOW:
                 break
-            if n not in window and exact_oracle(n):
-                window.append(n)
-                topup.append(n)
+            window.append(n)
+            topup.append(n)
     return {"window": window, "reentry": reentry, "topup": topup}
 
 

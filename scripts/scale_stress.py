@@ -115,6 +115,12 @@ QUERIES = [
     "scoring_platt_scaling",
     "text_lang_id_macro_f1",
     "orders_weibull_quantile_fit",
+    # round 9 (lifecycle/layout round-trips)
+    "incremental_silver_merge_roundtrip",
+    "compaction_zorder_roundtrip",
+    "scd2_history_roundtrip",
+    "schema_evolution_roundtrip",
+    "partition_prune_roundtrip",
 ]
 
 

@@ -895,3 +895,80 @@ def test_stateful_spacesaving_checkpoint_restart(spark, tmp_path):
                 assert uid in ids
 
     shutil.rmtree(str(src), ignore_errors=True)
+
+
+def test_incremental_silver_merge_latest_wins_and_batch_split_independent(spark):
+    """The UPDATE path must actually run (multi-batch via
+    maxFilesPerTrigger=1) and the final silver state must equal the batch
+    latest-per-user regardless of how the backlog split into batches."""
+    from pyspark.sql import Window
+
+    from f1_lakehouse_spark.streaming.ingest import (
+        incremental_silver_merge,
+        read_gold,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = {
+        r["user_id"]: (r["event_id"], r["event_type"], r["value"])
+        for r in events.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+
+    def run(n_files: int) -> dict:
+        with tempfile.TemporaryDirectory() as tmp:
+            src, silver, ckpt = f"{tmp}/src", f"{tmp}/silver", f"{tmp}/ckpt"
+            events.repartition(n_files).write.parquet(src)
+            incremental_silver_merge(
+                spark, src, silver, ckpt, glob="*.parquet", max_files_per_trigger=1
+            )
+            # restart with no new files: checkpoint recovery must no-op
+            incremental_silver_merge(
+                spark, src, silver, ckpt, glob="*.parquet", max_files_per_trigger=1
+            )
+            return {
+                r["user_id"]: (r["event_id"], r["event_type"], r["value"])
+                for r in read_gold(spark, silver).collect()
+            }
+
+    got3 = run(3)
+    assert got3 == want
+    # a different batch split converges to the same state
+    assert run(5) == got3
+
+
+def test_silver_merge_replay_after_publish_is_noop(spark):
+    """Crash-replay of an already-published silver batch must not change
+    state (same guard as the gold merge, exercised through the silver
+    merge_fn)."""
+    import os
+
+    from f1_lakehouse_spark.streaming.ingest import _silver_merge, read_gold
+
+    with tempfile.TemporaryDirectory() as tmp:
+        silver = f"{tmp}/silver"
+        os.makedirs(silver)
+        b0 = spark.createDataFrame(
+            [(1, 10, 100, "view", 1.0), (1, 20, 101, "buy", 2.0)],
+            "user_id long, ts long, event_id long, event_type string, value double",
+        )
+        _silver_merge(b0, 0, silver)
+        first = read_gold(spark, silver).collect()
+        assert {(r["user_id"], r["event_id"]) for r in first} == {(1, 101)}
+        # replay of batch 0 after its publish: no-op
+        _silver_merge(b0.limit(1), 0, silver)
+        assert read_gold(spark, silver).collect() == first
+        # batch 1 with an older record for the same key: must NOT regress
+        older = spark.createDataFrame(
+            [(1, 5, 99, "view", 9.0)],
+            "user_id long, ts long, event_id long, event_type string, value double",
+        )
+        _silver_merge(older, 1, silver)
+        after = read_gold(spark, silver).collect()
+        assert {(r["user_id"], r["event_id"]) for r in after} == {(1, 101)}
