@@ -628,3 +628,75 @@ def partition_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pin_small_result(out, EVENT_TYPE_MAX)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT o.o_orderstatus,
+       COUNT(*) AS n_lines,
+       CAST(round(SUM(CAST(l.l_extendedprice AS DECIMAL(28,9))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,9)))), 3)
+            AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+
+@register(
+    "bucketed_join_roundtrip",
+    oracle=_BUCKETED_JOIN_ORACLE,
+    doc="Bucketed-table co-located join certified end-to-end: materialize "
+    "orders AND lineitem as external tables bucketed+sorted on the join "
+    "key (8 buckets each), join them, ASSERT the executed plan has NO "
+    "exchange on either join input (the pre-paid shuffle is the whole "
+    "point — at 100 TB re-shuffling two fact tables per query is the "
+    "dominant cost), and return the per-status revenue aggregate the "
+    "oracle recomputes from the raw tables. Broadcast is disabled for the "
+    "probe so the co-located sort-merge path is what gets certified.",
+    tags=("sink", "layout"),
+)
+def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.sources.parquet_io import write_bucketed_table  # noqa: PLC0415
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    base = tempfile.mkdtemp(prefix="f1ls_bucketed_")
+    t_orders, t_lineitem = "f1ls_bucketed_orders", "f1ls_bucketed_lineitem"
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed_table(
+            orders, t_orders, os.path.join(base, "orders"), "o_orderkey", 8
+        )
+        write_bucketed_table(
+            lineitem, t_lineitem, os.path.join(base, "lineitem"), "l_orderkey", 8
+        )
+        # small SF would otherwise broadcast right past the bucketed layout;
+        # the certified property is the shuffle-FREE sort-merge join
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = spark.table(t_orders)
+        l = spark.table(t_lineitem)
+        joined = o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, f"expected a sort-merge join:\n{plan}"
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, (
+            f"orders side shuffled despite bucketing:\n{plan}"
+        )
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, (
+            f"lineitem side shuffled despite bucketing:\n{plan}"
+        )
+        rev = F.col("l_extendedprice").cast("decimal(28,9)") * (
+            F.lit(1) - F.col("l_discount").cast("decimal(18,9)")
+        )
+        out = joined.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(rev), 3).cast("double").alias("revenue"),
+        )
+        return pin_small_result(out, ORDERSTATUS_MAX)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_lineitem}")
+        shutil.rmtree(base, ignore_errors=True)

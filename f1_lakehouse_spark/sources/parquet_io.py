@@ -74,6 +74,32 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame, name: str, path: str, key: str, n_buckets: int
+) -> None:
+    """Materialize ``df`` as an EXTERNAL bucketed+sorted parquet table:
+    rows are hash-distributed into ``n_buckets`` files per partition ON
+    ``key`` and sorted by it inside each bucket, and the layout is recorded
+    in the catalog. Two tables bucketed the same way join WITHOUT a
+    shuffle (Spark plans a sort-merge join directly over the co-located
+    buckets) — the pre-paid-shuffle lever for fact-to-fact joins at 100 TB,
+    where re-shuffling both sides per query is the dominant cost.
+
+    External (``option("path")``) so the data lives in the caller's
+    directory, never the session warehouse; DROP TABLE leaves the caller
+    to clean its own files."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
 def create_table_as(
     spark: SparkSession, name: str, df: DataFrame, layer: str | None = None
 ) -> None:

@@ -62,6 +62,7 @@ LEAD: tuple[str, ...] = (
     "scd2_history_roundtrip",
     "schema_evolution_roundtrip",
     "partition_prune_roundtrip",
+    "bucketed_join_roundtrip",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"

@@ -121,6 +121,7 @@ QUERIES = [
     "scd2_history_roundtrip",
     "schema_evolution_roundtrip",
     "partition_prune_roundtrip",
+    "bucketed_join_roundtrip",
 ]
 
 

@@ -393,3 +393,37 @@ def test_training_shards_deterministic_manifest_and_verify(spark, tmp_path):
     # manifest survives on disk as the handoff artifact
     with open(f"{out2}/{MANIFEST_NAME}") as f:
         assert json.load(f) == m2
+
+
+def test_write_bucketed_table_join_has_no_exchange_and_preserves_content(spark):
+    from f1_lakehouse_spark.sources.parquet_io import write_bucketed_table
+
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderstatus")
+    lineitem = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    with tempfile.TemporaryDirectory() as tmp:
+        try:
+            write_bucketed_table(
+                orders, "t_bkt_orders", f"{tmp}/o", "o_orderkey", 4
+            )
+            write_bucketed_table(
+                lineitem, "t_bkt_lineitem", f"{tmp}/l", "l_orderkey", 4
+            )
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            o, l = spark.table("t_bkt_orders"), spark.table("t_bkt_lineitem")
+            joined = o.join(l, o["o_orderkey"] == l["l_orderkey"])
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning(o_orderkey" not in plan
+            assert "Exchange hashpartitioning(l_orderkey" not in plan
+            # content survives the bucketed round-trip exactly
+            assert o.count() == orders.count()
+            assert joined.count() == lineitem.join(
+                orders, orders["o_orderkey"] == lineitem["l_orderkey"]
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
+            spark.sql("DROP TABLE IF EXISTS t_bkt_lineitem")
