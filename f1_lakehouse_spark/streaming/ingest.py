@@ -195,19 +195,44 @@ def stream_stream_attribution_join(
 GOLD_POINTER = "_CURRENT"
 
 
-def read_gold(spark: SparkSession, gold_path: str) -> DataFrame | None:
-    """Resolve the live version of a pointer-versioned gold table (the
-    layout ``incremental_gold_refresh`` maintains): ``gold_path/_CURRENT``
-    names the live version directory. Returns None when no version has
-    been published yet."""
+def read_gold(
+    spark: SparkSession, gold_path: str, version: str | None = None
+) -> DataFrame | None:
+    """Resolve a version of a pointer-versioned table (the layout
+    ``incremental_gold_refresh`` / ``incremental_silver_merge`` maintain):
+    ``gold_path/_CURRENT`` names the live version directory; pass
+    ``version`` (a name from :func:`list_versions`) for an as-of read of a
+    retained older version — the local-retention layout keeps the current
+    version plus its predecessor, so as-of reads reach exactly one publish
+    back (Delta/Iceberg time travel is the full-history upgrade,
+    sources/delta_ops.py). Returns None when nothing is published yet or
+    the requested version has been pruned."""
     import os  # noqa: PLC0415
 
-    ptr = os.path.join(gold_path, GOLD_POINTER)
-    if not os.path.exists(ptr):
+    if version is None:
+        ptr = os.path.join(gold_path, GOLD_POINTER)
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            version = f.read().strip()
+    if not os.path.isdir(os.path.join(gold_path, version)):
         return None
-    with open(ptr) as f:
-        version = f.read().strip()
     return spark.read.parquet(os.path.join(gold_path, version))
+
+
+def list_versions(gold_path: str) -> list[str]:
+    """Retained version directories of a pointer-versioned table, oldest
+    first (the live one is last unless a publish is mid-flight — resolve
+    liveness through the pointer, never by position)."""
+    import os  # noqa: PLC0415
+
+    if not os.path.isdir(gold_path):
+        return []
+    return sorted(
+        e
+        for e in os.listdir(gold_path)
+        if e.startswith("v") and os.path.isdir(os.path.join(gold_path, e))
+    )
 
 
 def _mvcc_publish(batch_df: DataFrame, batch_id: int, path: str, merge_fn) -> None:

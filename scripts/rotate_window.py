@@ -63,6 +63,7 @@ LEAD: tuple[str, ...] = (
     "schema_evolution_roundtrip",
     "partition_prune_roundtrip",
     "bucketed_join_roundtrip",
+    "dynamic_partition_prune_roundtrip",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"

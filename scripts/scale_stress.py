@@ -122,6 +122,7 @@ QUERIES = [
     "schema_evolution_roundtrip",
     "partition_prune_roundtrip",
     "bucketed_join_roundtrip",
+    "dynamic_partition_prune_roundtrip",
 ]
 
 
