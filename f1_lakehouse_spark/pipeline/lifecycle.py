@@ -1,13 +1,21 @@
-"""Lifecycle round-trips registered behind the driver gate (r7 verdict
-item 4a/4b): the two pipeline-boundary operations that were pytest-only —
-the streaming MVCC gold refresh and the training-shard handoff — each get a
-`queries()` entry whose RESULT encodes the round-trip property, so the
-external driver certifies them differentially instead of trusting the unit
-suite.
+"""Lifecycle round-trips registered behind the driver gate: pipeline-
+boundary operations whose correctness lives in SIDE EFFECTS (writes,
+streams, catalog state, physical layout), re-expressed as `queries()`
+entries whose RESULT encodes the round-trip property, so the external
+driver certifies them differentially instead of trusting the unit suite.
 
-Both queries write to a private tempdir, read their own output back, and
-pin the (model-sized) result before cleaning up — the returned frame is a
-LocalRelation, so repeated driver/bench runs leave nothing behind.
+Started with the r8 pair (streaming MVCC gold refresh, training-shard
+handoff); r9 widened it to the full lakehouse maintenance surface:
+UPDATE-capable silver merge, compaction + z-order, SCD2 history, schema
+evolution (mergeSchema), static + dynamic partition pruning, bucketed
+co-located joins, and partition-scoped row-level deletes. Each query
+writes to a private tempdir, reads its own output back, ASSERTS the
+plan/layout properties Spark-side (loud AssertionError → driver err row),
+and pins the (model-sized) result before cleaning up — the returned frame
+is a LocalRelation, so repeated driver/bench runs leave nothing behind.
+All of them must pass the DRIVE_VANILLA twice-through determinism check
+(scripts/drive_contract.py) and keep driver-facing columns in the boring
+type families (CLAUDE.md encoding rules).
 
 Reference parity: the reference rebuilds gold from scratch per dbt run
 (`/root/reference/transform/models/gold/driver_session_summary.sql` via
@@ -786,3 +794,92 @@ def dynamic_partition_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
         return pin_small_result(out, EVENT_TYPE_MAX)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# the GDPR-delete scope: these users' events inside the prune window
+_DELETE_USER_MOD = 50
+
+_ROW_DELETE_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+WHERE NOT (user_id % {_DELETE_USER_MOD} = 0
+           AND CAST(ts AS DATE) BETWEEN DATE '{_PRUNE_LO}' AND DATE '{_PRUNE_HI}')
+GROUP BY event_type
+"""
+
+
+@register(
+    "row_level_delete_roundtrip",
+    oracle=_ROW_DELETE_ORACLE,
+    doc="GDPR-shaped row-level delete certified end-to-end: write events "
+    "hive-partitioned by event_date, delete a user cohort's rows inside a "
+    "7-day window with the partition-scoped rewrite "
+    "(sources/parquet_io.delete_rows_partition_scoped), ASSERT the files "
+    "of every partition OUTSIDE the window are byte-for-byte untouched "
+    "(same names and sizes — at 100 TB the delete must not rewrite the "
+    "table) while the 7 affected partitions were rewritten, and return "
+    "the post-delete aggregate the oracle computes with the inverse "
+    "predicate. Over-deletion, under-deletion, and out-of-scope rewrites "
+    "all surface.",
+    tags=("sink", "lifecycle"),
+)
+def row_level_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.sources.parquet_io import (  # noqa: PLC0415
+        delete_rows_partition_scoped,
+        read_partitioned,
+        write_partitioned,
+    )
+
+    def file_census(root: str) -> dict[str, tuple[str, int]]:
+        return {
+            os.path.relpath(os.path.join(r, f), root): (
+                f,
+                os.path.getsize(os.path.join(r, f)),
+            )
+            for r, _, files in os.walk(root)
+            for f in files
+            if f.endswith(".parquet")
+        }
+
+    events = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="f1ls_delete_")
+    tbl = os.path.join(base, "events_by_date")
+    try:
+        write_partitioned(
+            events.withColumn("event_date", F.to_date("ts")), tbl, ["event_date"]
+        )
+        before = file_census(tbl)
+        n_rewritten = delete_rows_partition_scoped(
+            spark,
+            tbl,
+            "event_date",
+            (F.col("event_date") >= F.lit(_PRUNE_LO))
+            & (F.col("event_date") <= F.lit(_PRUNE_HI)),
+            F.col("user_id") % _DELETE_USER_MOD == 0,
+        )
+        assert n_rewritten == 7, f"delete touched {n_rewritten} partitions, wanted 7"
+        after = file_census(tbl)
+        window = [p for p in before if _in_window(p)]
+        outside = [p for p in before if not _in_window(p)]
+        assert outside and all(after.get(p) == before[p] for p in outside), (
+            "partitions outside the delete window were rewritten"
+        )
+        assert all(p not in after for p in window), (
+            "affected partitions kept their pre-delete files"
+        )
+        out = read_partitioned(spark, tbl).groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        return pin_small_result(out, EVENT_TYPE_MAX)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _in_window(relpath: str) -> bool:
+    """Is this partition file inside the delete window's event_date dirs?"""
+    part = relpath.split(os.sep, 1)[0]  # 'event_date=YYYY-MM-DD'
+    day = part.split("=", 1)[1]
+    return _PRUNE_LO <= day <= _PRUNE_HI

@@ -113,6 +113,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     "capped like shuffle partitions)",
     ("sources/shards.py", "verify_training_shards"): "model-sized: per-shard "
     "checksum rows (same bound as the manifest)",
+    ("sources/parquet_io.py", "delete_rows_partition_scoped"): "guarded by "
+    "construction: one row per partition selected by the caller's "
+    "partition_predicate (the delete's scope bound — calendar/key-window "
+    "sized, never the whole table)",
     ("pipeline/lifecycle.py", "compaction_zorder_roundtrip"): "model-sized: "
     "one per-file min/max row per written z-order file (n_files=8 constant "
     "knob) for the clustering audit assertion",

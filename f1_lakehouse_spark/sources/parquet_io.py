@@ -74,6 +74,56 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def delete_rows_partition_scoped(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    partition_predicate,
+    row_predicate,
+) -> int:
+    """Row-level delete on a hive-partitioned parquet table that rewrites
+    ONLY the partitions the delete can touch — the GDPR/retention-
+    correction shape: at 100 TB, deleting one user's week must not rewrite
+    the table, only the affected date dirs.
+
+    ``partition_predicate`` (over ``partition_col``) bounds which
+    partitions are read AND rewritten (partition-pruned scan — the bound
+    must be expressible on the partition column, which is what makes the
+    rewrite scoped); ``row_predicate`` selects rows to DELETE within them.
+    Returns the number of partitions rewritten. Partitions fully emptied
+    by the delete are removed explicitly — dynamic partition overwrite
+    only replaces partitions PRESENT in the written frame, so an
+    all-rows-deleted partition would otherwise silently survive (the
+    classic dynamic-overwrite delete pitfall).
+
+    On Delta/Iceberg this whole function is ``DELETE FROM t WHERE ...``
+    (ACID, file-level). On plain parquet the rewrite is atomic per
+    partition dir, not per table — run it in a maintenance window or on a
+    pointer-versioned copy (streaming/ingest MVCC layout) when readers
+    are live."""
+    import shutil  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    affected = spark.read.parquet(path).filter(partition_predicate)
+    kept = affected.filter(~row_predicate)
+    # one partition-pruned stats pass: which partitions the delete touches,
+    # and which keep at least one row (the write pass is the second and
+    # last scan of the affected slice)
+    stats = (
+        affected.groupBy(partition_col)
+        .agg(F.sum(F.when(row_predicate, 0).otherwise(1)).alias("kept_n"))
+        .collect()
+    )
+    touched = {r[0] for r in stats}
+    survived = {r[0] for r in stats if r["kept_n"] > 0}
+    write_partitioned_idempotent(kept, path, [partition_col])
+    for value in touched - survived:
+        sub = os.path.join(path, f"{partition_col}={value}")
+        shutil.rmtree(sub, ignore_errors=True)
+    return len(touched)
+
+
 def write_bucketed_table(
     df: DataFrame, name: str, path: str, key: str, n_buckets: int
 ) -> None:

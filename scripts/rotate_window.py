@@ -64,6 +64,7 @@ LEAD: tuple[str, ...] = (
     "partition_prune_roundtrip",
     "bucketed_join_roundtrip",
     "dynamic_partition_prune_roundtrip",
+    "row_level_delete_roundtrip",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"

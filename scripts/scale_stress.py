@@ -123,6 +123,7 @@ QUERIES = [
     "partition_prune_roundtrip",
     "bucketed_join_roundtrip",
     "dynamic_partition_prune_roundtrip",
+    "row_level_delete_roundtrip",
 ]
 
 

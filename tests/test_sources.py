@@ -427,3 +427,46 @@ def test_write_bucketed_table_join_has_no_exchange_and_preserves_content(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
             spark.sql("DROP TABLE IF EXISTS t_bkt_lineitem")
+
+
+def test_delete_rows_partition_scoped_removes_fully_emptied_partitions(spark):
+    """Dynamic partition overwrite only replaces partitions present in the
+    written frame — the helper must explicitly remove partitions the delete
+    fully empties, and leave out-of-scope partitions byte-identical."""
+    import os
+
+    from f1_lakehouse_spark.sources.parquet_io import (
+        delete_rows_partition_scoped,
+        write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "id long, part string, v long",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        tbl = f"{tmp}/t"
+        write_partitioned(df, tbl, ["part"])
+        before_c = {
+            f: os.path.getsize(os.path.join(tbl, "part=c", f))
+            for f in os.listdir(f"{tbl}/part=c")
+            if f.endswith(".parquet")
+        }
+        # delete ALL of partition b and PART of partition a; c out of scope
+        n = delete_rows_partition_scoped(
+            spark,
+            tbl,
+            "part",
+            F.col("part").isin("a", "b"),
+            F.col("id") >= 2,
+        )
+        assert n == 2
+        back = spark.read.parquet(tbl)
+        assert sorted(r["id"] for r in back.collect()) == [1, 4]
+        assert not os.path.isdir(f"{tbl}/part=b")  # fully emptied -> removed
+        after_c = {
+            f: os.path.getsize(os.path.join(tbl, "part=c", f))
+            for f in os.listdir(f"{tbl}/part=c")
+            if f.endswith(".parquet")
+        }
+        assert after_c == before_c  # out-of-scope partition untouched
