@@ -883,3 +883,96 @@ def _in_window(relpath: str) -> bool:
     part = relpath.split(os.sep, 1)[0]  # 'event_date=YYYY-MM-DD'
     day = part.split("=", 1)[1]
     return _PRUNE_LO <= day <= _PRUNE_HI
+
+
+_CURATED_COLS = ["doc_id", "lang", "n_tokens", "source"]  # sorted(survivors)
+
+
+def _curated_shard_oracle() -> str:
+    """The full curation -> training handoff composed in SQL: the
+    survivors oracle (dedup keep-list ∩ gopher gate ∩ decontam — itself a
+    composition of three registered oracles) feeds the shard-writer twin
+    (salted md5 shard assignment + mod-2^62 row-hash checksum over the
+    sorted column list)."""
+    from f1_lakehouse_spark.registry import REGISTRY as _REG  # noqa: PLC0415
+
+    surv = _REG["pipeline_corpus_survivors"].oracle
+    row = " , ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), {_NULL_SENTINEL_SQL})" for c in _CURATED_COLS
+    )
+    row_hash = sql_md5_hash48(f"concat_ws(chr(31), {row})")
+    shard = sql_salted_hash("doc_id", ":shard")
+    return f"""
+WITH survivors AS ({surv}),
+hashed AS (
+    SELECT CAST({shard} % {SHARD_N} AS INTEGER) AS shard,
+           CAST({row_hash} AS DECIMAL(38,0)) AS h
+    FROM survivors
+)
+SELECT shard,
+       COUNT(*) AS n_rows,
+       CAST(CAST(SUM(h) AS HUGEINT) % {CHECKSUM_MOD} AS BIGINT) AS checksum,
+       CAST(1 AS INTEGER) AS verified
+FROM hashed
+GROUP BY shard
+"""
+
+
+def _register_curated_shards() -> None:
+    """Deferred registration: the oracle composes pipeline_corpus_survivors'
+    oracle, which registers when filtering.py imports — and lifecycle
+    imports after it in registry._ensure_loaded, so composing at module
+    import is safe; the indirection just keeps the dependency explicit."""
+
+    @register(
+        "curated_shards_roundtrip",
+        oracle=_curated_shard_oracle(),
+        doc="The curation -> training handoff certified as ONE query: "
+        "shard the composed survivors corpus (dedup representatives ∩ "
+        "repetition-gate passers ∩ uncontaminated docs) with the "
+        "training-shard writer, verify the written files consumer-side, "
+        "and return per-shard (count, checksum, verified). The oracle "
+        "recomputes the entire composition — three curation stages AND "
+        "shard membership AND the order-independent checksum — from the "
+        "source table, so a regression anywhere in the curation chain or "
+        "the handoff surfaces as one driver mismatch. The survivors frame "
+        "is the shared (session, sf_dir) cache entry — BORROWED, never "
+        "unpersisted here (CLAUDE.md cache roster).",
+        tags=("sink", "lifecycle"),
+    )
+    def curated_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from f1_lakehouse_spark.pipeline.filtering import (  # noqa: PLC0415
+            pipeline_corpus_survivors,
+        )
+        from f1_lakehouse_spark.sources.shards import (  # noqa: PLC0415
+            verify_training_shards,
+            write_training_shards,
+        )
+
+        surv = pipeline_corpus_survivors(spark, sf_dir)
+        base = tempfile.mkdtemp(prefix="f1ls_curated_shards_")
+        out = os.path.join(base, "shards")
+        try:
+            manifest = write_training_shards(
+                surv, out, key_col="doc_id", n_shards=SHARD_N
+            )
+            report = verify_training_shards(spark, out)
+            rows = [
+                (
+                    int(sid),
+                    int(m["n_rows"]),
+                    int(Decimal(m["checksum"]) % CHECKSUM_MOD),
+                    int(bool(report["ok"])),
+                )
+                for sid, m in sorted(
+                    manifest["shards"].items(), key=lambda kv: int(kv[0])
+                )
+            ]
+            return spark.createDataFrame(
+                rows, "shard int, n_rows long, checksum long, verified int"
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+
+_register_curated_shards()

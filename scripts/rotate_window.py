@@ -65,6 +65,7 @@ LEAD: tuple[str, ...] = (
     "bucketed_join_roundtrip",
     "dynamic_partition_prune_roundtrip",
     "row_level_delete_roundtrip",
+    "curated_shards_roundtrip",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"

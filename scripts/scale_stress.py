@@ -124,6 +124,7 @@ QUERIES = [
     "bucketed_join_roundtrip",
     "dynamic_partition_prune_roundtrip",
     "row_level_delete_roundtrip",
+    "curated_shards_roundtrip",
 ]
 
 
