@@ -26,6 +26,8 @@ suite TOTAL is always honest):
   dedup_minhash_lsh      MinHash candidate pair list (_MH_PAIRS_CACHE)
   dedup_clusters         same pair list
   dedup_ngram_jaccard    distinct-shingles frame (_SHINGLE_CACHE)
+  text_lang_id_confusion pinned confusion matrix (_CONFUSION_CACHE, r9;
+                         warms text_lang_id_macro_f1 in the full suite)
 
 In the FULL suite the trigram/hashed-score/survivors caches make the
 text_lm_surprisal, quality_perplexity_buckets, scoring, and bias-audit

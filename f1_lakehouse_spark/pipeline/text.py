@@ -173,6 +173,27 @@ FROM best GROUP BY 1, 2
     tags=("pipeline", "text", "langid"),
 )
 def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered entry: the (session, sf_dir)-cached PINNED confusion
+    frame. The matrix is |langs|^2 rows but costs a full corpus classify
+    to build, and it has two registered consumers (this query and
+    text_lang_id_macro_f1) — the shared-cache roster pattern. The cache
+    stores a pin_small_result LocalRelation, so unlike the persisted
+    frames there is nothing to unpersist on rollover."""
+    from f1_lakehouse_spark.pinning import pin_small_result  # noqa: PLC0415
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CONFUSION_CACHE.get(key)
+    if hit is None:
+        _CONFUSION_CACHE.clear()
+        hit = pin_small_result(_confusion_build(spark, sf_dir), 64)
+        _CONFUSION_CACHE[key] = hit
+    return hit
+
+
+_CONFUSION_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _confusion_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     words = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
@@ -2705,7 +2726,9 @@ FROM scored s CROSS JOIN macro m
     tags=("pipeline", "text", "langid", "eval"),
 )
 def text_lang_id_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    conf = pin_small_result(text_lang_id_confusion(spark, sf_dir), 64)
+    # already the cached PINNED LocalRelation (shared-cache roster) — the
+    # classifier runs once per (session, corpus), not once per consumer
+    conf = text_lang_id_confusion(spark, sf_dir)
     per_true = conf.groupBy("lang").agg(
         F.sum("n_docs").cast("long").alias("support"),
         F.sum(

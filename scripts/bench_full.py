@@ -36,6 +36,14 @@ FLAG_NOTES = {
         "partial sums — ~64x CPU at any scale factor by construction; the "
         "plan is THE distributed bootstrap (extensions.py), no scale-killer"
     ),
+    "w1_personal_best_applyinpandas": (
+        "the deliberate Arrow/pandas applyInPandas EXEMPLAR (SURVEY §2.10 "
+        "UDF surface) — pays the Python round-trip by design to exercise "
+        "that path; the native-window twin (operators/windows.py W1) is "
+        "the production plan and runs ~10x faster. Borderline vs the 5 s "
+        "absolute threshold, so it flags only on slow-VM sessions "
+        "(tracks the jvm_sum calibration)"
+    ),
 }
 
 

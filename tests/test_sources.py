@@ -470,3 +470,44 @@ def test_delete_rows_partition_scoped_removes_fully_emptied_partitions(spark):
             if f.endswith(".parquet")
         }
         assert after_c == before_c  # out-of-scope partition untouched
+
+
+def test_delete_rows_partition_scoped_zero_match_is_safe(spark):
+    """A delete whose row predicate matches nothing must rewrite the
+    selected partitions without changing content, and one whose partition
+    predicate selects nothing must touch zero partitions."""
+    from f1_lakehouse_spark.sources.parquet_io import (
+        delete_rows_partition_scoped,
+        write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, part string, v long"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        tbl = f"{tmp}/t"
+        write_partitioned(df, tbl, ["part"])
+        n = delete_rows_partition_scoped(
+            spark, tbl, "part", F.col("part") == "a", F.col("id") > 99
+        )
+        assert n == 1  # partition read+rewritten, nothing deleted
+        assert sorted(r["id"] for r in spark.read.parquet(tbl).collect()) == [1, 2]
+        n = delete_rows_partition_scoped(
+            spark, tbl, "part", F.col("part") == "zzz", F.col("id") > 0
+        )
+        assert n == 0  # no partition selected -> no-op
+        assert sorted(r["id"] for r in spark.read.parquet(tbl).collect()) == [1, 2]
+
+
+def test_compact_parquet_is_idempotent(spark):
+    from f1_lakehouse_spark.sources.layout import compact_parquet
+
+    df = load_table(spark, SF_DIR, "orders")
+    with tempfile.TemporaryDirectory() as tmp:
+        tbl = f"{tmp}/t"
+        df.repartition(8).write.parquet(tbl)
+        n1 = compact_parquet(spark, tbl, target_file_mb=128)
+        rows = spark.read.parquet(tbl).count()
+        n2 = compact_parquet(spark, tbl, target_file_mb=128)
+        assert n1 == n2
+        assert spark.read.parquet(tbl).count() == rows
