@@ -314,11 +314,11 @@ GROUP BY o_orderstatus
     tags=("sink", "layout"),
 )
 def compaction_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from f1_lakehouse_spark.pipeline.hashing import spark_md5_hash48  # noqa: PLC0415
     from f1_lakehouse_spark.sources.layout import (  # noqa: PLC0415
         compact_parquet,
         write_zordered,
     )
+    from f1_lakehouse_spark.sources.shards import _row_hash  # noqa: PLC0415
 
     orders = load_table(spark, sf_dir, "orders")
     base = tempfile.mkdtemp(prefix="f1ls_layout_")
@@ -359,18 +359,12 @@ def compaction_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{ratio:.3f} >= 0.8 over {len(spans)} files — files span the "
             "whole key range, min/max skipping would prune nothing"
         )
-        # 4. content certification from the ROUND-TRIPPED files
-        row_hash = spark_md5_hash48(
-            F.concat_ws(
-                "\x1f",
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00<NULL>"))
-                    for c in _ORDERS_HASH_COLS
-                ],
-            )
-        )
+        # 4. content certification from the ROUND-TRIPPED files — the row
+        #    hash is shards._row_hash (ONE implementation of the
+        #    separator/NULL-sentinel discipline; a fix there must reach
+        #    this checksum too, so no inline copy)
         out = (
-            back.withColumn("h", row_hash.cast("decimal(38,0)"))
+            back.withColumn("h", _row_hash(_ORDERS_HASH_COLS).cast("decimal(38,0)"))
             .groupBy("o_orderstatus")
             .agg(
                 F.count("*").alias("n_rows"),
@@ -480,32 +474,44 @@ def scd2_history_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_custkey", "epoch", F.col("_m.o_orderpriority").alias("o_orderpriority"))
     )
-    history = spark.createDataFrame(
-        [], "o_custkey long, o_orderpriority string, valid_from timestamp, valid_to timestamp"
-    )
-    for i, eff in enumerate(["1997-01-01", "1999-01-01", "2002-01-01"], start=1):
-        changes = latest.filter(F.col("epoch") == i).select(
-            "o_custkey", "o_orderpriority"
+    # persist + materialize the derived model frame BEFORE the loop
+    # (CLAUDE.md iterative-rounds rule): each epoch's `changes` appears in
+    # ~3 branches of scd2_apply's plan and pin_checkpoint materializes all
+    # of them — unpersisted, the orders aggregate would re-derive ~9 times
+    # across the 3 epochs; persisted, orders scans once
+    latest = latest.persist()
+    latest.count()
+    try:
+        history = spark.createDataFrame(
+            [],
+            "o_custkey long, o_orderpriority string, "
+            "valid_from timestamp, valid_to timestamp",
         )
-        history = scd2_apply(
-            history, changes, "o_custkey", ["o_orderpriority"], F.lit(eff)
+        for i, eff in enumerate(["1997-01-01", "1999-01-01", "2002-01-01"], start=1):
+            changes = latest.filter(F.col("epoch") == i).select(
+                "o_custkey", "o_orderpriority"
+            )
+            history = scd2_apply(
+                history, changes, "o_custkey", ["o_orderpriority"], F.lit(eff)
+            )
+            # pin between applications: each scd2_apply consumes `history`
+            # FOUR times (open/closed filters + two joins), so an unpinned
+            # 3-deep chain re-evaluates the whole lineage ~4^3 times;
+            # localCheckpoint keeps it one pass per round, executor-side
+            # (history is customer-proportional — never a driver pin)
+            history = pin_checkpoint(history)
+        is_open = (F.col("valid_to") == F.lit(OPEN_END).cast("timestamp")).cast("int")
+        out = (
+            history.withColumn("is_open", is_open)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum("is_open").cast("long").alias("n_open"),
+                F.sum(1 - F.col("is_open")).cast("long").alias("n_closed"),
+            )
         )
-        # pin between applications: each scd2_apply consumes `history`
-        # FOUR times (open/closed filters + two joins), so an unpinned
-        # 3-deep chain re-evaluates the whole lineage ~4^3 times;
-        # localCheckpoint keeps it one pass per round, executor-side
-        # (history is customer-proportional — never a driver pin)
-        history = pin_checkpoint(history)
-    is_open = (F.col("valid_to") == F.lit(OPEN_END).cast("timestamp")).cast("int")
-    out = (
-        history.withColumn("is_open", is_open)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.sum("is_open").cast("long").alias("n_open"),
-            F.sum(1 - F.col("is_open")).cast("long").alias("n_closed"),
-        )
-    )
-    return pin_small_result(out, _PRIORITY_MAX)
+        return pin_small_result(out, _PRIORITY_MAX)
+    finally:
+        latest.unpersist()
 
 
 _ABSENT = "<ABSENT>"

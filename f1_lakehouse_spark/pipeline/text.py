@@ -179,8 +179,6 @@ def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_lang_id_macro_f1) — the shared-cache roster pattern. The cache
     stores a pin_small_result LocalRelation, so unlike the persisted
     frames there is nothing to unpersist on rollover."""
-    from f1_lakehouse_spark.pinning import pin_small_result  # noqa: PLC0415
-
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _CONFUSION_CACHE.get(key)
     if hit is None:

@@ -106,13 +106,19 @@ def delete_rows_partition_scoped(
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     affected = spark.read.parquet(path).filter(partition_predicate)
-    kept = affected.filter(~row_predicate)
+    # SQL DELETE semantics: a row is deleted only where the predicate is
+    # TRUE — a NULL predicate KEEPS the row. A bare `filter(~pred)` would
+    # silently drop NULL-predicate rows (NULL is not FALSE), deleting rows
+    # `DELETE WHERE pred` would keep, and would disagree with the stats
+    # pass below (which must share the exact same tri-state handling).
+    delete_cond = F.coalesce(row_predicate, F.lit(False))
+    kept = affected.filter(~delete_cond)
     # one partition-pruned stats pass: which partitions the delete touches,
     # and which keep at least one row (the write pass is the second and
     # last scan of the affected slice)
     stats = (
         affected.groupBy(partition_col)
-        .agg(F.sum(F.when(row_predicate, 0).otherwise(1)).alias("kept_n"))
+        .agg(F.sum(F.when(delete_cond, 0).otherwise(1)).alias("kept_n"))
         .collect()
     )
     touched = {r[0] for r in stats}

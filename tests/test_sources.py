@@ -511,3 +511,30 @@ def test_compact_parquet_is_idempotent(spark):
         n2 = compact_parquet(spark, tbl, target_file_mb=128)
         assert n1 == n2
         assert spark.read.parquet(tbl).count() == rows
+
+
+def test_delete_rows_partition_scoped_null_predicate_keeps_row(spark):
+    """SQL DELETE semantics: a NULL row predicate KEEPS the row (it is not
+    TRUE) — a bare filter(~pred) would silently delete it."""
+    from f1_lakehouse_spark.sources.parquet_io import (
+        delete_rows_partition_scoped,
+        write_partitioned,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "a", 1), (7, "a", 2), (2, "a", 3)],
+        "uid long, part string, rowid long",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        tbl = f"{tmp}/t"
+        write_partitioned(df, tbl, ["part"])
+        n = delete_rows_partition_scoped(
+            spark, tbl, "part", F.col("part") == "a", F.col("uid") % 2 == 0
+        )
+        assert n == 1
+        kept = sorted(
+            ((r["uid"], r["rowid"]) for r in spark.read.parquet(tbl).collect()),
+            key=lambda t: t[1],
+        )
+        # uid=2 deleted (predicate TRUE); uid=7 kept (FALSE); uid=NULL kept
+        assert kept == [(None, 1), (7, 2)]
