@@ -6,6 +6,12 @@ on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 Each query materializes fully through the noop sink (no driver collect cost,
 no skipped projections).
 
+Full-suite flagging (scripts/bench_full.py): the slow-query flag threshold
+is calibration-scaled since r10 — FLAG_BASE_SEC (5 s) × max(1, jvm_sum /
+0.33 s reference) — so a slow VM inflates the bar instead of false-flagging
+a correct plan (r9: w1_personal_best_applyinpandas at 5.22 s on a session
+whose calib ran 35% slow). A fast VM never lowers it below the base.
+
 Drift diagnosis (r7 lesson): when a round's numbers look uniformly inflated,
 re-run A/B against the previous round's code in the SAME warm process —
 warm A/B is the diagnostic; the calibration ratio (jvm_sum / scan) alone

@@ -122,7 +122,15 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     "knob) for the clustering audit assertion",
     ("pipeline/lifecycle.py", "partition_prune_roundtrip"): "model-sized: "
     "distinct touched partition dates, calendar-bounded by the 7-day prune "
-    "window the assertion checks",
+    "window the assertion checks; plus the data-derived expected-day set, "
+    "bounded by the same 7-day window",
+    ("pipeline/lifecycle.py", "_assert_snapshot_consistent"): "model-sized: "
+    "per-event_type gold rows and their recomputation, both bounded by the "
+    "event_type taxonomy (EVENT_TYPE_MAX) — the snapshot-isolation "
+    "invariant compare",
+    ("pipeline/lifecycle.py", "version_gc_roundtrip"): "model-sized: "
+    "as-of version rows vs their recomputation, both per-event_type "
+    "aggregates bounded by the taxonomy (EVENT_TYPE_MAX)",
 }
 
 

@@ -291,6 +291,17 @@ def _gold_merge(batch_df: DataFrame, batch_id: int, gold_path: str) -> None:
     _mvcc_publish(batch_df, batch_id, gold_path, merge)
 
 
+def publish_gold_version(df: DataFrame, version_id: int, gold_path: str) -> None:
+    """Batch-side entry to the pointer-versioned layout: publish ``df``
+    (cumulative aggregate rows, one per key) as version ``version_id``
+    with the exact key-replace merge + MVCC pointer swap + one-cycle
+    retention the streaming ``foreachBatch`` path uses — same code path
+    (:func:`_gold_merge`), so the GC/retention contract the
+    ``version_gc_roundtrip`` driver query certifies is the one the stream
+    runs under."""
+    _gold_merge(df, version_id, gold_path)
+
+
 def incremental_gold_refresh(
     spark: SparkSession,
     src_dir: str,

@@ -141,6 +141,16 @@ SHOWCASE: dict[str, str] = {
     "supplier_eb_rate_shrinkage": "Posterior is a per-row double tree over "
     "exact counts (1-row pooled broadcast); top movers via "
     "TakeOrderedAndProject.",
+    # round 10 — keep LAST: the lazy override leaves the broadcast
+    # threshold disabled and its external tables registered for the rest
+    # of the process (see _bucketed_join_frame)
+    "bucketed_join_roundtrip": "Co-located bucketed join (r9 headline "
+    "capability): both fact tables pre-bucketed on the join key — the "
+    "SortMergeJoin has NO Exchange on either input; at 100 TB the "
+    "per-query shuffle of two fact tables is pre-paid once by the "
+    "bucketed write (plan property CI-gated by "
+    "tests/test_plans.py::test_bucketed_join_eliminates_shuffle and "
+    "asserted inside the registered round-trip).",
 }
 
 
@@ -161,9 +171,47 @@ def _phash_frame(spark, sf_dir):
     return out
 
 
+def _bucketed_join_frame(spark, sf_dir):
+    """bucketed_join_roundtrip's certified join, reconstructed LAZILY for
+    the plan dump (the registered query pins its result, so its own plan
+    is an ExistingRDD). Leaves the two external tables registered and the
+    broadcast threshold disabled for the remainder of the process — this
+    override must stay the LAST showcase entry."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from f1_lakehouse_spark.sources.parquet_io import write_bucketed_table
+    from f1_lakehouse_spark.tables import load_table
+
+    base = tempfile.mkdtemp(prefix="f1ls_dumpplans_bucketed_")
+    token = os.path.basename(base).rsplit("_", 1)[-1].lower()
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    t_o, t_l = f"f1ls_plans_orders_{token}", f"f1ls_plans_lineitem_{token}"
+    write_bucketed_table(orders, t_o, os.path.join(base, "orders"), "o_orderkey", 8)
+    write_bucketed_table(
+        lineitem, t_l, os.path.join(base, "lineitem"), "l_orderkey", 8
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    o, li = spark.table(t_o), spark.table(t_l)
+    joined = o.join(li, o["o_orderkey"] == li["l_orderkey"])
+    rev = F.col("l_extendedprice").cast("decimal(28,9)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,9)")
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum(rev), 3).cast("double").alias("revenue"),
+    )
+
+
 LAZY_OVERRIDE = {
     "lineitem_fisher_price_index": _fisher_frame,
     "mm_phash_hadamard_neardup": _phash_frame,
+    "bucketed_join_roundtrip": _bucketed_join_frame,
 }
 
 

@@ -43,29 +43,18 @@ ANCHORS: tuple[str, ...] = (
     "dedup_minhash_verified",
 )
 
-# Round-9 priorities: CORRECTNESS_r08 landed 48/50 — the two r8 lifecycle
-# round-trips are the only never-GREEN rows in the project's history
-# (hash_match red; rows/schema green; emulator + vanilla local[32] both
-# MATCH). They MUST stay pinned here until a green driver row exists: the
-# never-checked fill excludes them (they have prior rows) and the top-up
-# only admits greens, so dropping them from LEAD would leave them
-# unverified indefinitely (r8 verdict "what's wrong" #2). Their result
-# encodings were hardened this round (bool->int, decimal->bigint/double;
-# pipeline/lifecycle.py). Any NEW operator registered this round is also
-# pinned here in the same commit (standing rule since r6).
+# Round-10 priorities: every query in the project is now ever-green
+# (CORRECTNESS_r09 closed the last two r8 reds and certified all nine r9
+# lifecycle ops first-time), so LEAD shrinks back to its baseline duty —
+# any NEW operator registered this round is pinned here in the same
+# commit (standing rule since r6) so its first driver row lands the round
+# it ships. Previously-pinned r8/r9 names all hold green rows and rotate
+# through the least-recently-verified top-up like everything else.
 LEAD: tuple[str, ...] = (
-    "incremental_gold_refresh_roundtrip",
-    "training_shards_roundtrip",
-    # new r9 operators, pinned in the registering round (standing rule)
-    "incremental_silver_merge_roundtrip",
-    "compaction_zorder_roundtrip",
-    "scd2_history_roundtrip",
-    "schema_evolution_roundtrip",
-    "partition_prune_roundtrip",
-    "bucketed_join_roundtrip",
-    "dynamic_partition_prune_roundtrip",
-    "row_level_delete_roundtrip",
-    "curated_shards_roundtrip",
+    # new r10 operators, pinned in the registering round (standing rule)
+    "atomic_publish_roundtrip",
+    "version_gc_roundtrip",
+    "cbo_stats_broadcast_roundtrip",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"

@@ -125,6 +125,10 @@ QUERIES = [
     "dynamic_partition_prune_roundtrip",
     "row_level_delete_roundtrip",
     "curated_shards_roundtrip",
+    # round 10 (multi-table txn, version GC, stats/CBO)
+    "atomic_publish_roundtrip",
+    "version_gc_roundtrip",
+    "cbo_stats_broadcast_roundtrip",
 ]
 
 
