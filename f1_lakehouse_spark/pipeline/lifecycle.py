@@ -1383,3 +1383,344 @@ def cbo_stats_broadcast_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         spark.sql(f"DROP TABLE IF EXISTS {t_dim}")
         spark.sql(f"DROP TABLE IF EXISTS {t_fact}")
         shutil.rmtree(base, ignore_errors=True)
+
+
+# second r10 batch: WAP, time travel, streaming multi-table txn, join reorder
+
+_TT_ORACLE = f"""
+WITH latest AS (
+    SELECT user_id, event_type, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+    WHERE ts < TIMESTAMP '{_TXN1_CUTOFF}'
+)
+SELECT event_type,
+       COUNT(*) AS n_users,
+       CAST(round(SUM(CAST(value AS DECIMAL(28,9))), 3) AS DOUBLE) AS total_value
+FROM latest
+WHERE rn = 1
+GROUP BY event_type
+"""
+
+
+@register(
+    "snapshot_time_travel_roundtrip",
+    oracle=_TT_ORACLE,
+    doc="Snapshot time travel over the manifest history certified "
+    "end-to-end: publish two medallion transactions, then read the "
+    "ENTIRE snapshot as of transaction 1 through its immutable history "
+    "manifest (_MANIFEST.v1) — both layers resolve to their txn-1 "
+    "versions (retained one publish cycle), the as-of snapshot is "
+    "internally consistent (gold == aggregate(silver)), a never-committed "
+    "txn resolves to None, and the returned frame is the as-of gold the "
+    "oracle recomputes with the txn-1 cutoff. Iceberg snapshot reads / "
+    "Delta VERSION AS OF, emulated with O(#tables)-byte history files.",
+    tags=("sink", "lifecycle"),
+)
+def snapshot_time_travel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.sources.txn import (  # noqa: PLC0415
+        manifest_read_table,
+        publish_tables,
+        read_manifest,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="f1ls_tt_")
+    root = os.path.join(base, "medallion")
+    persisted: list[DataFrame] = []
+    try:
+        t1 = _medallion_layers(
+            events.filter(F.col("ts") < F.lit(_TXN1_CUTOFF).cast("timestamp"))
+        )
+        persisted.append(t1["silver"])
+        t2 = _medallion_layers(events)
+        persisted.append(t2["silver"])
+        publish_tables(spark, root, t1, txn_id=1)
+        publish_tables(spark, root, t2, txn_id=2)
+        # live pointer is txn 2; the as-of read resolves txn 1's history
+        # manifest and must see the OLD pair, still mutually consistent
+        assert read_manifest(root)["txn"] == 2
+        m_asof = read_manifest(root, txn=1)
+        assert m_asof is not None and m_asof["txn"] == 1, m_asof
+        _assert_snapshot_consistent(spark, root, m_asof)
+        assert read_manifest(root, txn=3) is None, (
+            "never-committed txn resolved to a manifest"
+        )
+        gold_asof = manifest_read_table(spark, root, "gold", m_asof)
+        out = gold_asof.select(
+            "event_type",
+            "n_users",
+            F.round("total_value", 3).cast("double").alias("total_value"),
+        )
+        return pin_small_result(out, EVENT_TYPE_MAX)
+    finally:
+        for frame in persisted:
+            frame.unpersist()
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _medallion_audit(staged: dict[str, DataFrame]) -> list[str]:
+    """The WAP quality gate: the contract the reference enforces POST-HOC
+    with dbt not_null tests + check_gold.sh, run here against STAGED data
+    before anything becomes visible. Count-based probes over the staged
+    (entity-/taxonomy-bounded) frames; no driver materialization beyond
+    scalar counts."""
+    violations: list[str] = []
+    silver, gold = staged["silver"], staged["gold"]
+    n_null_type = silver.filter(F.col("event_type").isNull()).count()
+    if n_null_type:
+        violations.append(f"silver.event_type has {n_null_type} NULLs")
+    # not_null key contract (the reference's schema.yml tests, pre-publish)
+    n_null_user = silver.filter(F.col("user_id").isNull()).count()
+    if n_null_user:
+        violations.append(f"silver.user_id has {n_null_user} NULLs")
+    if gold.filter(F.col("n_users") <= 0).count():
+        violations.append("gold.n_users has non-positive groups")
+    return violations
+
+
+@register(
+    "wap_publish_roundtrip",
+    oracle=_ATOMIC_PUBLISH_ORACLE,
+    doc="Write-Audit-Publish certified end-to-end: commit a clean "
+    "medallion transaction through the staged-audit gate, then attempt a "
+    "POISONED transaction (rows with NULL event_type on fresh keys, so "
+    "the latest-per-key merge cannot mask them) — the audit must reject "
+    "it BEFORE the manifest swap, leaving the committed snapshot "
+    "untouched, readers on the clean pair, and the staged orphans "
+    "removed; a replay of the committed txn must no-op. Returns the live "
+    "gold, which the oracle recomputes from the clean source — if the "
+    "poisoned batch had leaked to visibility the NULL group changes the "
+    "hash. The reference runs its quality gate AFTER tables go live "
+    "(scripts/check_gold.sh, dbt not_null); WAP is the 100 TB-safe "
+    "inversion: a failing batch is never visible to any reader.",
+    tags=("sink", "lifecycle"),
+)
+def wap_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.sources.txn import (  # noqa: PLC0415
+        manifest_read_table,
+        read_manifest,
+        write_audit_publish,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="f1ls_wap_")
+    root = os.path.join(base, "medallion")
+    persisted: list[DataFrame] = []
+    try:
+        good = _medallion_layers(events)
+        persisted.append(good["silver"])
+        v1 = write_audit_publish(
+            spark, root, good, txn_id=1, audit_fn=_medallion_audit
+        )
+        assert v1 == [], f"clean batch rejected: {v1}"
+        m1 = read_manifest(root)
+        assert m1 is not None and m1["txn"] == 1
+
+        # poison: NULL event_type on FRESH (negated) user keys — fresh so
+        # the latest-per-key merge keeps them in staged silver instead of
+        # losing the tie to the legitimate row
+        poison = (
+            events.select("user_id", "ts", "event_id", "event_type", "value")
+            .limit(3)
+            .withColumn("user_id", (-F.col("user_id") - F.lit(1)))
+            .withColumn("event_type", F.lit(None).cast("string"))
+        )
+        bad_src = events.select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        ).unionByName(poison)
+        bad = _medallion_layers(bad_src)
+        persisted.append(bad["silver"])
+        v2 = write_audit_publish(
+            spark, root, bad, txn_id=2, audit_fn=_medallion_audit
+        )
+        assert v2 and "event_type" in v2[0], (
+            f"audit did not catch the poisoned batch: {v2}"
+        )
+        m_after = read_manifest(root)
+        assert m_after == m1, "rejected batch mutated the manifest"
+        assert not os.path.isdir(os.path.join(root, "silver", "v0000000002")), (
+            "rejected staging not cleaned"
+        )
+        _assert_snapshot_consistent(spark, root, m_after)
+        # replay of the COMMITTED txn no-ops and reports no violations
+        assert write_audit_publish(
+            spark, root, good, txn_id=1, audit_fn=_medallion_audit
+        ) == []
+
+        gold = manifest_read_table(spark, root, "gold", m_after)
+        out = gold.select(
+            "event_type",
+            "n_users",
+            F.round("total_value", 3).cast("double").alias("total_value"),
+        )
+        return pin_small_result(out, EVENT_TYPE_MAX)
+    finally:
+        for frame in persisted:
+            frame.unpersist()
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_STREAM_SPLIT_FILES = 4  # backlog split so the merge crosses batch bounds
+
+
+@register(
+    "streaming_multitable_roundtrip",
+    oracle=_ATOMIC_PUBLISH_ORACLE,
+    doc="Exactly-once streaming maintenance of silver AND gold as ONE "
+    "transaction per micro-batch, certified end-to-end: split the events "
+    "backlog into files, stream with maxFilesPerTrigger=1 so the "
+    "latest-wins merge crosses micro-batch boundaries, commit each "
+    "batch's (silver, gold) pair through one manifest swap "
+    "(streaming/ingest.streaming_medallion_publish over sources/txn.py), "
+    "RESTART with no new data (checkpoint recovery + txn guard must "
+    "no-op), then read BOTH layers through one manifest snapshot, assert "
+    "gold == aggregate(silver), and return the final gold. The oracle "
+    "computes latest-per-user from the raw source, so a torn multi-table "
+    "commit, a replay double-apply, or batch-split dependence all "
+    "surface. Delta's foreachBatch MERGE is per-table exactly-once; the "
+    "manifest commit extends the guarantee across tables.",
+    tags=("streaming", "lifecycle"),
+)
+def streaming_multitable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.sources.txn import (  # noqa: PLC0415
+        manifest_read_table,
+        read_manifest,
+    )
+    from f1_lakehouse_spark.streaming.ingest import (  # noqa: PLC0415
+        streaming_medallion_publish,
+    )
+
+    base = tempfile.mkdtemp(prefix="f1ls_stream_txn_")
+    src, root, ckpt = (os.path.join(base, d) for d in ("src", "medallion", "ckpt"))
+    try:
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        ).repartition(_STREAM_SPLIT_FILES).write.parquet(src)
+        streaming_medallion_publish(
+            spark, src, root, ckpt, glob="*.parquet", max_files_per_trigger=1
+        )
+        m = read_manifest(root)
+        assert m is not None and m["txn"] >= 1, m
+        # restart against the same checkpoint with no new files: recovery
+        # must publish nothing (checkpoint no-op + txn guard)
+        streaming_medallion_publish(
+            spark, src, root, ckpt, glob="*.parquet", max_files_per_trigger=1
+        )
+        assert read_manifest(root) == m, "restart republished a transaction"
+        _assert_snapshot_consistent(spark, root, m)
+        gold = manifest_read_table(spark, root, "gold", m)
+        out = gold.select(
+            "event_type",
+            "n_users",
+            F.round("total_value", 3).cast("double").alias("total_value"),
+        )
+        return pin_small_result(out, EVENT_TYPE_MAX)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_REORDER_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_lines,
+       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(28,9))), 3) AS DOUBLE)
+           AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+WHERE p_size = 1
+GROUP BY o_orderstatus
+"""
+
+
+def _join_leaf_order(df: DataFrame, marker: str) -> list[str]:
+    """Catalog-relation leaf order in the optimized logical plan — the
+    join order CBO chose. Tables are uniquely suffixed per invocation, so
+    the marker regex only matches this query's relations."""
+    import re  # noqa: PLC0415
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return re.findall(rf"{marker}_(li|od|pa)_", plan)
+
+
+@register(
+    "cbo_join_reorder_roundtrip",
+    oracle=_REORDER_ORACLE,
+    doc="CBO join REORDERING certified with a stats-off negative control: "
+    "a three-table join written worst-first (lineitem JOIN orders — two "
+    "facts — with the selective p_size dim joined LAST). Without "
+    "statistics the optimizer keeps the written order (asserted); after "
+    "ANALYZE ... FOR ALL COLUMNS on all three tables, CBO's "
+    "cost-based reorder moves the filtered dim ahead of the second fact "
+    "(asserted on the optimized plan's relation order), shrinking the "
+    "intermediate before the expensive join. Broadcast is disabled so "
+    "the reorder decision — not a broadcast rescue — is what gets "
+    "certified; the aggregate is returned and recomputed by the oracle. "
+    "At 100 TB join order is the difference between shuffling a "
+    "fact-x-fact intermediate and a pre-filtered sliver.",
+    tags=("sink", "lifecycle"),
+)
+def cbo_join_reorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_size")
+    base = tempfile.mkdtemp(prefix="f1ls_reorder_")
+    token = os.path.basename(base).removeprefix("f1ls_reorder_").lower()
+    names = {t: f"f1ls_ro_{t}_{token}" for t in ("li", "od", "pa")}
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for t, df in (("li", lineitem), ("od", orders), ("pa", part)):
+            (
+                df.write.mode("overwrite")
+                .option("path", os.path.join(base, t))
+                .saveAsTable(names[t])
+            )
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+
+        def build() -> DataFrame:
+            l_ = spark.table(names["li"])
+            o = spark.table(names["od"])
+            p = spark.table(names["pa"]).filter(F.col("p_size") == 1)
+            rev = F.col("l_extendedprice").cast("decimal(28,9)")
+            return (
+                l_.join(o, l_["l_orderkey"] == o["o_orderkey"])
+                .join(p, l_["l_partkey"] == p["p_partkey"])
+                .groupBy("o_orderstatus")
+                .agg(
+                    F.count("*").alias("n_lines"),
+                    F.round(F.sum(rev), 3).cast("double").alias("revenue"),
+                )
+            )
+
+        written = ["li", "od", "pa"]
+        neg = _join_leaf_order(build(), "f1ls_ro")
+        assert neg == written, (
+            f"no-stats control did not keep the written join order: {neg}"
+        )
+        for t in names.values():
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+            spark.catalog.refreshTable(t)
+        joined = build()
+        pos = _join_leaf_order(joined, "f1ls_ro")
+        assert pos != written and pos.index("pa") < pos.index("od"), (
+            f"stats present but CBO kept the worst-first order: {pos}"
+        )
+        return pin_small_result(joined, ORDERSTATUS_MAX)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(base, ignore_errors=True)

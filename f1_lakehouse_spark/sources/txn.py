@@ -70,11 +70,20 @@ class SimulatedCrash(RuntimeError):
     swap. Production code never raises this."""
 
 
-def read_manifest(root: str) -> dict | None:
+def read_manifest(root: str, txn: int | None = None) -> dict | None:
     """The committed transaction: ``{"txn": int, "tables": {name: version}}``,
     or None before the first publish. Read it ONCE per logical read and
-    resolve all tables through the same dict — that is the snapshot."""
-    path = os.path.join(root, MANIFEST)
+    resolve all tables through the same dict — that is the snapshot.
+
+    ``txn`` gives TIME TRAVEL: resolve the manifest history file a past
+    commit wrote (``_MANIFEST.v{txn}``, immutable, O(#tables) bytes each —
+    the history costs nothing at any data scale). The snapshot's version
+    DIRS are only retained one publish cycle (see ``publish_tables``), so
+    an as-of read reaches exactly one commit back before
+    :func:`manifest_read_table` starts degrading to None — Iceberg's
+    snapshot list with a short expire_snapshots horizon."""
+    name = MANIFEST if txn is None else f"{MANIFEST}.v{txn:010d}"
+    path = os.path.join(root, name)
     if not os.path.exists(path):
         return None
     with open(path) as f:
@@ -96,29 +105,46 @@ def manifest_read_table(
     return spark.read.parquet(vdir)
 
 
-def publish_tables(
-    spark: SparkSession,
-    root: str,
-    tables: dict[str, DataFrame],
-    txn_id: int,
-    fail_after_writes: int | None = None,
-) -> None:
-    """Atomically publish every frame in ``tables`` as transaction
-    ``txn_id`` (see module docstring for the protocol). Idempotent under
-    crash-replay; ``txn_id`` must be monotonically increasing across
-    publishes to the same root."""
-    os.makedirs(root, exist_ok=True)
-    version = f"v{txn_id:010d}"
+class CommitConflictError(RuntimeError):
+    """Optimistic-concurrency conflict: another writer committed this
+    txn id first. The loser must re-read the manifest, re-derive its
+    frames against the new snapshot, and retry with the next txn id —
+    exactly Delta/Iceberg's optimistic commit-retry loop."""
+
+
+def _txn_guard(root: str, txn_id: int, writer: str | None) -> dict | str | None:
+    """Shared replay/monotonicity/conflict guard. Returns the string
+    "committed" when THIS writer's txn is already live (caller no-ops —
+    the idempotent crash-replay), raises :class:`CommitConflictError`
+    when a DIFFERENT writer won the race to this txn id (distinguishable
+    only when both sides pass ``writer`` tokens; with no token the
+    equal-txn case is treated as a replay, the pre-OCC behavior), and
+    otherwise returns the current manifest (possibly None) to proceed."""
     cur = read_manifest(root)
     if cur is not None:
         if cur["txn"] == txn_id:
-            # crash-replay AFTER a completed commit: the transaction is
-            # durable and live — the no-op IS the idempotent replay
-            return
+            if writer is not None and cur.get("writer") not in (None, writer):
+                raise CommitConflictError(
+                    f"txn {txn_id} was committed by writer "
+                    f"{cur.get('writer')!r}, not {writer!r} — re-read the "
+                    "manifest and retry with the next txn id"
+                )
+            return "committed"
         if cur["txn"] > txn_id:
             raise ValueError(
                 f"txn_id {txn_id} is older than the committed {cur['txn']}"
             )
+    return cur
+
+
+def _stage_writes(
+    root: str,
+    tables: dict[str, DataFrame],
+    version: str,
+    fail_after_writes: int | None,
+) -> None:
+    """Phase 2 of the protocol: every table's new frame lands in its own
+    version dir, distributed, never touching a live dir."""
     written = 0
     for name in sorted(tables):
         tables[name].write.mode("overwrite").parquet(
@@ -129,11 +155,69 @@ def publish_tables(
             raise SimulatedCrash(
                 f"simulated crash after {written}/{len(tables)} writes"
             )
+
+
+def _version_name(txn_id: int, writer: str | None) -> str:
+    """Staged version dir for a txn. Writer-suffixed under OCC so two
+    racing writers NEVER stage into the same directory — only the commit
+    winner's dirs get referenced; the loser's are unreachable orphans
+    (cleaned by its conflict handler, and by retention as a backstop)."""
+    base = f"v{txn_id:010d}"
+    return base if writer is None else f"{base}-{writer}"
+
+
+def _commit_manifest(
+    root: str,
+    cur: dict | None,
+    tables: dict[str, DataFrame],
+    txn_id: int,
+    writer: str | None,
+) -> None:
+    """Phases 3+4: atomic manifest swap (plus the immutable history copy
+    for time travel / commit arbitration), then per-table one-cycle
+    retention."""
+    version = _version_name(txn_id, writer)
     prev_tables = dict(cur["tables"]) if cur else {}
     new_manifest = {
         "txn": txn_id,
         "tables": {**prev_tables, **{n: version for n in tables}},
     }
+    if writer is not None:
+        new_manifest["writer"] = writer
+    # history copy FIRST — it doubles as the COMMIT ARBITRATION record.
+    # With a writer token it is created EXCLUSIVELY (O_EXCL — the
+    # fail-if-exists create is the one compare-and-swap primitive local
+    # FS / HDFS give us, and it is exactly how Delta's _delta_log/N.json
+    # commit arbitrates concurrent writers): the winner of the create IS
+    # the committer of txn N. A loser finds the file owned by another
+    # writer and raises; a crashed WINNER replaying finds its OWN record
+    # and idempotently completes the live-pointer swap. Without a token
+    # (single-writer mode) the history file is plain tmp+replace — a
+    # crash between the two renames leaves a history file the replay's
+    # rewrite makes identical, harmless.
+    hist = os.path.join(root, f"{MANIFEST}.v{txn_id:010d}")
+    payload = json.dumps(new_manifest)
+    if writer is None:
+        tmp_hist = hist + ".tmp"
+        with open(tmp_hist, "w") as f:
+            f.write(payload)
+        os.replace(tmp_hist, hist)
+    else:
+        try:
+            fd = os.open(hist, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+        except FileExistsError:
+            with open(hist) as f:
+                owner = json.load(f)
+            if owner.get("writer") != writer:
+                raise CommitConflictError(
+                    f"txn {txn_id} commit record is owned by writer "
+                    f"{owner.get('writer')!r}, not {writer!r} — re-read "
+                    "the manifest and retry with the next txn id"
+                ) from None
+            # our own crash leftover: fall through and complete the swap
+            new_manifest = owner
     tmp = os.path.join(root, MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(new_manifest, f)
@@ -146,3 +230,84 @@ def publish_tables(
         for entry in os.listdir(tdir):
             if entry.startswith("v") and entry not in keep:
                 shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+
+
+def publish_tables(
+    spark: SparkSession,
+    root: str,
+    tables: dict[str, DataFrame],
+    txn_id: int,
+    fail_after_writes: int | None = None,
+    writer: str | None = None,
+) -> None:
+    """Atomically publish every frame in ``tables`` as transaction
+    ``txn_id`` (see module docstring for the protocol). Idempotent under
+    crash-replay; ``txn_id`` must be monotonically increasing across
+    publishes to the same root.
+
+    ``writer`` opts into optimistic concurrency: each writer stages into
+    its own version dirs and the txn's commit record is created
+    exclusively (fail-if-exists — the Delta _delta_log arbitration), so
+    of N racing writers exactly ONE commits txn_id and every loser gets
+    :class:`CommitConflictError` (re-read the manifest, re-derive, retry
+    with the next id) with its orphan staging removed. Without a token
+    the equal-txn case is treated as this writer's own replay —
+    single-writer mode, the pre-OCC behavior."""
+    os.makedirs(root, exist_ok=True)
+    cur = _txn_guard(root, txn_id, writer)
+    if cur == "committed":
+        # crash-replay AFTER a completed commit: the transaction is
+        # durable and live — the no-op IS the idempotent replay
+        return
+    version = _version_name(txn_id, writer)
+    _stage_writes(root, tables, version, fail_after_writes)
+    try:
+        _commit_manifest(root, cur, tables, txn_id, writer)
+    except CommitConflictError:
+        for name in tables:  # lost the race: remove our unreachable stage
+            shutil.rmtree(os.path.join(root, name, version), ignore_errors=True)
+        raise
+
+
+def write_audit_publish(
+    spark: SparkSession,
+    root: str,
+    tables: dict[str, DataFrame],
+    txn_id: int,
+    audit_fn,
+    clean_rejected: bool = True,
+) -> list[str]:
+    """Write-Audit-Publish (the Iceberg WAP pattern; the scaled-up form of
+    the reference's post-hoc gate `/root/reference/scripts/check_gold.sh`
+    + dbt not_null tests, which only check AFTER the tables are live):
+    stage every table's version dir, run ``audit_fn`` against the STAGED
+    data read back from disk (what readers would actually see), and swap
+    the manifest ONLY if the audit returns no violations — a failing batch
+    never becomes visible to any reader.
+
+    ``audit_fn(staged: dict[str, DataFrame]) -> list[str]`` returns
+    human-readable violation strings (empty = pass). Returns the violation
+    list; on rejection the staged orphan dirs are removed (unless
+    ``clean_rejected=False`` — keep them for debugging) and the committed
+    snapshot is untouched. Idempotent like ``publish_tables``: a replay of
+    an already-committed txn no-ops (returns [])."""
+    os.makedirs(root, exist_ok=True)
+    cur = _txn_guard(root, txn_id, None)
+    if cur == "committed":
+        return []
+    version = _version_name(txn_id, None)
+    _stage_writes(root, tables, version, None)
+    staged = {
+        name: spark.read.parquet(os.path.join(root, name, version))
+        for name in tables
+    }
+    violations = list(audit_fn(staged))
+    if violations:
+        if clean_rejected:
+            for name in tables:
+                shutil.rmtree(
+                    os.path.join(root, name, version), ignore_errors=True
+                )
+        return violations
+    _commit_manifest(root, cur, tables, txn_id, None)
+    return []

@@ -409,6 +409,74 @@ def _silver_merge(batch_df: DataFrame, batch_id: int, silver_path: str) -> None:
     _mvcc_publish(batch_df, batch_id, silver_path, merge)
 
 
+def _medallion_txn_commit(batch_df: DataFrame, batch_id: int, root: str) -> None:
+    """One micro-batch's ATOMIC two-table commit: merge the batch into
+    silver (latest-per-key upsert against the silver the manifest names),
+    derive gold from the merged silver, and publish BOTH through one
+    manifest swap (sources/txn.py). Exactly-once across tables: a replay
+    of a committed batch no-ops on the txn guard; a crash between the two
+    version writes leaves the manifest on the previous batch's snapshot,
+    and the replay re-merges against THAT silver (the manifest is the
+    recovery point, so the merge re-reads exactly the state the crashed
+    attempt read). A reader can never observe batch N's gold over batch
+    N-1's silver."""
+    from f1_lakehouse_spark.sources.txn import (  # noqa: PLC0415
+        manifest_read_table,
+        publish_tables,
+        read_manifest,
+    )
+
+    sess = batch_df.sparkSession
+    txn_id = batch_id + 1  # txn ids are 1-based; batch ids start at 0
+    old = manifest_read_table(sess, root, "silver", read_manifest(root))
+    latest = _latest_per_key(batch_df)
+    silver = latest if old is None else _latest_per_key(old.unionByName(latest))
+    gold = silver.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(28,9)")).alias("total_value"),
+    )
+    # gold derives from silver's lineage: both writes re-run the merge
+    # shuffle once each — entity-bounded frames, two bounded jobs per
+    # batch (persisting across foreachBatch writes would pin executor
+    # memory for no asymptotic win)
+    publish_tables(sess, root, {"silver": silver, "gold": gold}, txn_id)
+
+
+def streaming_medallion_publish(
+    spark: SparkSession,
+    src_dir: str,
+    root: str,
+    checkpoint: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Exactly-once streaming maintenance of silver AND gold as one
+    transaction per micro-batch: the multi-table upgrade of
+    ``incremental_silver_merge`` — instead of one pointer-versioned table,
+    each batch commits a consistent (silver, gold) pair through the
+    manifest-of-pointers (sources/txn.py), so downstream readers join the
+    two layers without ever seeing a torn snapshot. Delta's
+    foreachBatch-with-MERGE gives per-TABLE exactly-once; the manifest
+    commit extends it across tables. Read back with
+    ``read_manifest`` + ``manifest_read_table``."""
+    src = stream_events(
+        spark, src_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    rows = src.select(SILVER_KEY, *SILVER_ORDER, *SILVER_PAYLOAD)
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        _medallion_txn_commit(batch_df, batch_id, root)
+
+    q = (
+        rows.writeStream.foreachBatch(commit)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def incremental_silver_merge(
     spark: SparkSession,
     src_dir: str,

@@ -55,6 +55,10 @@ LEAD: tuple[str, ...] = (
     "atomic_publish_roundtrip",
     "version_gc_roundtrip",
     "cbo_stats_broadcast_roundtrip",
+    "snapshot_time_travel_roundtrip",
+    "wap_publish_roundtrip",
+    "streaming_multitable_roundtrip",
+    "cbo_join_reorder_roundtrip",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"

@@ -129,6 +129,10 @@ QUERIES = [
     "atomic_publish_roundtrip",
     "version_gc_roundtrip",
     "cbo_stats_broadcast_roundtrip",
+    "snapshot_time_travel_roundtrip",
+    "wap_publish_roundtrip",
+    "streaming_multitable_roundtrip",
+    "cbo_join_reorder_roundtrip",
 ]
 
 

@@ -137,3 +137,176 @@ def test_publish_gold_version_gc_contract(spark, tmp_path):
     # the live pointer always names a listed version
     with open(os.path.join(gold, "_CURRENT")) as f:
         assert f.read().strip() in list_versions(gold)
+
+
+def test_wap_rejects_before_visibility_and_cleans(spark, tmp_path):
+    from f1_lakehouse_spark.sources.txn import write_audit_publish
+
+    root = str(tmp_path / "m")
+
+    def audit(staged):
+        out = []
+        if staged["silver"].filter("tag IS NULL").count():
+            out.append("silver.tag has NULLs")
+        return out
+
+    good = {
+        "silver": spark.createDataFrame([(1, 1), (2, 1)], "id int, tag int"),
+        "gold": spark.createDataFrame([(1, 2)], "tag int, n int"),
+    }
+    assert write_audit_publish(spark, root, good, 1, audit) == []
+    m1 = read_manifest(root)
+    assert m1["txn"] == 1
+
+    bad = {
+        "silver": spark.createDataFrame(
+            [(3, None)], "id int, tag int"
+        ),
+        "gold": spark.createDataFrame([(None, 1)], "tag int, n int"),
+    }
+    violations = write_audit_publish(spark, root, bad, 2, audit)
+    assert violations == ["silver.tag has NULLs"]
+    # the committed snapshot is untouched and the orphans are gone
+    assert read_manifest(root) == m1
+    assert not (tmp_path / "m" / "silver" / "v0000000002").exists()
+    # keep-for-debugging mode leaves the staging dirs
+    violations = write_audit_publish(
+        spark, root, bad, 2, audit, clean_rejected=False
+    )
+    assert violations and (tmp_path / "m" / "silver" / "v0000000002").exists()
+    # a rejected txn id remains available for a FIXED retry
+    fixed = {
+        "silver": spark.createDataFrame([(3, 2)], "id int, tag int"),
+        "gold": spark.createDataFrame([(2, 1)], "tag int, n int"),
+    }
+    assert write_audit_publish(spark, root, fixed, 2, audit) == []
+    assert read_manifest(root)["txn"] == 2
+
+
+def test_manifest_history_time_travel(spark, tmp_path):
+    root = str(tmp_path / "m")
+    publish_tables(spark, root, _frames(spark, 1), txn_id=1)
+    publish_tables(spark, root, _frames(spark, 2), txn_id=2)
+    m1 = read_manifest(root, txn=1)
+    assert m1 is not None and m1["txn"] == 1
+    assert _rows(manifest_read_table(spark, root, "silver", m1)) == [
+        (i, 1) for i in range(10)
+    ]
+    assert read_manifest(root, txn=9) is None
+    # history files are immutable records: the live manifest moved on
+    assert read_manifest(root)["txn"] == 2
+    # one-cycle version retention applies to as-of DIRS: after txn 3 the
+    # txn-1 snapshot resolves its manifest but not its pruned data
+    publish_tables(spark, root, _frames(spark, 3), txn_id=3)
+    m1_again = read_manifest(root, txn=1)
+    assert m1_again is not None
+    assert manifest_read_table(spark, root, "silver", m1_again) is None
+
+
+def test_streaming_medallion_publish_consistent_pairs(spark, tmp_path):
+    """Each micro-batch commit leaves gold == aggregate(silver) under one
+    manifest; a restart with no new data republishes nothing."""
+    from pyspark.sql import functions as F
+
+    from f1_lakehouse_spark.streaming.ingest import streaming_medallion_publish
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "medallion")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        (u, t, eid, "a" if eid % 2 else "b", float(eid))
+        for eid, (u, t) in enumerate(
+            [(u, t) for u in range(6) for t in range(3)]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts int, event_id int, event_type string, value double"
+    )
+    df.repartition(3).write.parquet(src)
+    streaming_medallion_publish(
+        spark, src, root, ckpt, glob="*.parquet", max_files_per_trigger=1
+    )
+    m = read_manifest(root)
+    assert m is not None and m["txn"] >= 1
+    silver = manifest_read_table(spark, root, "silver", m)
+    gold = manifest_read_table(spark, root, "gold", m)
+    # silver is latest-per-user over ALL input rows regardless of batching
+    assert silver.count() == 6
+    expect = (
+        silver.groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+        .collect()
+    )
+    got = {r["event_type"]: r["n_users"] for r in gold.collect()}
+    assert {r["event_type"]: r["n_users"] for r in expect} == got
+    streaming_medallion_publish(
+        spark, src, root, ckpt, glob="*.parquet", max_files_per_trigger=1
+    )
+    assert read_manifest(root) == m
+
+
+def test_occ_writer_conflict_detected_and_loser_cleaned(spark, tmp_path):
+    """Optimistic concurrency: writer A prepares txn 2 against the txn-1
+    snapshot but writer B commits txn 2 first — A must get
+    CommitConflictError (never a silent no-op that A could mistake for
+    its own commit), its orphan staging must be gone, and B's data must
+    be live. A's retry with the next id then succeeds."""
+    from f1_lakehouse_spark.sources.txn import CommitConflictError
+
+    root = str(tmp_path / "m")
+    publish_tables(spark, root, _frames(spark, 1), txn_id=1, writer="a")
+    publish_tables(spark, root, _frames(spark, 2), txn_id=2, writer="b")
+    with pytest.raises(CommitConflictError):
+        publish_tables(spark, root, _frames(spark, 99), txn_id=2, writer="a")
+    m = read_manifest(root)
+    assert m["txn"] == 2 and m["writer"] == "b"
+    assert _rows(manifest_read_table(spark, root, "silver", m)) == [
+        (i, 2) for i in range(10)
+    ]
+    assert not (tmp_path / "m" / "silver" / "v0000000002-a").exists()
+    # the standard OCC retry loop: re-read, re-derive, next txn id
+    publish_tables(spark, root, _frames(spark, 99), txn_id=3, writer="a")
+    assert read_manifest(root)["txn"] == 3
+
+
+def test_occ_own_replay_still_noops(spark, tmp_path):
+    """The conflict check must not break idempotent crash-replay: the
+    SAME writer replaying its committed txn no-ops."""
+    root = str(tmp_path / "m")
+    publish_tables(spark, root, _frames(spark, 1), txn_id=1, writer="a")
+    m1 = read_manifest(root)
+    publish_tables(spark, root, _frames(spark, 1), txn_id=1, writer="a")
+    assert read_manifest(root) == m1
+
+
+def test_occ_crashed_winner_completes_via_commit_record(spark, tmp_path):
+    """A writer that crashed AFTER creating the exclusive commit record
+    but BEFORE the live-pointer swap completes idempotently on replay
+    (its own record is found, not a conflict)."""
+    import json
+    import os as _os
+
+    from f1_lakehouse_spark.sources.txn import MANIFEST
+
+    root = str(tmp_path / "m")
+    publish_tables(spark, root, _frames(spark, 1), txn_id=1, writer="a")
+    # forge the crash: txn 2's commit record exists (owned by a), the
+    # live manifest still points at txn 1
+    hist = _os.path.join(root, f"{MANIFEST}.v{2:010d}")
+    record = {
+        "txn": 2,
+        "tables": {"silver": "v0000000002-a", "gold": "v0000000002-a"},
+        "writer": "a",
+    }
+    with open(hist, "w") as f:
+        json.dump(record, f)
+    assert read_manifest(root)["txn"] == 1
+    publish_tables(spark, root, _frames(spark, 2), txn_id=2, writer="a")
+    m = read_manifest(root)
+    # the replay completed the swap using ITS OWN commit record
+    assert m == record
+    # ...while a DIFFERENT writer replaying that txn conflicts
+    from f1_lakehouse_spark.sources.txn import CommitConflictError
+
+    with pytest.raises(CommitConflictError):
+        publish_tables(spark, root, _frames(spark, 3), txn_id=2, writer="b")
