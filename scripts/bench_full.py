@@ -44,6 +44,17 @@ FLAG_NOTES = {
         "partial sums — ~64x CPU at any scale factor by construction; the "
         "plan is THE distributed bootstrap (extensions.py), no scale-killer"
     ),
+    "scd2_history_roundtrip": (
+        "inherent many-small-jobs profile, not a plan smell: three "
+        "SEQUENTIAL epoch applications, each a join+union with a "
+        "localCheckpoint barrier (the 4^3 re-evaluation guard), so the "
+        "wall clock tracks per-job scheduler/disk latency rather than "
+        "data volume (change-batch-bounded at any SF). Cross-verified in "
+        "r10: the r9 tree reproduces the identical time on the same VM "
+        "(git-worktree A/B), while the r9 artifact's 3.24 s came from a "
+        "VM with lower per-job latency despite a slower CPU calib — the "
+        "jvm_sum scaling cannot normalize latency-bound queries"
+    ),
     "w1_personal_best_applyinpandas": (
         "the deliberate Arrow/pandas applyInPandas EXEMPLAR (SURVEY §2.10 "
         "UDF surface) — pays the Python round-trip by design to exercise "
