@@ -1724,3 +1724,211 @@ def cbo_join_reorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(base, ignore_errors=True)
+
+
+# third r10 batch: merge-on-read equality deletes, change data feed
+
+_MOR_COHORT_MOD2 = 7  # second delete cohort (full time range)
+
+_MOR_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+WHERE NOT (user_id % {_DELETE_USER_MOD} = 0
+           AND CAST(ts AS DATE) BETWEEN DATE '{_PRUNE_LO}' AND DATE '{_PRUNE_HI}')
+  AND NOT (user_id % {_DELETE_USER_MOD} = {_MOR_COHORT_MOD2})
+GROUP BY event_type
+"""
+
+
+@register(
+    "mor_delete_roundtrip",
+    oracle=_MOR_ORACLE,
+    doc="Merge-on-read equality deletes certified end-to-end (the other "
+    "side of the r9 copy-on-write delete's trade): write an immutable "
+    "base, commit TWO delete cohorts as tiny key files, ASSERT the base "
+    "files are byte-for-byte untouched by both commits (names+sizes — at "
+    "100 TB the delete must cost O(matched keys), never a rewrite) and "
+    "that the committed key counts exactly account for the merged view's "
+    "row deficit, read through the anti-join merged view, COMPACT (fold "
+    "deletes into a new base via staged swap), assert the compacted "
+    "content is identical to the pre-compaction merged view and the "
+    "delete files are gone, and return the aggregate the oracle computes "
+    "with the inverse predicates. Iceberg v2 equality-delete files / "
+    "Delta deletion vectors, emulated on plain parquet (sources/mor.py).",
+    tags=("sink", "lifecycle"),
+)
+def mor_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.sources.mor import (  # noqa: PLC0415
+        mor_compact,
+        mor_delete,
+        mor_read,
+        mor_write_base,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="f1ls_mor_")
+    tbl = os.path.join(base, "events_mor")
+
+    def census() -> dict[str, int]:
+        bdir = os.path.join(tbl, "base")
+        return {
+            f: os.path.getsize(os.path.join(bdir, f))
+            for f in os.listdir(bdir)
+            if f.endswith(".parquet")
+        }
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+
+    try:
+        mor_write_base(events, tbl)
+        before = census()
+        n_base = spark.read.parquet(os.path.join(tbl, "base")).count()
+        p1 = (F.col("user_id") % _DELETE_USER_MOD == 0) & F.to_date("ts").between(
+            _PRUNE_LO, _PRUNE_HI
+        )
+        p2 = F.col("user_id") % _DELETE_USER_MOD == _MOR_COHORT_MOD2
+        n1 = mor_delete(spark, tbl, "event_id", p1)
+        n2 = mor_delete(spark, tbl, "event_id", p2)
+        assert census() == before, (
+            "merge-on-read delete touched the base files — that is a "
+            "copy-on-write rewrite, the thing MoR exists to avoid"
+        )
+        merged = mor_read(spark, tbl, "event_id")
+        n_merged = merged.count()
+        assert n_base - n_merged == n1 + n2, (
+            f"delete-key accounting broke: base {n_base} - merged "
+            f"{n_merged} != {n1} + {n2}"
+        )
+        pre = sorted(tuple(r) for r in agg(merged).collect())
+        mor_compact(spark, tbl, "event_id")
+        assert not os.path.isdir(os.path.join(tbl, "deletes")), (
+            "compaction left delete files behind"
+        )
+        assert census() != before, "compaction did not rewrite the base"
+        compacted = mor_read(spark, tbl, "event_id")
+        post = sorted(tuple(r) for r in agg(compacted).collect())
+        assert pre == post, (
+            f"compaction changed the table content:\n{pre}\n{post}"
+        )
+        return pin_small_result(agg(compacted), EVENT_TYPE_MAX)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# CDF snapshots differ by TIME and COHORT so all three change classes
+# are guaranteed at any scale factor (the synthetic events keep every
+# user active all month, so time alone only ever yields updates):
+# old = cohort A's latest state before the cutoff, new = cohort B's
+# latest state over the full range. Users only in B -> insert, only in
+# A -> delete, in both with a newer latest -> update; same-latest users
+# are omitted. This is the realistic shape of a silver population
+# redefinition plus fresh data arriving.
+_CDF_CUT = "2024-01-20 00:00:00"
+_CDF_MOD = 10
+_CDF_OLD_EXCL = 0  # cohort excluded from the OLD state -> inserts
+_CDF_NEW_EXCL = 5  # cohort excluded from the NEW state -> deletes
+
+_CDF_ORACLE = f"""
+WITH old_state AS (
+    SELECT user_id, ts, event_id, event_type, value FROM (
+        SELECT user_id, ts, event_id, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+        WHERE ts < TIMESTAMP '{_CDF_CUT}'
+          AND user_id % {_CDF_MOD} <> {_CDF_OLD_EXCL}
+    ) WHERE rn = 1
+),
+new_state AS (
+    SELECT user_id, ts, event_id, event_type, value FROM (
+        SELECT user_id, ts, event_id, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+        WHERE user_id % {_CDF_MOD} <> {_CDF_NEW_EXCL}
+    ) WHERE rn = 1
+),
+diff AS (
+    SELECT COALESCE(n.event_type, o.event_type) AS event_type,
+           COALESCE(n.value, o.value) AS value,
+           CASE WHEN o.user_id IS NULL THEN 'insert'
+                WHEN n.user_id IS NULL THEN 'delete'
+                WHEN n.ts <> o.ts OR n.event_id <> o.event_id THEN 'update'
+           END AS change_type
+    FROM old_state o FULL OUTER JOIN new_state n USING (user_id)
+)
+SELECT change_type, event_type,
+       COUNT(*) AS n_changes,
+       CAST(round(SUM(CAST(value AS DECIMAL(28,9))), 3) AS DOUBLE) AS total_value
+FROM diff
+WHERE change_type IS NOT NULL
+GROUP BY change_type, event_type
+"""
+
+
+@register(
+    "change_data_feed_roundtrip",
+    oracle=_CDF_ORACLE,
+    doc="Change Data Feed between committed snapshots certified "
+    "end-to-end: publish two latest-per-user silver states differing by "
+    "time AND cohort (so inserts, deletes, AND updates are all "
+    "guaranteed at any SF), derive the change feed by diffing the two snapshots through "
+    "their immutable history manifests (sources/txn.table_changes — "
+    "Delta CDF / Iceberg changelog, derived rather than stored), and "
+    "return per-(change_type, event_type) counts and value sums. The "
+    "oracle recomputes both states and their full-outer diff from the "
+    "raw source, so a misclassified change, a lost delete, or an "
+    "update that compares the wrong version tuple all surface as a "
+    "driver mismatch. This is what lets incremental consumers sync on "
+    "the diff instead of re-scanning the table.",
+    tags=("sink", "lifecycle"),
+)
+def change_data_feed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.sources.txn import (  # noqa: PLC0415
+        publish_tables,
+        table_changes,
+    )
+    from f1_lakehouse_spark.streaming.ingest import _latest_per_key  # noqa: PLC0415
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="f1ls_cdf_")
+    root = os.path.join(base, "medallion")
+    try:
+        old_state = _latest_per_key(
+            events.filter(
+                (F.col("ts") < F.lit(_CDF_CUT).cast("timestamp"))
+                & (F.col("user_id") % _CDF_MOD != _CDF_OLD_EXCL)
+            )
+        )
+        new_state = _latest_per_key(
+            events.filter(F.col("user_id") % _CDF_MOD != _CDF_NEW_EXCL)
+        )
+        publish_tables(spark, root, {"silver": old_state}, txn_id=1)
+        publish_tables(spark, root, {"silver": new_state}, txn_id=2)
+        cdf = table_changes(
+            spark, root, "silver", 1, 2,
+            key_cols=["user_id"], order_cols=["ts", "event_id"],
+        )
+        out = (
+            cdf.withColumnRenamed("_change_type", "change_type")
+            .groupBy("change_type", "event_type")
+            .agg(
+                F.count("*").alias("n_changes"),
+                F.round(F.sum(F.col("value").cast("decimal(28,9)")), 3)
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+        return pin_small_result(out, 3 * EVENT_TYPE_MAX)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

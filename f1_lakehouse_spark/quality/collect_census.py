@@ -131,6 +131,9 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("pipeline/lifecycle.py", "version_gc_roundtrip"): "model-sized: "
     "as-of version rows vs their recomputation, both per-event_type "
     "aggregates bounded by the taxonomy (EVENT_TYPE_MAX)",
+    ("pipeline/lifecycle.py", "mor_delete_roundtrip"): "model-sized: "
+    "pre- vs post-compaction per-event_type aggregates, both bounded by "
+    "the taxonomy (EVENT_TYPE_MAX) — the content-identity assert",
 }
 
 

@@ -59,6 +59,8 @@ LEAD: tuple[str, ...] = (
     "wap_publish_roundtrip",
     "streaming_multitable_roundtrip",
     "cbo_join_reorder_roundtrip",
+    "mor_delete_roundtrip",
+    "change_data_feed_roundtrip",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"

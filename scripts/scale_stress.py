@@ -133,6 +133,8 @@ QUERIES = [
     "wap_publish_roundtrip",
     "streaming_multitable_roundtrip",
     "cbo_join_reorder_roundtrip",
+    "mor_delete_roundtrip",
+    "change_data_feed_roundtrip",
 ]
 
 

@@ -310,3 +310,89 @@ def test_occ_crashed_winner_completes_via_commit_record(spark, tmp_path):
 
     with pytest.raises(CommitConflictError):
         publish_tables(spark, root, _frames(spark, 3), txn_id=2, writer="b")
+
+
+def test_mor_delete_read_compact_cycle(spark, tmp_path):
+    """MoR mechanics on synthetic rows: tri-state NULL predicate (only
+    TRUE deletes), stacked delete files, already-deleted keys not
+    re-recorded, compaction folds and clears."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from f1_lakehouse_spark.sources.mor import (
+        mor_compact,
+        mor_delete,
+        mor_read,
+        mor_write_base,
+    )
+
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, None if i == 5 else i % 3) for i in range(10)],
+        "id int, grp int",
+    )
+    mor_write_base(df, tbl)
+    # grp == 0 selects ids 0,3,6,9; id 5 has NULL grp -> tri-state KEEP
+    n1 = mor_delete(spark, tbl, "id", F.col("grp") == 0)
+    assert n1 == 4
+    ids = {r["id"] for r in mor_read(spark, tbl, "id").collect()}
+    assert ids == {1, 2, 4, 5, 7, 8}
+    # second delete evaluates on the MERGED view: already-deleted id 0
+    # is not re-recorded even though its predicate would match
+    n2 = mor_delete(spark, tbl, "id", F.col("id") < 2)
+    assert n2 == 1  # only id 1 — id 0 is already gone from the view
+    ids = {r["id"] for r in mor_read(spark, tbl, "id").collect()}
+    assert ids == {2, 4, 5, 7, 8}
+    assert len(_os.listdir(_os.path.join(tbl, "deletes"))) == 2
+    mor_compact(spark, tbl, "id")
+    assert not _os.path.isdir(_os.path.join(tbl, "deletes"))
+    ids = {r["id"] for r in mor_read(spark, tbl, "id").collect()}
+    assert ids == {2, 4, 5, 7, 8}
+
+
+def test_table_changes_classification(spark, tmp_path):
+    """CDF classification on hand-built snapshots: insert (key only in
+    new), delete (key only in old), update (order tuple differs),
+    unchanged keys omitted; NULL payloads never fool the presence or
+    update checks (classification reads the never-NULL order tuple)."""
+    from f1_lakehouse_spark.sources.txn import table_changes
+
+    root = str(tmp_path / "m")
+    schema = "user_id int, ts int, event_id int, payload string"
+    old = spark.createDataFrame(
+        [
+            (1, 10, 100, "a"),     # update: newer row in new
+            (2, 20, 200, "b"),     # delete: absent from new
+            (3, 30, 300, None),    # unchanged (NULL payload, same tuple)
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 15, 150, "a2"),
+            (3, 30, 300, None),
+            (4, 40, 400, "d"),     # insert
+        ],
+        schema,
+    )
+    publish_tables(spark, root, {"silver": old}, txn_id=1)
+    publish_tables(spark, root, {"silver": new}, txn_id=2)
+    cdf = table_changes(
+        spark, root, "silver", 1, 2,
+        key_cols=["user_id"], order_cols=["ts", "event_id"],
+    )
+    got = {r["user_id"]: (r["_change_type"], r["ts"], r["payload"])
+           for r in cdf.collect()}
+    assert got == {
+        1: ("update", 15, "a2"),   # new row's columns
+        2: ("delete", 20, "b"),    # old row's columns survive
+        4: ("insert", 40, "d"),
+    }
+    # pruned snapshot -> loud error, not a silent empty diff
+    publish_tables(spark, root, {"silver": new}, txn_id=3)
+    with pytest.raises(ValueError, match="pruned"):
+        table_changes(
+            spark, root, "silver", 1, 3,
+            key_cols=["user_id"], order_cols=["ts", "event_id"],
+        )
