@@ -1761,18 +1761,20 @@ GROUP BY event_type
 )
 def mor_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from f1_lakehouse_spark.sources.mor import (  # noqa: PLC0415
+        base_dir,
         mor_compact,
         mor_delete,
         mor_read,
         mor_write_base,
     )
+    from f1_lakehouse_spark.sources.mor import _delete_files  # noqa: PLC0415
 
     events = load_table(spark, sf_dir, "events")
     base = tempfile.mkdtemp(prefix="f1ls_mor_")
     tbl = os.path.join(base, "events_mor")
 
     def census() -> dict[str, int]:
-        bdir = os.path.join(tbl, "base")
+        bdir = base_dir(tbl)  # resolves the LIVE generation's base
         return {
             f: os.path.getsize(os.path.join(bdir, f))
             for f in os.listdir(bdir)
@@ -1788,7 +1790,7 @@ def mor_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         mor_write_base(events, tbl)
         before = census()
-        n_base = spark.read.parquet(os.path.join(tbl, "base")).count()
+        n_base = spark.read.parquet(base_dir(tbl)).count()
         p1 = (F.col("user_id") % _DELETE_USER_MOD == 0) & F.to_date("ts").between(
             _PRUNE_LO, _PRUNE_HI
         )
@@ -1807,10 +1809,16 @@ def mor_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pre = sorted(tuple(r) for r in agg(merged).collect())
         mor_compact(spark, tbl, "event_id")
-        assert not os.path.isdir(os.path.join(tbl, "deletes")), (
-            "compaction left delete files behind"
+        assert _delete_files(tbl, 1) == [], (
+            "compaction left delete files in the new live generation"
         )
         assert census() != before, "compaction did not rewrite the base"
+        # a reader pinned to the displaced generation (one-cycle
+        # retention) still reconstructs the same rows from base+deletes
+        displaced = sorted(
+            tuple(r) for r in agg(mor_read(spark, tbl, "event_id", gen=0)).collect()
+        )
+        assert displaced == pre, "displaced generation lost read consistency"
         compacted = mor_read(spark, tbl, "event_id")
         post = sorted(tuple(r) for r in agg(compacted).collect())
         assert pre == post, (
@@ -1857,8 +1865,12 @@ new_state AS (
     ) WHERE rn = 1
 ),
 diff AS (
-    SELECT COALESCE(n.event_type, o.event_type) AS event_type,
-           COALESCE(n.value, o.value) AS value,
+    -- the emitted row is chosen PER ROW by change type (old row for
+    -- deletes, new row otherwise) to mirror table_changes exactly — a
+    -- per-column COALESCE would resurrect old values on NULLing updates
+    SELECT CASE WHEN n.user_id IS NULL THEN o.event_type
+                ELSE n.event_type END AS event_type,
+           CASE WHEN n.user_id IS NULL THEN o.value ELSE n.value END AS value,
            CASE WHEN o.user_id IS NULL THEN 'insert'
                 WHEN n.user_id IS NULL THEN 'delete'
                 WHEN n.ts <> o.ts OR n.event_id <> o.event_id THEN 'update'

@@ -11,19 +11,24 @@ one user cohort is then an O(matched-keys) write instead of a
 partition rewrite, at the price of a per-read anti-join whose build side
 is the (bounded) delete-key set.
 
-Layout::
+Layout — one GENERATION directory per compaction epoch, selected by a
+pointer file (the same atomic-swap discipline as the MVCC/manifest
+layers; two chained directory renames are NOT atomic and would leave a
+window with no base at all)::
 
-    table_dir/base/*.parquet                 # immutable data files
-    table_dir/deletes/d{seq:010d}.parquet    # one equality-delete key file
-                                             #   per delete commit
+    table_dir/_BASE                          # names the live generation
+    table_dir/g{gen}/base/*.parquet          # immutable data files
+    table_dir/g{gen}/deletes/d{seq}.parquet  # one key file per delete
+
+Delete files belong to their generation: a reader holding the old
+pointer mid-compaction still sees (old base + old deletes) — the same
+rows as the new compacted base — and the displaced generation survives
+one compaction cycle before being pruned, exactly like every other
+versioned layout in this package.
 
 Semantics (Iceberg equality deletes): a delete file's keys suppress EVERY
 base row with a matching key, regardless of which commit wrote the row —
-correct here because the base is immutable between compactions.
-Compaction (:func:`mor_compact`) materializes the merged view into a new
-base via a staged sibling directory + atomic swap and drops the delete
-files; readers see either the old (base + deletes) view or the new
-compacted base, never a half state.
+correct here because a generation's base is immutable.
 
 Reference parity: the reference has no delete path at all (bronze is
 append-only, silver/gold are full rebuilds —
@@ -41,17 +46,42 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-BASE_DIR = "base"
-DELETES_DIR = "deletes"
+POINTER = "_BASE"
+
+
+def _gen_name(gen: int) -> str:
+    return f"g{gen:010d}"
+
+
+def _live_gen(table_dir: str) -> int:
+    with open(os.path.join(table_dir, POINTER)) as f:
+        return int(f.read().strip().lstrip("g"))
+
+
+def _swap_pointer(table_dir: str, gen: int) -> None:
+    ptr = os.path.join(table_dir, POINTER)
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(_gen_name(gen))
+    os.replace(tmp, ptr)
+
+
+def base_dir(table_dir: str) -> str:
+    """The live generation's base directory (for file-level audits)."""
+    return os.path.join(table_dir, _gen_name(_live_gen(table_dir)), "base")
 
 
 def mor_write_base(df: DataFrame, table_dir: str) -> None:
-    """Materialize the immutable base files."""
-    df.write.mode("overwrite").parquet(os.path.join(table_dir, BASE_DIR))
+    """Materialize generation 0 and point the table at it."""
+    os.makedirs(table_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(
+        os.path.join(table_dir, _gen_name(0), "base")
+    )
+    _swap_pointer(table_dir, 0)
 
 
-def _delete_files(table_dir: str) -> list[str]:
-    ddir = os.path.join(table_dir, DELETES_DIR)
+def _delete_files(table_dir: str, gen: int) -> list[str]:
+    ddir = os.path.join(table_dir, _gen_name(gen), "deletes")
     if not os.path.isdir(ddir):
         return []
     return sorted(
@@ -66,40 +96,45 @@ def mor_delete(
 ) -> int:
     """Commit an equality delete: write the DISTINCT keys of the rows the
     predicate selects (evaluated on the current merged view, so a key
-    already deleted is not re-recorded) as one new delete file. The base
-    files are NOT touched — that is the whole point. Returns the number
-    of keys committed. NULL predicate follows SQL DELETE tri-state
+    already deleted is not re-recorded) as one new delete file in the
+    live generation. The base files are NOT touched — that is the whole
+    point; the commit itself is one atomic file rename. Returns the
+    number of keys committed. NULL predicate follows SQL DELETE tri-state
     semantics: only TRUE deletes."""
+    gen = _live_gen(table_dir)
     matched = (
         mor_read(spark, table_dir, key_col)
         .filter(F.coalesce(predicate, F.lit(False)))
         .select(key_col)
         .distinct()
     )
-    seq = len(_delete_files(table_dir))
-    ddir = os.path.join(table_dir, DELETES_DIR)
+    seq = len(_delete_files(table_dir, gen))
+    ddir = os.path.join(table_dir, _gen_name(gen), "deletes")
     target = os.path.join(ddir, f"d{seq:010d}.parquet")
     # stage + rename so a reader never lists a half-written delete file
-    staging = os.path.join(table_dir, f"_staging_d{seq:010d}")
+    staging = os.path.join(table_dir, f"_staging_d{gen}_{seq:010d}")
     matched.coalesce(1).write.mode("overwrite").parquet(staging)
     os.makedirs(ddir, exist_ok=True)
     n = spark.read.parquet(staging).count()
-    part = next(
-        f for f in os.listdir(staging) if f.endswith(".parquet")
-    )
+    part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
     os.replace(os.path.join(staging, part), target)
     shutil.rmtree(staging, ignore_errors=True)
     return n
 
 
-def mor_read(spark: SparkSession, table_dir: str, key_col: str) -> DataFrame:
-    """The merged view: base rows whose key appears in NO delete file.
-    The anti-join's build side is the union of delete-key files — bounded
-    by what has been deleted since the last compaction, so Spark's
-    threshold/AQE broadcasts it without any explicit hint (plan-lint
-    rule: never hint a broadcast on an unbounded side)."""
-    base = spark.read.parquet(os.path.join(table_dir, BASE_DIR))
-    files = _delete_files(table_dir)
+def mor_read(
+    spark: SparkSession, table_dir: str, key_col: str, gen: int | None = None
+) -> DataFrame:
+    """The merged view: base rows whose key appears in NO delete file of
+    the (live, or explicitly pinned) generation. The anti-join's build
+    side is the union of delete-key files — bounded by what has been
+    deleted since the last compaction, so Spark's threshold/AQE
+    broadcasts it without any explicit hint (plan-lint rule: never hint
+    a broadcast on an unbounded side)."""
+    if gen is None:
+        gen = _live_gen(table_dir)
+    base = spark.read.parquet(os.path.join(table_dir, _gen_name(gen), "base"))
+    files = _delete_files(table_dir, gen)
     if not files:
         return base
     keys = spark.read.parquet(*files).select(key_col).distinct()
@@ -107,18 +142,23 @@ def mor_read(spark: SparkSession, table_dir: str, key_col: str) -> DataFrame:
 
 
 def mor_compact(spark: SparkSession, table_dir: str, key_col: str) -> None:
-    """Fold the delete files into a new base: materialize the merged view
-    into a staged sibling dir, atomically swap it in as the base, then
-    drop the delete files. Reader interleavings see either (old base +
-    deletes) or the new base — both the same rows; the swap is the same
-    staged-rename discipline as every other publish in this package."""
-    merged = mor_read(spark, table_dir, key_col)
-    staging = os.path.join(table_dir, BASE_DIR + ".staging")
-    merged.write.mode("overwrite").parquet(staging)
-    old = os.path.join(table_dir, BASE_DIR + ".old")
-    base = os.path.join(table_dir, BASE_DIR)
-    shutil.rmtree(old, ignore_errors=True)  # stale leftover from a crash
-    os.replace(base, old)
-    os.replace(staging, base)
-    shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(os.path.join(table_dir, DELETES_DIR), ignore_errors=True)
+    """Fold the live generation's delete files into the next generation:
+    materialize the merged view into ``g{gen+1}/base``, atomically swap
+    the pointer, and prune generations older than the displaced one. A
+    reader holding the old pointer mid-scan still has its full
+    generation (base + deletes) for one compaction cycle; readers
+    resolving the pointer see either the old or the new generation —
+    both the same rows, never a half state."""
+    gen = _live_gen(table_dir)
+    merged = mor_read(spark, table_dir, key_col, gen=gen)
+    merged.write.mode("overwrite").parquet(
+        os.path.join(table_dir, _gen_name(gen + 1), "base")
+    )
+    _swap_pointer(table_dir, gen + 1)
+    for entry in os.listdir(table_dir):
+        if (
+            entry.startswith("g")
+            and entry[1:].isdigit()
+            and int(entry[1:]) < gen
+        ):
+            shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)

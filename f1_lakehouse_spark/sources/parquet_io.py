@@ -128,19 +128,12 @@ def delete_rows_partition_scoped(
     # dynamic partition overwrite, whose commit stages new files and swaps
     # per-partition AFTER the read tasks finish — static overwrite deletes
     # the root up front and would destroy the table before the job reads
-    # it. Force + assert the mode HERE (not in a callee a refactor could
-    # redirect), so any future change to the write path fails loudly
-    # instead of eating data.
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        assert (
-            spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
-            == "dynamic"
-        ), "partition-scoped delete requires dynamic partition overwrite"
-        kept.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    # it. write_partitioned_idempotent is the one helper that forces the
+    # dynamic mode around its write; any refactor that routes this write
+    # elsewhere MUST preserve that property or rewrite via a staging
+    # sibling dir instead. (The round-trip's outside-window byte-identity
+    # census is the behavioral gate for this invariant.)
+    write_partitioned_idempotent(kept, path, [partition_col])
     for value in touched - survived:
         sub = os.path.join(path, f"{partition_col}={value}")
         shutil.rmtree(sub, ignore_errors=True)

@@ -131,6 +131,14 @@ def _txn_guard(root: str, txn_id: int, writer: str | None) -> dict | str | None:
                 )
             return "committed"
         if cur["txn"] > txn_id:
+            # a replay of a txn this writer COMMITTED but that has since
+            # been superseded must still no-op (the commit record proves
+            # ownership); only a txn that never committed is a violation
+            rec = read_manifest(root, txn=txn_id)
+            if rec is not None and (
+                writer is None or rec.get("writer") == writer
+            ):
+                return "committed"
             raise ValueError(
                 f"txn_id {txn_id} is older than the committed {cur['txn']}"
             )
@@ -211,6 +219,21 @@ def _commit_manifest(
             with open(hist) as f:
                 owner = json.load(f)
             if owner.get("writer") != writer:
+                # ROLL THE WINNER FORWARD before raising: the record IS
+                # the commit (Delta semantics — the N.json wins; the live
+                # pointer is derived state). If the winner crashed between
+                # record and swap, every loser would otherwise re-derive
+                # the SAME txn id against the stale manifest and conflict
+                # forever; completing the swap on the winner's behalf
+                # unblocks the retry loop and makes the record's txn
+                # genuinely visible, so its time-travel snapshot is never
+                # a phantom.
+                live = read_manifest(root)
+                if live is None or live["txn"] < owner["txn"]:
+                    tmp_live = os.path.join(root, MANIFEST + ".tmp")
+                    with open(tmp_live, "w") as f:
+                        json.dump(owner, f)
+                    os.replace(tmp_live, os.path.join(root, MANIFEST))
                 raise CommitConflictError(
                     f"txn {txn_id} commit record is owned by writer "
                     f"{owner.get('writer')!r}, not {writer!r} — re-read "
@@ -223,13 +246,23 @@ def _commit_manifest(
         json.dump(new_manifest, f)
     os.replace(tmp, os.path.join(root, MANIFEST))
     # retention: per table, the displaced version survives one cycle for
-    # readers holding the outgoing manifest; everything older is pruned
+    # readers holding the outgoing manifest; everything STRICTLY OLDER is
+    # pruned. Same-or-newer txn dirs are never touched here — a concurrent
+    # OCC loser may still be mid-write into its own v{txn}-{writer} dir,
+    # and rmtree-ing under a running Spark job turns the documented
+    # CommitConflictError into an opaque executor crash; the loser cleans
+    # its own stage on conflict, and the NEXT commit's retention prunes
+    # anything it abandoned (by then strictly older).
     for name in tables:
         keep = {version, prev_tables.get(name)}
         tdir = os.path.join(root, name)
         for entry in os.listdir(tdir):
-            if entry.startswith("v") and entry not in keep:
-                shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+            if not entry.startswith("v") or entry in keep:
+                continue
+            digits = entry[1:11]
+            if digits.isdigit() and int(digits) >= txn_id:
+                continue
+            shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
 
 
 def publish_tables(
@@ -366,8 +399,15 @@ def table_changes(
         .when(is_old & ~is_new, F.lit("delete"))
         .when(changed, F.lit("update"))
     )
+    # the output row is chosen PER ROW by change type (old row for
+    # deletes, new row otherwise), never per column: a per-column
+    # coalesce would resurrect the OLD value whenever an update
+    # legitimately NULLs a field, feeding stale data to incremental
+    # consumers
+    is_delete = F.col("_change_type") == "delete"
     out_cols = [
-        F.coalesce(F.col(c), F.col(f"_old_{c}")).alias(c) for c in data_cols
+        F.when(is_delete, F.col(f"_old_{c}")).otherwise(F.col(c)).alias(c)
+        for c in data_cols
     ]
     return (
         joined.withColumn("_change_type", change_type)

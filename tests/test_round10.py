@@ -80,9 +80,14 @@ def test_txn_replay_after_commit_noops_and_regression_raises(spark, tmp_path):
     # replay of the committed txn is a no-op (manifest byte-identical)
     publish_tables(spark, root, _frames(spark, 2), txn_id=2)
     assert read_manifest(root) == m2
-    # an OLDER txn id is a protocol violation, not a silent overwrite
+    # replay of a SUPERSEDED committed txn also no-ops (its commit
+    # record proves it ran) ...
+    publish_tables(spark, root, _frames(spark, 0), txn_id=1)
+    assert read_manifest(root) == m2
+    # ... but an old txn id that NEVER committed is a protocol
+    # violation, not a silent overwrite
     with pytest.raises(ValueError, match="older"):
-        publish_tables(spark, root, _frames(spark, 0), txn_id=1)
+        publish_tables(spark, root, _frames(spark, 0), txn_id=0)
 
 
 def test_txn_carries_forward_tables_outside_the_transaction(spark, tmp_path):
@@ -344,11 +349,24 @@ def test_mor_delete_read_compact_cycle(spark, tmp_path):
     assert n2 == 1  # only id 1 — id 0 is already gone from the view
     ids = {r["id"] for r in mor_read(spark, tbl, "id").collect()}
     assert ids == {2, 4, 5, 7, 8}
-    assert len(_os.listdir(_os.path.join(tbl, "deletes"))) == 2
+    from f1_lakehouse_spark.sources.mor import _delete_files, base_dir
+
+    assert len(_delete_files(tbl, 0)) == 2
+    base0 = base_dir(tbl)
     mor_compact(spark, tbl, "id")
-    assert not _os.path.isdir(_os.path.join(tbl, "deletes"))
+    # pointer swapped atomically to the new generation; the displaced
+    # generation (base + deletes) survives one compaction cycle
+    assert base_dir(tbl) != base0
+    assert _os.path.isdir(base0)
+    assert _delete_files(tbl, 1) == []
     ids = {r["id"] for r in mor_read(spark, tbl, "id").collect()}
     assert ids == {2, 4, 5, 7, 8}
+    # a pinned reader of the displaced generation reconstructs the same rows
+    ids0 = {r["id"] for r in mor_read(spark, tbl, "id", gen=0).collect()}
+    assert ids0 == {2, 4, 5, 7, 8}
+    # one more compaction prunes the twice-displaced generation
+    mor_compact(spark, tbl, "id")
+    assert not _os.path.isdir(_os.path.join(tbl, "g0000000000"))
 
 
 def test_table_changes_classification(spark, tmp_path):
@@ -396,3 +414,61 @@ def test_table_changes_classification(spark, tmp_path):
             spark, root, "silver", 1, 3,
             key_cols=["user_id"], order_cols=["ts", "event_id"],
         )
+
+
+def test_occ_loser_stages_then_cleans_and_rolls_winner_forward(spark, tmp_path):
+    """The racy path the guard cannot catch: the loser passes the guard
+    (manifest still old), STAGES its version dirs, then loses the O_EXCL
+    arbitration. It must (a) roll the crashed winner's commit record
+    forward to the live manifest — otherwise every retry re-derives the
+    same txn id against the stale manifest and livelocks — and (b) remove
+    its own orphan staging before re-raising."""
+    import json
+    import os as _os
+
+    from f1_lakehouse_spark.sources.txn import MANIFEST, CommitConflictError
+
+    root = str(tmp_path / "m")
+    publish_tables(spark, root, _frames(spark, 1), txn_id=1, writer="a")
+    # forge writer b's crash: its txn-2 commit record exists, the live
+    # manifest still points at txn 1
+    b_record = {
+        "txn": 2,
+        "tables": {"silver": "v0000000002-b", "gold": "v0000000002-b"},
+        "writer": "b",
+    }
+    with open(_os.path.join(root, f"{MANIFEST}.v{2:010d}"), "w") as f:
+        json.dump(b_record, f)
+    assert read_manifest(root)["txn"] == 1
+
+    # writer a passes the guard, stages (including a table only IT
+    # writes, so the surviving parent dir proves staging really ran),
+    # then loses the arbitration
+    loser_tables = {**_frames(spark, 99), "extra": _frames(spark, 99)["gold"]}
+    with pytest.raises(CommitConflictError):
+        publish_tables(spark, root, loser_tables, txn_id=2, writer="a")
+    # (a) the winner was rolled forward: the record IS the commit
+    assert read_manifest(root) == b_record
+    # (b) staging genuinely happened (parent dir created by the stage
+    # write survives) and the orphan version dirs were cleaned
+    assert _os.path.isdir(_os.path.join(root, "extra"))
+    assert _os.listdir(_os.path.join(root, "extra")) == []
+    assert not _os.path.isdir(_os.path.join(root, "silver", "v0000000002-a"))
+    # the retry loop now converges: re-read shows txn 2, retry with 3
+    publish_tables(spark, root, loser_tables, txn_id=3, writer="a")
+    assert read_manifest(root)["txn"] == 3
+
+
+def test_occ_superseded_replay_noops_instead_of_raising(spark, tmp_path):
+    """A writer replaying a txn it COMMITTED that has since been
+    superseded by newer commits must no-op (its commit record proves
+    ownership), not die on the monotonicity check."""
+    root = str(tmp_path / "m")
+    publish_tables(spark, root, _frames(spark, 1), txn_id=1, writer="a")
+    publish_tables(spark, root, _frames(spark, 2), txn_id=2, writer="b")
+    m2 = read_manifest(root)
+    publish_tables(spark, root, _frames(spark, 1), txn_id=1, writer="a")
+    assert read_manifest(root) == m2
+    # ...but a txn id that never committed still raises
+    with pytest.raises(ValueError, match="older"):
+        publish_tables(spark, root, _frames(spark, 0), txn_id=0, writer="a")
