@@ -135,8 +135,10 @@ def _txn_guard(root: str, txn_id: int, writer: str | None) -> dict | str | None:
             # been superseded must still no-op (the commit record proves
             # ownership); only a txn that never committed is a violation
             rec = read_manifest(root, txn=txn_id)
-            if rec is not None and (
-                writer is None or rec.get("writer") == writer
+            if (
+                rec is not None
+                and not rec.get("staged")  # staged records never went live
+                and (writer is None or rec.get("writer") == writer)
             ):
                 return "committed"
             raise ValueError(
@@ -218,6 +220,16 @@ def _commit_manifest(
         except FileExistsError:
             with open(hist) as f:
                 owner = json.load(f)
+            if owner.get("staged"):
+                # a BRANCH holds this txn id: its record is deliberately
+                # unpromoted (write-audit-publish), not a crashed winner —
+                # promoting it here would leak an unaudited staging to
+                # every reader. Conflict regardless of who owns it; the
+                # branch promotes itself via fast_forward.
+                raise CommitConflictError(
+                    f"txn {txn_id} is staged on a branch — fast_forward "
+                    "the branch or retry with the next txn id"
+                ) from None
             if owner.get("writer") != writer:
                 # ROLL THE WINNER FORWARD before raising: the record IS
                 # the commit (Delta semantics — the N.json wins; the live
@@ -414,3 +426,145 @@ def table_changes(
         .filter(F.col("_change_type").isNotNull())
         .select(*key_cols, *out_cols, "_change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Refs: branches and tags over the manifest history (Iceberg refs / Delta
+# does not have these; the branch-WAP flow is Iceberg's
+# stage-on-branch -> audit -> fast-forward-main pattern)
+# ---------------------------------------------------------------------------
+
+REFS_DIR = "_refs"
+
+
+class StaleBranchError(RuntimeError):
+    """fast_forward target is not ahead of the live manifest: main has
+    advanced past the branch. The branch must rebase — re-derive its
+    frames against the new live snapshot and re-stage at a fresh txn id
+    (Iceberg's publish-conflict outcome for WAP branches)."""
+
+
+def _ref_path(root: str, name: str) -> str:
+    return os.path.join(root, REFS_DIR, name)
+
+
+def read_ref(root: str, name: str) -> int | None:
+    """The txn id a ref names, or None."""
+    path = _ref_path(root, name)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return int(f.read().strip())
+
+
+def create_tag(root: str, name: str, txn_id: int) -> None:
+    """An IMMUTABLE named pointer to a committed txn (audit marker,
+    reproducibility pin). Write-once: re-tagging an existing name is an
+    error, never a silent move."""
+    if read_manifest(root, txn=txn_id) is None:
+        raise ValueError(f"cannot tag txn {txn_id}: no commit record")
+    os.makedirs(os.path.join(root, REFS_DIR), exist_ok=True)
+    fd = os.open(
+        _ref_path(root, name), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+    )  # exists -> FileExistsError: tags never move
+    with os.fdopen(fd, "w") as f:
+        f.write(str(txn_id))
+
+
+def _set_branch(root: str, name: str, txn_id: int) -> None:
+    os.makedirs(os.path.join(root, REFS_DIR), exist_ok=True)
+    tmp = _ref_path(root, name) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(txn_id))
+    os.replace(tmp, _ref_path(root, name))
+
+
+def read_ref_manifest(root: str, name: str) -> dict | None:
+    """Resolve a ref to its manifest snapshot (tags and branches alike);
+    feed the result to :func:`manifest_read_table`."""
+    txn = read_ref(root, name)
+    return None if txn is None else read_manifest(root, txn=txn)
+
+
+def publish_staged(
+    spark: SparkSession,
+    root: str,
+    tables: dict[str, DataFrame],
+    txn_id: int,
+    branch: str,
+    writer: str | None = None,
+) -> None:
+    """Stage a transaction on a BRANCH without making it live: version
+    dirs + commit record are written exactly like :func:`publish_tables`
+    (the record carries ``staged: true``), the branch ref moves to it,
+    but the live ``_MANIFEST`` is untouched — main readers cannot see it.
+    Audit the branch via :func:`read_ref_manifest`, then
+    :func:`fast_forward` main. A mainline writer racing to the same txn
+    id gets a CommitConflictError, and the roll-forward helper explicitly
+    REFUSES to promote a staged record (promoting an unaudited staging
+    would defeat the entire WAP gate)."""
+    os.makedirs(root, exist_ok=True)
+    cur = read_manifest(root)
+    if cur is not None and cur["txn"] >= txn_id:
+        raise ValueError(
+            f"staged txn_id {txn_id} is not ahead of the live {cur['txn']}"
+        )
+    rec = read_manifest(root, txn=txn_id)
+    if rec is not None:
+        if writer is None or rec.get("writer") != writer:
+            raise CommitConflictError(
+                f"txn {txn_id} commit record already exists (writer "
+                f"{rec.get('writer')!r}) — re-read and retry with the "
+                "next txn id"
+            )
+        _set_branch(root, branch, txn_id)  # idempotent replay: re-point
+        return
+    version = _version_name(txn_id, writer)
+    _stage_writes(root, tables, version, None)
+    prev_tables = dict(cur["tables"]) if cur else {}
+    record = {
+        "txn": txn_id,
+        "tables": {**prev_tables, **{n: version for n in tables}},
+        "staged": True,
+    }
+    if writer is not None:
+        record["writer"] = writer
+    hist = os.path.join(root, f"{MANIFEST}.v{txn_id:010d}")
+    try:
+        fd = os.open(hist, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(record))
+    except FileExistsError:
+        for name in tables:
+            shutil.rmtree(os.path.join(root, name, version), ignore_errors=True)
+        raise CommitConflictError(
+            f"lost the record race for staged txn {txn_id} — re-read and "
+            "retry with the next txn id"
+        ) from None
+    _set_branch(root, branch, txn_id)
+
+
+def fast_forward(root: str, branch: str) -> dict:
+    """Promote a branch's staged txn to the live manifest — the publish
+    half of branch-WAP, ONE atomic pointer swap. Refuses when main has
+    advanced to or past the branch txn (:class:`StaleBranchError` — the
+    branch must rebase); never moves main backwards. Returns the now-live
+    manifest."""
+    txn = read_ref(root, branch)
+    if txn is None:
+        raise ValueError(f"no such branch: {branch!r}")
+    record = read_manifest(root, txn=txn)
+    if record is None:
+        raise ValueError(f"branch {branch!r} names txn {txn} with no record")
+    live = read_manifest(root)
+    if live is not None and live["txn"] >= record["txn"]:
+        raise StaleBranchError(
+            f"main is at txn {live['txn']}, branch {branch!r} at "
+            f"{record['txn']} — rebase the branch onto the live snapshot"
+        )
+    promoted = {k: v for k, v in record.items() if k != "staged"}
+    tmp = os.path.join(root, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(promoted, f)
+    os.replace(tmp, os.path.join(root, MANIFEST))
+    return promoted

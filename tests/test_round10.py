@@ -472,3 +472,74 @@ def test_occ_superseded_replay_noops_instead_of_raising(spark, tmp_path):
     # ...but a txn id that never committed still raises
     with pytest.raises(ValueError, match="older"):
         publish_tables(spark, root, _frames(spark, 0), txn_id=0, writer="a")
+
+
+def test_branch_wap_stage_audit_fast_forward(spark, tmp_path):
+    """Branch-WAP end to end: stage on a branch (main readers blind to
+    it), audit through the ref, fast-forward main atomically; tags are
+    write-once; a second fast-forward is stale."""
+    from f1_lakehouse_spark.sources.txn import (
+        StaleBranchError,
+        create_tag,
+        fast_forward,
+        manifest_read_table,
+        publish_staged,
+        read_ref_manifest,
+    )
+
+    root = str(tmp_path / "m")
+    publish_tables(spark, root, _frames(spark, 1), txn_id=1, writer="etl")
+    create_tag(root, "audited-v1", 1)
+    with pytest.raises(FileExistsError):
+        create_tag(root, "audited-v1", 1)  # tags never move
+
+    publish_staged(
+        spark, root, _frames(spark, 2), txn_id=2, branch="wap", writer="etl"
+    )
+    # main readers still see txn 1
+    assert read_manifest(root)["txn"] == 1
+    # the audit reads the STAGED snapshot through the ref
+    staged = read_ref_manifest(root, "wap")
+    assert staged["txn"] == 2 and staged["staged"] is True
+    rows = _rows(manifest_read_table(spark, root, "silver", staged))
+    assert rows == [(i, 2) for i in range(10)]
+    # replay of the staged publish is idempotent
+    publish_staged(
+        spark, root, _frames(spark, 2), txn_id=2, branch="wap", writer="etl"
+    )
+
+    live = fast_forward(root, "wap")
+    assert read_manifest(root) == live and live["txn"] == 2
+    assert "staged" not in live
+    with pytest.raises(StaleBranchError):
+        fast_forward(root, "wap")  # already live: not ahead anymore
+    # the tag still resolves the old snapshot's manifest
+    assert read_ref_manifest(root, "audited-v1")["txn"] == 1
+
+
+def test_branch_staged_record_never_promoted_by_mainline(spark, tmp_path):
+    """A mainline writer colliding with a staged txn id must conflict —
+    never roll the UNAUDITED staging forward to visibility; after main
+    advances past it, the stale branch refuses to fast-forward."""
+    from f1_lakehouse_spark.sources.txn import (
+        CommitConflictError,
+        StaleBranchError,
+        fast_forward,
+        publish_staged,
+    )
+
+    root = str(tmp_path / "m")
+    publish_tables(spark, root, _frames(spark, 1), txn_id=1, writer="etl")
+    publish_staged(
+        spark, root, _frames(spark, 99), txn_id=2, branch="wap", writer="wap-bot"
+    )
+    with pytest.raises(CommitConflictError, match="staged on a branch"):
+        publish_tables(spark, root, _frames(spark, 2), txn_id=2, writer="etl")
+    # the conflict did NOT leak the staging to main readers
+    assert read_manifest(root)["txn"] == 1
+    # mainline retries with the next id and wins the timeline
+    publish_tables(spark, root, _frames(spark, 2), txn_id=3, writer="etl")
+    assert read_manifest(root)["txn"] == 3
+    # the branch is now stale: promotion refused, rebase required
+    with pytest.raises(StaleBranchError):
+        fast_forward(root, "wap")
