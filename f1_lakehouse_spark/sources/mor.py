@@ -1,15 +1,16 @@
-"""Merge-on-read (MoR) equality deletes on plain parquet (r10).
+"""Merge-on-read (MoR) equality deletes and upserts on plain parquet
+(r10; upsert + concurrent-writer arbitration r11).
 
 The r9 row-level delete (sources/parquet_io.delete_rows_partition_scoped)
 is COPY-ON-WRITE: the affected partitions are rewritten at delete time —
 right when deletes are rare and reads are hot. Merge-on-read is the other
 side of that trade (Iceberg v2 equality-delete files, Delta deletion
-vectors): a delete commits as a tiny KEY FILE, the base data files are
-never touched, and every reader applies the accumulated delete keys as an
-anti-join until a compaction folds them in. At 100 TB a GDPR delete of
-one user cohort is then an O(matched-keys) write instead of a
+vectors): a delete commits as a tiny KEY FILE, an upsert as a tiny ROW
+FILE, the base data files are never touched, and every reader applies the
+accumulated fragments until a compaction folds them in. At 100 TB a GDPR
+delete of one user cohort is then an O(matched-keys) write instead of a
 partition rewrite, at the price of a per-read anti-join whose build side
-is the (bounded) delete-key set.
+is the (bounded) fragment set.
 
 Layout — one GENERATION directory per compaction epoch, selected by a
 pointer file (the same atomic-swap discipline as the MVCC/manifest
@@ -17,36 +18,63 @@ layers; two chained directory renames are NOT atomic and would leave a
 window with no base at all)::
 
     table_dir/_BASE                          # names the live generation
-    table_dir/g{gen}/base/*.parquet          # immutable data files
+    table_dir/g{gen}/base/*.parquet          # immutable data files (seq 0)
     table_dir/g{gen}/deletes/d{seq}.parquet  # one key file per delete
+    table_dir/g{gen}/inserts/i{seq}.parquet  # one row file per upsert
+
+Sequence semantics (Iceberg v2 sequence numbers, simplified): base rows
+carry seq 0; every committed fragment claims the next seq (shared across
+deletes and inserts, starting at 1). A delete file at seq s suppresses
+every row whose seq is < s with a matching key; an insert file's rows
+shadow every LOWER-seq row with the same key (latest-wins upsert), so an
+upsert is ONE atomic file commit — no delete-file companion whose torn
+half could publish a partial MERGE.
+
+Concurrent writers: a fragment commit claims its seq via an O_EXCL
+``.lock`` create (the same fail-if-exists arbitration txn.py uses for
+commit records) — two racing deletes can never silently overwrite one
+another's key file; the loser of a seq claim retries with the next seq.
+After the rename the writer re-verifies the generation pointer: a commit
+that raced a compaction landed in a displaced generation (invisible to
+live readers), so it removes the orphan and redoes the operation against
+the new live generation — a delete is never silently lost to a racing
+compaction. Crash-orphaned ``_staging_*`` dirs are swept by the next
+compaction's retention pass.
 
 Delete files belong to their generation: a reader holding the old
-pointer mid-compaction still sees (old base + old deletes) — the same
+pointer mid-compaction still sees (old base + old fragments) — the same
 rows as the new compacted base — and the displaced generation survives
 one compaction cycle before being pruned, exactly like every other
 versioned layout in this package.
 
-Semantics (Iceberg equality deletes): a delete file's keys suppress EVERY
-base row with a matching key, regardless of which commit wrote the row —
-correct here because a generation's base is immutable.
-
-Reference parity: the reference has no delete path at all (bronze is
-append-only, silver/gold are full rebuilds —
+Reference parity: the reference has no delete/update path at all (bronze
+is append-only, silver/gold are full rebuilds —
 /root/reference/ingestion/src/ingestion/utils.py:36-44); both delete
 strategies are the lakehouse capabilities a 100 TB deployment adds on
-top. Delta/Iceberg equivalent: ``DELETE FROM t WHERE ...`` with
-merge-on-read table properties.
+top. Delta/Iceberg equivalent: ``DELETE FROM t WHERE ...`` / ``MERGE
+INTO`` with merge-on-read table properties.
 """
 
 from __future__ import annotations
 
 import os
+import re
 import shutil
+import uuid
+from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 POINTER = "_BASE"
+
+_FRAGMENT_RE = re.compile(r"^([di])(\d{10})\.parquet(\.lock)?$")
+
+# a fragment commit retries when a racing compaction moves the generation
+# pointer mid-commit; compactions are rare maintenance ops, so more than a
+# handful of consecutive displacements means something is pathologically
+# wrong — fail loudly instead of spinning
+_MAX_COMMIT_RETRIES = 10
 
 
 def _gen_name(gen: int) -> str:
@@ -80,15 +108,107 @@ def mor_write_base(df: DataFrame, table_dir: str) -> None:
     _swap_pointer(table_dir, 0)
 
 
-def _delete_files(table_dir: str, gen: int) -> list[str]:
-    ddir = os.path.join(table_dir, _gen_name(gen), "deletes")
-    if not os.path.isdir(ddir):
+def _fragments(table_dir: str, gen: int, sub: str) -> list[tuple[int, str]]:
+    """Committed fragment files under g{gen}/{sub} as (seq, path),
+    seq-ascending. ``.lock`` claims are not fragments."""
+    fdir = os.path.join(table_dir, _gen_name(gen), sub)
+    if not os.path.isdir(fdir):
         return []
-    return sorted(
-        os.path.join(ddir, f)
-        for f in os.listdir(ddir)
-        if f.endswith(".parquet") and f.startswith("d")
-    )
+    out = []
+    for f in os.listdir(fdir):
+        m = _FRAGMENT_RE.match(f)
+        if m and not m.group(3):
+            out.append((int(m.group(2)), os.path.join(fdir, f)))
+    return sorted(out)
+
+
+def _delete_files(table_dir: str, gen: int) -> list[str]:
+    return [p for _, p in _fragments(table_dir, gen, "deletes")]
+
+
+def _insert_files(table_dir: str, gen: int) -> list[str]:
+    return [p for _, p in _fragments(table_dir, gen, "inserts")]
+
+
+def _next_seq(table_dir: str, gen: int) -> int:
+    """Next free sequence number, shared across deletes and inserts (base
+    rows are seq 0, so fragments start at 1). ``.lock`` claims count too:
+    a crashed claim BURNS its seq rather than blocking it forever."""
+    top = 0
+    for sub in ("deletes", "inserts"):
+        fdir = os.path.join(table_dir, _gen_name(gen), sub)
+        if not os.path.isdir(fdir):
+            continue
+        for f in os.listdir(fdir):
+            m = _FRAGMENT_RE.match(f)
+            if m:
+                top = max(top, int(m.group(2)))
+    return top + 1
+
+
+def _commit_fragment(table_dir: str, gen: int, sub: str, src: str) -> bool:
+    """Claim the next seq in generation ``gen`` via an O_EXCL lock, move
+    the staged parquet file in atomically, then re-verify the generation
+    pointer. Returns False when a racing compaction displaced the
+    generation mid-commit (the orphan fragment is removed; the caller
+    redoes the operation against the new live generation)."""
+    prefix = "d" if sub == "deletes" else "i"
+    fdir = os.path.join(table_dir, _gen_name(gen), sub)
+    os.makedirs(fdir, exist_ok=True)
+    while True:
+        seq = _next_seq(table_dir, gen)
+        name = f"{prefix}{seq:010d}.parquet"
+        lock = os.path.join(fdir, name + ".lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            continue  # another writer claimed this seq: take the next
+        target = os.path.join(fdir, name)
+        os.replace(src, target)  # atomic; readers never list a half file
+        os.remove(lock)
+        if _live_gen(table_dir) == gen:
+            return True
+        # a compaction displaced this generation between our pointer read
+        # and the rename: the fragment is invisible to live readers and
+        # would be pruned — remove it and let the caller redo
+        os.remove(target)
+        return False
+
+
+_STAGING_TTL_SECONDS = 3600.0
+
+
+def _sweep_staging_orphans(table_dir: str) -> None:
+    """Remove ``_staging_*`` dirs a crashed fragment commit abandoned.
+    Run from compaction's retention pass, and AGE-GATED: a staging dir is
+    only an orphan once it is older than any plausible in-flight write —
+    a compaction racing a live delete/upsert must not eat its staging
+    mid-commit (that would turn a benign race into a failed write)."""
+    import time  # noqa: PLC0415
+
+    horizon = time.time() - _STAGING_TTL_SECONDS
+    for entry in os.listdir(table_dir):
+        if not entry.startswith("_staging_"):
+            continue
+        path = os.path.join(table_dir, entry)
+        try:
+            stale = os.path.getmtime(path) < horizon
+        except OSError:
+            continue  # vanished concurrently: its writer is cleaning up
+        if stale:
+            shutil.rmtree(path, ignore_errors=True)
+
+
+def _stage_single_file(spark: SparkSession, df: DataFrame, table_dir: str) -> tuple[str, str, int]:
+    """Write ``df`` as one staged parquet file; returns (staging_dir,
+    part_path, n_rows). The single-file coalesce is delta-bounded by
+    construction (delete keys / upsert batches, never the base)."""
+    staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex}")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    n = spark.read.parquet(staging).count()
+    part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    return staging, os.path.join(staging, part), n
 
 
 def mor_delete(
@@ -98,57 +218,133 @@ def mor_delete(
     predicate selects (evaluated on the current merged view, so a key
     already deleted is not re-recorded) as one new delete file in the
     live generation. The base files are NOT touched — that is the whole
-    point; the commit itself is one atomic file rename. Returns the
-    number of keys committed. NULL predicate follows SQL DELETE tri-state
-    semantics: only TRUE deletes."""
-    gen = _live_gen(table_dir)
-    matched = (
-        mor_read(spark, table_dir, key_col)
-        .filter(F.coalesce(predicate, F.lit(False)))
-        .select(key_col)
-        .distinct()
+    point; the commit itself is one O_EXCL-arbitrated atomic rename, and
+    a commit displaced by a racing compaction is redone against the new
+    generation (never silently lost). Returns the number of keys
+    committed. NULL predicate follows SQL DELETE tri-state semantics:
+    only TRUE deletes."""
+    for _ in range(_MAX_COMMIT_RETRIES):
+        gen = _live_gen(table_dir)
+        matched = (
+            mor_read(spark, table_dir, key_col, gen=gen)
+            .filter(F.coalesce(predicate, F.lit(False)))
+            .select(key_col)
+            .distinct()
+        )
+        staging, part, n = _stage_single_file(spark, matched, table_dir)
+        committed = _commit_fragment(table_dir, gen, "deletes", part)
+        shutil.rmtree(staging, ignore_errors=True)
+        if committed:
+            return n
+        # generation moved mid-commit: re-evaluate against the new live
+        # merged view (the compacted base already folded older fragments)
+    raise RuntimeError(
+        f"mor_delete displaced by {_MAX_COMMIT_RETRIES} consecutive "
+        "compactions — compaction is not supposed to run in a tight loop"
     )
-    seq = len(_delete_files(table_dir, gen))
-    ddir = os.path.join(table_dir, _gen_name(gen), "deletes")
-    target = os.path.join(ddir, f"d{seq:010d}.parquet")
-    # stage + rename so a reader never lists a half-written delete file
-    staging = os.path.join(table_dir, f"_staging_d{gen}_{seq:010d}")
-    matched.coalesce(1).write.mode("overwrite").parquet(staging)
-    os.makedirs(ddir, exist_ok=True)
-    n = spark.read.parquet(staging).count()
-    part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
-    os.replace(os.path.join(staging, part), target)
-    shutil.rmtree(staging, ignore_errors=True)
-    return n
+
+
+def mor_upsert(
+    spark: SparkSession, table_dir: str, key_col: str, rows: DataFrame
+) -> int:
+    """Row-level upsert (MERGE write path, Iceberg v2 delete+insert shape)
+    as ONE atomic fragment commit: the insert file's rows shadow every
+    lower-seq row with the same key (latest-wins by sequence number), so
+    no separate delete file is needed and a crash can never publish half
+    the MERGE — matched keys update, unmatched keys insert, in the same
+    commit. ``rows`` must carry the base schema and unique keys (asserted:
+    two rows for one key in one batch would make latest-wins ambiguous).
+    Returns the number of rows committed."""
+    for _ in range(_MAX_COMMIT_RETRIES):
+        gen = _live_gen(table_dir)
+        staging, part, n = _stage_single_file(spark, rows, table_dir)
+        n_keys = spark.read.parquet(staging).select(key_col).distinct().count()
+        if n_keys != n:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ValueError(
+                f"upsert batch has {n} rows but {n_keys} distinct "
+                f"{key_col!r} keys — latest-wins needs unique keys per batch"
+            )
+        committed = _commit_fragment(table_dir, gen, "inserts", part)
+        shutil.rmtree(staging, ignore_errors=True)
+        if committed:
+            return n
+    raise RuntimeError(
+        f"mor_upsert displaced by {_MAX_COMMIT_RETRIES} consecutive "
+        "compactions — compaction is not supposed to run in a tight loop"
+    )
 
 
 def mor_read(
     spark: SparkSession, table_dir: str, key_col: str, gen: int | None = None
 ) -> DataFrame:
-    """The merged view: base rows whose key appears in NO delete file of
-    the (live, or explicitly pinned) generation. The anti-join's build
-    side is the union of delete-key files — bounded by what has been
-    deleted since the last compaction, so Spark's threshold/AQE
-    broadcasts it without any explicit hint (plan-lint rule: never hint
-    a broadcast on an unbounded side)."""
+    """The merged view of the (live, or explicitly pinned) generation:
+
+    1. base rows (seq 0) not shadowed by any insert fragment's key and
+    2. the HIGHEST-seq insert row per key (latest-wins upsert),
+    3. minus every row suppressed by a delete fragment with a HIGHER seq
+       (so a delete kills earlier versions, and a later upsert re-inserts).
+
+    Scale shape: the big side (base) only ever anti-joins against the
+    bounded fragment key sets — what has been deleted/upserted since the
+    last compaction — so Spark's threshold/AQE broadcasts them without
+    any explicit hint (plan-lint rule: never hint a broadcast on an
+    unbounded side); the latest-wins window runs over insert fragments
+    only, never the base."""
     if gen is None:
         gen = _live_gen(table_dir)
     base = spark.read.parquet(os.path.join(table_dir, _gen_name(gen), "base"))
-    files = _delete_files(table_dir, gen)
-    if not files:
+    ins = _fragments(table_dir, gen, "inserts")
+    dels = _fragments(table_dir, gen, "deletes")
+    if not ins and not dels:
         return base
-    keys = spark.read.parquet(*files).select(key_col).distinct()
-    return base.join(keys, key_col, "left_anti")
+    rows = base.withColumn("_seq", F.lit(0))
+    if ins:
+        ins_df = reduce(
+            DataFrame.unionByName,
+            [
+                spark.read.parquet(p).withColumn("_seq", F.lit(s))
+                for s, p in ins
+            ],
+        )
+        latest = (
+            ins_df.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(key_col).orderBy(F.col("_seq").desc())
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        shadowed = ins_df.select(key_col).distinct()
+        rows = rows.join(shadowed, key_col, "left_anti").unionByName(latest)
+    if dels:
+        keys = reduce(
+            DataFrame.unionByName,
+            [
+                spark.read.parquet(p)
+                .select(F.col(key_col).alias("_dkey"))
+                .withColumn("_dseq", F.lit(s))
+                for s, p in dels
+            ],
+        )
+        rows = rows.join(
+            keys,
+            (F.col(key_col) == F.col("_dkey")) & (F.col("_dseq") > F.col("_seq")),
+            "left_anti",
+        )
+    return rows.drop("_seq")
 
 
 def mor_compact(spark: SparkSession, table_dir: str, key_col: str) -> None:
-    """Fold the live generation's delete files into the next generation:
+    """Fold the live generation's fragments into the next generation:
     materialize the merged view into ``g{gen+1}/base``, atomically swap
-    the pointer, and prune generations older than the displaced one. A
-    reader holding the old pointer mid-scan still has its full
-    generation (base + deletes) for one compaction cycle; readers
-    resolving the pointer see either the old or the new generation —
-    both the same rows, never a half state."""
+    the pointer, and prune generations older than the displaced one (plus
+    any crash-orphaned staging dirs). A reader holding the old pointer
+    mid-scan still has its full generation (base + fragments) for one
+    compaction cycle; readers resolving the pointer see either the old or
+    the new generation — both the same rows, never a half state."""
     gen = _live_gen(table_dir)
     merged = mor_read(spark, table_dir, key_col, gen=gen)
     merged.write.mode("overwrite").parquet(
@@ -162,3 +358,4 @@ def mor_compact(spark: SparkSession, table_dir: str, key_col: str) -> None:
             and int(entry[1:]) < gen
         ):
             shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
+    _sweep_staging_orphans(table_dir)

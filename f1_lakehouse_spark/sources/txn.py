@@ -122,6 +122,7 @@ def _txn_guard(root: str, txn_id: int, writer: str | None) -> dict | str | None:
     otherwise returns the current manifest (possibly None) to proceed."""
     cur = read_manifest(root)
     if cur is not None:
+        _reject_mixed_token_mode(cur, writer)
         if cur["txn"] == txn_id:
             if writer is not None and cur.get("writer") not in (None, writer):
                 raise CommitConflictError(
@@ -145,6 +146,21 @@ def _txn_guard(root: str, txn_id: int, writer: str | None) -> dict | str | None:
                 f"txn_id {txn_id} is older than the committed {cur['txn']}"
             )
     return cur
+
+
+def _reject_mixed_token_mode(cur: dict, writer: str | None) -> None:
+    """Mixed writer-token mode is a silent footgun (CLAUDE.md txn rule):
+    an UNTOKENED publish onto a root whose commits carry writer tokens
+    treats any equal-txn collision as its own replay — OCC race detection
+    silently degrades exactly when it matters. Make it loud: the caller
+    must pass ``writer=`` from every writer or from none."""
+    if writer is None and cur.get("writer") is not None:
+        raise ValueError(
+            "mixed writer-token mode: the live manifest was committed by "
+            f"writer {cur['writer']!r} but this publish passes no writer= "
+            "token — OCC race detection would silently degrade; pass "
+            "writer tokens from EVERY writer or from none"
+        )
 
 
 def _stage_writes(
@@ -182,6 +198,7 @@ def _commit_manifest(
     tables: dict[str, DataFrame],
     txn_id: int,
     writer: str | None,
+    fail_after_record: bool = False,
 ) -> None:
     """Phases 3+4: atomic manifest swap (plus the immutable history copy
     for time travel / commit arbitration), then per-table one-cycle
@@ -253,10 +270,24 @@ def _commit_manifest(
                 ) from None
             # our own crash leftover: fall through and complete the swap
             new_manifest = owner
-    tmp = os.path.join(root, MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(new_manifest, f)
-    os.replace(tmp, os.path.join(root, MANIFEST))
+    if fail_after_record:
+        raise SimulatedCrash(
+            f"simulated crash after txn {txn_id}'s commit record, before "
+            "the live-pointer swap"
+        )
+    # the final swap is GUARDED the same way the loser's roll-forward is:
+    # never move the live pointer backwards. Without the guard, a winner
+    # that stalls between its commit record and its swap can be rolled
+    # forward by a conflicting loser, which then commits txn N+1 — the
+    # stalled winner resuming its unconditional swap would present the
+    # stale txn N as live (a snapshot-monotonicity violation) until the
+    # next write self-heals it. With the guard the resume is a no-op.
+    live = read_manifest(root)
+    if live is None or live["txn"] < new_manifest["txn"]:
+        tmp = os.path.join(root, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(new_manifest, f)
+        os.replace(tmp, os.path.join(root, MANIFEST))
     # retention: per table, the displaced version survives one cycle for
     # readers holding the outgoing manifest; everything STRICTLY OLDER is
     # pruned. Same-or-newer txn dirs are never touched here — a concurrent
@@ -284,6 +315,7 @@ def publish_tables(
     txn_id: int,
     fail_after_writes: int | None = None,
     writer: str | None = None,
+    fail_after_record: bool = False,
 ) -> None:
     """Atomically publish every frame in ``tables`` as transaction
     ``txn_id`` (see module docstring for the protocol). Idempotent under
@@ -307,7 +339,9 @@ def publish_tables(
     version = _version_name(txn_id, writer)
     _stage_writes(root, tables, version, fail_after_writes)
     try:
-        _commit_manifest(root, cur, tables, txn_id, writer)
+        _commit_manifest(
+            root, cur, tables, txn_id, writer, fail_after_record=fail_after_record
+        )
     except CommitConflictError:
         for name in tables:  # lost the race: remove our unreachable stage
             shutil.rmtree(os.path.join(root, name, version), ignore_errors=True)
@@ -321,6 +355,7 @@ def write_audit_publish(
     txn_id: int,
     audit_fn,
     clean_rejected: bool = True,
+    writer: str | None = None,
 ) -> list[str]:
     """Write-Audit-Publish (the Iceberg WAP pattern; the scaled-up form of
     the reference's post-hoc gate `/root/reference/scripts/check_gold.sh`
@@ -337,10 +372,10 @@ def write_audit_publish(
     snapshot is untouched. Idempotent like ``publish_tables``: a replay of
     an already-committed txn no-ops (returns [])."""
     os.makedirs(root, exist_ok=True)
-    cur = _txn_guard(root, txn_id, None)
+    cur = _txn_guard(root, txn_id, writer)
     if cur == "committed":
         return []
-    version = _version_name(txn_id, None)
+    version = _version_name(txn_id, writer)
     _stage_writes(root, tables, version, None)
     staged = {
         name: spark.read.parquet(os.path.join(root, name, version))
@@ -354,7 +389,7 @@ def write_audit_publish(
                     os.path.join(root, name, version), ignore_errors=True
                 )
         return violations
-    _commit_manifest(root, cur, tables, txn_id, None)
+    _commit_manifest(root, cur, tables, txn_id, writer)
     return []
 
 
@@ -366,6 +401,7 @@ def table_changes(
     to_txn: int,
     key_cols: list[str],
     order_cols: list[str],
+    emit_pre_post: bool = False,
 ) -> DataFrame:
     """Change Data Feed between two committed snapshots (Delta CDF /
     Iceberg changelog, derived rather than stored): resolve ``name`` at
@@ -376,6 +412,13 @@ def table_changes(
     a unique tiebreaker, so it differs IFF the row changed). Unchanged
     keys are omitted. Returns the new row's columns (the old row's for
     deletes) plus ``_change_type``.
+
+    ``emit_pre_post=True`` switches to Delta-CDF row semantics: every
+    update emits TWO rows — ``update_preimage`` (the old row) and
+    ``update_postimage`` (the new row) — so a downstream consumer can
+    incrementally maintain an aggregate by SUBTRACTING preimages/deletes
+    and ADDING postimages/inserts, without a second snapshot read. The
+    explode is per-changed-key, so the feed stays delta-proportional.
 
     Cost: one key-shuffle full-outer join of two entity-bounded
     snapshots — no log replay, no stored change files; the manifests
@@ -411,6 +454,48 @@ def table_changes(
         .when(is_old & ~is_new, F.lit("delete"))
         .when(changed, F.lit("update"))
     )
+    classified = joined.withColumn("_change_type", change_type).filter(
+        F.col("_change_type").isNotNull()
+    )
+    if emit_pre_post:
+        # Delta-CDF row semantics: one (change_type, row) variant for
+        # inserts/deletes, TWO for updates (preimage + postimage), exploded
+        # per changed key — the feed is an exact signed delta of the table
+        old_struct = F.struct(*[F.col(f"_old_{c}").alias(c) for c in data_cols])
+        new_struct = F.struct(*[F.col(c).alias(c) for c in data_cols])
+        ct = F.col("_change_type")
+        variants = (
+            F.when(
+                ct == "insert",
+                F.array(
+                    F.struct(F.lit("insert").alias("t"), new_struct.alias("r"))
+                ),
+            )
+            .when(
+                ct == "delete",
+                F.array(
+                    F.struct(F.lit("delete").alias("t"), old_struct.alias("r"))
+                ),
+            )
+            .otherwise(
+                F.array(
+                    F.struct(
+                        F.lit("update_preimage").alias("t"),
+                        old_struct.alias("r"),
+                    ),
+                    F.struct(
+                        F.lit("update_postimage").alias("t"),
+                        new_struct.alias("r"),
+                    ),
+                )
+            )
+        )
+        exploded = classified.select(*key_cols, F.explode(variants).alias("_v"))
+        return exploded.select(
+            *key_cols,
+            *[F.col(f"_v.r.{c}").alias(c) for c in data_cols],
+            F.col("_v.t").alias("_change_type"),
+        )
     # the output row is chosen PER ROW by change type (old row for
     # deletes, new row otherwise), never per column: a per-column
     # coalesce would resurrect the OLD value whenever an update
@@ -421,11 +506,7 @@ def table_changes(
         F.when(is_delete, F.col(f"_old_{c}")).otherwise(F.col(c)).alias(c)
         for c in data_cols
     ]
-    return (
-        joined.withColumn("_change_type", change_type)
-        .filter(F.col("_change_type").isNotNull())
-        .select(*key_cols, *out_cols, "_change_type")
-    )
+    return classified.select(*key_cols, *out_cols, "_change_type")
 
 
 # ---------------------------------------------------------------------------
@@ -505,20 +586,36 @@ def publish_staged(
     would defeat the entire WAP gate)."""
     os.makedirs(root, exist_ok=True)
     cur = read_manifest(root)
-    if cur is not None and cur["txn"] >= txn_id:
-        raise ValueError(
-            f"staged txn_id {txn_id} is not ahead of the live {cur['txn']}"
-        )
+    if cur is not None:
+        _reject_mixed_token_mode(cur, writer)
+    # the writer's OWN record is checked BEFORE the ahead-of-live guard:
+    # a crash-replay of a staging whose branch has since been
+    # fast-forwarded (or superseded) finds cur['txn'] >= txn_id, but its
+    # own commit record proves the staging succeeded — the replay must
+    # no-op/re-point, mirroring _txn_guard's superseded-replay path, not
+    # die on the monotonicity check.
     rec = read_manifest(root, txn=txn_id)
     if rec is not None:
-        if writer is None or rec.get("writer") != writer:
+        if (
+            not rec.get("staged")
+            or writer is None
+            or rec.get("writer") != writer
+        ):
             raise CommitConflictError(
                 f"txn {txn_id} commit record already exists (writer "
                 f"{rec.get('writer')!r}) — re-read and retry with the "
                 "next txn id"
             )
-        _set_branch(root, branch, txn_id)  # idempotent replay: re-point
+        # idempotent replay: re-point the branch — but never REWIND one
+        # that has since advanced to a newer staging
+        ref = read_ref(root, branch)
+        if ref is None or ref < txn_id:
+            _set_branch(root, branch, txn_id)
         return
+    if cur is not None and cur["txn"] >= txn_id:
+        raise ValueError(
+            f"staged txn_id {txn_id} is not ahead of the live {cur['txn']}"
+        )
     version = _version_name(txn_id, writer)
     _stage_writes(root, tables, version, None)
     prev_tables = dict(cur["tables"]) if cur else {}
@@ -568,3 +665,47 @@ def fast_forward(root: str, branch: str) -> dict:
         json.dump(promoted, f)
     os.replace(tmp, os.path.join(root, MANIFEST))
     return promoted
+
+
+def expire_history(root: str, keep_n: int) -> list[int]:
+    """Expire old ``_MANIFEST.v{N}`` history files — the Iceberg
+    ``expire_snapshots`` analog for the manifest layer. Each history file
+    is O(#tables) bytes, so data volume is irrelevant; what grows
+    unboundedly is the FILE COUNT at real commit rates (one txn per
+    streaming micro-batch, streaming/ingest.py), and time-travel reads
+    degrade to None after one version-dir retention cycle anyway, so old
+    history is dead weight.
+
+    Keeps: the newest ``keep_n`` records, every record PINNED by a ref
+    (tag or branch — expiring a pinned snapshot would silently break the
+    reproducibility guarantee tags exist for), and the live manifest's
+    own record. The live ``_MANIFEST`` file itself is never a candidate.
+    Returns the expired txn ids (ascending)."""
+    if keep_n < 0:
+        raise ValueError(f"keep_n must be >= 0, got {keep_n}")
+    pinned: set[int] = set()
+    refs_dir = os.path.join(root, REFS_DIR)
+    if os.path.isdir(refs_dir):
+        for name in os.listdir(refs_dir):
+            if name.endswith(".tmp"):
+                continue
+            txn = read_ref(root, name)
+            if txn is not None:
+                pinned.add(txn)
+    live = read_manifest(root)
+    if live is not None:
+        pinned.add(live["txn"])
+    prefix = MANIFEST + ".v"
+    history = sorted(
+        int(f[len(prefix):])
+        for f in os.listdir(root)
+        if f.startswith(prefix) and f[len(prefix):].isdigit()
+    )
+    keep = set(history[len(history) - keep_n:]) if keep_n else set()
+    expired: list[int] = []
+    for txn in history:
+        if txn in keep or txn in pinned:
+            continue
+        os.remove(os.path.join(root, f"{MANIFEST}.v{txn:010d}"))
+        expired.append(txn)
+    return expired
