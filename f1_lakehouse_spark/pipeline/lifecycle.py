@@ -1944,3 +1944,806 @@ def change_data_feed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pin_small_result(out, 3 * EVENT_TYPE_MAX)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 additions: branch-WAP promotion, concurrent OCC writers, CDF
+# incremental consumer, MoR upsert, manifest-history expiration
+# ---------------------------------------------------------------------------
+
+_WAP_CUT_MID = "2024-01-20 00:00:00"
+
+
+@register(
+    "branch_wap_roundtrip",
+    oracle=_ATOMIC_PUBLISH_ORACLE,
+    doc="Branch-WAP (Iceberg's stage-on-branch → audit → fast-forward-main "
+    "pattern, sources/txn.py refs layer) certified end-to-end: stage a "
+    "transaction on a branch and ASSERT main readers cannot see it (live "
+    "manifest byte-identical, snapshot still consistent), audit the STAGED "
+    "snapshot through the branch ref (gold == aggregate(silver) under the "
+    "staged manifest), pin the pre-promote state with an immutable tag "
+    "(re-tagging raises — tags never move), assert a mainline writer "
+    "colliding with the staged txn id CONFLICTS rather than promoting the "
+    "unaudited staging, assert an untokened publish on the tokened root "
+    "raises loudly (mixed writer-token mode), fast-forward the branch "
+    "(one atomic pointer swap), then exercise the STALE-BRANCH path: a "
+    "second branch staged before main advances must refuse to fast-forward "
+    "(StaleBranchError) and succeeds only after rebasing onto the new live "
+    "snapshot at a fresh txn id. Returns the finally-promoted gold; the "
+    "oracle recomputes the full medallion from the source, so a leaked "
+    "staging, a lost promotion, or a rewound pointer all surface as a "
+    "driver mismatch.",
+    tags=("sink", "lifecycle"),
+)
+def branch_wap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.sources.txn import (  # noqa: PLC0415
+        CommitConflictError,
+        StaleBranchError,
+        create_tag,
+        fast_forward,
+        manifest_read_table,
+        publish_staged,
+        publish_tables,
+        read_manifest,
+        read_ref_manifest,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="f1ls_bwap_")
+    root = os.path.join(base, "medallion")
+    persisted: list[DataFrame] = []
+    try:
+        t1 = _medallion_layers(
+            events.filter(F.col("ts") < F.lit(_TXN1_CUTOFF).cast("timestamp"))
+        )
+        persisted.append(t1["silver"])
+        t_mid = _medallion_layers(
+            events.filter(F.col("ts") < F.lit(_WAP_CUT_MID).cast("timestamp"))
+        )
+        persisted.append(t_mid["silver"])
+        t_full = _medallion_layers(events)
+        persisted.append(t_full["silver"])
+
+        publish_tables(spark, root, t1, txn_id=1, writer="etl")
+        m1 = read_manifest(root)
+        assert m1 is not None and m1["txn"] == 1, f"txn 1 did not commit: {m1}"
+
+        # stage txn 2 on a branch: version dirs + commit record written,
+        # branch ref moved — the live manifest must be UNTOUCHED
+        publish_staged(
+            spark, root, t_mid, txn_id=2, branch="audit", writer="wap-bot"
+        )
+        assert read_manifest(root) == m1, "staging leaked to main readers"
+        _assert_snapshot_consistent(spark, root, m1)
+        staged = read_ref_manifest(root, "audit")
+        assert staged is not None and staged["txn"] == 2 and staged.get("staged"), (
+            f"branch ref did not resolve the staged record: {staged}"
+        )
+        # the audit half of WAP: validate the staged snapshot through the ref
+        _assert_snapshot_consistent(spark, root, staged)
+
+        # immutable tag pins the pre-promote state
+        create_tag(root, "pre-promote", 1)
+        assert read_ref_manifest(root, "pre-promote") == m1
+        try:
+            create_tag(root, "pre-promote", 2)
+            raise AssertionError("re-tagging an existing tag did not raise")
+        except FileExistsError:
+            pass
+
+        # a mainline writer colliding with the staged txn id must CONFLICT —
+        # promoting an unaudited staging would defeat the WAP gate
+        try:
+            publish_tables(spark, root, t_full, txn_id=2, writer="etl")
+            raise AssertionError("mainline collision with a staged txn won")
+        except CommitConflictError:
+            pass
+        assert read_manifest(root) == m1, "the conflict leaked the staging"
+
+        # mixed writer-token mode is rejected loudly, not silently degraded
+        try:
+            publish_tables(spark, root, t_full, txn_id=3)
+            raise AssertionError("untokened publish on a tokened root passed")
+        except ValueError:
+            pass
+
+        live = fast_forward(root, "audit")
+        assert live["txn"] == 2 and "staged" not in live, f"bad promote: {live}"
+        assert read_manifest(root) == live
+        _assert_snapshot_consistent(spark, root, live)
+
+        # stale-branch rebase path: stage txn 3, let main advance to 4,
+        # assert the promotion refuses, rebase at txn 5, promote
+        publish_staged(
+            spark, root, t_full, txn_id=3, branch="release", writer="wap-bot"
+        )
+        publish_tables(spark, root, t_mid, txn_id=4, writer="etl")
+        try:
+            fast_forward(root, "release")
+            raise AssertionError("stale branch fast-forwarded over main")
+        except StaleBranchError:
+            pass
+        publish_staged(
+            spark, root, t_full, txn_id=5, branch="release", writer="wap-bot"
+        )
+        final = fast_forward(root, "release")
+        assert final["txn"] == 5, f"rebased promotion missing: {final}"
+        _assert_snapshot_consistent(spark, root, final)
+        # the tag still resolves the pre-promote manifest
+        assert read_ref_manifest(root, "pre-promote") == m1
+
+        gold = manifest_read_table(spark, root, "gold", final)
+        out = gold.select(
+            "event_type",
+            "n_users",
+            F.round("total_value", 3).cast("double").alias("total_value"),
+        )
+        return pin_small_result(out, EVENT_TYPE_MAX)
+    finally:
+        for frame in persisted:
+            frame.unpersist()
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_OCC_RETRY_CAP = 5  # a 2-writer race converges in <=2 attempts; 5 is loud slack
+
+_OCC_ORACLE = """
+SELECT 'alpha' AS writer_name, event_type,
+       COUNT(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(28,9))), 3) AS DOUBLE) AS total_value
+FROM events WHERE user_id % 4 = 0 GROUP BY event_type
+UNION ALL
+SELECT 'beta' AS writer_name, event_type,
+       COUNT(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(28,9))), 3) AS DOUBLE) AS total_value
+FROM events WHERE user_id % 4 = 1 GROUP BY event_type
+UNION ALL
+SELECT 'gamma' AS writer_name, event_type,
+       COUNT(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(28,9))), 3) AS DOUBLE) AS total_value
+FROM events WHERE user_id % 4 = 2 GROUP BY event_type
+UNION ALL
+SELECT 'delta' AS writer_name, event_type,
+       COUNT(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(28,9))), 3) AS DOUBLE) AS total_value
+FROM events WHERE user_id % 4 = 3 GROUP BY event_type
+"""
+
+
+@register(
+    "occ_concurrent_writers_roundtrip",
+    oracle=_OCC_ORACLE,
+    doc="Optimistic concurrency certified with GENUINELY concurrent "
+    "writers (two threads sharing the session, released by a barrier, "
+    "racing publish_tables(writer=...) to the same txn id on disjoint "
+    "tables): exactly one writer wins each txn id (the O_EXCL commit "
+    "record is the arbitration — asserted by reading the records' writer "
+    "tokens back), every loser gets CommitConflictError, cleans its orphan "
+    "staging (asserted: each table dir holds exactly its committed "
+    "version), and converges via the re-read → next-txn-id retry loop. "
+    "Then the CRASHED-WINNER path, sequenced deterministically: a writer "
+    "creates txn 3's commit record and crashes before its live swap; the "
+    "conflicting loser rolls it forward (the record IS the commit), "
+    "retries at txn 4, and the crashed winner's late replay NO-OPS — the "
+    "live pointer never moves backwards (the r10 ADVICE "
+    "snapshot-monotonicity fix, certified driver-side). Readers resolving "
+    "any committed manifest always see every named table (no torn pairs). "
+    "Returns all four writers' gold tables through the final manifest; "
+    "the oracle recomputes the four disjoint aggregates from the source, "
+    "so a lost commit, a double-applied retry, or a rewound pointer all "
+    "surface as a driver mismatch.",
+    tags=("sink", "lifecycle"),
+)
+def occ_concurrent_writers_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import threading  # noqa: PLC0415
+    from functools import reduce  # noqa: PLC0415
+
+    from f1_lakehouse_spark.sources.txn import (  # noqa: PLC0415
+        CommitConflictError,
+        SimulatedCrash,
+        manifest_read_table,
+        publish_tables,
+        read_manifest,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="f1ls_occ_")
+    root = os.path.join(base, "warehouse")
+    writers = ("alpha", "beta", "gamma", "delta")
+    frames: dict[str, DataFrame] = {}
+    try:
+        for k, w in enumerate(writers):
+            frames[w] = (
+                events.filter(F.col("user_id") % 4 == k)
+                .groupBy("event_type")
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(28,9)")).alias(
+                        "total_value"
+                    ),
+                )
+                .persist()
+            )
+            frames[w].count()  # materialize BEFORE the race: the race is
+            # on the COMMIT protocol, not on Spark job scheduling
+
+        # --- part A: two genuinely concurrent writers race txn 1 ---
+        results: dict[str, object] = {}
+        barrier = threading.Barrier(2)
+
+        def run(w: str) -> None:
+            try:
+                barrier.wait(timeout=60)
+                txn = 1
+                for _ in range(_OCC_RETRY_CAP):
+                    try:
+                        publish_tables(
+                            spark, root, {f"{w}_gold": frames[w]},
+                            txn_id=txn, writer=w,
+                        )
+                        results[w] = txn
+                        return
+                    except CommitConflictError:
+                        cur = read_manifest(root)
+                        txn = (cur["txn"] if cur else 0) + 1
+                results[w] = RuntimeError(f"{w} never converged")
+            except BaseException as exc:  # surface thread failures loudly
+                results[w] = exc
+
+        threads = [
+            threading.Thread(target=run, args=(w,), daemon=True)
+            for w in ("alpha", "beta")
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        errs = {w: r for w, r in results.items() if isinstance(r, BaseException)}
+        assert not errs, f"racer raised: {errs}"
+        assert sorted(results.values()) == [1, 2], (
+            f"exactly one winner per txn id expected: {results}"
+        )
+        for w in ("alpha", "beta"):
+            rec = read_manifest(root, txn=results[w])
+            assert rec is not None and rec.get("writer") == w, (
+                f"commit record for txn {results[w]} not owned by {w}: {rec}"
+            )
+        m2 = read_manifest(root)
+        assert m2 is not None and m2["txn"] == 2, m2
+        for w in ("alpha", "beta"):
+            # no torn pair: ONE manifest resolves both racers' tables, and
+            # each table dir holds exactly its committed version (the
+            # loser's orphan staging was cleaned)
+            assert manifest_read_table(spark, root, f"{w}_gold", m2) is not None
+            vdirs = sorted(os.listdir(os.path.join(root, f"{w}_gold")))
+            assert vdirs == [m2["tables"][f"{w}_gold"]], (
+                f"{w}_gold holds uncommitted versions: {vdirs}"
+            )
+
+        # --- part B: crashed winner + roll-forward, sequenced ---
+        try:
+            publish_tables(
+                spark, root, {"gamma_gold": frames["gamma"]},
+                txn_id=3, writer="gamma", fail_after_record=True,
+            )
+            raise AssertionError("simulated crash did not fire")
+        except SimulatedCrash:
+            pass
+        assert read_manifest(root)["txn"] == 2, (
+            "crashed winner swapped the pointer anyway"
+        )
+        try:
+            publish_tables(
+                spark, root, {"delta_gold": frames["delta"]},
+                txn_id=3, writer="delta",
+            )
+            raise AssertionError("loser did not conflict on the record")
+        except CommitConflictError:
+            pass
+        m3 = read_manifest(root)
+        assert m3["txn"] == 3 and m3.get("writer") == "gamma", (
+            f"loser did not roll the crashed winner forward: {m3}"
+        )
+        assert manifest_read_table(spark, root, "gamma_gold", m3) is not None
+        assert not os.path.isdir(
+            os.path.join(root, "delta_gold", "v0000000003-delta")
+        ), "conflicting loser left its orphan staging"
+        publish_tables(
+            spark, root, {"delta_gold": frames["delta"]}, txn_id=4, writer="delta"
+        )
+        m4 = read_manifest(root)
+        assert m4["txn"] == 4, m4
+        # the crashed winner's late replay must NO-OP, never rewinding
+        publish_tables(
+            spark, root, {"gamma_gold": frames["gamma"]}, txn_id=3, writer="gamma"
+        )
+        assert read_manifest(root) == m4, (
+            "late replay moved the live pointer backwards"
+        )
+
+        outs = []
+        for w in writers:
+            df = manifest_read_table(spark, root, f"{w}_gold", m4)
+            assert df is not None, f"{w}_gold unresolvable in the final snapshot"
+            outs.append(
+                df.select(
+                    F.lit(w).alias("writer_name"),
+                    "event_type",
+                    "n_events",
+                    F.round("total_value", 3).cast("double").alias("total_value"),
+                )
+            )
+        return pin_small_result(
+            reduce(DataFrame.unionByName, outs), 4 * EVENT_TYPE_MAX
+        )
+    finally:
+        for frame in frames.values():
+            frame.unpersist()
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_CDFI_ORACLE = f"""
+WITH new_state AS (
+    SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+        WHERE user_id % {_CDF_MOD} <> {_CDF_NEW_EXCL}
+    ) WHERE rn = 1
+)
+SELECT event_type,
+       COUNT(*) AS n_users,
+       CAST(round(SUM(CAST(value AS DECIMAL(28,9))), 3) AS DOUBLE) AS total_value
+FROM new_state
+GROUP BY event_type
+"""
+
+
+@register(
+    "cdf_incremental_consumer",
+    oracle=_CDFI_ORACLE,
+    doc="The consumer half of Change Data Feed (what makes the r10 feed "
+    "USEFUL, not just derivable): publish two latest-per-user silver "
+    "snapshots, derive the pre/post-image change feed "
+    "(txn.table_changes(emit_pre_post=True) — Delta CDF row semantics: "
+    "updates emit update_preimage AND update_postimage rows), and "
+    "incrementally maintain the downstream per-event_type gold by applying "
+    "SIGNED deltas to the previous gold version — postimages/inserts add, "
+    "preimages/deletes subtract, so an update that moves a user across "
+    "event_types migrates its contribution without touching any other "
+    "group. ASSERTS the incrementally-maintained gold exactly equals the "
+    "full recompute from the new snapshot (decimal-exact, taxonomy-"
+    "bounded compare) — the identity that lets a 100 TB consumer sync on "
+    "the delta-proportional feed instead of re-scanning the table. The "
+    "oracle recomputes the new state's gold straight from the source.",
+    tags=("sink", "lifecycle"),
+)
+def cdf_incremental_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.sources.txn import (  # noqa: PLC0415
+        manifest_read_table,
+        publish_tables,
+        read_manifest,
+        table_changes,
+    )
+    from f1_lakehouse_spark.streaming.ingest import _latest_per_key  # noqa: PLC0415
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="f1ls_cdfi_")
+    root = os.path.join(base, "medallion")
+    try:
+        old_state = _latest_per_key(
+            events.filter(
+                (F.col("ts") < F.lit(_CDF_CUT).cast("timestamp"))
+                & (F.col("user_id") % _CDF_MOD != _CDF_OLD_EXCL)
+            )
+        )
+        new_state = _latest_per_key(
+            events.filter(F.col("user_id") % _CDF_MOD != _CDF_NEW_EXCL)
+        )
+        publish_tables(spark, root, {"silver": old_state}, txn_id=1)
+        publish_tables(spark, root, {"silver": new_state}, txn_id=2)
+
+        val_dec = F.col("value").cast("decimal(28,9)")
+
+        def gold_of(df: DataFrame) -> DataFrame:
+            return df.groupBy("event_type").agg(
+                F.count("*").alias("n_users"),
+                F.sum(val_dec).alias("total_value"),
+            )
+
+        # the gold the consumer ALREADY HAS: aggregated from the old
+        # snapshot resolved through its immutable history manifest
+        gold1 = gold_of(
+            manifest_read_table(spark, root, "silver", read_manifest(root, txn=1))
+        )
+        feed = table_changes(
+            spark, root, "silver", 1, 2,
+            key_cols=["user_id"], order_cols=["ts", "event_id"],
+            emit_pre_post=True,
+        )
+        add = F.col("_change_type").isin("insert", "update_postimage")
+        deltas = feed.groupBy("event_type").agg(
+            F.sum(F.when(add, 1).otherwise(-1)).alias("d_users"),
+            # negate the DECIMAL (exact, same scale) rather than multiply
+            # by a sign column — a decimal multiply would widen past p=38
+            F.sum(F.when(add, val_dec).otherwise(-val_dec)).alias("d_value"),
+        )
+        zero_v = F.lit(0).cast("decimal(38,9)")
+        incr = (
+            gold1.select(
+                "event_type",
+                F.col("n_users").alias("_n0"),
+                F.col("total_value").alias("_v0"),
+            )
+            .join(deltas, "event_type", "full_outer")
+            .select(
+                "event_type",
+                (
+                    F.coalesce(F.col("_n0"), F.lit(0))
+                    + F.coalesce(F.col("d_users"), F.lit(0))
+                ).alias("n_users"),
+                (
+                    F.coalesce(F.col("_v0"), zero_v)
+                    + F.coalesce(F.col("d_value"), zero_v)
+                ).alias("total_value_dec"),
+            )
+            .filter(F.col("n_users") > 0)
+        )
+        # the identity: incremental maintenance == full recompute (exact)
+        recompute = gold_of(
+            manifest_read_table(spark, root, "silver", read_manifest(root, txn=2))
+        )
+        got = sorted(
+            (r["event_type"], r["n_users"], r["total_value_dec"])
+            for r in incr.collect()
+        )
+        want = sorted(
+            (r["event_type"], r["n_users"], r["total_value"])
+            for r in recompute.collect()
+        )
+        assert got == want, (
+            f"incremental gold drifted from the recompute:\n{got}\n{want}"
+        )
+        out = incr.select(
+            "event_type",
+            "n_users",
+            F.round("total_value_dec", 3).cast("double").alias("total_value"),
+        )
+        return pin_small_result(out, EVENT_TYPE_MAX)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# MoR upsert cohorts: event_id is the unique key; replacement values are
+# EXACT binary fractions (k/8, k/4) so the double is bit-identical in both
+# engines and its DECIMAL(28,9) cast is exact (CLAUDE.md decimal traps)
+_UPSERT_KEY_MOD = 50
+_UPSERT_KEY_REM = 1
+
+_MOR_UPSERT_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(round(SUM(CAST(
+           CASE WHEN event_id % {_UPSERT_KEY_MOD} = {_UPSERT_KEY_REM}
+                     AND user_id % 4 = 0
+                    THEN CAST(event_id % 1000 AS DOUBLE) / CAST(4.0 AS DOUBLE)
+                WHEN event_id % {_UPSERT_KEY_MOD} = {_UPSERT_KEY_REM}
+                    THEN CAST(event_id % 1000 AS DOUBLE) / CAST(8.0 AS DOUBLE)
+                ELSE value END AS DECIMAL(28,9))), 3) AS DOUBLE) AS total_value
+FROM events
+WHERE NOT (event_id % {_UPSERT_KEY_MOD} = {_UPSERT_KEY_REM}
+           AND user_id % 2 = 0 AND user_id % 4 <> 0)
+GROUP BY event_type
+"""
+
+
+@register(
+    "mor_upsert_roundtrip",
+    oracle=_MOR_UPSERT_ORACLE,
+    doc="Merge-on-read row-level UPSERT certified end-to-end (completes "
+    "delete (r10) → update (r11) on the MoR surface — Iceberg v2 "
+    "delete+insert MERGE shape, as ONE atomic latest-wins insert fragment "
+    "so a crash can never publish half the MERGE): write an immutable "
+    "base, UPSERT a key cohort's values (update path), ASSERT the base "
+    "files are byte-for-byte untouched (names+sizes — at 100 TB the "
+    "update must cost O(matched keys), never a rewrite), DELETE half the "
+    "cohort (a later delete kills the earlier upsert — sequence-number "
+    "semantics), RE-UPSERT a quarter of it (a later insert survives the "
+    "earlier delete), assert the merged row count follows the "
+    "base - deleted + reinserted accounting exactly, COMPACT, and assert "
+    "the compacted content is identical to the pre-compaction merged view "
+    "with all fragments folded. Replacement values are exact binary "
+    "fractions keyed off event_id, so the oracle reconstructs the final "
+    "state with a CASE expression — a lost fragment, a wrong "
+    "sequence-order, or a latest-wins tie-break bug all surface as a "
+    "driver mismatch.",
+    tags=("sink", "lifecycle"),
+)
+def mor_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.sources.mor import (  # noqa: PLC0415
+        _delete_files,
+        _insert_files,
+        base_dir,
+        mor_compact,
+        mor_delete,
+        mor_read,
+        mor_upsert,
+        mor_write_base,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="f1ls_morup_")
+    tbl = os.path.join(base, "events_mor")
+    in_cohort = (F.col("event_id") % _UPSERT_KEY_MOD) == _UPSERT_KEY_REM
+
+    def census() -> dict[str, int]:
+        bdir = base_dir(tbl)
+        return {
+            f: os.path.getsize(os.path.join(bdir, f))
+            for f in os.listdir(bdir)
+            if f.endswith(".parquet")
+        }
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(28,9)")), 3)
+            .cast("double")
+            .alias("total_value"),
+        )
+
+    try:
+        mor_write_base(events, tbl)
+        before = census()
+        n_base = spark.read.parquet(base_dir(tbl)).count()
+        # UPDATE: replace the cohort's values (exact binary fractions)
+        u1_rows = events.filter(in_cohort).withColumn(
+            "value", (F.col("event_id") % 1000).cast("double") / F.lit(8.0)
+        )
+        n_u1 = mor_upsert(spark, tbl, "event_id", u1_rows)
+        assert mor_read(spark, tbl, "event_id").count() == n_base, (
+            "an update-only upsert changed the row count"
+        )
+        # DELETE half the updated cohort (later delete kills the upsert)
+        n_d = mor_delete(
+            spark, tbl, "event_id", in_cohort & (F.col("user_id") % 2 == 0)
+        )
+        # RE-UPSERT a quarter (later insert survives the earlier delete)
+        u2_rows = (
+            events.filter(in_cohort & (F.col("user_id") % 4 == 0))
+            .withColumn(
+                "value", (F.col("event_id") % 1000).cast("double") / F.lit(4.0)
+            )
+        )
+        n_u2 = mor_upsert(spark, tbl, "event_id", u2_rows)
+        assert n_u2 > 0 and n_d > n_u2, (
+            f"cohort split degenerate: deleted {n_d}, reinserted {n_u2}"
+        )
+        assert census() == before, (
+            "merge-on-read upsert/delete touched the base files — that is "
+            "a copy-on-write rewrite, the thing MoR exists to avoid"
+        )
+        merged = mor_read(spark, tbl, "event_id")
+        n_merged = merged.count()
+        assert n_base - n_merged == n_d - n_u2, (
+            f"upsert accounting broke: base {n_base} - merged {n_merged} "
+            f"!= deleted {n_d} - reinserted {n_u2} (u1 updated {n_u1})"
+        )
+        pre = sorted(tuple(r) for r in agg(merged).collect())
+        mor_compact(spark, tbl, "event_id")
+        assert _delete_files(tbl, 1) == [] and _insert_files(tbl, 1) == [], (
+            "compaction left fragments in the new live generation"
+        )
+        post = sorted(tuple(r) for r in agg(mor_read(spark, tbl, "event_id")).collect())
+        assert pre == post, (
+            f"compaction changed the table content:\n{pre}\n{post}"
+        )
+        return pin_small_result(agg(mor_read(spark, tbl, "event_id")), EVENT_TYPE_MAX)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# expire-history publish cuts (events span 2024-01-01..30 at every SF)
+_EXP_CUTS = (
+    "2024-01-08 00:00:00",
+    "2024-01-15 00:00:00",
+    "2024-01-22 00:00:00",
+    "2024-01-28 00:00:00",
+)
+
+
+@register(
+    "expire_history_roundtrip",
+    oracle=_VERSION_GC_ORACLE,
+    doc="Manifest-history expiration (the Iceberg expire_snapshots analog "
+    "for the txn layer — keeps a streaming medallion committing one txn "
+    "per micro-batch from unbounded history-file growth) certified "
+    "end-to-end: publish four transactions, TAG one mid-history commit, "
+    "expire with keep_n=1 and assert exactly the unpinned/non-live "
+    "records are removed (the tag-pinned record and the live manifest "
+    "survive; expired as-of reads resolve to None rather than a broken "
+    "read), then stage a branch transaction and assert its record is "
+    "BRANCH-PINNED against expiration, fast-forward it, and assert the "
+    "displaced live record becomes expirable while every pin still holds. "
+    "Returns the final live gold; the oracle aggregates the full source "
+    "directly, so an expiration that eats the live manifest or a pinned "
+    "snapshot surfaces as a driver mismatch.",
+    tags=("sink", "lifecycle"),
+)
+def expire_history_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.sources.txn import (  # noqa: PLC0415
+        create_tag,
+        expire_history,
+        fast_forward,
+        manifest_read_table,
+        publish_staged,
+        publish_tables,
+        read_manifest,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+
+    def cumulative(upto: str | None) -> DataFrame:
+        src = events
+        if upto is not None:
+            src = src.filter(F.col("ts") < F.lit(upto).cast("timestamp"))
+        return src.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,9)")).alias("total_value"),
+        )
+
+    base = tempfile.mkdtemp(prefix="f1ls_exp_")
+    root = os.path.join(base, "medallion")
+    try:
+        for txn, cut in enumerate(_EXP_CUTS, start=1):
+            publish_tables(
+                spark, root, {"gold": cumulative(cut)}, txn_id=txn, writer="etl"
+            )
+        create_tag(root, "audited-v2", 2)
+        expired = expire_history(root, keep_n=1)
+        assert expired == [1, 3], (
+            f"expected exactly the unpinned history to expire: {expired}"
+        )
+        assert read_manifest(root, txn=2) is not None, "tag pin was expired"
+        assert read_manifest(root, txn=1) is None
+        assert read_manifest(root, txn=3) is None
+        live = read_manifest(root)
+        assert live is not None and live["txn"] == 4, (
+            f"expiration disturbed the live manifest: {live}"
+        )
+        # an expired as-of read degrades to None, never a broken read
+        assert (
+            manifest_read_table(spark, root, "gold", read_manifest(root, txn=1))
+            is None
+        )
+        # a STAGED branch transaction is pinned by its branch ref
+        publish_staged(
+            spark, root, {"gold": cumulative(None)}, txn_id=5,
+            branch="release", writer="wap-bot",
+        )
+        assert expire_history(root, keep_n=1) == [], (
+            "expiration ate a branch-pinned or live record"
+        )
+        final = fast_forward(root, "release")
+        assert final["txn"] == 5
+        # the displaced live record (4) is now expirable; pins still hold
+        assert expire_history(root, keep_n=1) == [4]
+        assert read_manifest(root, txn=2) is not None
+        assert read_manifest(root)["txn"] == 5
+        gold = manifest_read_table(spark, root, "gold", read_manifest(root))
+        out = gold.select(
+            "event_type",
+            "n_events",
+            F.round("total_value", 3).cast("double").alias("total_value"),
+        )
+        return pin_small_result(out, EVENT_TYPE_MAX)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_TAG_PIN_ORACLE = f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(28,9))), 3) AS DOUBLE) AS total_value
+FROM events
+WHERE ts < TIMESTAMP '{_EXP_CUTS[0]}'
+GROUP BY event_type
+"""
+
+
+@register(
+    "tag_pinned_time_travel_roundtrip",
+    oracle=_TAG_PIN_ORACLE,
+    doc="Tag-pinned version retention (Iceberg tag-retention semantics, "
+    "r11): without it a tag pins only the manifest RECORD while the "
+    "version DIRS age out after one publish cycle — the reproducibility "
+    "guarantee tags exist for silently breaks. Certified end-to-end: "
+    "publish four transactions with txn 1 TAGGED, assert the tagged "
+    "snapshot is FULLY readable three retention cycles later and "
+    "decimal-exactly equal to its original content (the negative "
+    "control: the untagged txn-2 snapshot's dirs are pruned on schedule "
+    "and degrade to None, so the pin — not lax retention — is what kept "
+    "txn 1 alive), then DROP the tag and assert the next commit's "
+    "retention prunes the released versions while live reads stay "
+    "unaffected throughout. Returns the tagged snapshot's content (read "
+    "through its pinned dirs); the oracle recomputes that slice from the "
+    "source, so a pruned pin or a drifted as-of read surfaces as a "
+    "driver mismatch. At 100 TB pinned retention is what makes 'the "
+    "training run reads tag q1-close' reproducible months later at zero "
+    "commit-path cost (O(#refs) metadata reads per retention pass).",
+    tags=("sink", "lifecycle"),
+)
+def tag_pinned_time_travel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.sources.txn import (  # noqa: PLC0415
+        create_tag,
+        drop_ref,
+        manifest_read_table,
+        publish_tables,
+        read_manifest,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+
+    def cumulative(upto: str | None) -> DataFrame:
+        src = events
+        if upto is not None:
+            src = src.filter(F.col("ts") < F.lit(upto).cast("timestamp"))
+        return src.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,9)")).alias("total_value"),
+        )
+
+    base = tempfile.mkdtemp(prefix="f1ls_tagpin_")
+    root = os.path.join(base, "medallion")
+    try:
+        publish_tables(
+            spark, root, {"gold": cumulative(_EXP_CUTS[0])}, txn_id=1, writer="etl"
+        )
+        create_tag(root, "q1-close", 1)
+        for txn, cut in ((2, _EXP_CUTS[1]), (3, _EXP_CUTS[2]), (4, None)):
+            publish_tables(
+                spark, root, {"gold": cumulative(cut)}, txn_id=txn, writer="etl"
+            )
+        # negative control: the UNTAGGED txn-2 snapshot ages out on the
+        # normal one-cycle schedule (record resolves, dirs pruned)
+        m2 = read_manifest(root, txn=2)
+        assert m2 is not None
+        assert manifest_read_table(spark, root, "gold", m2) is None, (
+            "unpinned version dirs survived two retention cycles — the pin "
+            "assert below would be vacuous"
+        )
+        # the TAGGED txn-1 snapshot is FULLY readable three cycles later
+        tagged = manifest_read_table(spark, root, "gold", read_manifest(root, txn=1))
+        assert tagged is not None, "tag-pinned version dirs were pruned"
+        got = sorted(tuple(r) for r in tagged.collect())
+        want = sorted(tuple(r) for r in cumulative(_EXP_CUTS[0]).collect())
+        assert got == want, f"tagged snapshot drifted:\n{got}\n{want}"
+        out = pin_small_result(
+            tagged.select(
+                "event_type",
+                "n_events",
+                F.round("total_value", 3).cast("double").alias("total_value"),
+            ),
+            EVENT_TYPE_MAX,
+        )
+        # dropping the tag releases the pin: the NEXT commit's retention
+        # prunes the formerly-pinned versions
+        drop_ref(root, "q1-close")
+        publish_tables(
+            spark, root, {"gold": cumulative(None)}, txn_id=5, writer="etl"
+        )
+        assert (
+            manifest_read_table(spark, root, "gold", read_manifest(root, txn=1))
+            is None
+        ), "dropped-tag versions were still retained"
+        assert read_manifest(root)["txn"] == 5, "live pointer disturbed"
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

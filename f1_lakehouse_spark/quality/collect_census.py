@@ -134,6 +134,16 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("pipeline/lifecycle.py", "mor_delete_roundtrip"): "model-sized: "
     "pre- vs post-compaction per-event_type aggregates, both bounded by "
     "the taxonomy (EVENT_TYPE_MAX) — the content-identity assert",
+    ("pipeline/lifecycle.py", "cdf_incremental_consumer"): "model-sized: "
+    "incrementally-maintained gold vs its full recompute, both "
+    "per-event_type aggregates bounded by the taxonomy (EVENT_TYPE_MAX) — "
+    "the incremental-maintenance identity assert",
+    ("pipeline/lifecycle.py", "mor_upsert_roundtrip"): "model-sized: "
+    "pre- vs post-compaction per-event_type aggregates, both bounded by "
+    "the taxonomy (EVENT_TYPE_MAX) — the content-identity assert",
+    ("pipeline/lifecycle.py", "tag_pinned_time_travel_roundtrip"): "model-"
+    "sized: tagged-snapshot content vs its recomputation, both "
+    "per-event_type aggregates bounded by the taxonomy (EVENT_TYPE_MAX)",
 }
 
 

@@ -34,10 +34,12 @@ Commit protocol (``publish_tables``):
    Locally that is one atomic rename; on HDFS the same; on S3 a single
    pointer PUT. Tables not part of this transaction carry forward
    unchanged (their pointer entries are copied into the new manifest).
-4. **Retention** — for each table in the txn, keep the new version plus
-   the version the outgoing manifest named (readers holding the old
-   manifest survive one publish cycle, exactly like the single-table
-   layout); everything older is pruned.
+4. **Retention** — for each table in the txn, keep the new version, the
+   version the outgoing manifest named (readers holding the old manifest
+   survive one publish cycle, exactly like the single-table layout), and
+   every version a ref (tag/branch) still resolves — a tagged snapshot
+   stays fully readable until the tag is dropped; everything else older
+   is pruned.
 
 Snapshot isolation for readers: call :func:`read_manifest` ONCE and
 resolve every table through that one dict (:func:`manifest_read_table`) —
@@ -78,10 +80,12 @@ def read_manifest(root: str, txn: int | None = None) -> dict | None:
     ``txn`` gives TIME TRAVEL: resolve the manifest history file a past
     commit wrote (``_MANIFEST.v{txn}``, immutable, O(#tables) bytes each —
     the history costs nothing at any data scale). The snapshot's version
-    DIRS are only retained one publish cycle (see ``publish_tables``), so
-    an as-of read reaches exactly one commit back before
-    :func:`manifest_read_table` starts degrading to None — Iceberg's
-    snapshot list with a short expire_snapshots horizon."""
+    DIRS are only retained one publish cycle (see ``publish_tables``)
+    unless a ref pins them, so an UNPINNED as-of read reaches exactly one
+    commit back before :func:`manifest_read_table` starts degrading to
+    None while a TAGGED snapshot stays fully readable until its tag is
+    dropped — Iceberg's snapshot list with a short expire_snapshots
+    horizon plus tag retention."""
     name = MANIFEST if txn is None else f"{MANIFEST}.v{txn:010d}"
     path = os.path.join(root, name)
     if not os.path.exists(path):
@@ -290,14 +294,18 @@ def _commit_manifest(
         os.replace(tmp, os.path.join(root, MANIFEST))
     # retention: per table, the displaced version survives one cycle for
     # readers holding the outgoing manifest; everything STRICTLY OLDER is
-    # pruned. Same-or-newer txn dirs are never touched here — a concurrent
-    # OCC loser may still be mid-write into its own v{txn}-{writer} dir,
-    # and rmtree-ing under a running Spark job turns the documented
-    # CommitConflictError into an opaque executor crash; the loser cleans
-    # its own stage on conflict, and the NEXT commit's retention prunes
-    # anything it abandoned (by then strictly older).
+    # pruned UNLESS a ref (tag/branch) pins it — a tagged snapshot stays
+    # FULLY readable (manifest + dirs) until the tag is dropped, Iceberg's
+    # tag-retention semantics (r11). Same-or-newer txn dirs are never
+    # touched here — a concurrent OCC loser may still be mid-write into
+    # its own v{txn}-{writer} dir, and rmtree-ing under a running Spark
+    # job turns the documented CommitConflictError into an opaque executor
+    # crash; the loser cleans its own stage on conflict, and the NEXT
+    # commit's retention prunes anything it abandoned (by then strictly
+    # older).
+    pinned = _ref_pinned_versions(root)
     for name in tables:
-        keep = {version, prev_tables.get(name)}
+        keep = {version, prev_tables.get(name)} | pinned.get(name, set())
         tdir = os.path.join(root, name)
         for entry in os.listdir(tdir):
             if not entry.startswith("v") or entry in keep:
@@ -306,6 +314,27 @@ def _commit_manifest(
             if digits.isdigit() and int(digits) >= txn_id:
                 continue
             shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+
+
+def _ref_pinned_versions(root: str) -> dict[str, set[str]]:
+    """table -> version dirs some ref (tag or branch) still resolves:
+    retention must not prune a version a NAMED snapshot can reach, or the
+    reproducibility guarantee refs exist for silently breaks. Cost is
+    O(#refs) metadata file reads per commit — independent of data volume."""
+    pinned: dict[str, set[str]] = {}
+    refs_dir = os.path.join(root, REFS_DIR)
+    if not os.path.isdir(refs_dir):
+        return pinned
+    for name in os.listdir(refs_dir):
+        if name.endswith(".tmp"):
+            continue
+        txn = read_ref(root, name)
+        rec = None if txn is None else read_manifest(root, txn=txn)
+        if rec is None:
+            continue
+        for tbl, ver in rec.get("tables", {}).items():
+            pinned.setdefault(tbl, set()).add(ver)
+    return pinned
 
 
 def publish_tables(
@@ -550,6 +579,18 @@ def create_tag(root: str, name: str, txn_id: int) -> None:
     )  # exists -> FileExistsError: tags never move
     with os.fdopen(fd, "w") as f:
         f.write(str(txn_id))
+
+
+def drop_ref(root: str, name: str) -> None:
+    """Remove a tag or branch. The versions only this ref pinned become
+    prunable at the NEXT commit's retention pass, and its history record
+    becomes expirable (Iceberg: dropping a tag releases its snapshot to
+    expire_snapshots). Loud on a missing ref — silently 'dropping' a typo
+    would leave the real pin in place."""
+    path = _ref_path(root, name)
+    if not os.path.exists(path):
+        raise ValueError(f"no such ref: {name!r}")
+    os.remove(path)
 
 
 def _set_branch(root: str, name: str, txn_id: int) -> None:

@@ -43,24 +43,20 @@ ANCHORS: tuple[str, ...] = (
     "dedup_minhash_verified",
 )
 
-# Round-10 priorities: every query in the project is now ever-green
-# (CORRECTNESS_r09 closed the last two r8 reds and certified all nine r9
-# lifecycle ops first-time), so LEAD shrinks back to its baseline duty —
-# any NEW operator registered this round is pinned here in the same
-# commit (standing rule since r6) so its first driver row lands the round
-# it ships. Previously-pinned r8/r9 names all hold green rows and rotate
-# through the least-recently-verified top-up like everything else.
+# Round-11 priorities: every registered query stays ever-green (all 13
+# r10 lakehouse round-trips landed green first try), so LEAD carries only
+# its baseline duty — any NEW operator registered this round is pinned
+# here in the same commit (standing rule since r6) so its first driver
+# row lands the round it ships. The r10 names all hold green rows and
+# rotate through the least-recently-verified top-up like everything else.
 LEAD: tuple[str, ...] = (
-    # new r10 operators, pinned in the registering round (standing rule)
-    "atomic_publish_roundtrip",
-    "version_gc_roundtrip",
-    "cbo_stats_broadcast_roundtrip",
-    "snapshot_time_travel_roundtrip",
-    "wap_publish_roundtrip",
-    "streaming_multitable_roundtrip",
-    "cbo_join_reorder_roundtrip",
-    "mor_delete_roundtrip",
-    "change_data_feed_roundtrip",
+    # new r11 operators, pinned in the registering round (standing rule)
+    "branch_wap_roundtrip",
+    "occ_concurrent_writers_roundtrip",
+    "cdf_incremental_consumer",
+    "mor_upsert_roundtrip",
+    "expire_history_roundtrip",
+    "tag_pinned_time_travel_roundtrip",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"

@@ -135,6 +135,13 @@ QUERIES = [
     "cbo_join_reorder_roundtrip",
     "mor_delete_roundtrip",
     "change_data_feed_roundtrip",
+    # round 11 (refs, concurrency, CDF consumer, MoR upsert, retention)
+    "branch_wap_roundtrip",
+    "occ_concurrent_writers_roundtrip",
+    "cdf_incremental_consumer",
+    "mor_upsert_roundtrip",
+    "expire_history_roundtrip",
+    "tag_pinned_time_travel_roundtrip",
 ]
 
 

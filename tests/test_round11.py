@@ -379,3 +379,63 @@ def test_table_changes_pre_post_images(spark, tmp_path):
     old_sum = old.agg(F.sum("ts")).collect()[0][0]
     new_sum = new.agg(F.sum("ts")).collect()[0][0]
     assert old_sum + delta == new_sum
+
+
+# ---------------------------------------------------------------------------
+# txn.py: ref-pinned version-dir retention + drop_ref
+# ---------------------------------------------------------------------------
+
+
+def test_tag_pins_version_dirs_until_dropped(spark, tmp_path):
+    """A tag keeps its snapshot's version DIRS alive across any number of
+    retention cycles (Iceberg tag retention); dropping the tag releases
+    them to the next commit's retention pass."""
+    from f1_lakehouse_spark.sources.txn import drop_ref, manifest_read_table
+
+    root = str(tmp_path / "m")
+    publish_tables(spark, root, _frames(spark, 1), txn_id=1, writer="w")
+    create_tag(root, "keep", 1)
+    for t in (2, 3, 4):
+        publish_tables(spark, root, _frames(spark, t), txn_id=t, writer="w")
+    # negative control: untagged txn-2 dirs aged out on the normal cycle
+    assert (
+        manifest_read_table(spark, root, "silver", read_manifest(root, txn=2))
+        is None
+    )
+    # tagged txn-1 still fully readable, content-exact
+    pinned = manifest_read_table(spark, root, "silver", read_manifest(root, txn=1))
+    assert pinned is not None
+    assert sorted(tuple(r) for r in pinned.collect()) == [
+        (i, 1) for i in range(10)
+    ]
+    drop_ref(root, "keep")
+    publish_tables(spark, root, _frames(spark, 5), txn_id=5, writer="w")
+    assert (
+        manifest_read_table(spark, root, "silver", read_manifest(root, txn=1))
+        is None
+    ), "dropped-tag versions still retained"
+    with pytest.raises(ValueError, match="no such ref"):
+        drop_ref(root, "keep")
+
+
+def test_branch_pins_version_dirs_while_stale(spark, tmp_path):
+    """A stale branch's staged version dirs survive mainline retention
+    (r11 change — previously lost), so the audit can still read the
+    staging right up until the rebase re-points the branch."""
+    from f1_lakehouse_spark.sources.txn import (
+        manifest_read_table,
+        read_ref_manifest,
+    )
+
+    root = str(tmp_path / "m")
+    publish_tables(spark, root, _frames(spark, 1), txn_id=1, writer="etl")
+    publish_staged(
+        spark, root, _frames(spark, 99), txn_id=2, branch="wap", writer="bot"
+    )
+    # mainline advances twice past the branch
+    publish_tables(spark, root, _frames(spark, 3), txn_id=3, writer="etl")
+    publish_tables(spark, root, _frames(spark, 4), txn_id=4, writer="etl")
+    staged = read_ref_manifest(root, "wap")
+    df = manifest_read_table(spark, root, "silver", staged)
+    assert df is not None, "branch-pinned staging was pruned"
+    assert sorted(tuple(r) for r in df.collect()) == [(i, 99) for i in range(10)]
