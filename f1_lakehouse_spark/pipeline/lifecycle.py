@@ -2747,3 +2747,73 @@ def tag_pinned_time_travel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "streaming_cdf_consumer_roundtrip",
+    oracle=_ATOMIC_PUBLISH_ORACLE,
+    doc="Streaming incremental view maintenance over the change data "
+    "feed, certified end-to-end: split the events backlog into files, "
+    "stream with maxFilesPerTrigger=1, and per micro-batch atomically "
+    "commit (silver, gold, mart) where gold is the FULL RECOMPUTE from "
+    "the merged silver and the mart is maintained INCREMENTALLY — the "
+    "batch's pre/post-image diff (txn.snapshot_diff, the same "
+    "classification the CDF rows certify) applied to the previous mart "
+    "as signed deltas. RESTART with no new data (checkpoint recovery + "
+    "txn guard must no-op), then ASSERT mart == gold under the final "
+    "manifest — every snapshot carries its own proof that incremental "
+    "maintenance equals recomputation, across however many micro-batch "
+    "boundaries the split produced. Returns the MART (the incrementally-"
+    "built side); the oracle recomputes latest-per-user gold from the "
+    "raw source, so a drifted delta application, a double-applied "
+    "replay, or batch-split dependence all surface as a driver "
+    "mismatch. This is the Spark-native shape of a Delta "
+    "readChangeFeed→downstream-sync pipeline.",
+    tags=("streaming", "lifecycle"),
+)
+def streaming_cdf_consumer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.sources.txn import (  # noqa: PLC0415
+        manifest_read_table,
+        read_manifest,
+    )
+    from f1_lakehouse_spark.streaming.ingest import (  # noqa: PLC0415
+        streaming_cdf_consumer_publish,
+    )
+
+    base = tempfile.mkdtemp(prefix="f1ls_stream_cdf_")
+    src, root, ckpt = (os.path.join(base, d) for d in ("src", "medallion", "ckpt"))
+    try:
+        # 3 splits: two merge-crossing batch boundaries certify the same
+        # property as more, at 3/4 the per-batch commit cost
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        ).repartition(3).write.parquet(src)
+        streaming_cdf_consumer_publish(
+            spark, src, root, ckpt, glob="*.parquet", max_files_per_trigger=1
+        )
+        m = read_manifest(root)
+        assert m is not None and m["txn"] >= 1, m
+        # restart against the same checkpoint with no new files: recovery
+        # must publish nothing (checkpoint no-op + txn guard)
+        streaming_cdf_consumer_publish(
+            spark, src, root, ckpt, glob="*.parquet", max_files_per_trigger=1
+        )
+        assert read_manifest(root) == m, "restart republished a transaction"
+        # the self-certifying invariant: the incrementally-maintained mart
+        # equals the recomputed gold under ONE manifest snapshot
+        gold = manifest_read_table(spark, root, "gold", m)
+        mart = manifest_read_table(spark, root, "mart", m)
+        assert gold is not None and mart is not None, "snapshot missing a table"
+        got = sorted(tuple(r) for r in mart.collect())
+        want = sorted(tuple(r) for r in gold.collect())
+        assert got == want, (
+            f"incremental mart drifted from the recomputed gold:\n{got}\n{want}"
+        )
+        out = mart.select(
+            "event_type",
+            "n_users",
+            F.round("total_value", 3).cast("double").alias("total_value"),
+        )
+        return pin_small_result(out, EVENT_TYPE_MAX)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

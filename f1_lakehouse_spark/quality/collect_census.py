@@ -144,6 +144,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("pipeline/lifecycle.py", "tag_pinned_time_travel_roundtrip"): "model-"
     "sized: tagged-snapshot content vs its recomputation, both "
     "per-event_type aggregates bounded by the taxonomy (EVENT_TYPE_MAX)",
+    ("pipeline/lifecycle.py", "streaming_cdf_consumer_roundtrip"): "model-"
+    "sized: incrementally-maintained mart vs recomputed gold, both "
+    "per-event_type aggregates bounded by the taxonomy (EVENT_TYPE_MAX) — "
+    "the self-certifying snapshot invariant",
 }
 
 

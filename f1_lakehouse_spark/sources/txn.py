@@ -455,8 +455,6 @@ def table_changes(
     (sync a mart, invalidate a cache, feed a stream) read the diff
     instead of re-scanning the table. Both snapshots must still be
     within version-dir retention (one publish cycle by default)."""
-    from pyspark.sql import functions as F  # noqa: PLC0415
-
     old = manifest_read_table(spark, root, name, read_manifest(root, txn=from_txn))
     new = manifest_read_table(spark, root, name, read_manifest(root, txn=to_txn))
     if old is None or new is None:
@@ -464,6 +462,22 @@ def table_changes(
             f"snapshot missing or pruned for {name!r} at txn "
             f"{from_txn if old is None else to_txn}"
         )
+    return snapshot_diff(old, new, key_cols, order_cols, emit_pre_post)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    emit_pre_post: bool = False,
+) -> DataFrame:
+    """The DataFrame-level diff :func:`table_changes` is built on — same
+    classification and row semantics, but over two frames the caller
+    already holds (e.g. a streaming micro-batch's previous-vs-merged
+    silver, where the new state is not committed yet)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
     data_cols = [c for c in new.columns if c not in key_cols]
     o = old.select(
         *key_cols, *[F.col(c).alias(f"_old_{c}") for c in data_cols]

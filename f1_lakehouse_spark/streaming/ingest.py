@@ -442,6 +442,141 @@ def _medallion_txn_commit(batch_df: DataFrame, batch_id: int, root: str) -> None
     publish_tables(sess, root, {"silver": silver, "gold": gold}, txn_id)
 
 
+def _medallion_cdf_commit(batch_df: DataFrame, batch_id: int, root: str) -> None:
+    """One micro-batch's atomic THREE-table commit: silver and gold exactly
+    like :func:`_medallion_txn_commit`, plus a ``mart`` maintained
+    INCREMENTALLY — the pre/post-image diff between the manifest's silver
+    and the merged silver (txn.snapshot_diff) is applied to the previous
+    mart as signed deltas (postimage/insert add, preimage/delete
+    subtract). The mart never re-reads more than the previous aggregate
+    plus the delta, while gold is the full recompute — committing BOTH in
+    one transaction makes every snapshot carry its own proof that
+    incremental maintenance equals recomputation. Crash-replay safe for
+    the same reason as the two-table commit: the manifest is the recovery
+    point, so a replayed batch re-derives silver, the diff, AND the mart
+    from exactly the state the crashed attempt read."""
+    from f1_lakehouse_spark.sources.txn import (  # noqa: PLC0415
+        manifest_read_table,
+        publish_tables,
+        read_manifest,
+        snapshot_diff,
+    )
+
+    sess = batch_df.sparkSession
+    txn_id = batch_id + 1
+    manifest = read_manifest(root)
+    old = manifest_read_table(sess, root, "silver", manifest)
+    latest = _latest_per_key(batch_df)
+    silver = latest if old is None else _latest_per_key(old.unionByName(latest))
+    # three consumers re-derive silver's merge shuffle otherwise (its own
+    # write, gold's lineage, the diff inside mart's lineage) — the
+    # CLAUDE.md persist-before-fan-out barrier; entity-bounded, unpersisted
+    # before the commit returns so nothing pins executor memory across
+    # batches
+    silver = silver.persist()
+    n_silver = silver.count()
+    # write-file count DERIVES from the entity count (CLAUDE.md knob rule:
+    # sizes scale with input, constants are floors): one file per ~500k
+    # users, so the sf0.1 commit is one file while a billion-user silver
+    # still fans out
+    silver_files = max(1, -(-n_silver // 500_000))
+    val_dec = F.col("value").cast("decimal(28,9)")
+
+    def gold_of(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n_users"),
+            F.sum(val_dec).alias("total_value"),
+        )
+
+    gold = gold_of(silver)
+    if old is None:
+        mart = gold  # first batch: nothing to diff against
+    else:
+        feed = snapshot_diff(
+            old, silver, [SILVER_KEY], list(SILVER_ORDER), emit_pre_post=True
+        )
+        add = F.col("_change_type").isin("insert", "update_postimage")
+        deltas = feed.groupBy("event_type").agg(
+            F.sum(F.when(add, 1).otherwise(-1)).alias("d_users"),
+            # negate the DECIMAL (exact, same scale) — a sign multiply
+            # would widen the precision past 38
+            F.sum(F.when(add, val_dec).otherwise(-val_dec)).alias("d_value"),
+        )
+        old_mart = manifest_read_table(sess, root, "mart", manifest)
+        zero_v = F.lit(0).cast("decimal(38,9)")
+        mart = (
+            old_mart.select(
+                "event_type",
+                F.col("n_users").alias("_n0"),
+                F.col("total_value").alias("_v0"),
+            )
+            .join(deltas, "event_type", "full_outer")
+            .select(
+                "event_type",
+                (
+                    F.coalesce(F.col("_n0"), F.lit(0))
+                    + F.coalesce(F.col("d_users"), F.lit(0))
+                ).alias("n_users"),
+                (
+                    F.coalesce(F.col("_v0"), zero_v)
+                    + F.coalesce(F.col("d_value"), zero_v)
+                ).alias("total_value"),
+            )
+            .filter(F.col("n_users") > 0)
+        )
+    try:
+        # gold and mart are taxonomy-bounded (one row per event_type):
+        # write each as one file so the per-batch commit doesn't pay a
+        # write task per shuffle partition for a handful of rows
+        publish_tables(
+            sess,
+            root,
+            {
+                "silver": silver.coalesce(silver_files),
+                "gold": gold.coalesce(1),
+                "mart": mart.coalesce(1),
+            },
+            txn_id,
+        )
+    finally:
+        silver.unpersist()
+
+
+def streaming_cdf_consumer_publish(
+    spark: SparkSession,
+    src_dir: str,
+    root: str,
+    checkpoint: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming incremental view maintenance over the change data feed:
+    every micro-batch atomically commits (silver, gold, mart) where the
+    mart is maintained from the batch's pre/post-image diff instead of a
+    recompute — the streaming twin of the ``cdf_incremental_consumer``
+    driver row, and the Spark-native shape of a Delta CDF-reader pipeline
+    (readChangeFeed → apply deltas downstream). At 100 TB the mart update
+    cost is delta-proportional per batch while gold carries the
+    recompute; a deployment keeps whichever side its latency budget
+    affords — here both, so every snapshot is self-certifying."""
+    src = stream_events(
+        spark, src_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    )
+    rows = src.select(SILVER_KEY, *SILVER_ORDER, *SILVER_PAYLOAD)
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        _medallion_cdf_commit(batch_df, batch_id, root)
+
+    q = (
+        rows.writeStream.foreachBatch(commit)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_medallion_publish(
     spark: SparkSession,
     src_dir: str,

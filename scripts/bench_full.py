@@ -63,6 +63,18 @@ FLAG_NOTES = {
         "absolute threshold, so it flags only on slow-VM sessions "
         "(tracks the jvm_sum calibration)"
     ),
+    "streaming_cdf_consumer_roundtrip": (
+        "inherent many-small-jobs profile like the other streaming "
+        "round-trips: per-row cost is two availableNow stream startups + "
+        "N micro-batch commits of three tables each (the third table IS "
+        "the certification — the incrementally-maintained mart), all "
+        "entity/taxonomy-bounded frames, so the wall clock tracks per-job "
+        "scheduler latency, not data volume. Already trimmed: in-batch "
+        "silver persist barrier, size-derived write-file counts "
+        "(streaming/ingest._medallion_cdf_commit); the residual is "
+        "Structured Streaming machinery shared with "
+        "streaming_multitable_roundtrip"
+    ),
 }
 
 

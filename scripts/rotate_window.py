@@ -57,6 +57,7 @@ LEAD: tuple[str, ...] = (
     "mor_upsert_roundtrip",
     "expire_history_roundtrip",
     "tag_pinned_time_travel_roundtrip",
+    "streaming_cdf_consumer_roundtrip",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"

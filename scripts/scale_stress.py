@@ -142,6 +142,7 @@ QUERIES = [
     "mor_upsert_roundtrip",
     "expire_history_roundtrip",
     "tag_pinned_time_travel_roundtrip",
+    "streaming_cdf_consumer_roundtrip",
 ]
 
 
