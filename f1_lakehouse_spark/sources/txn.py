@@ -60,10 +60,24 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_MANIFEST"
+
+
+def _atomic_write(path: str, payload: str) -> None:
+    """tmp-then-rename with a PER-WRITER tmp name: concurrent writers
+    (an OCC winner's final swap racing a loser's roll-forward of the same
+    record) sharing one tmp path can interleave open/truncate/replace —
+    corrupting the staged bytes or crashing on the vanished tmp. A unique
+    tmp makes every replace independent and atomic; ordering between
+    same-target replaces is arbitrated by the callers' guards."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    os.replace(tmp, path)
 
 
 class SimulatedCrash(RuntimeError):
@@ -229,10 +243,7 @@ def _commit_manifest(
     hist = os.path.join(root, f"{MANIFEST}.v{txn_id:010d}")
     payload = json.dumps(new_manifest)
     if writer is None:
-        tmp_hist = hist + ".tmp"
-        with open(tmp_hist, "w") as f:
-            f.write(payload)
-        os.replace(tmp_hist, hist)
+        _atomic_write(hist, payload)
     else:
         try:
             fd = os.open(hist, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -263,10 +274,7 @@ def _commit_manifest(
                 # a phantom.
                 live = read_manifest(root)
                 if live is None or live["txn"] < owner["txn"]:
-                    tmp_live = os.path.join(root, MANIFEST + ".tmp")
-                    with open(tmp_live, "w") as f:
-                        json.dump(owner, f)
-                    os.replace(tmp_live, os.path.join(root, MANIFEST))
+                    _atomic_write(os.path.join(root, MANIFEST), json.dumps(owner))
                 raise CommitConflictError(
                     f"txn {txn_id} commit record is owned by writer "
                     f"{owner.get('writer')!r}, not {writer!r} — re-read "
@@ -288,10 +296,7 @@ def _commit_manifest(
     # next write self-heals it. With the guard the resume is a no-op.
     live = read_manifest(root)
     if live is None or live["txn"] < new_manifest["txn"]:
-        tmp = os.path.join(root, MANIFEST + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(new_manifest, f)
-        os.replace(tmp, os.path.join(root, MANIFEST))
+        _atomic_write(os.path.join(root, MANIFEST), json.dumps(new_manifest))
     # retention: per table, the displaced version survives one cycle for
     # readers holding the outgoing manifest; everything STRICTLY OLDER is
     # pruned UNLESS a ref (tag/branch) pins it — a tagged snapshot stays
@@ -326,7 +331,7 @@ def _ref_pinned_versions(root: str) -> dict[str, set[str]]:
     if not os.path.isdir(refs_dir):
         return pinned
     for name in os.listdir(refs_dir):
-        if name.endswith(".tmp"):
+        if ".tmp" in name:  # in-flight unique tmps are not refs
             continue
         txn = read_ref(root, name)
         rec = None if txn is None else read_manifest(root, txn=txn)
@@ -609,10 +614,7 @@ def drop_ref(root: str, name: str) -> None:
 
 def _set_branch(root: str, name: str, txn_id: int) -> None:
     os.makedirs(os.path.join(root, REFS_DIR), exist_ok=True)
-    tmp = _ref_path(root, name) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(txn_id))
-    os.replace(tmp, _ref_path(root, name))
+    _atomic_write(_ref_path(root, name), str(txn_id))
 
 
 def read_ref_manifest(root: str, name: str) -> dict | None:
@@ -715,10 +717,7 @@ def fast_forward(root: str, branch: str) -> dict:
             f"{record['txn']} — rebase the branch onto the live snapshot"
         )
     promoted = {k: v for k, v in record.items() if k != "staged"}
-    tmp = os.path.join(root, MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(promoted, f)
-    os.replace(tmp, os.path.join(root, MANIFEST))
+    _atomic_write(os.path.join(root, MANIFEST), json.dumps(promoted))
     return promoted
 
 
@@ -742,7 +741,7 @@ def expire_history(root: str, keep_n: int) -> list[int]:
     refs_dir = os.path.join(root, REFS_DIR)
     if os.path.isdir(refs_dir):
         for name in os.listdir(refs_dir):
-            if name.endswith(".tmp"):
+            if ".tmp" in name:  # in-flight unique tmps are not refs
                 continue
             txn = read_ref(root, name)
             if txn is not None:
