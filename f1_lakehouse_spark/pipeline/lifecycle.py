@@ -2750,6 +2750,127 @@ def tag_pinned_time_travel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "vacuum_orphans_roundtrip",
+    oracle=_VERSION_GC_ORACLE,
+    doc="Orphan-file vacuum (Iceberg remove_orphan_files, "
+    "txn.vacuum_orphans) certified end-to-end against the two orphan "
+    "classes per-commit retention can NEVER catch: a crashed writer's "
+    "staging whose txn id is AHEAD of the live txn (retention only "
+    "prunes strictly-older dirs — without the vacuum it lingers "
+    "forever), and an abandoned staging of a table no later transaction "
+    "touches. The round-trip manufactures both via simulated "
+    "crash-before-record publishes, ages them past the TTL, vacuums, and "
+    "asserts (a) exactly the two orphans are removed, (b) every "
+    "manifest-reachable version survives — including the DISPLACED "
+    "version still referenced by a retained history record (time travel "
+    "to it keeps working), (c) a FRESH orphan inside the TTL survives "
+    "(the age gate is what keeps a racing writer's in-flight staging "
+    "safe — the negative control), and (d) live reads are untouched "
+    "throughout. Returns the live gold; the oracle aggregates the full "
+    "source, so a vacuum that eats a reachable version surfaces as a "
+    "driver mismatch.",
+    tags=("sink", "lifecycle"),
+)
+def vacuum_orphans_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.sources.txn import (  # noqa: PLC0415
+        SimulatedCrash,
+        manifest_read_table,
+        publish_tables,
+        read_manifest,
+        vacuum_orphans,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+
+    def cumulative(upto: str | None) -> DataFrame:
+        src = events
+        if upto is not None:
+            src = src.filter(F.col("ts") < F.lit(upto).cast("timestamp"))
+        return src.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,9)")).alias("total_value"),
+        )
+
+    base = tempfile.mkdtemp(prefix="f1ls_vac_")
+    root = os.path.join(base, "medallion")
+
+    def age(path: str) -> None:
+        old = os.path.getmtime(path) - 7200
+        os.utime(path, (old, old))
+
+    try:
+        publish_tables(
+            spark, root, {"gold": cumulative(_EXP_CUTS[0])}, txn_id=1, writer="etl"
+        )
+        publish_tables(
+            spark, root, {"gold": cumulative(None)}, txn_id=2, writer="etl"
+        )
+        # orphan class 1: a crashed writer staged AHEAD of the live txn —
+        # no commit record, and retention can never reach a newer-id dir
+        try:
+            publish_tables(
+                spark, root, {"gold": cumulative(None)}, txn_id=9,
+                writer="ghost", fail_after_writes=1,
+            )
+            raise AssertionError("simulated crash did not fire")
+        except SimulatedCrash:
+            pass
+        # orphan class 2: an abandoned staging of a table no later
+        # transaction touches (its dir would otherwise linger forever)
+        try:
+            publish_tables(
+                spark, root, {"scratch": cumulative(_EXP_CUTS[0])}, txn_id=3,
+                writer="ghost", fail_after_writes=1,
+            )
+            raise AssertionError("simulated crash did not fire")
+        except SimulatedCrash:
+            pass
+        ghost_gold = os.path.join(root, "gold", "v0000000009-ghost")
+        ghost_scratch = os.path.join(root, "scratch", "v0000000003-ghost")
+        assert os.path.isdir(ghost_gold) and os.path.isdir(ghost_scratch)
+        age(ghost_gold)
+        age(ghost_scratch)
+        # a FRESH orphan (a racing writer's in-flight staging) must
+        # survive the age gate — manufacture one more, do NOT age it
+        try:
+            publish_tables(
+                spark, root, {"gold": cumulative(None)}, txn_id=8,
+                writer="ghost", fail_after_writes=1,
+            )
+            raise AssertionError("simulated crash did not fire")
+        except SimulatedCrash:
+            pass
+        fresh = os.path.join(root, "gold", "v0000000008-ghost")
+        assert os.path.isdir(fresh)
+
+        removed = vacuum_orphans(root, ttl_seconds=3600)
+        assert removed == sorted([ghost_gold, ghost_scratch]), (
+            f"vacuum removed the wrong set: {removed}"
+        )
+        assert os.path.isdir(fresh), "age gate failed: fresh staging vacuumed"
+        # every manifest-reachable version survived: the live snapshot AND
+        # the displaced one a retained history record still references
+        m2 = read_manifest(root)
+        assert m2 is not None and m2["txn"] == 2
+        assert manifest_read_table(spark, root, "gold", m2) is not None
+        displaced = manifest_read_table(
+            spark, root, "gold", read_manifest(root, txn=1)
+        )
+        assert displaced is not None, (
+            "vacuum ate a version a retained history record references"
+        )
+        gold = manifest_read_table(spark, root, "gold", m2)
+        out = gold.select(
+            "event_type",
+            "n_events",
+            F.round("total_value", 3).cast("double").alias("total_value"),
+        )
+        return pin_small_result(out, EVENT_TYPE_MAX)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
     "streaming_cdf_consumer_roundtrip",
     oracle=_ATOMIC_PUBLISH_ORACLE,
     doc="Streaming incremental view maintenance over the change data "

@@ -721,6 +721,56 @@ def fast_forward(root: str, branch: str) -> dict:
     return promoted
 
 
+def vacuum_orphans(root: str, ttl_seconds: float = 3600.0) -> list[str]:
+    """Iceberg ``remove_orphan_files`` analog: delete version dirs NO
+    manifest can reach — not the live manifest, not any ref's record, not
+    any retained history record. Per-commit retention never catches two
+    orphan classes: a crashed writer's staging whose txn id is AHEAD of
+    the live txn (retention only prunes strictly-older dirs), and
+    abandoned stagings of tables no later transaction touches. Both
+    accumulate forever without this pass.
+
+    ``ttl_seconds`` age-gates the delete: a dir younger than the TTL may
+    be a RACING writer's in-flight staging (its commit record does not
+    exist yet) — vacuuming it would turn a benign OCC race into a lost
+    write, the same hazard the MoR staging sweep guards against. Run
+    with ``expire_history(keep_n >= 1)`` so the displaced snapshot stays
+    referenced through its reader cycle. Returns removed paths. Cost:
+    O(#history + #dirs) metadata reads — zero data I/O."""
+    import time  # noqa: PLC0415
+
+    referenced: set[tuple[str, str]] = set()
+    live = read_manifest(root)
+    manifests = [] if live is None else [live]
+    prefix = MANIFEST + ".v"
+    for f in os.listdir(root):
+        if f.startswith(prefix) and f[len(prefix):].isdigit():
+            rec = read_manifest(root, txn=int(f[len(prefix):]))
+            if rec is not None:
+                manifests.append(rec)
+    for rec in manifests:
+        for tbl, ver in rec.get("tables", {}).items():
+            referenced.add((tbl, ver))
+    horizon = time.time() - ttl_seconds
+    removed: list[str] = []
+    for tbl in os.listdir(root):
+        tdir = os.path.join(root, tbl)
+        if tbl.startswith("_") or not os.path.isdir(tdir):
+            continue
+        for entry in os.listdir(tdir):
+            if not entry.startswith("v") or (tbl, entry) in referenced:
+                continue
+            path = os.path.join(tdir, entry)
+            try:
+                stale = os.path.getmtime(path) < horizon
+            except OSError:
+                continue  # vanished concurrently: its writer is cleaning up
+            if stale:
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
+    return sorted(removed)
+
+
 def expire_history(root: str, keep_n: int) -> list[int]:
     """Expire old ``_MANIFEST.v{N}`` history files — the Iceberg
     ``expire_snapshots`` analog for the manifest layer. Each history file

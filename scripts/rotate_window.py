@@ -58,6 +58,7 @@ LEAD: tuple[str, ...] = (
     "expire_history_roundtrip",
     "tag_pinned_time_travel_roundtrip",
     "streaming_cdf_consumer_roundtrip",
+    "vacuum_orphans_roundtrip",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"

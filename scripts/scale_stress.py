@@ -143,6 +143,7 @@ QUERIES = [
     "expire_history_roundtrip",
     "tag_pinned_time_travel_roundtrip",
     "streaming_cdf_consumer_roundtrip",
+    "vacuum_orphans_roundtrip",
 ]
 
 

@@ -439,3 +439,50 @@ def test_branch_pins_version_dirs_while_stale(spark, tmp_path):
     df = manifest_read_table(spark, root, "silver", staged)
     assert df is not None, "branch-pinned staging was pruned"
     assert sorted(tuple(r) for r in df.collect()) == [(i, 99) for i in range(10)]
+
+
+# ---------------------------------------------------------------------------
+# txn.py: orphan vacuum
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_orphans_classes_and_age_gate(spark, tmp_path):
+    """Both orphan classes retention never catches are vacuumed (ahead-of-
+    live txn ids, abandoned tables); reachable versions — live, displaced-
+    but-history-referenced, ref-pinned — and fresh (in-TTL) stagings all
+    survive."""
+    from f1_lakehouse_spark.sources.txn import manifest_read_table, vacuum_orphans
+
+    root = str(tmp_path / "m")
+    publish_tables(spark, root, _frames(spark, 1), txn_id=1, writer="w")
+    publish_tables(spark, root, _frames(spark, 2), txn_id=2, writer="w")
+    # ahead-of-live orphan + abandoned-table orphan (crash before record)
+    with pytest.raises(SimulatedCrash):
+        publish_tables(
+            spark, root, _frames(spark, 9), txn_id=9, writer="g",
+            fail_after_writes=1,
+        )
+    with pytest.raises(SimulatedCrash):
+        publish_tables(
+            spark, root, {"scratch": _frames(spark, 3)["gold"]}, txn_id=3,
+            writer="g", fail_after_writes=1,
+        )
+    ahead = os.path.join(root, "gold", "v0000000009-g")
+    abandoned = os.path.join(root, "scratch", "v0000000003-g")
+    assert os.path.isdir(ahead) and os.path.isdir(abandoned)
+    # fresh (in-TTL) orphans survive: vacuum with a 1h TTL removes nothing
+    assert vacuum_orphans(root) == []
+    # age the two orphans past the TTL
+    for p in (ahead, abandoned):
+        old = os.path.getmtime(p) - 7200
+        os.utime(p, (old, old))
+    removed = vacuum_orphans(root)
+    assert removed == sorted([ahead, abandoned])
+    # reachable versions all survive: live + history-referenced displaced
+    assert manifest_read_table(spark, root, "silver", read_manifest(root)) is not None
+    assert (
+        manifest_read_table(spark, root, "silver", read_manifest(root, txn=1))
+        is not None
+    )
+    # idempotent
+    assert vacuum_orphans(root) == []
