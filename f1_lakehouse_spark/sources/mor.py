@@ -37,9 +37,13 @@ another's key file; the loser of a seq claim retries with the next seq.
 After the rename the writer re-verifies the generation pointer: a commit
 that raced a compaction landed in a displaced generation (invisible to
 live readers), so it removes the orphan and redoes the operation against
-the new live generation — a delete is never silently lost to a racing
-compaction. Crash-orphaned ``_staging_*`` dirs are swept by the next
-compaction's retention pass.
+the new live generation. The OTHER ordering — the commit lands while the
+compaction's fold job is already running, so the writer's re-verify still
+sees the old pointer — is covered by the compaction's post-swap
+CARRY-FORWARD sweep: fragments committed after the fold's snapshot are
+moved into the new generation in sequence order. Between the two, a
+delete is never silently lost to a racing compaction. Crash-orphaned
+``_staging_*`` dirs are swept by the next compaction's retention pass.
 
 Delete files belong to their generation: a reader holding the old
 pointer mid-compaction still sees (old base + old fragments) — the same
@@ -171,12 +175,52 @@ def _commit_fragment(table_dir: str, gen: int, sub: str, src: str) -> bool:
             return True
         # a compaction displaced this generation between our pointer read
         # and the rename: the fragment is invisible to live readers and
-        # would be pruned — remove it and let the caller redo
-        os.remove(target)
+        # would be pruned — remove it and let the caller redo. If the
+        # remove finds it GONE, the compaction's carry-forward sweep
+        # already moved it into the new live generation: the commit is
+        # durable, report success instead of redoing it.
+        try:
+            os.remove(target)
+        except FileNotFoundError:
+            return True
         return False
 
 
 _STAGING_TTL_SECONDS = 3600.0
+
+
+def _carry_fragment_forward(
+    table_dir: str, new_gen: int, sub: str, path: str
+) -> None:
+    """Move a fragment a racing writer committed into the displaced
+    generation (after the fold's snapshot) into ``new_gen`` under a fresh
+    claimed seq. No pointer re-verify and no delete-on-displacement: if
+    yet another compaction displaces ``new_gen`` mid-carry, ITS
+    carry-forward sweep moves the fragment again — the fragment is never
+    dropped. Racing the writer's own displaced-commit cleanup is benign:
+    whoever loses the rename/remove race sees FileNotFoundError and the
+    fragment survives exactly once (the writer treats a vanished target
+    as carried-forward success)."""
+    prefix = "d" if sub == "deletes" else "i"
+    fdir = os.path.join(table_dir, _gen_name(new_gen), sub)
+    os.makedirs(fdir, exist_ok=True)
+    while True:
+        seq = _next_seq(table_dir, new_gen)
+        name = f"{prefix}{seq:010d}.parquet"
+        lock = os.path.join(fdir, name + ".lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            continue
+        try:
+            os.replace(path, os.path.join(fdir, name))
+        except FileNotFoundError:
+            # the writer's displaced-commit cleanup removed the source
+            # first; its redo re-commits against the live generation
+            pass
+        os.remove(lock)
+        return
 
 
 def _sweep_staging_orphans(table_dir: str) -> None:
@@ -200,13 +244,17 @@ def _sweep_staging_orphans(table_dir: str) -> None:
             shutil.rmtree(path, ignore_errors=True)
 
 
-def _stage_single_file(spark: SparkSession, df: DataFrame, table_dir: str) -> tuple[str, str, int]:
+def _stage_single_file(
+    spark: SparkSession, df: DataFrame, table_dir: str, count_rows: bool = True
+) -> tuple[str, str, int]:
     """Write ``df`` as one staged parquet file; returns (staging_dir,
-    part_path, n_rows). The single-file coalesce is delta-bounded by
-    construction (delete keys / upsert batches, never the base)."""
+    part_path, n_rows) — n_rows is -1 when ``count_rows`` is False (the
+    caller already knows the count and skips the extra read job). The
+    single-file coalesce is delta-bounded by construction (delete keys /
+    upsert batches, never the base)."""
     staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex}")
     df.coalesce(1).write.mode("overwrite").parquet(staging)
-    n = spark.read.parquet(staging).count()
+    n = spark.read.parquet(staging).count() if count_rows else -1
     part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
     return staging, os.path.join(staging, part), n
 
@@ -255,16 +303,21 @@ def mor_upsert(
     commit. ``rows`` must carry the base schema and unique keys (asserted:
     two rows for one key in one batch would make latest-wins ambiguous).
     Returns the number of rows committed."""
+    # validate the INPUT once, before any staging I/O — the invariant is
+    # about the caller's frame, and re-checking per displacement retry
+    # would repeat two read jobs for an unchanged answer
+    n = rows.count()
+    n_keys = rows.select(key_col).distinct().count()
+    if n_keys != n:
+        raise ValueError(
+            f"upsert batch has {n} rows but {n_keys} distinct "
+            f"{key_col!r} keys — latest-wins needs unique keys per batch"
+        )
     for _ in range(_MAX_COMMIT_RETRIES):
         gen = _live_gen(table_dir)
-        staging, part, n = _stage_single_file(spark, rows, table_dir)
-        n_keys = spark.read.parquet(staging).select(key_col).distinct().count()
-        if n_keys != n:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise ValueError(
-                f"upsert batch has {n} rows but {n_keys} distinct "
-                f"{key_col!r} keys — latest-wins needs unique keys per batch"
-            )
+        staging, part, _ = _stage_single_file(
+            spark, rows, table_dir, count_rows=False
+        )
         committed = _commit_fragment(table_dir, gen, "inserts", part)
         shutil.rmtree(staging, ignore_errors=True)
         if committed:
@@ -344,13 +397,35 @@ def mor_compact(spark: SparkSession, table_dir: str, key_col: str) -> None:
     any crash-orphaned staging dirs). A reader holding the old pointer
     mid-scan still has its full generation (base + fragments) for one
     compaction cycle; readers resolving the pointer see either the old or
-    the new generation — both the same rows, never a half state."""
+    the new generation — both the same rows, never a half state.
+
+    Fragments committed into the displaced generation DURING the fold
+    (their writer's pointer re-verify read the old pointer, so the commit
+    reported success) are CARRIED FORWARD into the new generation after
+    the swap, in global sequence order — without this sweep a delete
+    racing the fold's write job would be silently lost. The snapshot of
+    what the fold covers is taken BEFORE the merged plan lists fragment
+    files, so a fragment in the plan but not the snapshot is merely
+    re-applied — idempotent on a base that already folded it (delete keys
+    already absent; insert rows shadow identical rows)."""
     gen = _live_gen(table_dir)
+    folded = {
+        sub: {s for s, _ in _fragments(table_dir, gen, sub)}
+        for sub in ("deletes", "inserts")
+    }
     merged = mor_read(spark, table_dir, key_col, gen=gen)
     merged.write.mode("overwrite").parquet(
         os.path.join(table_dir, _gen_name(gen + 1), "base")
     )
     _swap_pointer(table_dir, gen + 1)
+    late = sorted(
+        (seq, sub, path)
+        for sub in ("deletes", "inserts")
+        for seq, path in _fragments(table_dir, gen, sub)
+        if seq not in folded[sub]
+    )
+    for _, sub, path in late:  # ascending seq: relative order preserved
+        _carry_fragment_forward(table_dir, gen + 1, sub, path)
     for entry in os.listdir(table_dir):
         if (
             entry.startswith("g")

@@ -80,6 +80,23 @@ def _atomic_write(path: str, payload: str) -> None:
     os.replace(tmp, path)
 
 
+def _create_exclusive(path: str, payload: str) -> None:
+    """Exclusive create WITH full content: write a unique tmp, then
+    ``os.link(tmp, path)`` — the link is the atomic fail-if-exists commit
+    point, so a concurrent reader can never observe an empty or partial
+    record. (``O_CREAT|O_EXCL`` + a buffered write has exactly that torn
+    window: the loser of a record race would ``json.load`` an empty file
+    and crash with JSONDecodeError instead of the documented
+    CommitConflictError.) Raises FileExistsError when ``path`` exists."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(payload)
+    try:
+        os.link(tmp, path)
+    finally:
+        os.remove(tmp)
+
+
 class SimulatedCrash(RuntimeError):
     """Raised by the ``fail_after_writes`` test hook to emulate a process
     crash between a transaction's version-dir writes and its manifest
@@ -167,17 +184,22 @@ def _txn_guard(root: str, txn_id: int, writer: str | None) -> dict | str | None:
 
 
 def _reject_mixed_token_mode(cur: dict, writer: str | None) -> None:
-    """Mixed writer-token mode is a silent footgun (CLAUDE.md txn rule):
-    an UNTOKENED publish onto a root whose commits carry writer tokens
-    treats any equal-txn collision as its own replay — OCC race detection
-    silently degrades exactly when it matters. Make it loud: the caller
-    must pass ``writer=`` from every writer or from none."""
-    if writer is None and cur.get("writer") is not None:
+    """Mixed writer-token mode is a silent footgun (CLAUDE.md txn rule),
+    in BOTH directions: an UNTOKENED publish onto a tokened root treats
+    any equal-txn collision as its own replay, and a TOKENED publish onto
+    an untokened root no-ops on an equal-txn collision because the
+    untokened record proves nothing about ownership — either way OCC race
+    detection silently degrades exactly when it matters. Make it loud:
+    the caller must pass ``writer=`` from every writer or from none."""
+    if (writer is None) != (cur.get("writer") is None):
+        have = cur.get("writer")
         raise ValueError(
-            "mixed writer-token mode: the live manifest was committed by "
-            f"writer {cur['writer']!r} but this publish passes no writer= "
-            "token — OCC race detection would silently degrade; pass "
-            "writer tokens from EVERY writer or from none"
+            "mixed writer-token mode: the live manifest was committed "
+            + (f"by writer {have!r}" if have is not None else "untokened")
+            + " but this publish is "
+            + ("untokened" if writer is None else f"tokened ({writer!r})")
+            + " — OCC race detection would silently degrade; pass writer= "
+            "tokens from EVERY writer or from none"
         )
 
 
@@ -246,9 +268,7 @@ def _commit_manifest(
         _atomic_write(hist, payload)
     else:
         try:
-            fd = os.open(hist, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as f:
-                f.write(payload)
+            _create_exclusive(hist, payload)
         except FileExistsError:
             with open(hist) as f:
                 owner = json.load(f)
@@ -423,7 +443,14 @@ def write_audit_publish(
                     os.path.join(root, name, version), ignore_errors=True
                 )
         return violations
-    _commit_manifest(root, cur, tables, txn_id, writer)
+    try:
+        _commit_manifest(root, cur, tables, txn_id, writer)
+    except CommitConflictError:
+        # same loser contract as publish_tables: a WAP writer that loses
+        # the commit-record race must not leak its audited staging
+        for name in tables:
+            shutil.rmtree(os.path.join(root, name, version), ignore_errors=True)
+        raise
     return []
 
 
@@ -593,11 +620,9 @@ def create_tag(root: str, name: str, txn_id: int) -> None:
     if read_manifest(root, txn=txn_id) is None:
         raise ValueError(f"cannot tag txn {txn_id}: no commit record")
     os.makedirs(os.path.join(root, REFS_DIR), exist_ok=True)
-    fd = os.open(
-        _ref_path(root, name), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-    )  # exists -> FileExistsError: tags never move
-    with os.fdopen(fd, "w") as f:
-        f.write(str(txn_id))
+    # exists -> FileExistsError: tags never move; content-atomic so a
+    # concurrent read_ref never sees a half-written id
+    _create_exclusive(_ref_path(root, name), str(txn_id))
 
 
 def drop_ref(root: str, name: str) -> None:
@@ -685,9 +710,7 @@ def publish_staged(
         record["writer"] = writer
     hist = os.path.join(root, f"{MANIFEST}.v{txn_id:010d}")
     try:
-        fd = os.open(hist, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as f:
-            f.write(json.dumps(record))
+        _create_exclusive(hist, json.dumps(record))
     except FileExistsError:
         for name in tables:
             shutil.rmtree(os.path.join(root, name, version), ignore_errors=True)
@@ -734,9 +757,11 @@ def vacuum_orphans(root: str, ttl_seconds: float = 3600.0) -> list[str]:
     be a RACING writer's in-flight staging (its commit record does not
     exist yet) — vacuuming it would turn a benign OCC race into a lost
     write, the same hazard the MoR staging sweep guards against. Run
-    with ``expire_history(keep_n >= 1)`` so the displaced snapshot stays
-    referenced through its reader cycle. Returns removed paths. Cost:
-    O(#history + #dirs) metadata reads — zero data I/O."""
+    with ``expire_history(keep_n >= 2)``: the displaced snapshot's
+    versions are referenced ONLY by the previous history record, so
+    keep_n=1 (live record alone) would make them vacuum-eligible and
+    break the one-publish-cycle reader guarantee. Returns removed paths.
+    Cost: O(#history + #dirs) metadata reads — zero data I/O."""
     import time  # noqa: PLC0415
 
     referenced: set[tuple[str, str]] = set()

@@ -486,3 +486,96 @@ def test_vacuum_orphans_classes_and_age_gate(spark, tmp_path):
     )
     # idempotent
     assert vacuum_orphans(root) == []
+
+
+# ---------------------------------------------------------------------------
+# review fixes (r11): carry-forward, two-sided token guard, WAP loser
+# cleanup, content-atomic exclusive creates
+# ---------------------------------------------------------------------------
+
+
+def test_mor_compaction_carries_forward_late_fragments(spark, tmp_path):
+    """A fragment committed while the compaction's fold job is running
+    (writer's pointer re-verify still sees the old pointer → reports
+    success) must be carried forward into the new generation — the
+    ordering the displaced-commit redo cannot catch."""
+    import shutil as _sh
+
+    import f1_lakehouse_spark.sources.mor as mor
+
+    tbl = _mor_base(spark, tmp_path)
+    mor.mor_delete(spark, tbl, "id", F.col("id") == 0)  # folded normally
+    real_swap = mor._swap_pointer
+
+    def swap_with_late_commit(table_dir, gen):
+        # the racing writer's fragment lands AFTER the fold snapshot and
+        # BEFORE the swap; its own re-verify passes (pointer still old)
+        mor._swap_pointer = real_swap
+        keys = spark.createDataFrame([(5,)], "id int")
+        staging, part, _ = mor._stage_single_file(spark, keys, table_dir)
+        assert mor._commit_fragment(table_dir, 0, "deletes", part) is True
+        _sh.rmtree(staging, ignore_errors=True)
+        real_swap(table_dir, gen)
+
+    mor._swap_pointer = swap_with_late_commit
+    try:
+        mor.mor_compact(spark, tbl, "id")
+    finally:
+        mor._swap_pointer = real_swap
+    assert mor._live_gen(tbl) == 1
+    # the late delete was NOT lost: id 5 is suppressed in the new gen
+    ids = {r["id"] for r in mor.mor_read(spark, tbl, "id").collect()}
+    assert ids == set(range(1, 10)) - {5}, ids
+    assert len(mor._delete_files(tbl, 1)) == 1  # carried fragment lives on
+
+
+def test_mixed_token_mode_raises_tokened_on_untokened(spark, tmp_path):
+    """The reverse direction: a TOKENED publish onto an untokened root
+    would silently no-op on an equal-txn collision (the untokened record
+    proves nothing about ownership) — it must raise instead."""
+    root = str(tmp_path / "m")
+    publish_tables(spark, root, _frames(spark, 1), txn_id=1)
+    with pytest.raises(ValueError, match="mixed writer-token"):
+        publish_tables(spark, root, _frames(spark, 2), txn_id=1, writer="b")
+    with pytest.raises(ValueError, match="mixed writer-token"):
+        publish_tables(spark, root, _frames(spark, 2), txn_id=2, writer="b")
+
+
+def test_wap_loser_cleans_staging_on_conflict(spark, tmp_path):
+    """write_audit_publish honors the same loser contract as
+    publish_tables: losing the commit-record race must not leak the
+    audited staging."""
+    from f1_lakehouse_spark.sources.txn import write_audit_publish
+
+    root = str(tmp_path / "m")
+    publish_tables(spark, root, _frames(spark, 1), txn_id=1, writer="a")
+    b_record = {
+        "txn": 2,
+        "tables": {"silver": "v0000000002-b", "gold": "v0000000002-b"},
+        "writer": "b",
+    }
+    with open(os.path.join(root, f"{MANIFEST}.v{2:010d}"), "w") as f:
+        json.dump(b_record, f)
+    with pytest.raises(CommitConflictError):
+        write_audit_publish(
+            spark, root, _frames(spark, 9), 2, lambda staged: [], writer="a"
+        )
+    assert not os.path.isdir(os.path.join(root, "silver", "v0000000002-a"))
+    assert not os.path.isdir(os.path.join(root, "gold", "v0000000002-a"))
+    # the winner was still rolled forward
+    assert read_manifest(root) == b_record
+
+
+def test_create_exclusive_is_content_atomic(tmp_path):
+    """The exclusive record create commits CONTENT atomically (link of a
+    fully-written tmp): a second create fails, the first one's payload is
+    complete, and no tmp litter remains."""
+    from f1_lakehouse_spark.sources.txn import _create_exclusive
+
+    path = str(tmp_path / "rec")
+    _create_exclusive(path, '{"txn": 1}')
+    assert json.load(open(path)) == {"txn": 1}
+    with pytest.raises(FileExistsError):
+        _create_exclusive(path, '{"txn": 99}')
+    assert json.load(open(path)) == {"txn": 1}  # loser never clobbers
+    assert [f for f in os.listdir(tmp_path) if ".tmp" in f] == []
