@@ -2938,3 +2938,122 @@ def streaming_cdf_consumer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         return pin_small_result(out, EVENT_TYPE_MAX)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_STATS_SKIP_N_FILES = 16  # range-clustered files published for the skipping audit
+
+_STATS_SKIP_ORACLE = """
+WITH b AS (
+    SELECT CAST(MIN(o_orderkey)
+                + ((MAX(o_orderkey) - MIN(o_orderkey)) * 3) // 8 AS BIGINT) AS lo,
+           CAST(MIN(o_orderkey)
+                + ((MAX(o_orderkey) - MIN(o_orderkey)) * 5) // 8 AS BIGINT) AS hi
+    FROM orders
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(28,9))), 3) AS DOUBLE)
+           AS total_price
+FROM orders, b
+WHERE o_orderkey BETWEEN b.lo AND b.hi
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "stats_skipping_roundtrip",
+    oracle=_STATS_SKIP_ORACLE,
+    doc="Manifest-level column-stats FILE SKIPPING (the Iceberg manifest "
+    "min/max / Delta _delta_log stats analog — prunes the file LIST "
+    "before the engine opens a single footer, the layer plain parquet "
+    "lacks and 100 TB selective scans need) certified end-to-end: publish "
+    "orders range-clustered on o_orderkey through the txn layer, attach "
+    "the distributed footer-stats sidecar (sources/filestats.py), then "
+    "assert (a) a mid-range key predicate prunes to a strict minority of "
+    "the files, (b) a beyond-max predicate prunes to ZERO files and zero "
+    "rows, (c) a full-range predicate on the UNclustered price column "
+    "prunes nothing (stats honesty — every file genuinely overlaps), and "
+    "(d) the pruned scan is row-for-row identical to the full scan plus "
+    "filter (exceptAll both ways). Returns the pruned scan's aggregate; "
+    "the oracle computes the same bounds and aggregate from the raw "
+    "source, so an unsound prune (a dropped file) surfaces as a driver "
+    "mismatch, not just a failed assert.",
+    tags=("sink", "lifecycle"),
+)
+def stats_skipping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.sources.filestats import (  # noqa: PLC0415
+        attach_table_stats,
+        pruned_files,
+        read_table_pruned,
+    )
+    from f1_lakehouse_spark.sources.txn import (  # noqa: PLC0415
+        manifest_read_table,
+        publish_tables,
+        read_manifest,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="f1ls_fskip_")
+    root = os.path.join(base, "root")
+    try:
+        publish_tables(
+            spark,
+            root,
+            {"orders": orders.repartitionByRange(_STATS_SKIP_N_FILES, "o_orderkey")},
+            txn_id=1,
+        )
+        n_files = attach_table_stats(
+            spark, root, "orders", ["o_orderkey", "o_totalprice"]
+        )
+        assert n_files >= _STATS_SKIP_N_FILES // 2, (
+            f"range write produced only {n_files} files — the skipping "
+            "audit needs a multi-file layout"
+        )
+        m = read_manifest(root)
+        vdir = os.path.join(root, "orders", m["tables"]["orders"])
+        # bounds: same integer arithmetic as the oracle (floor div of
+        # non-negative ints — one MIN/MAX aggregate row via first())
+        r = orders.agg(
+            F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+        ).first()
+        lo = r.mn + ((r.mx - r.mn) * 3) // 8
+        hi = r.mn + ((r.mx - r.mn) * 5) // 8
+        key_pred = [("o_orderkey", lo, hi)]
+        surv = pruned_files(spark, vdir, key_pred)
+        assert surv is not None and 0 < len(surv) <= n_files * 3 // 4, (
+            f"mid-range predicate kept {surv and len(surv)}/{n_files} files "
+            "— file skipping is not actually skipping"
+        )
+        # negative control: beyond-max range proves the prune reaches zero
+        beyond = pruned_files(spark, vdir, [("o_orderkey", r.mx + 1, r.mx + 2)])
+        assert beyond == [], f"beyond-max predicate kept files: {beyond}"
+        n_beyond = read_table_pruned(
+            spark, root, "orders", [("o_orderkey", r.mx + 1, r.mx + 2)]
+        ).count()
+        assert n_beyond == 0, f"beyond-max scan returned {n_beyond} rows"
+        # stats honesty: the price column is NOT range-clustered, so a
+        # full-range price predicate must keep every file
+        pr = orders.agg(
+            F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+        ).first()
+        all_files = pruned_files(spark, vdir, [("o_totalprice", pr.mn, pr.mx)])
+        assert all_files is not None and len(all_files) == n_files, (
+            f"full-range price predicate pruned {n_files - len(all_files)} "
+            "files — min/max stats are lying"
+        )
+        # exactness: pruned scan == full scan + filter, row for row
+        pruned = read_table_pruned(spark, root, "orders", key_pred)
+        full = manifest_read_table(spark, root, "orders", m).filter(
+            F.col("o_orderkey").between(F.lit(lo), F.lit(hi))
+        )
+        assert pruned.exceptAll(full).count() == 0, "pruned scan has extra rows"
+        assert full.exceptAll(pruned).count() == 0, "pruned scan dropped rows"
+        out = pruned.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,9)")), 3)
+            .cast("double")
+            .alias("total_price"),
+        )
+        return pin_small_result(out, _PRIORITY_MAX)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

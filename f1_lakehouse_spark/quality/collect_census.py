@@ -148,6 +148,11 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     "sized: incrementally-maintained mart vs recomputed gold, both "
     "per-event_type aggregates bounded by the taxonomy (EVENT_TYPE_MAX) — "
     "the self-certifying snapshot invariant",
+    ("sources/filestats.py", "pruned_files"): "guarded by construction: "
+    "file NAMES only, post-pruning — strictly fewer entries than the "
+    "O(#files) driver-side listing Spark's own InMemoryFileIndex "
+    "materializes for ANY scan of the same directory; pruning can only "
+    "shrink what the engine already pays",
 }
 
 

@@ -59,6 +59,7 @@ LEAD: tuple[str, ...] = (
     "tag_pinned_time_travel_roundtrip",
     "streaming_cdf_consumer_roundtrip",
     "vacuum_orphans_roundtrip",
+    "stats_skipping_roundtrip",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"
