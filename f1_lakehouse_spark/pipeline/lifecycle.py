@@ -3057,3 +3057,99 @@ def stats_skipping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pin_small_result(out, _PRIORITY_MAX)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_BLOOM_SKIP_N_FILES = 16  # hash-clustered files for the point-lookup audit
+
+_BLOOM_SKIP_ORACLE = """
+WITH probe AS (SELECT MAX(o_custkey) AS ck FROM orders)
+SELECT COUNT(*) AS n_orders,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(28,9))), 3) AS DOUBLE)
+           AS total_price,
+       MIN(o_orderkey) AS min_okey,
+       MAX(o_orderkey) AS max_okey
+FROM orders, probe
+WHERE o_custkey = probe.ck
+"""
+
+
+@register(
+    "bloom_skipping_roundtrip",
+    oracle=_BLOOM_SKIP_ORACLE,
+    doc="Per-file BLOOM-FILTER file skipping for equality predicates "
+    "(sources/filestats.py — the Iceberg/Delta point-lookup complement to "
+    "min/max range stats, and the mechanism that locates the files a "
+    "GDPR equality delete must touch without scanning the table): publish "
+    "orders hash-clustered on o_custkey through the txn layer, build the "
+    "sparse per-file Bloom sidecar in one distributed pass "
+    "(Kirsch-Mitzenmacher double hashing off two md5 halves, m auto-sized "
+    "from observed keys-per-file), then assert (a) a point lookup on a "
+    "present key prunes to ~one file (the key's hash partition, plus "
+    "designed-for false-positive slack), (b) an absent key prunes to "
+    "nearly zero files and EXACTLY zero rows (the residual equality keeps "
+    "semantics exact regardless of fp), and (c) the pruned scan is "
+    "row-for-row identical to the full scan plus filter. Returns the "
+    "point lookup's aggregate; the oracle recomputes it from the raw "
+    "source, so an unsound prune (a dropped file -> lost rows for the "
+    "probed key) surfaces as a driver mismatch.",
+    tags=("sink", "lifecycle"),
+)
+def bloom_skipping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.sources.filestats import (  # noqa: PLC0415
+        bloom_pruned_files,
+        collect_file_blooms,
+        read_pruned_eq,
+    )
+    from f1_lakehouse_spark.sources.txn import (  # noqa: PLC0415
+        manifest_read_table,
+        publish_tables,
+        read_manifest,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="f1ls_bloom_")
+    root = os.path.join(base, "root")
+    try:
+        publish_tables(
+            spark,
+            root,
+            {"orders": orders.repartition(_BLOOM_SKIP_N_FILES, "o_custkey")},
+            txn_id=1,
+        )
+        m = read_manifest(root)
+        vdir = os.path.join(root, "orders", m["tables"]["orders"])
+        nbits = collect_file_blooms(spark, vdir, "o_custkey")
+        assert nbits >= 1024, f"bloom sizing degenerate: m={nbits}"
+        ck = orders.agg(F.max("o_custkey")).first()[0]
+        surv = bloom_pruned_files(spark, vdir, "o_custkey", ck)
+        # the key's rows live in exactly ONE hash partition; allow the
+        # designed-for false-positive slack (fp ~0.3% x 16 files)
+        assert surv is not None and 1 <= len(surv) <= 3, (
+            f"point lookup kept {surv and len(surv)}/{_BLOOM_SKIP_N_FILES} "
+            "files — bloom skipping is not skipping"
+        )
+        absent = bloom_pruned_files(spark, vdir, "o_custkey", -7)
+        assert absent is not None and len(absent) <= 2, (
+            f"absent key kept {len(absent)} files — fp rate far above design"
+        )
+        assert read_pruned_eq(spark, vdir, "o_custkey", -7).count() == 0, (
+            "absent-key lookup returned rows"
+        )
+        # exactness: pruned point lookup == full scan + equality filter
+        pruned = read_pruned_eq(spark, vdir, "o_custkey", ck)
+        full = manifest_read_table(spark, root, "orders", m).filter(
+            F.col("o_custkey") == F.lit(ck)
+        )
+        assert pruned.exceptAll(full).count() == 0, "pruned lookup has extra rows"
+        assert full.exceptAll(pruned).count() == 0, "pruned lookup dropped rows"
+        out = pruned.agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,9)")), 3)
+            .cast("double")
+            .alias("total_price"),
+            F.min("o_orderkey").alias("min_okey"),
+            F.max("o_orderkey").alias("max_okey"),
+        )
+        return pin_small_result(out, 4)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

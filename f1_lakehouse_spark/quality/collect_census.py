@@ -153,6 +153,11 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     "O(#files) driver-side listing Spark's own InMemoryFileIndex "
     "materializes for ANY scan of the same directory; pruning can only "
     "shrink what the engine already pays",
+    ("sources/filestats.py", "bloom_pruned_files"): "guarded by "
+    "construction: post-prune file NAMES only — for a point lookup the "
+    "survivor set is ~1 file plus the designed-for false-positive rate "
+    "(bits_per_key=16, k=4 -> ~0.3%), always bounded by the same full "
+    "listing every scan of the directory already drives",
 }
 
 

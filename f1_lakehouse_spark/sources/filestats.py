@@ -236,3 +236,141 @@ def read_table_pruned(
     if m is None:
         raise ValueError(f"no committed manifest under {root}")
     return read_pruned(spark, _resolve_version_dir(root, name, m), predicates)
+
+
+# --- per-file Bloom filters: equality-predicate file skipping -----------------
+# Min/max ranges prune RANGE predicates but are useless for point lookups
+# on a high-cardinality key spread across every file's range. Iceberg and
+# Delta both keep per-data-file Bloom filters for exactly this case (point
+# reads, and locating the files an equality DELETE must touch — the GDPR
+# lookup). The build is one column-pruned distributed pass at publish
+# time (keys + input_file_name, distinct, k hashed bit positions, bit_or
+# per word — classic Kirsch-Mitzenmacher double hashing from two 48-bit
+# md5 halves); the filter is stored SPARSE (map<word_idx, bits>) so
+# storage tracks occupancy, and m auto-sizes from the observed max
+# distinct-keys-per-file (size knobs derive from input size — constants
+# are floors, CLAUDE.md). The probe is k map lookups per file, evaluated
+# distributed over the sidecar; false positives cost a wasted file read
+# (the residual filter keeps semantics exact), false negatives cannot
+# happen for the string-cast contract documented on the build.
+
+BLOOM_DIR = "_bloom"
+_BLOOM_K = 4  # hash functions
+_BLOOM_BITS_PER_KEY = 16  # m >= 16 * max distinct keys/file -> fp ~0.3%
+_BLOOM_M_FLOOR = 1 << 10
+_BLOOM_M_CAP = 1 << 22
+
+
+def _bloom_hash_halves(key: F.Column) -> tuple[F.Column, F.Column]:
+    """Two independent 48-bit integers from one md5 of the STRING CAST of
+    the key. The Python probe (hashlib md5 of ``str(value)``) matches iff
+    Spark's string cast renders the value identically — true for BIGINT /
+    INT / STRING keys, the supported types."""
+    hexd = F.md5(key.cast("string"))
+    h1 = F.conv(F.substring(hexd, 1, 12), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hexd, 13, 12), 16, 10).cast("long")
+    return h1, h2
+
+
+def collect_file_blooms(spark: SparkSession, dir_path: str, col: str) -> int:
+    """Build/refresh the ``_bloom`` sidecar for ``col`` under ``dir_path``:
+    one row per data file with ``(file, key_col, m, k, words: map<long,
+    long>)``. Distributed end to end; the only driver value is the max
+    distinct-keys-per-file used to size ``m``. Returns the chosen ``m``."""
+    dir_path = os.path.abspath(dir_path)
+    keys = (
+        spark.read.parquet(dir_path)
+        .select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
+            F.col(col).alias("_k"),
+        )
+        .filter(F.col("_k").isNotNull())
+        .distinct()
+    )
+    n_max = keys.groupBy("file").count().agg(F.max("count")).first()[0]
+    if n_max is None:
+        raise ValueError(f"no non-null {col!r} keys under {dir_path}")
+    m = _BLOOM_M_FLOOR
+    while m < n_max * _BLOOM_BITS_PER_KEY and m < _BLOOM_M_CAP:
+        m *= 2
+    h1, h2 = _bloom_hash_halves(F.col("_k"))
+    pos = F.pmod(
+        h1 + F.col("_i").cast("long") * h2, F.lit(m).cast("long")
+    )
+    words = (
+        keys.withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))))
+        .select("file", pos.alias("_pos"))
+        .select(
+            "file",
+            (F.col("_pos") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(_pos % 64 as int))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("file", "word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .groupBy("file")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("word", "bits")))
+            ).alias("words")
+        )
+        .select(
+            "file",
+            F.lit(col).alias("key_col"),
+            F.lit(m).cast("long").alias("m"),
+            F.lit(_BLOOM_K).alias("k"),
+            "words",
+        )
+    )
+    words.write.mode("overwrite").parquet(os.path.join(dir_path, BLOOM_DIR))
+    return m
+
+
+def bloom_pruned_files(
+    spark: SparkSession, dir_path: str, col: str, value: object
+) -> list[str] | None:
+    """File names whose Bloom filter may contain ``col == value`` (all k
+    bits set). None when no bloom sidecar exists (caller falls back). The
+    membership test runs DISTRIBUTED over the sidecar; per-row ``m``/``k``
+    are honored from the sidecar itself, so the probe never assumes the
+    build's sizing."""
+    import hashlib  # noqa: PLC0415
+
+    bloom_path = os.path.join(dir_path, BLOOM_DIR)
+    if not os.path.isdir(bloom_path):
+        return None
+    hexd = hashlib.md5(str(value).encode()).hexdigest()
+    h1, h2 = int(hexd[:12], 16), int(hexd[12:24], 16)
+    sdf = spark.read.parquet(bloom_path).filter(F.col("key_col") == F.lit(col))
+    cond = F.lit(True)
+    for i in range(_BLOOM_K):
+        # Kirsch-Mitzenmacher position i, per-row m honored from the
+        # sidecar; try_element_at because a missing word means "bits all
+        # zero", never an error (Spark 4 ANSI element_at would throw)
+        pos = f"pmod(cast({h1} as bigint) + {i} * cast({h2} as bigint), m)"
+        hit = F.expr(
+            f"(coalesce(try_element_at(words, cast(floor({pos} / 64) as bigint)), "
+            f"cast(0 as bigint)) & shiftleft(cast(1 as bigint), "
+            f"cast({pos} % 64 as int))) != 0"
+        )
+        cond = cond & (hit | (F.lit(i) >= F.col("k")))
+    # driver transfer is post-prune file NAMES only (see pruned_files)
+    return sorted(r["file"] for r in sdf.filter(cond).select("file").collect())
+
+
+def read_pruned_eq(
+    spark: SparkSession, dir_path: str, col: str, value: object
+) -> DataFrame:
+    """Scan only the files whose Bloom filter admits ``col == value``,
+    re-applying the equality as a residual filter (false positives cost a
+    file read, never a wrong row)."""
+    dir_path = os.path.abspath(dir_path)
+    names = bloom_pruned_files(spark, dir_path, col, value)
+    if names is None:
+        df = spark.read.parquet(dir_path)
+    elif not names:
+        df = spark.read.parquet(dir_path).filter(F.lit(False))
+    else:
+        df = spark.read.parquet(*[os.path.join(dir_path, n) for n in names])
+    return df.filter(F.col(col) == F.lit(value))

@@ -60,6 +60,7 @@ LEAD: tuple[str, ...] = (
     "streaming_cdf_consumer_roundtrip",
     "vacuum_orphans_roundtrip",
     "stats_skipping_roundtrip",
+    "bloom_skipping_roundtrip",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"

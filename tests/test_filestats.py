@@ -133,3 +133,63 @@ def test_txn_snapshot_integration(spark, tmp_path):
     assert read_table_pruned(spark, root, "t", [("k", 0, 50)], manifest=m1).count() == 51
     assert read_table_pruned(spark, root, "t", [("k", 0, 50)]).count() == 0
     assert read_table_pruned(spark, root, "t", [("k", 550, 560)]).count() == 11
+
+
+# --- Bloom-filter equality skipping -------------------------------------------
+
+
+def test_bloom_point_lookup_prunes_to_one_file(spark, tmp_path):
+    from f1_lakehouse_spark.sources.filestats import (
+        bloom_pruned_files,
+        collect_file_blooms,
+        read_pruned_eq,
+    )
+
+    path = str(tmp_path / "b1")
+    spark.range(2000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v")) \
+        .repartition(4, "k").write.mode("overwrite").parquet(path)
+    m = collect_file_blooms(spark, path, "k")
+    assert m >= 1024
+    surv = bloom_pruned_files(spark, path, "k", 137)
+    # the key lives in exactly ONE hash partition; allow fp slack of 1
+    assert surv is not None and 1 <= len(surv) <= 2
+    got = _rows(read_pruned_eq(spark, path, "k", 137))
+    want = _rows(spark.read.parquet(path).filter(F.col("k") == 137))
+    assert got == want and len(want) == 1
+    # absent key: residual guarantees zero rows; bloom keeps <=1 fp file
+    absent = bloom_pruned_files(spark, path, "k", -5)
+    assert absent is not None and len(absent) <= 1
+    assert read_pruned_eq(spark, path, "k", -5).count() == 0
+
+
+def test_bloom_missing_sidecar_falls_back(spark, tmp_path):
+    from f1_lakehouse_spark.sources.filestats import (
+        bloom_pruned_files,
+        read_pruned_eq,
+    )
+
+    path = str(tmp_path / "b2")
+    spark.range(50).select(F.col("id").alias("k")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    assert bloom_pruned_files(spark, path, "k", 7) is None
+    assert read_pruned_eq(spark, path, "k", 7).count() == 1
+
+
+def test_bloom_string_keys(spark, tmp_path):
+    from f1_lakehouse_spark.sources.filestats import (
+        bloom_pruned_files,
+        collect_file_blooms,
+        read_pruned_eq,
+    )
+
+    path = str(tmp_path / "b3")
+    spark.range(500).select(
+        F.concat(F.lit("user-"), F.col("id")).alias("u"), F.col("id").alias("v")
+    ).repartition(4, "u").write.mode("overwrite").parquet(path)
+    collect_file_blooms(spark, path, "u")
+    surv = bloom_pruned_files(spark, path, "u", "user-42")
+    assert surv is not None and 1 <= len(surv) <= 2
+    got = _rows(read_pruned_eq(spark, path, "u", "user-42"))
+    want = _rows(spark.read.parquet(path).filter(F.col("u") == "user-42"))
+    assert got == want and len(want) == 1
