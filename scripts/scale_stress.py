@@ -144,6 +144,9 @@ QUERIES = [
     "tag_pinned_time_travel_roundtrip",
     "streaming_cdf_consumer_roundtrip",
     "vacuum_orphans_roundtrip",
+    # round 11, third batch (file skipping)
+    "stats_skipping_roundtrip",
+    "bloom_skipping_roundtrip",
 ]
 
 
