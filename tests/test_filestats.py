@@ -193,3 +193,64 @@ def test_bloom_string_keys(spark, tmp_path):
     got = _rows(read_pruned_eq(spark, path, "u", "user-42"))
     want = _rows(spark.read.parquet(path).filter(F.col("u") == "user-42"))
     assert got == want and len(want) == 1
+
+
+# --- property tests: pruning is EXACTLY the filter, for any layout ------------
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+    ),
+    files=st.integers(min_value=1, max_value=5),
+    lo=st.integers(min_value=-1100, max_value=1100),
+    span=st.integers(min_value=0, max_value=600),
+    by_range=st.booleans(),
+)
+def test_prop_range_prune_is_exact(spark, tmp_path_factory, vals, files, lo, span, by_range):
+    path = str(tmp_path_factory.mktemp("fsprop") / "t")
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    part = df.repartitionByRange(files, "k") if by_range else df.repartition(files, "k")
+    part.write.mode("overwrite").parquet(path)
+    collect_file_stats(spark, path, ["k"])
+    hi = lo + span
+    got = sorted(r["k"] for r in read_pruned(spark, path, [("k", lo, hi)]).collect())
+    want = sorted(v for v in vals if lo <= v <= hi)
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.sets(
+        st.integers(min_value=-5000, max_value=5000), min_size=1, max_size=50
+    ),
+    probe=st.integers(min_value=-5000, max_value=5000),
+    files=st.integers(min_value=1, max_value=4),
+)
+def test_prop_bloom_never_false_negative(spark, tmp_path_factory, keys, probe, files):
+    from f1_lakehouse_spark.sources.filestats import (
+        collect_file_blooms,
+        read_pruned_eq,
+    )
+
+    path = str(tmp_path_factory.mktemp("blprop") / "t")
+    df = spark.createDataFrame([(k,) for k in sorted(keys)], "k long")
+    df.repartition(files, "k").write.mode("overwrite").parquet(path)
+    collect_file_blooms(spark, path, "k")
+    got = [r["k"] for r in read_pruned_eq(spark, path, "k", probe).collect()]
+    # a false POSITIVE costs a file read (invisible here); a false
+    # NEGATIVE would drop the row — the one thing blooms must never do
+    assert got == ([probe] if probe in keys else [])
