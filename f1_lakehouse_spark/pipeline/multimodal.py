@@ -718,3 +718,95 @@ WHERE p.doc_id <> {_PHASH_QUERY_DOC}
   AND bit_count(xor(p.phash, q.qph)) <= {_PHASH_HAMMING_MAX}
 ORDER BY hamming, p.doc_id
 """
+
+
+# --- scene-change detection ----------------------------------------------------------
+# Video segmentation shape: adjacent sampled-frame hash distance above a
+# threshold marks a scene boundary; scene ids are a per-video running sum
+# of boundaries and scenes aggregate to per-video stats. Everything after
+# the (stubbed) frame hash is JVM-side window/agg — the real pipeline
+# swaps a perceptual frame embedding into the SAME shape. Per-video
+# windows are bounded by frames-per-video (payload length / FRAME_BYTES),
+# never global — the 100 TB safe window class.
+
+SCENE_HAMMING_T = 16  # xor popcount threshold on the ~30-bit frame hashes
+
+
+@register(
+    "mm_scene_change",
+    oracle=f"""
+WITH vids AS (
+    SELECT doc_id, text AS t,
+           octet_length(encode(text)) // {FRAME_BYTES} AS n_frames
+    FROM documents
+),
+frames AS (
+    SELECT doc_id, frame_idx,
+           {sql_poly_hash(f"substr(t, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})")}
+               AS fh
+    FROM (
+        SELECT doc_id, t,
+               unnest(range(0, n_frames, {FRAME_STRIDE})) AS frame_idx
+        FROM vids WHERE n_frames >= 1
+    )
+),
+d AS (
+    SELECT doc_id, frame_idx, fh,
+           lag(fh) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS ph
+    FROM frames
+),
+b AS (
+    SELECT doc_id, frame_idx,
+           CASE WHEN ph IS NULL THEN 1
+                WHEN bit_count(xor(fh, ph)) >= {SCENE_HAMMING_T} THEN 1
+                ELSE 0 END AS bd
+    FROM d
+),
+s AS (
+    SELECT doc_id,
+           SUM(bd) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                         ROWS UNBOUNDED PRECEDING) AS scene_id
+    FROM b
+),
+sl AS (
+    SELECT doc_id, scene_id, COUNT(*) AS flen
+    FROM s GROUP BY doc_id, scene_id
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_scenes,
+       CAST(MAX(flen) AS BIGINT) AS max_scene_frames
+FROM sl GROUP BY doc_id
+""",
+    doc="multimodal scene-change detection: adjacent sampled-frame hash "
+    f"distance (xor popcount >= {SCENE_HAMMING_T}) marks a boundary; "
+    "per-video running-sum scene ids aggregate to scene counts/lengths — "
+    "the shot-segmentation shape with the perceptual embedding stubbed "
+    "by the deterministic frame hash",
+    tags=("pipeline", "multimodal"),
+)
+def mm_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    frames = mm_frame_sample(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag("frame_hash").over(w)
+    boundary = F.when(prev.isNull(), F.lit(1)).otherwise(
+        (
+            F.bit_count(F.col("frame_hash").bitwiseXOR(prev))
+            >= F.lit(SCENE_HAMMING_T)
+        ).cast("int")
+    )
+    scenes = frames.select(
+        "doc_id",
+        "frame_idx",
+        F.sum(boundary).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("scene_id"),
+    )
+    lengths = scenes.groupBy("doc_id", "scene_id").agg(
+        F.count("*").alias("flen")
+    )
+    return lengths.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_scenes"),
+        F.max("flen").cast("long").alias("max_scene_frames"),
+    )

@@ -61,6 +61,7 @@ LEAD: tuple[str, ...] = (
     "vacuum_orphans_roundtrip",
     "stats_skipping_roundtrip",
     "bloom_skipping_roundtrip",
+    "mm_scene_change",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"
