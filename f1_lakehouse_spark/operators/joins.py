@@ -13,7 +13,7 @@ small aggregates, not the raw rows).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from f1_lakehouse_spark.operators.aggregations import DAVG, DSUM, davg, dsum
@@ -789,4 +789,153 @@ def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("ke").isNull(), F.lit("orders_only"))
         .otherwise(F.lit("both"))
         .alias("presence"),
+    )
+
+
+# --- Bloom-filter runtime join filter (semi-join reduction by membership) -----------
+# The hash-membership complement to join_minmax_prefilter: [min,max] bounds
+# prune NOTHING when the build side's keys span the whole key range (the
+# usual case for a predicate uncorrelated with key order), but a Bloom
+# filter prunes by membership regardless of key distribution — this is
+# Spark's own InjectRuntimeFilter / bloom_filter_agg made explicit, and the
+# same sideways-information-passing trick every warehouse engine ships.
+# Build: the SELECTIVE side's distinct keys fold into ONE aggregate row
+# (k hashed bit positions per key -> bit_or per 64-bit word -> sparse
+# map<word,bits>; Kirsch-Mitzenmacher double hashing off two md5 halves,
+# the engine-wide deterministic-hash convention in pipeline/hashing.py).
+# Probe: the one-row frame is cross-joined (aggregated -> broadcastable)
+# and each fact row tests its k bits map-side BEFORE the join shuffle, so
+# non-matching fact rows never enter the exchange. False positives cost
+# shuffle bytes only — the exact equi-join behind the filter keeps
+# semantics identical to the plain join (the oracle). False negatives
+# cannot happen: every build key set its own bits. m auto-sizes from the
+# observed build cardinality (constants are floors — CLAUDE.md sizing
+# rule) and is capped: at the cap, fp rises but the filter stays sound.
+# At 100 TB: the build side is the already-selective dimension filter, the
+# bloom is O(m) bytes independent of the fact table, and the fact scan
+# gains a map-side filter where the minmax variant degenerates to a no-op.
+
+_BLOOM_JOIN_K = 4
+_BLOOM_JOIN_BITS_PER_KEY = 16
+_BLOOM_JOIN_M_FLOOR = 1 << 10
+_BLOOM_JOIN_M_CAP = 1 << 22
+
+_BLOOM_JOIN_BUILD_PRED = (
+    "o_totalprice >= 400000 AND o_orderpriority = '1-URGENT'"
+)
+
+
+def _bloom_hash_halves(key: Column) -> tuple[Column, Column]:
+    """Two independent 48-bit integers from one md5 of the key's STRING
+    cast — the same double-hash convention sources/filestats.py uses for
+    its per-file Blooms, kept column-side here because both build and
+    probe are Spark expressions (no Python probe)."""
+    hexd = F.md5(key.cast("string"))
+    h1 = F.conv(F.substring(hexd, 1, 12), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hexd, 13, 12), 16, 10).cast("long")
+    return h1, h2
+
+
+def bloom_filter_frame(keys: DataFrame, col: str, n_keys: int) -> DataFrame:
+    """ONE-row Bloom filter over ``keys[col]`` as ``(m, words: map<long,
+    long>)``, built fully distributed (k exploded bit positions per
+    distinct key, ``bit_or`` per 64-bit word, one sparse-map fold).
+    ``n_keys`` sizes ``m`` (pow2 in [floor, cap]); pass the build side's
+    observed count. An EMPTY build side yields an empty (0-row) frame —
+    cross-joining it empties the probe, the correct inner-join limit."""
+    m = _BLOOM_JOIN_M_FLOOR
+    while m < n_keys * _BLOOM_JOIN_BITS_PER_KEY and m < _BLOOM_JOIN_M_CAP:
+        m *= 2
+    h1, h2 = _bloom_hash_halves(F.col("_k"))
+    pos = F.pmod(h1 + F.col("_i").cast("long") * h2, F.lit(m).cast("long"))
+    return (
+        keys.select(F.col(col).alias("_k"))
+        .filter(F.col("_k").isNotNull())
+        .distinct()
+        .withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_JOIN_K - 1))))
+        .withColumn("_pos", pos)
+        .select(
+            (F.col("_pos") / 64).cast("long").alias("word"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(pmod(_pos, 64) as int))"
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("word", "bits")))
+            ).alias("_bloom_words")
+        )
+        .select(F.lit(m).cast("long").alias("_bloom_m"), "_bloom_words")
+    )
+
+
+def bloom_prefilter(fact: DataFrame, fact_key: str, bloom: DataFrame) -> DataFrame:
+    """``fact`` rows whose ``fact_key`` passes the one-row Bloom ``bloom``
+    (from :func:`bloom_filter_frame`) — a MAP-SIDE semi-join reduction
+    evaluated before any join shuffle. No false negatives, so following
+    with the exact equi-join reproduces the plain join row-for-row."""
+    h1, h2 = _bloom_hash_halves(F.col(fact_key))
+    crossed = fact.crossJoin(F.broadcast(bloom))
+    cond = F.lit(True)
+    for i in range(_BLOOM_JOIN_K):
+        crossed = crossed.withColumn(
+            f"_rf_pos{i}", F.pmod(h1 + F.lit(i).cast("long") * h2, F.col("_bloom_m"))
+        )
+        hit = F.expr(
+            f"(coalesce(try_element_at(_bloom_words, "
+            f"cast(floor(_rf_pos{i} / 64) as bigint)), cast(0 as bigint)) "
+            f"& shiftleft(cast(1 as bigint), cast(pmod(_rf_pos{i}, 64) as int)"
+            f")) != 0"
+        )
+        cond = cond & hit
+    # the bloom frame is a 1-row aggregate: the explicit broadcast never
+    # touches an unaggregated scan (plan-lint Aggregate exemption)
+    return crossed.filter(cond).drop(
+        "_bloom_m", "_bloom_words", *[f"_rf_pos{i}" for i in range(_BLOOM_JOIN_K)]
+    )
+
+
+@register(
+    "join_bloom_runtime_filter",
+    oracle=f"""
+SELECT l.l_linestatus,
+       COUNT(*) AS n_lines,
+       {DSUM("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE {_BLOOM_JOIN_BUILD_PRED}
+GROUP BY 1
+""",
+    doc="Bloom-filter runtime join filter (semi-join reduction by hash "
+    "membership — Spark's InjectRuntimeFilter made explicit): the "
+    "selective order predicate's keys fold into one sparse Bloom row, "
+    "every lineitem row tests its k bits MAP-SIDE before the join "
+    "shuffle, then the exact equi-join runs behind the filter. Prunes "
+    "where join_minmax_prefilter cannot (build keys spanning the full "
+    "key range); oracle is the plain join — false positives cost shuffle "
+    "bytes, never rows.",
+    tags=("join", "prefilter", "runtime-filter"),
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    build = o.filter(
+        (F.col("o_totalprice") >= 400000)
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).select("o_orderkey")
+    # one cheap action on the already-filtered build side sizes m
+    n_keys = build.count()
+    bloom = bloom_filter_frame(build, "o_orderkey", max(n_keys, 1))
+    li = load_table(spark, sf_dir, "lineitem")
+    pruned = bloom_prefilter(li, "l_orderkey", bloom)
+    return (
+        pruned.join(build, pruned["l_orderkey"] == build["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
     )

@@ -3153,3 +3153,278 @@ def bloom_skipping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pin_small_result(out, 4)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_ZSKIP_N_FILES = 16  # files per layout for the clustering comparison
+
+_ZSKIP_ORACLE = """
+WITH b AS (
+    SELECT CAST(MIN(o_custkey)
+                + (MAX(o_custkey) - MIN(o_custkey)) // 8 AS BIGINT) AS clo,
+           CAST(MIN(o_custkey)
+                + ((MAX(o_custkey) - MIN(o_custkey)) * 3) // 8 AS BIGINT) AS chi,
+           CAST(MIN(o_orderkey)
+                + (MAX(o_orderkey) - MIN(o_orderkey)) // 8 AS BIGINT) AS olo,
+           CAST(MIN(o_orderkey)
+                + ((MAX(o_orderkey) - MIN(o_orderkey)) * 3) // 8 AS BIGINT) AS ohi
+    FROM orders
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(28,9))), 3) AS DOUBLE)
+           AS total_price
+FROM orders, b
+WHERE o_custkey BETWEEN b.clo AND b.chi
+  AND o_orderkey BETWEEN b.olo AND b.ohi
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "zorder_skipping_roundtrip",
+    oracle=_ZSKIP_ORACLE,
+    doc="Z-ORDER clustering x column-stats file skipping, certified as a "
+    "comparison of physical layouts (Delta/Iceberg OPTIMIZE ZORDER BY — "
+    "the reason multi-dimensional clustering exists): write orders twice, "
+    "linear (range-clustered on o_custkey only) and Morton-clustered on "
+    "(o_custkey, o_orderkey) via sources/layout.write_zordered, attach "
+    "the footer-stats sidecar to both (sources/filestats.py), then assert "
+    "the layout laws at file granularity: (a) the linear layout prunes a "
+    "quarter-range box on its OWN clustering key to a strict minority of "
+    "files but keeps essentially EVERY file for the same box on the other "
+    "key (a single-dim sort gives one dimension everything, every other "
+    "dimension nothing), (b) the z-ordered layout prunes the SAME box on "
+    "EACH interleaved dimension (the dim's top Morton bit splits the "
+    "curve at this file granularity), (c) the conjunctive 2-D box on the "
+    "z-layout survives exactly the intersection of its per-dim survivor "
+    "sets and reads strictly fewer files than the linear layout's "
+    "unclustered dimension allows, and (d) both layouts' pruned scans are "
+    "row-for-row identical to the full scan plus filter (exceptAll both "
+    "ways). Returns the z-layout pruned scan's aggregate; the oracle "
+    "recomputes the same integer-arithmetic bounds and aggregate from the "
+    "raw source, so an unsound prune surfaces as a driver mismatch.",
+    tags=("sink", "lifecycle"),
+)
+def zorder_skipping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.sources.filestats import (  # noqa: PLC0415
+        collect_file_stats,
+        pruned_files,
+        read_pruned,
+    )
+    from f1_lakehouse_spark.sources.layout import write_zordered  # noqa: PLC0415
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="f1ls_zskip_")
+    lin_dir = os.path.join(base, "linear")
+    z_dir = os.path.join(base, "zorder")
+    try:
+        orders.repartitionByRange(_ZSKIP_N_FILES, "o_custkey").write.parquet(lin_dir)
+        write_zordered(orders, z_dir, ["o_custkey", "o_orderkey"], _ZSKIP_N_FILES)
+        n_lin = collect_file_stats(spark, lin_dir, ["o_custkey", "o_orderkey"])
+        n_z = collect_file_stats(spark, z_dir, ["o_custkey", "o_orderkey"])
+        assert min(n_lin, n_z) >= _ZSKIP_N_FILES // 2, (
+            f"degenerate layouts: {n_lin} linear / {n_z} z-order files"
+        )
+        # quarter-range boxes in the LOWER half of both (uniform) key
+        # spaces — same integer arithmetic as the oracle, so the bounds
+        # are engine-exact; staying below the median keeps every bucket's
+        # top Morton bit at 0, the bit that prunes at file granularity
+        r = orders.agg(
+            F.min("o_custkey").alias("cmn"),
+            F.max("o_custkey").alias("cmx"),
+            F.min("o_orderkey").alias("omn"),
+            F.max("o_orderkey").alias("omx"),
+        ).first()
+        clo, chi = r.cmn + (r.cmx - r.cmn) // 8, r.cmn + (r.cmx - r.cmn) * 3 // 8
+        olo, ohi = r.omn + (r.omx - r.omn) // 8, r.omn + (r.omx - r.omn) * 3 // 8
+        cust_box = [("o_custkey", clo, chi)]
+        okey_box = [("o_orderkey", olo, ohi)]
+        both = cust_box + okey_box
+        # (a) single-dim layout law: its own key prunes hard, the other
+        # key cannot prune at all (each file samples the full range)
+        lin_cust = pruned_files(spark, lin_dir, cust_box)
+        lin_okey = pruned_files(spark, lin_dir, okey_box)
+        assert lin_cust is not None and len(lin_cust) <= n_lin // 2, (
+            f"linear layout kept {lin_cust and len(lin_cust)}/{n_lin} files "
+            "on its own clustering key"
+        )
+        assert lin_okey is not None and len(lin_okey) >= n_lin - 1, (
+            f"linear layout pruned the UNclustered key to {len(lin_okey)} "
+            f"/{n_lin} — stats would have to be lying"
+        )
+        # (b) multi-dim layout law: EVERY interleaved dim prunes
+        z_cust = pruned_files(spark, z_dir, cust_box)
+        z_okey = pruned_files(spark, z_dir, okey_box)
+        assert z_cust is not None and len(z_cust) <= n_z * 3 // 4, (
+            f"z-layout kept {z_cust and len(z_cust)}/{n_z} files on dim 1"
+        )
+        assert z_okey is not None and len(z_okey) <= n_z * 3 // 4, (
+            f"z-layout kept {z_okey and len(z_okey)}/{n_z} files on dim 2"
+        )
+        # (c) the 2-D box: conjunction == per-dim survivor intersection,
+        # and beats the linear layout's unclustered-dim floor
+        z_both = pruned_files(spark, z_dir, both)
+        assert z_both is not None and set(z_both) == set(z_cust) & set(z_okey), (
+            "conjunctive prune disagrees with the survivor-set intersection"
+        )
+        assert len(z_both) < len(lin_okey), (
+            f"2-D box read {len(z_both)} z-files vs {len(lin_okey)} linear"
+        )
+        # (d) exactness on BOTH layouts: pruned scan == full scan + filter
+        full = orders.filter(
+            F.col("o_custkey").between(F.lit(clo), F.lit(chi))
+            & F.col("o_orderkey").between(F.lit(olo), F.lit(ohi))
+        )
+        zp = read_pruned(spark, z_dir, both)
+        lp = read_pruned(spark, lin_dir, both)
+        assert zp.exceptAll(full).count() == 0, "z-pruned scan has extra rows"
+        assert full.exceptAll(zp).count() == 0, "z-pruned scan dropped rows"
+        assert lp.exceptAll(full).count() == 0, "linear-pruned scan has extra rows"
+        assert full.exceptAll(lp).count() == 0, "linear-pruned scan dropped rows"
+        out = zp.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(28,9)")), 3)
+            .cast("double")
+            .alias("total_price"),
+        )
+        return pin_small_result(out, _PRIORITY_MAX)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_SPEC_EVO_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(round(SUM(CAST(value AS DECIMAL(28,9))), 3) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+def _plan_partition_filters(df: DataFrame) -> list[str]:
+    """The content of every ``PartitionFilters: [...]`` block in the
+    executed plan — one entry per FileScan, empty-string entries for
+    scans with no partition predicate."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [seg.split("]")[0] for seg in plan.split("PartitionFilters: [")[1:]]
+
+
+@register(
+    "partition_evolution_roundtrip",
+    oracle=_SPEC_EVO_ORACLE,
+    doc="Iceberg-style PARTITION-SPEC EVOLUTION "
+    "(sources/spec_evolution.py — repartition a live table as an "
+    "O(metadata) commit, no history rewrite; Delta/Hive would rewrite "
+    "100 TB): create events partitioned by event_type (spec 0, the "
+    "'wrong' original layout), evolve the spec to partition by "
+    "event_date, append the later half under spec 1, then assert (a) "
+    "evolution rewrote NOTHING — spec 0's file listing and byte sizes "
+    "are identical before and after, (b) the union read spans both "
+    "specs row-for-row identically to the source (exceptAll both ways), "
+    "(c) a predicate on the NEW spec's partition column reaches "
+    "PartitionFilters (directory-level pruning) and its surviving rows "
+    "touch only that date's spec-1 directory, and (d) the same predicate "
+    "on a date served by spec 0 still answers exactly via the row-level "
+    "residual path (per-spec residual evaluation, the Iceberg read "
+    "contract). Returns the union read's per-type aggregate; the oracle "
+    "recomputes it from the raw table, so a dropped or doubled segment "
+    "surfaces as a driver mismatch.",
+    tags=("sink", "lifecycle"),
+)
+def partition_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from f1_lakehouse_spark.sources.spec_evolution import (  # noqa: PLC0415
+        append_rows,
+        create_table,
+        evolve_spec,
+        read_table,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts").cast("string")
+    )
+    base = tempfile.mkdtemp(prefix="f1ls_specevo_")
+    tbl = os.path.join(base, "events_evolved")
+    try:
+        r = events.agg(
+            F.min("event_date").alias("lo"), F.max("event_date").alias("hi")
+        ).first()
+        d_old, d_new = r.lo, r.hi
+        assert d_old < d_new, "need at least two distinct event dates"
+        split = events.filter(F.col("event_date") > F.lit(d_old)).agg(
+            F.min("event_date")
+        ).first()[0]
+        batch_a = events.filter(F.col("event_date") < F.lit(split))
+        batch_b = events.filter(F.col("event_date") >= F.lit(split))
+        create_table(spark, tbl, batch_a, ["event_type"])
+        seg0 = os.path.join(tbl, "spec=0")
+        listing_before = {
+            os.path.join(os.path.relpath(root, seg0), f): os.path.getsize(
+                os.path.join(root, f)
+            )
+            for root, _dirs, files in os.walk(seg0)
+            for f in files
+        }
+        # (a) the evolution commit is metadata-only
+        assert evolve_spec(tbl, ["event_date"]) == 1
+        append_rows(spark, tbl, batch_b)
+        listing_after = {
+            os.path.join(os.path.relpath(root, seg0), f): os.path.getsize(
+                os.path.join(root, f)
+            )
+            for root, _dirs, files in os.walk(seg0)
+            for f in files
+        }
+        assert listing_before == listing_after, (
+            "spec evolution touched historical spec-0 files"
+        )
+        # (b) completeness: the union read IS the table
+        full = read_table(spark, tbl)
+        src = events.select(full.columns)
+        assert full.exceptAll(src).count() == 0, "union read has extra rows"
+        assert src.exceptAll(full).count() == 0, "union read dropped rows"
+        # (c) new-spec partition pruning: the date predicate reaches
+        # PartitionFilters on the spec-1 scan, and surviving rows touch
+        # only that date's directory
+        by_new = full.filter(F.col("event_date") == F.lit(d_new))
+        pf = _plan_partition_filters(by_new)
+        assert any("event_date" in p for p in pf), (
+            f"date predicate never reached PartitionFilters: {pf}"
+        )
+        touched = {
+            r["f"]
+            for r in by_new.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        assert touched and all(
+            "/spec=1/" in f and f"event_date={d_new}" in f for f in touched
+        ), f"pruned read touched foreign files: {sorted(touched)[:5]}"
+        n_new = by_new.count()
+        want_new = events.filter(F.col("event_date") == F.lit(d_new)).count()
+        assert n_new == want_new, f"new-spec date read {n_new} != {want_new}"
+        # (d) old-spec residual path: the same predicate shape on a date
+        # only spec 0 holds answers exactly without any event_date dirs
+        by_old = full.filter(F.col("event_date") == F.lit(d_old))
+        touched_old = {
+            r["f"]
+            for r in by_old.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        assert touched_old and all("/spec=0/" in f for f in touched_old), (
+            f"old-date rows came from the wrong segment: {sorted(touched_old)[:5]}"
+        )
+        n_old = by_old.count()
+        want_old = events.filter(F.col("event_date") == F.lit(d_old)).count()
+        assert n_old == want_old, f"residual date read {n_old} != {want_old}"
+        out = full.groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(28,9)")), 3)
+            .cast("double")
+            .alias("total_value"),
+        )
+        return pin_small_result(out, EVENT_TYPE_MAX)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -124,6 +124,10 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     "distinct touched partition dates, calendar-bounded by the 7-day prune "
     "window the assertion checks; plus the data-derived expected-day set, "
     "bounded by the same 7-day window",
+    ("pipeline/lifecycle.py", "partition_evolution_roundtrip"): "model-sized: "
+    "distinct input_file_name audits over ONE date's surviving rows each "
+    "(file count bounded by that date's partition dir on spec 1 and the "
+    "task count on spec 0's residual path)",
     ("pipeline/lifecycle.py", "_assert_snapshot_consistent"): "model-sized: "
     "per-event_type gold rows and their recomputation, both bounded by the "
     "event_type taxonomy (EVENT_TYPE_MAX) — the snapshot-isolation "

@@ -62,6 +62,9 @@ LEAD: tuple[str, ...] = (
     "stats_skipping_roundtrip",
     "bloom_skipping_roundtrip",
     "mm_scene_change",
+    "zorder_skipping_roundtrip",
+    "join_bloom_runtime_filter",
+    "partition_evolution_roundtrip",
 )
 
 BEGIN = "# --- BEGIN GENERATED WINDOW (scripts/rotate_window.py; do not edit) ---"

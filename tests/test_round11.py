@@ -579,3 +579,125 @@ def test_create_exclusive_is_content_atomic(tmp_path):
         _create_exclusive(path, '{"txn": 99}')
     assert json.load(open(path)) == {"txn": 1}  # loser never clobbers
     assert [f for f in os.listdir(tmp_path) if ".tmp" in f] == []
+
+
+# --- Bloom-filter runtime join filter (operators/joins.py) -------------------
+
+
+def test_bloom_prefilter_prunes_and_is_sound(spark):
+    from f1_lakehouse_spark.operators.joins import (
+        bloom_filter_frame,
+        bloom_prefilter,
+    )
+
+    fact = spark.range(0, 2000).select(F.col("id").alias("fk"))
+    build = spark.createDataFrame(
+        [(7,), (42,), (901,), (1500,), (1999,)], "bk bigint"
+    )
+    bloom = bloom_filter_frame(build, "bk", 5)
+    pruned = bloom_prefilter(fact, "fk", bloom)
+    kept = {r.fk for r in pruned.collect()}
+    # soundness: every build key survives (no false negatives)
+    assert {7, 42, 901, 1500, 1999} <= kept
+    # effectiveness: with m=1024 bits for 5 keys, fp ~ 0 -> a strict
+    # minority of the 2000 fact rows survives the map-side filter
+    assert len(kept) < 2000 // 10, f"bloom kept {len(kept)} of 2000 rows"
+    # the exact join behind the filter reproduces the plain join
+    plain = sorted(
+        r.fk for r in fact.join(build, fact["fk"] == build["bk"]).collect()
+    )
+    filtered = sorted(
+        r.fk for r in pruned.join(build, pruned["fk"] == build["bk"]).collect()
+    )
+    assert plain == filtered == [7, 42, 901, 1500, 1999]
+
+
+def test_bloom_prefilter_empty_build_empties_probe(spark):
+    from f1_lakehouse_spark.operators.joins import (
+        bloom_filter_frame,
+        bloom_prefilter,
+    )
+
+    fact = spark.range(0, 50).select(F.col("id").alias("fk"))
+    empty = spark.createDataFrame([], "bk bigint")
+    bloom = bloom_filter_frame(empty, "bk", 1)
+    # the 0-row bloom frame is the correct inner-join limit: no fact row
+    # can match an empty build side, and the cross join encodes that
+    assert bloom_prefilter(fact, "fk", bloom).count() == 0
+
+
+# --- partition-spec evolution (sources/spec_evolution.py) --------------------
+
+
+def test_spec_evolution_mechanics(spark, tmp_path):
+    from f1_lakehouse_spark.sources.spec_evolution import (
+        append_rows,
+        create_table,
+        evolve_spec,
+        read_specs,
+        read_table,
+    )
+
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")], "k bigint, g string, d string"
+    )
+    assert create_table(spark, tbl, df, ["g"]) == 0
+    with pytest.raises(ValueError, match="already exists"):
+        create_table(spark, tbl, df)
+    # evolving to the SAME spec no-ops; a new one bumps the id
+    assert evolve_spec(tbl, ["g"]) == 0
+    assert evolve_spec(tbl, ["d"]) == 1
+    with pytest.raises(ValueError, match="not in table schema"):
+        evolve_spec(tbl, ["nope"])
+    # append resolves columns BY NAME against the frozen schema
+    late = spark.createDataFrame(
+        [("2024-01-03", 3, "c")], "d string, k bigint, g string"
+    )
+    assert append_rows(spark, tbl, late) == 1
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_rows(spark, tbl, late.drop("g"))
+    got = sorted(tuple(r) for r in read_table(spark, tbl).collect())
+    assert got == [
+        (1, "a", "2024-01-01"),
+        (2, "b", "2024-01-02"),
+        (3, "c", "2024-01-03"),
+    ]
+    assert [s["spec_id"] for s in read_specs(tbl)["specs"]] == [0, 1]
+
+
+def test_spec_evolution_empty_segment_skipped(spark, tmp_path):
+    from f1_lakehouse_spark.sources.spec_evolution import (
+        create_table,
+        evolve_spec,
+        read_table,
+    )
+
+    tbl = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "x")], "k bigint, g string")
+    create_table(spark, tbl, df, [])
+    # spec evolves but nothing is ever appended under it: the reader
+    # must not fail on the missing segment
+    evolve_spec(tbl, ["g"])
+    assert [tuple(r) for r in read_table(spark, tbl).collect()] == [(1, "x")]
+
+
+def test_spec_evolution_restores_frozen_types(spark, tmp_path):
+    from f1_lakehouse_spark.sources.spec_evolution import (
+        create_table,
+        read_table,
+    )
+
+    tbl = str(tmp_path / "t")
+    # date-shaped STRINGS as a partition column: hive dir inference would
+    # deserialize them as DATE; the frozen schema casts them back
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], "k bigint, d string"
+    )
+    create_table(spark, tbl, df, ["d"])
+    back = read_table(spark, tbl)
+    assert dict(back.dtypes)["d"] == "string"
+    assert sorted(tuple(r) for r in back.collect()) == [
+        (1, "2024-01-01"),
+        (2, "2024-01-02"),
+    ]
