@@ -20,11 +20,13 @@ synthetic ``lineitem`` table:
 the flagship output by a coarser key — SUM of SUMs / MIN of MINs, the
 classic partial→final decomposition.
 
-Scale notes: one shuffle on the 4 partition keys serves both the window and
-the aggregates; the personal-best side is post-aggregation (tiny: one row
-per key group) so AQE broadcast-joins it. Window ordering carries unique
-tiebreakers (l_orderkey, l_linenumber) so the plan is deterministic under
-any parallelism.
+Scale notes: one shuffle on the 4 partition keys serves the window AND the
+(fused, r11) aggregate — the whole query is a single lineitem scan, a
+single Exchange, one Sort+Window and one aggregate pair; the reference's
+agg-LEFT JOIN-agg formulation is kept verbatim in the oracle, which proves
+the fused result identical. Window ordering carries unique tiebreakers
+(l_orderkey, l_linenumber) so the plan is deterministic under any
+parallelism.
 """
 
 from __future__ import annotations
@@ -68,28 +70,39 @@ def flagship_supplier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(*KEYS).orderBy(
         F.col("net_price").asc_nulls_last(), "l_orderkey", "l_linenumber"
     )
-    pb = (
+
+    # A1-A3 + W1 fused (r11 optimization, guide §2.4): the personal-best
+    # count and the conditional aggregates group by the SAME keys over the
+    # SAME filtered frame, so both halves of the reference's agg-LEFT
+    # JOIN-agg shape fold into ONE aggregate after the window — the window's
+    # exchange already clusters by KEYS, so the whole query is one scan and
+    # one Exchange (before: two lineitem scans, two Exchanges, four
+    # HashAggregates and a LeftOuter join). Result-identical to the
+    # unfused shape (oracle unchanged): row_number() assigns rn=1 exactly
+    # once per non-empty key group, every agg group is non-empty by
+    # construction, and the old LEFT JOIN therefore always matched —
+    # COALESCE(...,0) kept for the P8 shape (it is exercised on NULL by
+    # the oracle's own LEFT JOIN formulation, which Spark no longer needs).
+    return (
         timed.withColumn("rn", F.row_number().over(w))
         .groupBy(*KEYS)
-        .agg(F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("best_price_lines"))
-    )
-
-    # A1-A3: count + conditional sums + min over the same keys.
-    agg = timed.groupBy(*KEYS).agg(
-        F.count("*").alias("lines_total"),
-        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("discounted_lines"),
-        F.sum(F.when(F.col("l_tax") > 0, 1).otherwise(0)).alias("taxed_lines"),
-        F.min("net_price").alias("best_price"),
-    )
-
-    # J1 + P8: compound-key LEFT JOIN, COALESCE the probe side to 0.
-    return agg.join(pb, on=KEYS, how="left").select(
-        *KEYS,
-        "lines_total",
-        "discounted_lines",
-        "taxed_lines",
-        "best_price",
-        F.coalesce(F.col("best_price_lines"), F.lit(0)).alias("best_price_lines"),
+        .agg(
+            F.count("*").alias("lines_total"),
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias(
+                "discounted_lines"
+            ),
+            F.sum(F.when(F.col("l_tax") > 0, 1).otherwise(0)).alias("taxed_lines"),
+            F.min("net_price").alias("best_price"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("_pb_lines"),
+        )
+        .select(
+            *KEYS,
+            "lines_total",
+            "discounted_lines",
+            "taxed_lines",
+            "best_price",
+            F.coalesce(F.col("_pb_lines"), F.lit(0)).alias("best_price_lines"),
+        )
     )
 
 

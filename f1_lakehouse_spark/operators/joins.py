@@ -334,18 +334,32 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # r11 optimization (guide §2.3/§2.4): the HAVING aggregate already IS
+    # the final per-order quantity sum — dsum(l_quantity) grouped by the
+    # final key set degenerates to one row per qualifying order because
+    # o_orderkey is unique in orders and c_custkey in customer. So instead
+    # of semi-joining lineitem back and re-aggregating it (two lineitem
+    # passes + a pair-key shuffle of every qualifying line), join the tiny
+    # qualifying-order aggregate straight to orders and customer: one
+    # lineitem scan, no semi join, no re-aggregation. Result-identical to
+    # the oracle's IN-subquery formulation (kept verbatim); the semi-join
+    # operator exemplar lives on in q4_order_priority_check.
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("q"))
-        .filter(F.col("q") > 150)
-        .select("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("_qdec"))
+        .filter(F.col("_qdec") > 150)
     )
     return (
-        li.join(big, "l_orderkey", "left_semi")
-        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity").alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_qdec").cast("double").alias("total_qty"),
+        )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(25)
     )

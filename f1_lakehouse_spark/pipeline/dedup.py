@@ -405,7 +405,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hit
     for old_key in list(_MH_PAIRS_CACHE):
         _MH_PAIRS_CACHE.pop(old_key).unpersist()
-    pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    # r11: build the bands from the session-cached distinct shingle frame
+    # (identical minima — MIN is duplicate-insensitive, and the oracle's
+    # band CTEs read the DISTINCT shingle CTE) so the corpus is word-hashed
+    # once per session for the whole dedup family, not once per cache.
+    pairs = minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        shh=shingle_keys_frame(spark, sf_dir).select(
+            "doc_id", F.col("sk").alias("x")
+        ),
+    )
     # minhash_lsh_pairs persists+materializes internally; only add our own
     # persist if a future refactor drops that, so the rollover unpersist
     # above always releases the frame this cache actually pinned
@@ -493,6 +502,31 @@ def minhash_lsh_pairs(d: DataFrame, shh: DataFrame | None = None) -> DataFrame:
 _SIMHASH_BITS = 32
 _BITS_SQL = ", ".join(f"({b}, {1 << b})" for b in range(_SIMHASH_BITS))
 
+# Column-tree memo for the 32 vote aggregates + the final recombine (r11):
+# ~260 py4j round-trips per build otherwise; the trees are context-free
+# (fixed input names "x"/"s{bit}") so one copy serves every call.
+_SIMHASH_COLS: list = []
+
+
+def _simhash_cols():
+    if not _SIMHASH_COLS:
+        votes = [
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("x"), bit).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{bit}")
+            for bit in range(_SIMHASH_BITS)
+        ]
+        recombine = sum(
+            F.when(F.col(f"s{bit}") >= 0, F.lit(1 << bit))
+            .otherwise(F.lit(0))
+            .cast("long")
+            for bit in range(_SIMHASH_BITS)
+        )
+        _SIMHASH_COLS.append((votes, recombine))
+    return _SIMHASH_COLS[0]
+
 
 @register(
     "dedup_simhash",
@@ -523,22 +557,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", (spark_md5_hash48("w") % F.lit(MOD)).alias("x"))
     # All 32 bit-votes in ONE hash-aggregate (no 32x row blowup): per bit b,
     # s_b = sum(±1); then simhash = Σ (s_b >= 0) * 2^b computed row-wise.
-    # (x div 2^b) % 2 uses an exact power-of-two long division.
-    votes = th.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(
-                    (F.col("x") / F.lit(1 << bit)).cast("long") % 2 == 1, 1
-                ).otherwise(-1)
-            ).alias(f"s{bit}")
-            for bit in range(_SIMHASH_BITS)
-        ]
-    )
-    simhash = sum(
-        F.when(F.col(f"s{bit}") >= 0, F.lit(1 << bit)).otherwise(F.lit(0)).cast("long")
-        for bit in range(_SIMHASH_BITS)
-    )
-    return votes.select("doc_id", simhash.alias("simhash"))
+    # Bit b is extracted with shiftright(x, b) & 1 — a native integer op
+    # (r11, guide §1.2 per-task work: the previous (x / 2^b) double divide +
+    # cast ran 32 FP divisions per row; for 0 <= x < 2^48 truncation of the
+    # exact double quotient equals the arithmetic shift, so the result is
+    # bit-identical to the oracle's x // pw % 2).
+    votes_cols, recombine = _simhash_cols()
+    votes = th.groupBy("doc_id").agg(*votes_cols)
+    return votes.select("doc_id", recombine.alias("simhash"))
 
 
 # --- embedding-cosine near-dup pairs ------------------------------------------------
@@ -866,15 +892,22 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # folds each doc's (distinct) shingle set into an array, and the exact
     # overlap count is size(array_intersect(a, b)) computed inside the row —
     # the shingle table is shuffled once (by doc_id), never joined twice.
-    d = load_table(spark, sf_dir, "documents")
-    # compute the shingle keys ONCE for both the LSH candidate pass and the
-    # verify pass; collect_set dedups per doc (== the distinct shingle set)
-    shk_raw = _spark_shingle_keys(d, distinct=False).persist()
-    shk_raw.count()
-    cand = minhash_lsh_pairs(
-        d, shh=shk_raw.select("doc_id", F.col("sk").alias("x"))
-    )  # persisted small pair list
-    docsets = shk_raw.groupBy("doc_id").agg(F.collect_set("sk").alias("ds"))
+    #
+    # r11 optimization (guide §1.2 "don't compute things twice"): both
+    # inputs come from the session's shared caches instead of a private
+    # per-call shingle pass — the distinct (doc_id, sk) frame
+    # (_SHINGLE_CACHE, shared with the Jaccard/edit-distance/containment
+    # family) and the LSH candidate pair list (_MH_PAIRS_CACHE, shared with
+    # clusters/keep_list/candidate-recall). Equivalent by construction:
+    # MinHash MIN is duplicate-insensitive, so candidates over the distinct
+    # shingle set equal candidates over the raw multiset (the oracle's own
+    # band CTEs read the DISTINCT shingle CTE), and collect_set dedups
+    # either way. Before: every call re-hashed every word (md5) and
+    # re-aggregated 16 minhashes; now both heavy passes run once per
+    # (session, input).
+    cand = dedup_minhash_lsh(spark, sf_dir)  # session-cached pair list
+    shk = shingle_keys_frame(spark, sf_dir)  # session-cached distinct shingles
+    docsets = shk.groupBy("doc_id").agg(F.collect_set("sk").alias("ds"))
     sa = docsets.select(
         F.col("doc_id").alias("a_id"), F.col("ds").alias("ds_a")
     )
@@ -891,9 +924,9 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    out = out.persist()
-    out.count()
-    shk_raw.unpersist()
+    # no private persist: both inputs are borrowed session caches, the pair
+    # list is bucket-bounded, and the verify joins are one small job — the
+    # caller's action materializes `out` directly (one fewer job per call)
     return out
 
 

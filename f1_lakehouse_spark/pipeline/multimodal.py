@@ -62,15 +62,65 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
 
 
+_POW31 = None  # 31^k mod MOD table, grown on demand, once per Python worker
+
+
+def _pow31_table(n: int):
+    """31^k % MOD for k < n as an int64 numpy array (guide §4.5: heavy
+    init once per task/worker, amortised over every batch)."""
+    global _POW31
+    import numpy as np
+
+    if _POW31 is None or len(_POW31) < n:
+        size = max(n, 4096)
+        p = np.empty(size, dtype=np.int64)
+        p[0] = 1
+        for i in range(1, size):
+            p[i] = (p[i - 1] * 31) % MOD
+        _POW31 = p
+    return _POW31
+
+
+def _poly_hash_batch(payloads) -> "object":
+    """Vectorized batch twin of :func:`_poly_hash_bytes` (r11, guide §4.2):
+    one numpy pass over the batch's concatenated bytes instead of a Python
+    loop per byte. acc-fold == Σ byte_j * 31^(n-1-j) mod MOD, computed with
+    a per-element exponent from the row's end offset and segment-summed via
+    ``np.add.reduceat``. Exact: every term < MOD < 2^30, so int64 overflows
+    only past 2^33 bytes per batch — far beyond Arrow's 2 GiB batch cap.
+    """
+    import numpy as np
+
+    raw = [bytes(p) for p in payloads]
+    lens = np.fromiter((len(b) for b in raw), dtype=np.int64, count=len(raw))
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(len(raw), dtype=np.int64), lens
+    data = np.frombuffer(b"".join(raw), dtype=np.uint8).astype(np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    # exponent of each byte = (row_end - 1 - global_index)
+    exps = np.repeat(ends, lens) - 1 - np.arange(total, dtype=np.int64)
+    pw = _pow31_table(int(lens.max()))
+    terms = (data * pw[exps]) % MOD
+    out = np.zeros(len(raw), dtype=np.int64)
+    nonempty = lens > 0
+    if nonempty.any():
+        # reduceat misbehaves on empty segments; sum only non-empty rows
+        seg = np.add.reduceat(terms, starts[nonempty]) % MOD
+        out[nonempty] = seg
+    return out, lens
+
+
 def decode_batch(it: Iterator) -> Iterator:
     """mapInPandas batch fn: binary payload → typed metadata rows."""
     for pdf in it:
-        metas = [fake_decode_meta(bytes(p)) for p in pdf["payload"]]
+        hs, lens = _poly_hash_batch(pdf["payload"])
         out = pdf[["doc_id"]].copy()
-        out["n_bytes"] = [len(bytes(p)) for p in pdf["payload"]]
-        out["fake_width"] = [m[0] for m in metas]
-        out["fake_height"] = [m[1] for m in metas]
-        out["channels"] = [m[2] for m in metas]
+        out["n_bytes"] = lens
+        out["fake_width"] = (hs % 1024).astype("int32")
+        out["fake_height"] = ((hs // 1024) % 1024).astype("int32")
+        out["channels"] = 3
         yield out
 
 

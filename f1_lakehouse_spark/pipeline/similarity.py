@@ -71,13 +71,28 @@ def _sql_dot(vec_expr: str, plane_expr: str) -> str:
     )
 
 
+# Column-tree memo for the hyperplane signature (r11, guide §4 driver-side
+# boundary): building the 8-plane signature expression costs ~0.33 s of
+# pure py4j round-trips (8 zip_with/aggregate lambdas over 64-float literal
+# arrays), repeated at every query build. Column objects are immutable
+# expression trees, not bound to a session, so one tree per (planes, input
+# column) serves every caller. Keyed by the plane values and the input
+# column's string form; entries are a handful of small trees.
+_SIG_COL_MEMO: dict[tuple, Column] = {}
+
+
 def spark_signature_planes(vec: Column, planes: list[list[float]]) -> Column:
     """sum over planes of (dot >= 0) * 2^j — an int bucket id."""
+    key = (str(vec), tuple(tuple(p) for p in planes))
+    hit = _SIG_COL_MEMO.get(key)
+    if hit is not None:
+        return hit
     sig = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         sig = sig + F.when(_spark_dot_lit(vec, plane) >= 0, F.lit(1 << j)).otherwise(
             F.lit(0)
         ).cast("long")
+    _SIG_COL_MEMO[key] = sig
     return sig
 
 

@@ -88,6 +88,18 @@ def _autosize_for(spark: SparkSession, sf_dir: str) -> None:
         pass
 
 
+# DataFrame HANDLE memo (r11, optimization guide §5 "the driver should do
+# almost no data work"): ``spark.read.parquet`` re-lists the path and
+# re-reads the parquet footer on the single-threaded driver at EVERY call
+# (~70 ms here; minutes at 100 TB directory sizes) — and every query fn
+# calls load_table 1-6 times per run. The memo stores the lazy DataFrame
+# (an unresolved plan object), never data: every action still scans the
+# parquet files, so bench/oracle runs keep computing from the inputs. This
+# is the path-read analog of Spark's own filesourcePartitionFileCache; like
+# that cache it assumes the test inputs are immutable within a session.
+_DF_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -96,11 +108,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); Spark refuses it unless
         # surfaced as LongType. Set the conf here (not only in our session
-        # factory) so the engine also works under a caller-built session.
+        # factory) so the engine also works under a caller-built session —
+        # on every call, so the memoized frame is never executed (or first
+        # built) without it.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, os.path.abspath(sf_dir), name)
+    hit = _DF_MEMO.get(key)
+    if hit is not None:
+        return hit
+    for old_key in list(_DF_MEMO):
+        if old_key[0] != app_id:  # new session: drop stale handles
+            del _DF_MEMO[old_key]
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = _normalize_event_ts(df)
+    _DF_MEMO[key] = df
     return df
 
 

@@ -21,8 +21,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 SHOWCASE: dict[str, str] = {
     "q1_pricing_summary": "Filter pushed to the parquet scan (PushedFilters), "
     "7-column pruned ReadSchema, map-side partial_sum, exactly one Exchange.",
-    "flagship_supplier_summary": "Window and aggregate share one 4-key "
-    "shuffle; personal-best side joins back via AQE broadcast.",
+    "flagship_supplier_summary": "Window and aggregate FUSED on one 4-key "
+    "shuffle (r11): single lineitem scan, single Exchange, no join — the "
+    "personal-best count folds into the same aggregate.",
     "join_star_broadcast": "Every dimension broadcast — the 100 TB fact "
     "table is never shuffled for enrichment.",
     "o3_topk_cheapest_lines": "Global top-k compiles to "

@@ -1,0 +1,137 @@
+"""Focused tests for the r11 optimization-round internals changes.
+
+Each test pins the specific property an optimization relies on, so a later
+refactor can't silently undo it:
+
+- flagship_supplier_summary: window + aggregate fused — one lineitem scan,
+  one shuffle Exchange, no join (the personal-best side used to be a second
+  scan + LeftOuter join).
+- q18_large_volume_customers: the HAVING aggregate IS the final quantity
+  sum — no left_semi join, no re-aggregation of lineitem.
+- tables.load_table: DataFrame-handle memo (driver-side footer read once
+  per (session, input, table)), invalidated per session.
+- dedup_simhash: shiftright bit extraction equals the oracle's
+  floor-divide-based bit test on the full int48 domain edge cases.
+- multimodal._poly_hash_batch: vectorized batch hash equals the scalar
+  byte-fold reference on edge cases (empty, long, high bytes).
+- similarity signature Column memo: same tree object reused.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_lakehouse_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _physical_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _plan_tree(df) -> str:
+    """Just the operator tree (the formatted detail section repeats every
+    operator name once more, which would double-count substring asserts)."""
+    return _physical_plan(df).split("\n\n")[0]
+
+
+def test_flagship_fused_single_scan_no_join(spark):
+    from f1_lakehouse_spark.operators.gold import flagship_supplier_summary
+
+    tree = _plan_tree(flagship_supplier_summary(spark, SF_DIR))
+    assert tree.count("Scan parquet") == 1, tree
+    # exactly the window's shuffle; the fused aggregate reuses its clustering
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree, tree
+    assert "Window" in tree  # W1 stays a real window operator
+
+
+def test_q18_no_semi_join_single_lineitem_pass(spark):
+    from f1_lakehouse_spark.operators.joins import q18_large_volume_customers
+
+    df = q18_large_volume_customers(spark, SF_DIR)
+    plan = _physical_plan(df)
+    tree = _plan_tree(df)
+    assert "LeftSemi" not in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan  # detail section: 1 scan
+    assert "TakeOrderedAndProject" in tree, tree
+
+
+def test_load_table_memoizes_handle_per_session(spark):
+    a = load_table(spark, SF_DIR, "lineitem")
+    b = load_table(spark, SF_DIR, "lineitem")
+    assert a is b
+    # distinct inputs get distinct handles
+    c = load_table(spark, SF_DIR, "orders")
+    assert c is not a
+    # the memo never caches data: a fresh action re-reads the parquet input
+    assert not a.is_cached
+
+
+def test_load_table_events_conf_pinned_after_memo_hit(spark):
+    load_table(spark, SF_DIR, "events")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    df = load_table(spark, SF_DIR, "events")  # memo hit must re-pin the conf
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    assert dict(df.dtypes)["ts"].startswith("timestamp")
+
+
+@pytest.mark.parametrize(
+    "x",
+    [0, 1, 2, (1 << 48) - 1, 999_999_937, 123_456_789_012_345],
+)
+def test_simhash_shiftright_equals_floor_divide(spark, x):
+    # the optimized bit test: shiftright(x, b) & 1 == (x // 2^b) % 2 (the
+    # oracle's formulation) for every bit on the int48 hash domain
+    row = spark.range(1).select(
+        *[
+            (
+                F.shiftright(F.lit(x), b).bitwiseAND(F.lit(1))
+                == (F.lit(x) / F.lit(1 << b)).cast("long") % 2
+            ).alias(f"b{b}")
+            for b in range(32)
+        ]
+    ).collect()[0]
+    assert all(row), (x, row.asDict())
+
+
+def test_poly_hash_batch_matches_scalar():
+    from f1_lakehouse_spark.pipeline.multimodal import (
+        _poly_hash_batch,
+        _poly_hash_bytes,
+    )
+
+    payloads = [
+        b"",
+        b"a",
+        b"hello world",
+        bytes(range(256)) * 40,  # all byte values, > pow-table warm size? no: grows
+        b"x" * 10_000,
+    ]
+    hs, lens = _poly_hash_batch(payloads)
+    assert list(lens) == [len(p) for p in payloads]
+    assert list(hs) == [_poly_hash_bytes(p) for p in payloads]
+
+
+def test_poly_hash_batch_all_empty():
+    from f1_lakehouse_spark.pipeline.multimodal import _poly_hash_batch
+
+    hs, lens = _poly_hash_batch([b"", b""])
+    assert list(hs) == [0, 0] and list(lens) == [0, 0]
+
+
+def test_signature_column_memo_reuses_tree():
+    from f1_lakehouse_spark.pipeline.similarity import (
+        PLANES,
+        spark_signature_planes,
+    )
+
+    a = spark_signature_planes(F.col("embedding"), PLANES)
+    b = spark_signature_planes(F.col("embedding"), PLANES)
+    assert a is b
+    c = spark_signature_planes(F.col("other"), PLANES)
+    assert c is not a
