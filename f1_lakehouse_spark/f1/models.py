@@ -73,32 +73,34 @@ def driver_session_summary(silver_laps: DataFrame) -> DataFrame:
     w = Window.partitionBy(*DSS_KEYS).orderBy(
         F.col("laptime").asc_nulls_last(), "lapnumber"
     )
-    pb = (
+    on_track = F.col("pitintime").isNull() & F.col("pitouttime").isNull()
+    pit_lap = F.col("pitintime").isNotNull() | F.col("pitouttime").isNotNull()
+    # r11 (same fusion as flagship_supplier_summary, guide §2.4): the
+    # personal-best window count groups by the same keys over the same
+    # frame as the conditional aggregates, so the reference's agg-LEFT
+    # JOIN-agg collapses into window → ONE aggregate on the window's own
+    # 7-key shuffle — one scan, one Exchange, no join. Result-identical
+    # (the oracle keeps the reference's two-CTE formulation): row_number()
+    # assigns rn=1 exactly once per non-empty group, and every aggregate
+    # group is non-empty, so the old LEFT JOIN always matched.
+    return (
         timed.withColumn("rn", F.row_number().over(w))
         .groupBy(*DSS_KEYS)
         .agg(
-            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias(
-                "personal_best_laps"
-            )
+            F.count("*").alias("laps_total"),
+            F.sum(F.when(on_track, 1).otherwise(0)).alias("laps_on_track"),
+            F.sum(F.when(pit_lap, 1).otherwise(0)).alias("pitstops"),
+            F.min("laptime").alias("best_lap_time"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("_pb_laps"),
         )
-    )
-    on_track = F.col("pitintime").isNull() & F.col("pitouttime").isNull()
-    pit_lap = F.col("pitintime").isNotNull() | F.col("pitouttime").isNotNull()
-    agg = timed.groupBy(*DSS_KEYS).agg(
-        F.count("*").alias("laps_total"),
-        F.sum(F.when(on_track, 1).otherwise(0)).alias("laps_on_track"),
-        F.sum(F.when(pit_lap, 1).otherwise(0)).alias("pitstops"),
-        F.min("laptime").alias("best_lap_time"),
-    )
-    return agg.join(pb, on=DSS_KEYS, how="left").select(
-        *DSS_KEYS,
-        "laps_total",
-        "laps_on_track",
-        "pitstops",
-        "best_lap_time",
-        F.coalesce(F.col("personal_best_laps"), F.lit(0)).alias(
-            "personal_best_laps"
-        ),
+        .select(
+            *DSS_KEYS,
+            "laps_total",
+            "laps_on_track",
+            "pitstops",
+            "best_lap_time",
+            F.coalesce(F.col("_pb_laps"), F.lit(0)).alias("personal_best_laps"),
+        )
     )
 
 

@@ -840,13 +840,19 @@ _BLOOM_JOIN_BUILD_PRED = (
 
 
 def _bloom_hash_halves(key: Column) -> tuple[Column, Column]:
-    """Two independent 48-bit integers from one md5 of the key's STRING
-    cast — the same double-hash convention sources/filestats.py uses for
-    its per-file Blooms, kept column-side here because both build and
-    probe are Spark expressions (no Python probe)."""
-    hexd = F.md5(key.cast("string"))
-    h1 = F.conv(F.substring(hexd, 1, 12), 16, 10).cast("long")
-    h2 = F.conv(F.substring(hexd, 13, 12), 16, 10).cast("long")
+    """Two independent 64-bit integers for the double-hash probe scheme.
+
+    r11: xxhash64 (native, whole-stage-codegen) instead of md5 + two conv
+    string parses — FilterExec does no common-subexpression elimination,
+    so the probe condition re-evaluated the md5/conv chain once per probe
+    bit (8× per row; measured ~2.4 s of the probe pass at sf0.1). The
+    Bloom filter is result-transparent (no false negatives under ANY hash
+    family; the oracle is the plain join), so the hash choice is purely an
+    execution detail — unlike pipeline.hashing's md5 keys, these bits
+    never surface in a result or an oracle. Probe-side masking keeps the
+    mixed values non-degenerate; pmod keeps positions non-negative."""
+    h1 = F.xxhash64(key)
+    h2 = F.xxhash64(key, F.lit(0x9E3779B9))
     return h1, h2
 
 
@@ -855,8 +861,8 @@ def bloom_filter_frame(keys: DataFrame, col: str, n_keys: int) -> DataFrame:
     long>)``, built fully distributed (k exploded bit positions per
     distinct key, ``bit_or`` per 64-bit word, one sparse-map fold).
     ``n_keys`` sizes ``m`` (pow2 in [floor, cap]); pass the build side's
-    observed count. An EMPTY build side yields an empty (0-row) frame —
-    cross-joining it empties the probe, the correct inner-join limit."""
+    observed count. An empty build side folds to one row with an empty
+    map, which rejects every probe — the correct inner-join limit."""
     m = _BLOOM_JOIN_M_FLOOR
     while m < n_keys * _BLOOM_JOIN_BITS_PER_KEY and m < _BLOOM_JOIN_M_CAP:
         m *= 2
@@ -889,25 +895,44 @@ def bloom_prefilter(fact: DataFrame, fact_key: str, bloom: DataFrame) -> DataFra
     """``fact`` rows whose ``fact_key`` passes the one-row Bloom ``bloom``
     (from :func:`bloom_filter_frame`) — a MAP-SIDE semi-join reduction
     evaluated before any join shuffle. No false negatives, so following
-    with the exact equi-join reproduces the plain join row-for-row."""
+    with the exact equi-join reproduces the plain join row-for-row.
+
+    r11 (guide §5 / §3.2): the bloom row is COLLECTED to the driver (one
+    row, <= 512 KB at the m cap — the k-means-centroid convention:
+    model-sized state embeds as literals), densified to a word array in
+    Python, and embedded as a constant-folded array literal. The previous
+    crossJoin(broadcast(bloom)) carried the words as a per-row MAP column:
+    Spark's map element_at is a linear scan per lookup (O(rows × k ×
+    words)), and the join output copied the whole structure into every
+    probe row's UnsafeRow — together ~5 s per probe pass at sf0.1 (600k
+    rows). Now the probe is a pure map-side Filter: O(1) ``element_at``
+    on a folded literal (the index is provably in [1, m/64] — pmod(·, m)
+    div 64 + 1 — so plain element_at never hits its ANSI out-of-bounds
+    path), measured ~1 s."""
+    row = bloom.collect()[0]  # 1-row aggregate: the trained filter
+    m = int(row["_bloom_m"])
+    dense = [0] * (m // 64)
+    for w, bits in row["_bloom_words"].items():
+        dense[int(w)] = int(bits)
+    # one parser round-trip instead of m/64 py4j literal calls
+    words = F.expr("array(" + ",".join(f"{b}L" for b in dense) + ")")
     h1, h2 = _bloom_hash_halves(F.col(fact_key))
-    crossed = fact.crossJoin(F.broadcast(bloom))
+    probe = fact.withColumn("_bw", words)  # folded literal: dropped below
     cond = F.lit(True)
     for i in range(_BLOOM_JOIN_K):
-        crossed = crossed.withColumn(
-            f"_rf_pos{i}", F.pmod(h1 + F.lit(i).cast("long") * h2, F.col("_bloom_m"))
+        probe = probe.withColumn(
+            f"_rf_pos{i}",
+            F.pmod(h1 + F.lit(i).cast("long") * h2, F.lit(m).cast("long")),
         )
+        # array is 1-indexed and dense: word w lives at position w+1, O(1)
         hit = F.expr(
-            f"(coalesce(try_element_at(_bloom_words, "
-            f"cast(floor(_rf_pos{i} / 64) as bigint)), cast(0 as bigint)) "
+            f"(element_at(_bw, cast(_rf_pos{i} div 64 as int) + 1) "
             f"& shiftleft(cast(1 as bigint), cast(pmod(_rf_pos{i}, 64) as int)"
             f")) != 0"
         )
         cond = cond & hit
-    # the bloom frame is a 1-row aggregate: the explicit broadcast never
-    # touches an unaggregated scan (plan-lint Aggregate exemption)
-    return crossed.filter(cond).drop(
-        "_bloom_m", "_bloom_words", *[f"_rf_pos{i}" for i in range(_BLOOM_JOIN_K)]
+    return probe.filter(cond).drop(
+        "_bw", *[f"_rf_pos{i}" for i in range(_BLOOM_JOIN_K)]
     )
 
 

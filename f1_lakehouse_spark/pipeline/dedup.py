@@ -1848,9 +1848,12 @@ LEFT JOIN ver v USING (cfg)"""
     tags=("pipeline", "dedup", "minhash", "diagnostics"),
 )
 def dedup_minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    shk_raw = _spark_shingle_keys(d, distinct=False).persist()
-    shk_raw.count()
+    # r11: borrow the session's shared DISTINCT shingle cache instead of a
+    # private per-call corpus re-hash — MIN minhashes and collect_set doc
+    # sets are duplicate-insensitive, and the oracle's shh/sizes CTEs both
+    # read the DISTINCT shingle CTE already (borrowed frame: never
+    # unpersisted here).
+    shk_raw = shingle_keys_frame(spark, sf_dir)
     shh = shk_raw.select("doc_id", F.col("sk").alias("x"))
     mh = shh.groupBy("doc_id").agg(
         *[
@@ -1944,7 +1947,6 @@ def dedup_minhash_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         bf.unpersist()
     allc.unpersist()
     mh.unpersist()
-    shk_raw.unpersist()
     return out
 
 

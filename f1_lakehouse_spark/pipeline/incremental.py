@@ -221,11 +221,14 @@ WHERE CAST(c.n_common AS DOUBLE) / (sa.sz + sb.sz - c.n_common)
     tags=("pipeline", "dedup", "minhash", "incremental"),
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    # shingle keys once, shared by signatures and verify (as in
-    # dedup_minhash_verified)
-    shk_raw = _spark_shingle_keys(d, distinct=False).persist()
-    shk_raw.count()
+    # r11: borrow the session's shared DISTINCT shingle cache (as in
+    # dedup_minhash_verified) instead of a private per-call corpus re-hash —
+    # MIN minhashes and collect_set doc sets are duplicate-insensitive, and
+    # the oracle's own band/sizes CTEs read the DISTINCT shingle CTE.
+    # Borrowed frame: never unpersisted here.
+    from f1_lakehouse_spark.pipeline.dedup import shingle_keys_frame
+
+    shk_raw = shingle_keys_frame(spark, sf_dir)
     bands = minhash_band_signatures(
         shk_raw.select("doc_id", F.col("sk").alias("x"))
     ).withColumn("is_new", _spark_is_new(F.col("doc_id")))
@@ -274,7 +277,6 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = out.persist()
     out.count()
-    shk_raw.unpersist()
     bands.unpersist()
     cand.unpersist()
     return out

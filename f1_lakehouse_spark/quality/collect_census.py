@@ -44,6 +44,11 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     "(groupBy pid)",
     ("operators/extensions.py", "grouped_prefix_rank"): "guarded: "
     "limit(max_offset_rows+1) caps the transfer, asserts past the bound",
+    ("operators/joins.py", "bloom_prefilter"): "model-sized: ONE row — the "
+    "trained Bloom filter (m capped at 2^22 bits = 64k longs, 512 KB), "
+    "embedded as a plan literal so the probe filter never carries it as a "
+    "per-row column (r11: the crossJoin form copied the word array into "
+    "every probe row's UnsafeRow)",
     ("operators/joins.py", "join_minmax_prefilter"): "model-sized: one "
     "global MIN/MAX aggregate row",
     ("operators/round5_stats.py", "events_winsorized_lift"): "model-sized: "

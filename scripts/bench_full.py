@@ -75,6 +75,28 @@ FLAG_NOTES = {
         "Structured Streaming machinery shared with "
         "streaming_multitable_roundtrip"
     ),
+    "dedup_edit_distance": (
+        "inherent exact-verify CPU, not a plan smell (r11 audit): the "
+        "q-gram count filter bounds candidates sub-quadratically (10.3k "
+        "pairs at sf0.1), but each surviving pair pays an exact O(len_a x "
+        "len_b) levenshtein — ~1e9 DP cells at sf0.1's ~300-char docs — in "
+        "native JVM codegen. The oracle emits edit_distance for EVERY "
+        "candidate, so no threshold short-circuit is admissible; that IS "
+        "the string-similarity-join verify step"
+    ),
+    "branch_wap_roundtrip": (
+        "latency-bound lifecycle certification like scd2/streaming "
+        "round-trips: sequential manifest commits + branch/tag/ "
+        "fast-forward filesystem swaps with read-back asserts — "
+        "entity-bounded data, wall clock tracks per-job and per-fsync "
+        "latency, not volume (r11 audit)"
+    ),
+    "mor_upsert_roundtrip": (
+        "latency-bound lifecycle certification: sequential O_EXCL "
+        "fragment commits + compaction + byte-identity asserts over "
+        "entity-bounded frames (r11 audit; same class as "
+        "mor_delete_roundtrip and scd2)"
+    ),
 }
 
 

@@ -15,6 +15,13 @@ refactor can't silently undo it:
 - multimodal._poly_hash_batch: vectorized batch hash equals the scalar
   byte-fold reference on edge cases (empty, long, high bytes).
 - similarity signature Column memo: same tree object reused.
+- f1 driver_session_summary: window + aggregate fused like flagship — one
+  scan of the silver frame, one shuffle, no join.
+- bloom_prefilter: the probe is a pure map-side Filter over a driver-
+  embedded literal word array — no join operator of any kind in the
+  pruned-fact plan.
+- quality_gopher_repetition: session-cached label frame (one persisted
+  entry, same handle returned, consumers borrow without evicting).
 """
 
 from __future__ import annotations
@@ -122,6 +129,52 @@ def test_poly_hash_batch_all_empty():
 
     hs, lens = _poly_hash_batch([b"", b""])
     assert list(hs) == [0, 0] and list(lens) == [0, 0]
+
+
+def test_dss_fused_single_scan_no_join(spark):
+    from f1_lakehouse_spark.f1.adapters import silver_laps_analog
+    from f1_lakehouse_spark.f1.models import driver_session_summary
+
+    tree = _plan_tree(driver_session_summary(silver_laps_analog(spark, SF_DIR)))
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree, tree
+    assert "Window" in tree, tree
+
+
+def test_bloom_prefilter_is_pure_mapside_filter(spark):
+    from f1_lakehouse_spark.operators.joins import (
+        bloom_filter_frame,
+        bloom_prefilter,
+    )
+
+    build = spark.range(100).selectExpr("id as bk")
+    fact = spark.range(10_000).selectExpr("id % 500 as fk")
+    pruned = bloom_prefilter(fact, "fk", bloom_filter_frame(build, "bk", 100))
+    tree = _plan_tree(pruned)
+    # r11: the trained filter embeds as a literal — the probe must carry
+    # no join (the old shape cross-joined the 1-row bloom frame into
+    # every probe row) and no exchange (pure map-side filter)
+    assert "Join" not in tree, tree
+    assert "Exchange" not in tree, tree
+    assert "Filter" in tree, tree
+
+
+def test_gopher_label_frame_session_cached(spark):
+    from f1_lakehouse_spark.pipeline.filtering import (
+        quality_gopher_repetition,
+    )
+
+    a = quality_gopher_repetition(spark, SF_DIR)
+    b = quality_gopher_repetition(spark, SF_DIR)
+    assert a is b
+    assert a.is_cached
+    # consumers derive via .select(...): their own persist/unpersist acts
+    # on a DIFFERENT plan, so the shared entry must stay hot
+    derived = a.select("doc_id", "passes_repetition")
+    derived.count()
+    derived.unpersist()
+    assert a.is_cached
 
 
 def test_signature_column_memo_reuses_tree():
