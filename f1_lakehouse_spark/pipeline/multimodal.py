@@ -18,7 +18,7 @@ from f1_lakehouse_spark.pinning import pin_checkpoint
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from f1_lakehouse_spark.pipeline.hashing import MOD, sql_md5_hash48, sql_poly_hash
@@ -463,15 +463,21 @@ def mm_payload_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c"),
     ).filter(F.length("c") > 0)
     fp = chunks.select(F.md5("c").alias("f"), F.length("c").alias("clen"))
-    w = Window.partitionBy("f").orderBy("f")
-    ranked = fp.withColumn("rn", F.row_number().over(w))
-    return ranked.agg(
-        F.count("*").alias("total_chunks"),
-        F.count_distinct("f").alias("distinct_chunks"),
-        F.sum("clen").cast("long").alias("total_bytes"),
-        F.sum(F.when(F.col("rn") == 1, F.col("clen")).otherwise(0))
-        .cast("long")
-        .alias("distinct_bytes"),
+    # r11 (guide §2.2): one groupBy(f) with map-side partial aggregation
+    # replaces the row_number window (which shuffled + sorted EVERY chunk
+    # row) and the count_distinct expansion. Equal fingerprints mean equal
+    # chunk content hence equal clen — the very property the window's
+    # rn=1-under-ties formulation already relied on — so per-fingerprint
+    # (cnt, clen) reproduces every statistic exactly: total = Σ cnt·clen,
+    # distinct = Σ clen. Oracle unchanged.
+    per_f = fp.groupBy("f").agg(
+        F.count("*").alias("cnt"), F.max("clen").alias("clen")
+    )
+    return per_f.agg(
+        F.sum("cnt").cast("long").alias("total_chunks"),
+        F.count("*").cast("long").alias("distinct_chunks"),
+        F.sum(F.col("cnt") * F.col("clen")).cast("long").alias("total_bytes"),
+        F.sum("clen").cast("long").alias("distinct_bytes"),
     )
 
 

@@ -177,6 +177,19 @@ def test_gopher_label_frame_session_cached(spark):
     assert a.is_cached
 
 
+def test_cdc_chunks_no_window_mapside_partial_agg(spark):
+    from f1_lakehouse_spark.pipeline.multimodal import mm_payload_cdc_chunks
+
+    tree = _plan_tree(mm_payload_cdc_chunks(spark, SF_DIR))
+    # r11: the distinct-bytes stat comes from groupBy(fingerprint) with
+    # map-side partial aggregation, not a row_number window that shuffled
+    # and sorted every chunk row
+    assert "Window" not in tree, tree
+    assert "Sort" not in tree, tree
+    # two aggregate pairs (per-fingerprint, then global), each partial+final
+    assert tree.count("Exchange") == 2, tree
+
+
 def test_signature_column_memo_reuses_tree():
     from f1_lakehouse_spark.pipeline.similarity import (
         PLANES,
