@@ -129,6 +129,15 @@ def main() -> None:
         times[name] = round(best, 3)
         print(f"[{i + 1}/{len(REGISTRY)}] {name}: {times[name]}s", flush=True)
 
+    # end-of-run calibration: the sweep takes ~10-15 min and the shared VM's
+    # speed oscillates on minute scales — a start-only calib can certify a
+    # run whose tail ran 2-3x slow (r11: events_ks_two_sample read 17 s in
+    # a sweep, 2.0 s isolated). Divergent start/end calib marks the total
+    # as polluted evidence.
+    t0 = time.perf_counter()
+    spark.range(100_000_000).selectExpr("sum(id)").collect()
+    jvm_sum_end = time.perf_counter() - t0
+
     payload = {
         "metric": "full_suite_total_sec",
         "value": round(sum(times.values()), 3),
@@ -139,6 +148,7 @@ def main() -> None:
         "calib": {
             "jvm_sum_100m_sec": round(jvm_sum, 3),
             "lineitem_count_sec": round(scan_count, 3),
+            "jvm_sum_100m_sec_end": round(jvm_sum_end, 3),
         },
         "flag_threshold_sec": flag_sec,
         "flag_threshold_base_sec": FLAG_BASE_SEC,
