@@ -2914,7 +2914,13 @@ def stats_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % F.lit(1_000_000_007)
     )
-    keyed = li.withColumn("x", x)
+    # hoist the double->decimal cast ABOVE the explode: the cast
+    # (Double.toString + BigDecimal parse) runs once per SOURCE row and the
+    # Generate copies the decimal, instead of 64 casts per row inside the
+    # aggregate below (guide §1.2 per-task work; r11 A/B result-identical)
+    keyed = li.withColumn("x", x).withColumn(
+        "pd", F.col("l_extendedprice").cast("decimal(27,6)")
+    )
     # the B-fold fan-out is pure map work: make sure it runs wide even when
     # the input is one small file (at 100 TB the scan is already parallel
     # and this branch is a no-op). Width is derived from input size vs the
@@ -2943,10 +2949,10 @@ def stats_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(u < float(_BOOT_T[3]), 3)
         .otherwise(4)
     )
-    weighted = fan.select("l_returnflag", "l_extendedprice", "b", w.alias("w"))
+    weighted = fan.select("l_returnflag", "pd", "b", w.alias("w"))
     means = weighted.groupBy("l_returnflag", "b").agg(
         (
-            F.sum(F.col("l_extendedprice").cast("decimal(27,6)") * F.col("w")).cast(
+            F.sum(F.col("pd") * F.col("w")).cast(
                 "double"
             )
             / F.sum("w").cast("long").cast("double")

@@ -201,3 +201,27 @@ def test_signature_column_memo_reuses_tree():
     assert a is b
     c = spark_signature_planes(F.col("other"), PLANES)
     assert c is not a
+
+
+def test_bootstrap_decimal_cast_hoisted_above_explode(spark):
+    """stats_bootstrap_ci_poisson: the double->decimal(27,6) cast of
+    l_extendedprice runs once per SOURCE row below the B=64 Generate (the
+    explode copies the decimal), never per fanned row inside the resample
+    aggregate — the partial_sum multiplies the precomputed `pd` column."""
+    from f1_lakehouse_spark.operators.extensions import (
+        stats_bootstrap_ci_poisson,
+    )
+
+    plan = _physical_plan(stats_bootstrap_ci_poisson(spark, SF_DIR))
+    # one plan section computes pd below the Generate...
+    assert "as decimal(27,6)) AS pd#" in plan, plan
+    # ...and the resample partial_sum consumes pd, not a fresh per-row cast
+    # (the point-mean branch keeps its own single-pass cast: exactly two
+    # sum(cast(l_extendedprice ...)) families would mean the hoist regressed)
+    import re
+
+    resample_sums = re.findall(r"partial_sum\(\(pd#\d+ \* ", plan)
+    assert resample_sums, plan
+    assert not re.search(
+        r"partial_sum\(\(cast\(l_extendedprice", plan
+    ), plan
