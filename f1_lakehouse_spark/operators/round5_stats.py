@@ -396,14 +396,21 @@ def _fisher_lazy(spark: SparkSession, sf_dir: str):
         .limit(_BASKET_K)
         .select(F.col("pk").alias("bpk"))
     )
-    cur, prev = cells.alias("c"), cells.alias("p")
+    # pre-filter BOTH self-join sides by the broadcast basket (guide §3.2):
+    # joining first and filtering after would self-join the full SF-scaling
+    # cell frame (~all parts x months) only to keep the basket's ~100 parts;
+    # p.pk == c.pk ∈ basket, so filtering prev too is result-identical.
+    # cb re-evaluates per side, but its lineage below the join is the
+    # PERSISTED cells frame + a 100-key broadcast probe (the barrier the
+    # derived-self-join rule protects is already materialized).
+    cb = cells.join(F.broadcast(basket), F.col("pk") == F.col("bpk")).drop("bpk")
+    cur, prev = cb.alias("c"), cb.alias("p")
     pairs = (
         cur.join(
             prev,
             (F.col("c.pk") == F.col("p.pk"))
             & (F.col("c.ym0") == F.col("p.ym0") + 1),
         )
-        .join(F.broadcast(basket), F.col("c.pk") == F.col("bpk"))
         .select(
             F.col("c.ym0").alias("ym0"),
             F.col("c.pk").alias("part_key"),

@@ -225,3 +225,19 @@ def test_bootstrap_decimal_cast_hoisted_above_explode(spark):
     assert not re.search(
         r"partial_sum\(\(cast\(l_extendedprice", plan
     ), plan
+
+
+def test_fisher_basket_prefilters_both_selfjoin_sides(spark):
+    """lineitem_fisher_price_index: the 100-part basket broadcast filter
+    sits BELOW the month-pair self-join on both sides (each side's subtree
+    carries the basket TakeOrderedAndProject), so at scale the self-join
+    never shuffles the full SF-scaling part x month cell frame."""
+    from f1_lakehouse_spark.operators.round5_stats import _fisher_lazy
+
+    cells, out = _fisher_lazy(spark, SF_DIR)
+    try:
+        tree = _plan_tree(out)
+        # one basket subtree per self-join side (before: one, applied after)
+        assert tree.count("TakeOrderedAndProject") == 2, tree
+    finally:
+        cells.unpersist()
