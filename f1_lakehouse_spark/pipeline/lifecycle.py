@@ -1038,12 +1038,21 @@ GROUP BY event_type
 _TXN1_CUTOFF = "2024-01-10 00:00:00"
 
 
-def _medallion_layers(src: DataFrame) -> dict[str, DataFrame]:
+def _medallion_layers(src: DataFrame):
     """silver = latest event per user, gold = per-type aggregate OF silver —
     the two frames one transaction must publish consistently. Silver is
     persisted+materialized before gold derives from it (CLAUDE.md barrier
     rule: gold would otherwise re-run silver's key shuffle from the events
-    scan); the caller unpersists after the transaction settles."""
+    scan). Returns ``(tables, release)``: the caller calls ``release()``
+    after the transaction settles (the published silver is a COALESCED
+    view of the cache, so unpersisting the dict entry would be a no-op on
+    the underlying cache entry).
+
+    Publish sizing (guide §6, the streaming/ingest convention): silver
+    coalesces to ceil(rows / 500k) output files — the materializing count
+    is already paid — and gold to 1 (taxonomy-bounded). Before this, every
+    lifecycle publish wrote one near-empty parquet file per shuffle
+    partition and every read-back paid a task per file."""
     from f1_lakehouse_spark.streaming.ingest import (  # noqa: PLC0415
         SILVER_KEY,
         SILVER_ORDER,
@@ -1054,12 +1063,16 @@ def _medallion_layers(src: DataFrame) -> dict[str, DataFrame]:
     silver = _latest_per_key(
         src.select(SILVER_KEY, *SILVER_ORDER, *SILVER_PAYLOAD)
     ).persist()
-    silver.count()
+    n_silver = silver.count()
     gold = silver.groupBy("event_type").agg(
         F.count("*").alias("n_users"),
         F.sum(F.col("value").cast("decimal(28,9)")).alias("total_value"),
     )
-    return {"silver": silver, "gold": gold}
+    silver_files = max(1, -(-n_silver // 500_000))
+    return (
+        {"silver": silver.coalesce(silver_files), "gold": gold.coalesce(1)},
+        silver.unpersist,
+    )
 
 
 def _assert_snapshot_consistent(spark: SparkSession, root: str, manifest) -> None:
@@ -1114,14 +1127,14 @@ def atomic_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     base = tempfile.mkdtemp(prefix="f1ls_txn_")
     root = os.path.join(base, "medallion")
-    persisted: list[DataFrame] = []
+    releases: list = []
     try:
-        t1 = _medallion_layers(
+        t1, rel1 = _medallion_layers(
             events.filter(F.col("ts") < F.lit(_TXN1_CUTOFF).cast("timestamp"))
         )
-        persisted.append(t1["silver"])
-        t2 = _medallion_layers(events)
-        persisted.append(t2["silver"])
+        releases.append(rel1)
+        t2, rel2 = _medallion_layers(events)
+        releases.append(rel2)
         publish_tables(spark, root, t1, txn_id=1)
         m1 = read_manifest(root)
         assert m1 is not None and m1["txn"] == 1, f"txn 1 did not commit: {m1}"
@@ -1168,8 +1181,8 @@ def atomic_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return pin_small_result(out, EVENT_TYPE_MAX)
     finally:
-        for frame in persisted:
-            frame.unpersist()
+        for release in releases:
+            release()
         shutil.rmtree(base, ignore_errors=True)
 
 
@@ -1429,14 +1442,14 @@ def snapshot_time_travel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     events = load_table(spark, sf_dir, "events")
     base = tempfile.mkdtemp(prefix="f1ls_tt_")
     root = os.path.join(base, "medallion")
-    persisted: list[DataFrame] = []
+    releases: list = []
     try:
-        t1 = _medallion_layers(
+        t1, rel1 = _medallion_layers(
             events.filter(F.col("ts") < F.lit(_TXN1_CUTOFF).cast("timestamp"))
         )
-        persisted.append(t1["silver"])
-        t2 = _medallion_layers(events)
-        persisted.append(t2["silver"])
+        releases.append(rel1)
+        t2, rel2 = _medallion_layers(events)
+        releases.append(rel2)
         publish_tables(spark, root, t1, txn_id=1)
         publish_tables(spark, root, t2, txn_id=2)
         # live pointer is txn 2; the as-of read resolves txn 1's history
@@ -1456,8 +1469,8 @@ def snapshot_time_travel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         )
         return pin_small_result(out, EVENT_TYPE_MAX)
     finally:
-        for frame in persisted:
-            frame.unpersist()
+        for release in releases:
+            release()
         shutil.rmtree(base, ignore_errors=True)
 
 
@@ -1508,10 +1521,10 @@ def wap_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     base = tempfile.mkdtemp(prefix="f1ls_wap_")
     root = os.path.join(base, "medallion")
-    persisted: list[DataFrame] = []
+    releases: list = []
     try:
-        good = _medallion_layers(events)
-        persisted.append(good["silver"])
+        good, rel_good = _medallion_layers(events)
+        releases.append(rel_good)
         v1 = write_audit_publish(
             spark, root, good, txn_id=1, audit_fn=_medallion_audit
         )
@@ -1531,8 +1544,8 @@ def wap_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         bad_src = events.select(
             "user_id", "ts", "event_id", "event_type", "value"
         ).unionByName(poison)
-        bad = _medallion_layers(bad_src)
-        persisted.append(bad["silver"])
+        bad, rel_bad = _medallion_layers(bad_src)
+        releases.append(rel_bad)
         v2 = write_audit_publish(
             spark, root, bad, txn_id=2, audit_fn=_medallion_audit
         )
@@ -1558,8 +1571,8 @@ def wap_publish_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return pin_small_result(out, EVENT_TYPE_MAX)
     finally:
-        for frame in persisted:
-            frame.unpersist()
+        for release in releases:
+            release()
         shutil.rmtree(base, ignore_errors=True)
 
 
@@ -1992,18 +2005,18 @@ def branch_wap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     base = tempfile.mkdtemp(prefix="f1ls_bwap_")
     root = os.path.join(base, "medallion")
-    persisted: list[DataFrame] = []
+    releases: list = []
     try:
-        t1 = _medallion_layers(
+        t1, rel1 = _medallion_layers(
             events.filter(F.col("ts") < F.lit(_TXN1_CUTOFF).cast("timestamp"))
         )
-        persisted.append(t1["silver"])
-        t_mid = _medallion_layers(
+        releases.append(rel1)
+        t_mid, rel_mid = _medallion_layers(
             events.filter(F.col("ts") < F.lit(_WAP_CUT_MID).cast("timestamp"))
         )
-        persisted.append(t_mid["silver"])
-        t_full = _medallion_layers(events)
-        persisted.append(t_full["silver"])
+        releases.append(rel_mid)
+        t_full, rel_full = _medallion_layers(events)
+        releases.append(rel_full)
 
         publish_tables(spark, root, t1, txn_id=1, writer="etl")
         m1 = read_manifest(root)
@@ -2081,8 +2094,8 @@ def branch_wap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return pin_small_result(out, EVENT_TYPE_MAX)
     finally:
-        for frame in persisted:
-            frame.unpersist()
+        for release in releases:
+            release()
         shutil.rmtree(base, ignore_errors=True)
 
 

@@ -241,3 +241,33 @@ def test_fisher_basket_prefilters_both_selfjoin_sides(spark):
         assert tree.count("TakeOrderedAndProject") == 2, tree
     finally:
         cells.unpersist()
+
+
+def test_medallion_layers_sized_publish_and_release(spark):
+    """_medallion_layers publishes size-derived file counts (silver
+    ceil(n/500k) -> 1 partition at test SF, gold 1: the streaming/ingest
+    convention, instead of one near-empty file per shuffle partition) and
+    returns a release() that really unpersists the underlying cache."""
+    from f1_lakehouse_spark.registry import _ensure_loaded
+
+    _ensure_loaded()  # lifecycle's oracle wiring needs the full registry
+    from f1_lakehouse_spark.pipeline.lifecycle import _medallion_layers
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    def cached_ids():
+        return {i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    before = cached_ids()  # other tests' session caches stay out of scope
+    tables, release = _medallion_layers(events)
+    try:
+        assert tables["silver"].rdd.getNumPartitions() == 1
+        assert tables["gold"].rdd.getNumPartitions() == 1
+        # the cache entry is on the pre-coalesce frame: coalesce reads it
+        assert cached_ids() - before, "silver cache entry missing before release()"
+    finally:
+        release()
+    assert not (cached_ids() - before), (
+        "release() left the silver cache entry behind"
+    )
