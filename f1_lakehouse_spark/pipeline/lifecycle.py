@@ -1075,6 +1075,22 @@ def _medallion_layers(src: DataFrame):
     )
 
 
+def _state_publish_files(spark: SparkSession, sf_dir: str) -> int:
+    """Size-derived output file count for publishing a latest-per-key
+    state WITHOUT a count barrier (guide §6 output sizing; CLAUDE.md knob
+    rule — derive from input, constants are floors): the state is at most
+    the events input, so ceil(events bytes / 128 MB) bounds files at
+    ~128 MB at any SF while the sf0.1 publish stays one file instead of
+    one near-empty file per shuffle partition."""
+    from f1_lakehouse_spark.session import input_bytes  # noqa: PLC0415
+    from f1_lakehouse_spark.tables import table_path  # noqa: PLC0415
+
+    return max(
+        1,
+        -(-input_bytes(spark, [table_path(sf_dir, "events")]) // (128 << 20)),
+    )
+
+
 def _assert_snapshot_consistent(spark: SparkSession, root: str, manifest) -> None:
     """The snapshot-isolation invariant a reader must observe: the gold the
     manifest names equals the aggregate of the silver the SAME manifest
@@ -1938,8 +1954,9 @@ def change_data_feed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_state = _latest_per_key(
             events.filter(F.col("user_id") % _CDF_MOD != _CDF_NEW_EXCL)
         )
-        publish_tables(spark, root, {"silver": old_state}, txn_id=1)
-        publish_tables(spark, root, {"silver": new_state}, txn_id=2)
+        nf = _state_publish_files(spark, sf_dir)
+        publish_tables(spark, root, {"silver": old_state.coalesce(nf)}, txn_id=1)
+        publish_tables(spark, root, {"silver": new_state.coalesce(nf)}, txn_id=2)
         cdf = table_changes(
             spark, root, "silver", 1, 2,
             key_cols=["user_id"], order_cols=["ts", "event_id"],
@@ -2358,8 +2375,9 @@ def cdf_incremental_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_state = _latest_per_key(
             events.filter(F.col("user_id") % _CDF_MOD != _CDF_NEW_EXCL)
         )
-        publish_tables(spark, root, {"silver": old_state}, txn_id=1)
-        publish_tables(spark, root, {"silver": new_state}, txn_id=2)
+        nf = _state_publish_files(spark, sf_dir)
+        publish_tables(spark, root, {"silver": old_state.coalesce(nf)}, txn_id=1)
+        publish_tables(spark, root, {"silver": new_state.coalesce(nf)}, txn_id=2)
 
         val_dec = F.col("value").cast("decimal(28,9)")
 
