@@ -414,7 +414,19 @@ def mor_compact(spark: SparkSession, table_dir: str, key_col: str) -> None:
         for sub in ("deletes", "inserts")
     }
     merged = mor_read(spark, table_dir, key_col, gen=gen)
-    merged.write.mode("overwrite").parquet(
+    # output sizing: the fold's anti-join/union would otherwise write one
+    # near-empty file per shuffle partition; the merged rows are bounded
+    # by the generation's on-disk bytes (base + insert fragments), so a
+    # ceil(bytes / 128 MB) coalesce keeps ~128 MB files at any scale
+    # without a count job (the module is local-FS-addressed throughout)
+    gen_dir = os.path.join(table_dir, _gen_name(gen))
+    gen_bytes = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _dirs, files in os.walk(gen_dir)
+        for f in files
+    )
+    n_files = max(1, -(-gen_bytes // (128 << 20)))
+    merged.coalesce(n_files).write.mode("overwrite").parquet(
         os.path.join(table_dir, _gen_name(gen + 1), "base")
     )
     _swap_pointer(table_dir, gen + 1)
