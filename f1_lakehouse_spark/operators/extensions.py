@@ -1046,7 +1046,11 @@ def global_prefix_sum(
     TOTAL order (callers must include a unique tiebreaker in
     ``order_cols``): range-repartition on the order, per-partition window
     cumsums, driver-side prefix offsets of the ``n_parts`` per-partition
-    totals (a model-sized collect) broadcast back. Range boundaries come
+    totals (a model-sized collect) broadcast back. Pure COUNT weights
+    (rank passes) should be LONG ones, not decimal: long sums are exact
+    for counts, shuffle 8 fewer bytes/row and accumulate in codegen; the
+    returned ``cum`` is decimal(38,6) either way (long cum + decimal
+    offset promotes identically), so consumers see the same dtype. Range boundaries come
     from sampling and are nondeterministic; the result is exact under any
     placement because the order is total and decimal addition associative.
 
@@ -1712,7 +1716,7 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("freq"),
             F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("monetary_d"),
         )
-        .withColumn("one", F.lit(1).cast("decimal(27,6)"))
+        .withColumn("one", F.lit(1).cast("long"))
     )
     rfm = rfm.persist()
     rfm.count()  # materialize before the three derived prefix-sum scans
@@ -3972,7 +3976,7 @@ def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     )
-    rev = rev.withColumn("one", F.lit(1).cast("decimal(27,6)"))
+    rev = rev.withColumn("one", F.lit(1).cast("long"))
     cum, release, total_n = global_prefix_sum(
         spark, rev, "one", [F.col("r").asc(), F.col("l_suppkey").asc()]
     )

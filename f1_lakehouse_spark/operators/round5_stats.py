@@ -693,7 +693,7 @@ def supplier_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     )
-    rev = rev.withColumn("one", F.lit(1).cast("decimal(27,6)"))
+    rev = rev.withColumn("one", F.lit(1).cast("long"))
     cum, release, total_n = global_prefix_sum(
         spark, rev, "one", [F.col("r").asc(), F.col("l_suppkey").asc()]
     )
@@ -845,7 +845,7 @@ def events_winsorized_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (spark_salted_hash("user_id", ":ab") % 2).alias("variant"),
         "urev",
-        F.lit(1).cast("decimal(27,6)").alias("one"),
+        F.lit(1).cast("long").alias("one"),
     )
     cum, release, _total = global_prefix_sum(
         spark,
@@ -1362,7 +1362,7 @@ def lineitem_mean_excess_evt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(18,2)").alias("x"),
         "l_orderkey",
         "l_linenumber",
-        F.lit(1).cast("decimal(27,6)").alias("one"),
+        F.lit(1).cast("long").alias("one"),
     )
     cum, release, total = global_prefix_sum(
         spark,
@@ -1614,7 +1614,7 @@ def events_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (spark_salted_hash("user_id", ":ab") % 2).alias("variant"),
         "score",
         "converted",
-        F.lit(1).cast("decimal(27,6)").alias("one"),
+        F.lit(1).cast("long").alias("one"),
     )
     cum, release, total = global_prefix_sum(
         spark, users, "one", [F.col("score").desc(), F.col("user_id").asc()]
@@ -2300,7 +2300,7 @@ def orders_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("first_ship"), F.col("o_orderdate"))
         .cast("long")
         .alias("t_days"),
-        F.lit(1).cast("decimal(27,6)").alias("one"),
+        F.lit(1).cast("long").alias("one"),
     )
     cum, release, total = global_prefix_sum(
         spark, base, "one", [F.col("t_days").asc(), F.col("o_orderkey").asc()]

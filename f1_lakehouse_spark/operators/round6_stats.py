@@ -533,7 +533,7 @@ def orders_quantile_sketch_contract(spark: SparkSession, sf_dir: str) -> DataFra
         for qq, k in ks.items():
             if qq not in est and cum >= k:
                 est[qq] = lo + (int(row["bin"]) + 1) * w - 1
-    one = v.withColumn("one", F.lit(1).cast("decimal(27,6)"))
+    one = v.withColumn("one", F.lit(1).cast("long"))
     ranked, release, _tot = global_prefix_sum(
         spark, one, "one", [F.col("c").asc(), F.col("o_orderkey").asc()]
     )
@@ -654,7 +654,7 @@ def _mad_lazy(spark: SparkSession, sf_dir: str):
     k_lo, k_hi = (n + 1) // 2, n // 2 + 1
 
     def pick2(df: DataFrame, col: str, tiebreak: str) -> int:
-        one = df.withColumn("one", F.lit(1).cast("decimal(27,6)"))
+        one = df.withColumn("one", F.lit(1).cast("long"))
         ranked, release, _t = global_prefix_sum(
             spark, one, "one", [F.col(col).asc(), F.col(tiebreak).asc()]
         )
@@ -1254,7 +1254,7 @@ def scoring_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base.persist()
     n = base.count()
     k = (n + 1) // 2
-    one = base.withColumn("one", F.lit(1).cast("decimal(27,6)"))
+    one = base.withColumn("one", F.lit(1).cast("long"))
     ranked, release, _t = global_prefix_sum(
         spark, one, "one", [F.col("sc").asc(), F.col("doc_id").asc()]
     )

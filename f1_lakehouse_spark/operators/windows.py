@@ -83,7 +83,7 @@ def w_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         load_table(spark, sf_dir, "supplier")
         .select("s_suppkey", "s_nationkey", "s_acctbal")
-        .withColumn("one", F.lit(1).cast("decimal(27,6)"))
+        .withColumn("one", F.lit(1).cast("long"))
     )
     cum, release, total = global_prefix_sum(
         spark, s, "one", [F.col("s_acctbal").desc(), F.col("s_suppkey").asc()]
