@@ -97,6 +97,19 @@ FLAG_NOTES = {
         "entity-bounded frames (r11 audit; same class as "
         "mor_delete_roundtrip and scd2)"
     ),
+    "semdedup_cluster_prune": (
+        "sweep-position artifact, not a plan smell (r11 close audit): "
+        "the first call pays the session's shared embedding/cluster cache "
+        "build plus JIT; isolated steady state on the same VM is "
+        "1.1-1.3 s (21 s cold, 1.1 s warm). Flags only when the sweep's "
+        "best-of-2 lands both runs on a slow-VM phase"
+    ),
+    "stats_skipping_roundtrip": (
+        "latency-bound lifecycle certification like the other skipping "
+        "round-trips: the N-file range write IS the file-skipping test "
+        "fixture, followed by manifest-stats pruning asserts; isolated "
+        "steady state 3.0-3.5 s on this VM (r11 close audit)"
+    ),
 }
 
 
