@@ -35,6 +35,47 @@ def davg(c: Column | str, scale: int = 6) -> Column:
     return F.sum(c.cast(f"decimal(27,{scale})")).cast("double") / F.count(c)
 
 
+def dsum_i(c: Column | str, digits: int) -> Column:
+    """:func:`dsum` for expressions whose values have at most ``digits``
+    fractional decimal digits — value- and dtype-identical, ~40% faster.
+
+    ``cast(double AS decimal(27,s))`` pays a Double.toString + BigDecimal
+    parse PER ROW (the r11-measured "decimal determinism tax", ~60-70% of
+    q1's runtime). When the expression's true value is an exact
+    ``digits``-decimal rational, ``rint(x * 10^digits)`` recovers the same
+    scaled integer in pure FP codegen (the double is within ~1e-10 of the
+    true value while the nearest competing integer is 0.5 away), a long
+    sum accumulated as compact decimal(20,0) (long-backed adds; promotes
+    past 9.2e18 so no overflow at any SF), and one EXACT decimal rescale
+    after the aggregate — (30,0) x ({digits+1},{digits}) stays under
+    precision 38 so no rounding — reproduces the identical rational, and
+    decimal->double is correctly rounded at any scale. The oracle twin is
+    unchanged (:func:`DSUM`): cross-engine parity is inherited from the
+    per-row identity.
+
+    Domain contract (verified per-row at sf0.001/0.01/0.1, zero mismatches
+    vs the decimal(27,6) cast — see OPTIMIZATION_r12.md "decimal tax"):
+    l_quantity is integer-valued; l_extendedprice, l_discount, l_tax,
+    o_totalprice, c_acctbal, s_acctbal, p_retailprice and events.value are
+    exact 2-decimal values. Products compose: extprice*(1-disc) -> 4,
+    *(1+tax) -> 6, profit (0.8*retail*int_qty term) -> 4. Only call this
+    with expressions covered by that verified contract; anything else
+    stays on :func:`dsum`.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    scaled = F.rint(c * F.lit(float(10**digits))).cast("long")
+    return (
+        F.sum(scaled.cast("decimal(20,0)"))
+        * F.lit(10.0**-digits).cast(f"decimal({digits + 1},{digits})")
+    ).cast("double")
+
+
+def davg_i(c: Column | str, digits: int) -> Column:
+    """:func:`davg` via the :func:`dsum_i` integer path (same contract)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return dsum_i(c, digits) / F.count(c)
+
+
 def DSUM(expr: str, scale: int = 6) -> str:
     """Oracle-side twin of :func:`dsum`."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(27,{scale}))) AS DOUBLE)"
@@ -194,7 +235,7 @@ FROM events GROUP BY 1
 def a8_a9_weather_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        davg("value").alias("avg_value"),
+        davg_i("value", 2).alias("avg_value"),
         F.max(F.when(F.col("value") > 90, 1).otherwise(0)).alias("had_spike"),
         F.count("*").alias("n"),
     )
@@ -315,13 +356,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
+            dsum_i("l_quantity", 2).alias("sum_qty"),
+            dsum_i("l_extendedprice", 2).alias("sum_base_price"),
+            dsum_i(disc_price, 4).alias("sum_disc_price"),
+            dsum_i(charge, 6).alias("sum_charge"),
+            davg_i("l_quantity", 2).alias("avg_qty"),
+            davg_i("l_extendedprice", 2).alias("avg_price"),
+            davg_i("l_discount", 2).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )

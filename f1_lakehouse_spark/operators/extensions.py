@@ -11,7 +11,7 @@ from f1_lakehouse_spark.pinning import pin_small_result
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from f1_lakehouse_spark.operators.aggregations import DSUM, dsum
+from f1_lakehouse_spark.operators.aggregations import DSUM, dsum_i
 from f1_lakehouse_spark.pipeline.hashing import (
     spark_salted_hash,
     sql_indexed_hash48,
@@ -120,7 +120,7 @@ def join_range_value_to_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         (e["value"] >= p["p_size"] - 0.5) & (e["value"] < p["p_size"] + 0.5),
     )
     return joined.groupBy("p_size").agg(
-        F.count("*").alias("n_events"), dsum("value").alias("total_value")
+        F.count("*").alias("n_events"), dsum_i("value", 2).alias("total_value")
     )
 
 
@@ -2918,13 +2918,7 @@ def stats_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % F.lit(1_000_000_007)
     )
-    # hoist the double->decimal cast ABOVE the explode: the cast
-    # (Double.toString + BigDecimal parse) runs once per SOURCE row and the
-    # Generate copies the decimal, instead of 64 casts per row inside the
-    # aggregate below (guide §1.2 per-task work; r11 A/B result-identical)
-    keyed = li.withColumn("x", x).withColumn(
-        "pd", F.col("l_extendedprice").cast("decimal(27,6)")
-    )
+    keyed = li.withColumn("x", x)
     # the B-fold fan-out is pure map work: make sure it runs wide even when
     # the input is one small file (at 100 TB the scan is already parallel
     # and this branch is a no-op). Width is derived from input size vs the
@@ -2938,7 +2932,15 @@ def stats_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan_tasks = -(-input_bytes(spark, [table_path(sf_dir, "lineitem")]) // max_split)
     if scan_tasks < par:
         keyed = keyed.repartition(par)
+    # hoist the double->decimal cast ABOVE the explode but AFTER the
+    # small-input repartition: the cast (Double.toString + BigDecimal
+    # parse) runs once per SOURCE row and the Generate copies the decimal,
+    # instead of 64 casts per row inside the aggregate below (guide §1.2
+    # per-task work; r11 A/B result-identical) — while the repartition
+    # shuffle still moves the 8-byte double, not a 16-byte decimal
     fan = keyed.withColumn(
+        "pd", F.col("l_extendedprice").cast("decimal(27,6)")
+    ).withColumn(
         "b", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
     )
     h = (

@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from f1_lakehouse_spark.operators.aggregations import DAVG, DSUM, davg, dsum
+from f1_lakehouse_spark.operators.aggregations import (
+    DAVG,
+    DSUM,
+    davg_i,
+    dsum_i,
+)
 from f1_lakehouse_spark.registry import register
 from f1_lakehouse_spark.tables import load_table
 
@@ -57,7 +62,7 @@ def j2_pace_conditions_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditions = o.groupBy(
         F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
     ).agg(
-        davg("o_totalprice").alias("avg_order_value"),
+        davg_i("o_totalprice", 2).alias("avg_order_value"),
         F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("had_final"),
     )
     return pace.join(conditions, on=["y", "m"], how="left").select(
@@ -92,7 +97,7 @@ def join_star_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.count("*").alias("n_customers"),
-            dsum("c_acctbal").alias("total_acctbal"),
+            dsum_i("c_acctbal", 2).alias("total_acctbal"),
         )
     )
 
@@ -177,7 +182,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(revenue).alias("revenue"))
+        .agg(dsum_i(revenue, 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -223,7 +228,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(dsum(revenue).alias("revenue"))
+        .agg(dsum_i(revenue, 4).alias("revenue"))
     )
 
 
@@ -254,7 +259,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            dsum_i(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -299,7 +304,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation")
         )
-        .agg(dsum(revenue).alias("revenue"))
+        .agg(dsum_i(revenue, 4).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -344,10 +349,20 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineitem scan, no semi join, no re-aggregation. Result-identical to
     # the oracle's IN-subquery formulation (kept verbatim); the semi-join
     # operator exemplar lives on in q4_order_priority_check.
+    # integer-scaled exact sum (see aggregations.dsum_i): l_quantity is a
+    # verified <=2-decimal domain, so rint(qty*100) summed as compact
+    # decimal is value-identical to the decimal(27,6) accumulation; the
+    # HAVING threshold compares in the same x100 integer domain
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("_qdec"))
-        .filter(F.col("_qdec") > 150)
+        .agg(
+            F.sum(
+                F.rint(F.col("l_quantity") * F.lit(100.0))
+                .cast("long")
+                .cast("decimal(20,0)")
+            ).alias("_qcents")
+        )
+        .filter(F.col("_qcents") > 15000)
     )
     return (
         big.join(o, big["l_orderkey"] == o["o_orderkey"])
@@ -358,7 +373,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderdate",
             "o_totalprice",
-            F.col("_qdec").cast("double").alias("total_qty"),
+            (F.col("_qcents") * F.lit(0.01).cast("decimal(3,2)"))
+            .cast("double")
+            .alias("total_qty"),
         )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(25)
@@ -459,8 +476,8 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(
         (
             F.lit(100.0)
-            * F.sum(promo_rev.cast("decimal(27,6)")).cast("double")
-            / F.sum(rev.cast("decimal(27,6)")).cast("double")
+            * dsum_i(promo_rev, 4)
+            / dsum_i(rev, 4)
         ).alias("promo_revenue_pct")
     )
 
@@ -507,7 +524,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(p, li["l_partkey"] == p["p_partkey"])
         .filter(cond)
-        .agg(dsum(rev).alias("revenue"), F.count("*").alias("n_lines"))
+        .agg(dsum_i(rev, 4).alias("revenue"), F.count("*").alias("n_lines"))
     )
 
 
@@ -553,7 +570,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
         .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal").alias("total_bal"))
+        .agg(F.count("*").alias("n_customers"), dsum_i("c_acctbal", 2).alias("total_bal"))
     )
 
 
@@ -611,7 +628,7 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
         )
-        .agg(dsum(rev).alias("revenue"))
+        .agg(dsum_i(rev, 4).alias("revenue"))
     )
 
 
@@ -749,7 +766,7 @@ def join_minmax_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_lines"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            dsum_i(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "revenue"
             ),
         )
@@ -973,7 +990,7 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_linestatus")
         .agg(
             F.count("*").alias("n_lines"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            dsum_i(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
                 "revenue"
             ),
         )

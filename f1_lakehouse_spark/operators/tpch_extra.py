@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from f1_lakehouse_spark.operators.aggregations import DAVG, DSUM, davg, dsum
+from f1_lakehouse_spark.operators.aggregations import (
+    DAVG,
+    DSUM,
+    davg_i,
+    dsum_i,
+)
 from f1_lakehouse_spark.registry import register
 from f1_lakehouse_spark.tables import load_table
 
@@ -155,7 +160,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg((dsum(nat_rev) / dsum(rev)).alias("mkt_share"))
+        .agg((dsum_i(nat_rev, 4) / dsum_i(rev, 4)).alias("mkt_share"))
     )
 
 
@@ -199,7 +204,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(dsum(profit, 4).alias("sum_profit"))
+        .agg(dsum_i(profit, 4).alias("sum_profit"))
     )
 
 
@@ -242,9 +247,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flt.count()
     per_part = flt.groupBy(F.col("l_partkey").alias("partkey")).agg(
-        dsum("l_extendedprice").alias("part_value")
+        dsum_i("l_extendedprice", 2).alias("part_value")
     )
-    total = flt.agg((dsum("l_extendedprice") * F.lit(0.002)).alias("thr"))
+    total = flt.agg((dsum_i("l_extendedprice", 2) * F.lit(0.002)).alias("thr"))
     out = (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > F.col("thr"))
@@ -327,7 +332,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # used twice (MAX probe + join side): persist AND materialize first
     revenue = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(dsum(rev).alias("total_revenue"))
+        .agg(dsum_i(rev, 4).alias("total_revenue"))
         .persist()
     )
     revenue.count()
@@ -413,14 +418,14 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     pa = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
-        (F.lit(0.2) * davg("l_quantity")).alias("qty_thr")
+        (F.lit(0.2) * davg_i("l_quantity", 2)).alias("qty_thr")
     )
     return (
         li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(pa, li["l_partkey"] == F.col("pa_key"))
         .filter(F.col("l_quantity") < F.col("qty_thr"))
         .agg(
-            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            (dsum_i("l_extendedprice", 2) / F.lit(7.0)).alias("avg_yearly"),
             F.count("*").alias("n_lines"),
         )
     )

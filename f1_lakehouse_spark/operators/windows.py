@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from f1_lakehouse_spark.operators.aggregations import DSUM, dsum
+from f1_lakehouse_spark.operators.aggregations import DSUM, dsum_i
 from f1_lakehouse_spark.registry import register
 from f1_lakehouse_spark.tables import load_table
 
@@ -171,7 +171,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .agg(F.count("*").alias("n_events"), dsum_i("value", 2).alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
@@ -410,7 +410,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(
             F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
         )
-        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .agg(F.count("*").alias("n_events"), dsum_i("value", 2).alias("total_value"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),

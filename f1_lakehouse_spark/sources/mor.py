@@ -85,6 +85,13 @@ def _gen_name(gen: int) -> str:
     return f"g{gen:010d}"
 
 
+def _size_or_zero(path: str) -> int:
+    try:
+        return os.path.getsize(path)
+    except FileNotFoundError:  # vanished under a racing commit/compaction
+        return 0
+
+
 def _live_gen(table_dir: str) -> int:
     with open(os.path.join(table_dir, POINTER)) as f:
         return int(f.read().strip().lstrip("g"))
@@ -420,10 +427,17 @@ def mor_compact(spark: SparkSession, table_dir: str, key_col: str) -> None:
     # ceil(bytes / 128 MB) coalesce keeps ~128 MB files at any scale
     # without a count job (the module is local-FS-addressed throughout)
     gen_dir = os.path.join(table_dir, _gen_name(gen))
+    # the walk races with concurrent fragment commits (supported here:
+    # the carry-forward sweep exists precisely for them) — a .lock claim
+    # or a displaced fragment can vanish between listing and stat, so a
+    # vanished file counts 0; .lock claims and delete fragments are
+    # skipped outright (deletes only shrink the fold's output — the bound
+    # stays conservative for base + insert bytes)
     gen_bytes = sum(
-        os.path.getsize(os.path.join(dirpath, f))
+        _size_or_zero(os.path.join(dirpath, f))
         for dirpath, _dirs, files in os.walk(gen_dir)
         for f in files
+        if not f.endswith(".lock") and os.path.basename(dirpath) != "deletes"
     )
     n_files = max(1, -(-gen_bytes // (128 << 20)))
     merged.coalesce(n_files).write.mode("overwrite").parquet(

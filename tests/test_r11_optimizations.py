@@ -265,9 +265,12 @@ def test_medallion_layers_sized_publish_and_release(spark):
         assert tables["silver"].rdd.getNumPartitions() == 1
         assert tables["gold"].rdd.getNumPartitions() == 1
         # the cache entry is on the pre-coalesce frame: coalesce reads it
-        assert cached_ids() - before, "silver cache entry missing before release()"
+        mid = cached_ids() - before
+        assert mid, "silver cache entry missing before release()"
     finally:
         release()
-    assert not (cached_ids() - before), (
+    # assert the SPECIFIC entries _medallion_layers created are gone — an
+    # unrelated session cache appearing mid-test must not flake this
+    assert not (mid & cached_ids()), (
         "release() left the silver cache entry behind"
     )
